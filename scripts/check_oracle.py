@@ -25,6 +25,8 @@ with open(f"{OUT}/oracle_sql.json") as f:
     oracles = json.load(f)
 
 def canon(v):
+    if hasattr(v, "isoformat"):  # datetime.datetime / date / pd.Timestamp
+        return v.isoformat()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

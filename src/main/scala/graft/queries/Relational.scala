@@ -10,7 +10,9 @@ import graft.operators.Datamart
   */
 object Relational {
 
-  def all: Seq[Q] = Seq(pricingSummary, customerMart, limitBy)
+  def all: Seq[Q] = Seq(
+    pricingSummary, customerMart, limitBy,
+    lookupCascade, semiAnti, fullOuterReconcile, splitBands, windowRunning)
 
   /** Pricing-summary hash aggregate (SURVEY A1): filter → groupBy →
     * {sum, avg, count} with exact decimal arithmetic. The filter and
@@ -87,6 +89,149 @@ object Relational {
       Seq(col("o_orderdate").desc, col("o_orderkey").desc),
       3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Lookup cascade (SURVEY J2/J6): fact stream probes three broadcast
+    * reference tables in sequence — the SSIS Full-Cache-Lookup chain
+    * for fact loading, executed as chained BroadcastHashJoins with zero
+    * shuffle on the probe side.
+    */
+  val lookupCascade: Q = Q(
+    "q_lookup_cascade",
+    """SELECT n.n_name AS n_name, p.p_brand AS p_brand,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name, p.p_brand
+      |ORDER BY n_name, p_brand""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(
+        ExactAgg.dsumOneMinus(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("p_brand"))
+  }
+
+  /** Semi/anti joins (SURVEY §2.3 "Not present" row + J2 no-match
+    * stream): customers with vs without orders, per segment. EXISTS →
+    * left_semi, NOT EXISTS → left_anti.
+    */
+  val semiAnti: Q = Q(
+    "q_semi_anti",
+    """SELECT c_mktsegment, 'with_orders' AS bucket, COUNT(*) AS cnt
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, 'no_orders' AS bucket, COUNT(*) AS cnt
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment, bucket""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val oKeys = Tables.orders(s, dir).select(col("o_custkey"))
+    def side(joinType: String, tag: String) =
+      c.join(oKeys, c("c_custkey") === oKeys("o_custkey"), joinType)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", lit(tag))
+    side("left_semi", "with_orders")
+      .unionByName(side("left_anti", "no_orders"))
+      .select(col("c_mktsegment"), col("bucket"), col("cnt"))
+      .orderBy(col("c_mktsegment"), col("bucket"))
+  }
+
+  /** Full-outer reconciliation (SURVEY J4/J9 shape): per-key aggregate
+    * vs a filtered dimension snapshot, unmatched rows surviving on both
+    * sides — the merge-join / CDC-reconcile skeleton.
+    */
+  val fullOuterReconcile: Q = Q(
+    "q_full_outer",
+    """SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+      |  COALESCE(o.order_cnt, 0) AS order_cnt,
+      |  c.c_acctbal AS c_acctbal,
+      |  CASE WHEN o.o_custkey IS NULL THEN 'dim_only'
+      |       WHEN c.c_custkey IS NULL THEN 'fact_only'
+      |       ELSE 'both' END AS presence
+      |FROM (SELECT o_custkey, COUNT(*) AS order_cnt
+      |      FROM orders GROUP BY o_custkey) o
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+      |                 WHERE c_custkey % 2 = 0) c
+      |ON o.o_custkey = c.c_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("order_cnt"))
+    val c = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "full")
+      .select(
+        coalesce(o("o_custkey"), c("c_custkey")).as("custkey"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        col("c_acctbal"),
+        when(o("o_custkey").isNull, "dim_only")
+          .when(c("c_custkey").isNull, "fact_only")
+          .otherwise("both").as("presence"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Conditional Split + Derived Column (SURVEY P1/P2): first-match
+    * band routing computed in one codegen pass via the Split operator.
+    */
+  val splitBands: Q = Q(
+    "q_split_bands",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |            WHEN o_totalprice < 150000 THEN 'medium'
+      |            ELSE 'large' END AS band,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |FROM orders GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+    val routed = graft.operators.Split.tag(
+      Tables.orders(s, dir),
+      Seq(
+        "small" -> (col("o_totalprice") < 50000),
+        "medium" -> (col("o_totalprice") < 150000)),
+      default = "large",
+      tagCol = "band")
+    routed.groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        ExactAgg.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Analytic frame (SURVEY §2.5): exact running spend per customer —
+    * the cumulative-window shape, shuffled once on the partition key.
+    */
+  val windowRunning: Q = Q(
+    "q_window_running",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+      |    AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        (sum(ExactAgg.cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
+          .as("running_spend"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 }

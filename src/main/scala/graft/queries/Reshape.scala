@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{ExactAgg, OrderedAgg}
+import graft.operators.Profile
+
+/** Reshaping + array surface (SURVEY §2.7, §2.8) and profiling (A9). */
+object Reshape {
+
+  def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer)
+
+  /** Pivot rows→columns (SURVEY R1): order status across priorities.
+    * Explicit pivot values keep the plan a single pass (no distinct
+    * pre-scan) — mandatory at scale.
+    */
+  val pivot: Q = Q(
+    "q_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100.0 AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100.0 AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100.0 AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(ExactAgg.dsum(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Unpivot columns→rows (SURVEY R2) via `stack`, aggregating the
+    * measures exactly. One scan, no shuffle before the 4-row result.
+    */
+  val unpivot: Q = Q(
+    "q_unpivot",
+    """SELECT 'l_discount' AS measure, CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0 AS total FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice' AS measure, CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity' AS measure, CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS total FROM lineitem
+      |UNION ALL
+      |SELECT 'l_tax' AS measure, CAST(SUM(CAST(round(l_tax*100) AS BIGINT)) AS DOUBLE)/100.0 AS total FROM lineitem
+      |ORDER BY measure""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        ExactAgg.cents(col("l_discount")).as("l_discount"),
+        ExactAgg.cents(col("l_extendedprice")).as("l_extendedprice"),
+        ExactAgg.cents(col("l_quantity")).as("l_quantity"),
+        ExactAgg.cents(col("l_tax")).as("l_tax"))
+      .selectExpr(
+        """stack(4,
+          |  'l_discount', l_discount,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_quantity', l_quantity,
+          |  'l_tax', l_tax) as (measure, cents)""".stripMargin)
+      .groupBy(col("measure"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("total"))
+      .orderBy(col("measure"))
+  }
+
+  /** Array round-trip (SURVEY R3, A4, §2.8): collect order lines into a
+    * positionally-linked struct array (`arrayZip` shape), explode it
+    * back (`ARRAY JOIN`), and re-aggregate — plus a lambda `filter`
+    * over the array. Result must equal the direct relational aggregate
+    * (the oracle), proving the array path is lossless.
+    */
+  val explodeZip: Q = Q(
+    "q_explode_zip",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
+      |  CAST(COUNT(CASE WHEN l_extendedprice > 1000 THEN 1 END) AS BIGINT) AS n_big
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    val zipped = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(OrderedAgg.sortedZip(
+        col("l_linenumber"),
+        "price" -> col("l_extendedprice"),
+        "qty" -> col("l_quantity")).as("items"))
+    zipped
+      .withColumn("n_big",
+        size(filter(col("items"), it => it.getField("price") > 1000)).cast("long"))
+      .select(col("l_orderkey"), col("n_big"), explode(col("items")).as("it"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        ExactAgg.dsum(col("it.price")).as("total_price"),
+        first(col("n_big")).as("n_big"))
+      .select(col("l_orderkey"), col("n_items"), col("total_price"), col("n_big"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Profiling aggregates (SURVEY A9): one pass over `customer`. */
+  val profileCustomer: Q = Q(
+    "q_profile_customer",
+    """SELECT 'c_acctbal' AS col_name, COUNT(*) AS n_rows, COUNT(*)-COUNT(c_acctbal) AS n_null, COUNT(DISTINCT c_acctbal) AS n_distinct FROM customer
+      |UNION ALL
+      |SELECT 'c_custkey', COUNT(*), COUNT(*)-COUNT(c_custkey), COUNT(DISTINCT c_custkey) FROM customer
+      |UNION ALL
+      |SELECT 'c_mktsegment', COUNT(*), COUNT(*)-COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+      |UNION ALL
+      |SELECT 'c_name', COUNT(*), COUNT(*)-COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+      |UNION ALL
+      |SELECT 'c_nationkey', COUNT(*), COUNT(*)-COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+      |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    Profile(
+      Tables.customer(s, dir),
+      Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"))
+      .orderBy(col("col_name"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExactAgg
+
+/** Scalar-function surface (SURVEY §2.8), set ops (§2.6) and the
+  * event-time bucketing that backs the streaming module (§2.9).
+  */
+object Scalar {
+
+  def all: Seq[Q] = Seq(stringParse, dateBuckets, eventsHourly, unionDistinct)
+
+  /** Derived Column string kernel (SURVEY P1/Q1 — …/Глава 11…md:17-22
+    * name parsing): substring/locate/length/upper/trim/concat, with
+    * numeric promote from text — all codegen'd built-ins.
+    */
+  val stringParse: Q = Q(
+    "q_string_parse",
+    """SELECT c_custkey,
+      |  CAST(substring(c_name, 10, 9) AS BIGINT) AS cust_id,
+      |  upper(c_name) AS name_up,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  substring(c_mktsegment, 1, 3) AS seg3,
+      |  concat(c_mktsegment, '-', c_name) AS seg_name,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 10, 9).cast("long").as("cust_id"),
+        upper(col("c_name")).as("name_up"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date kernel (SURVEY §2.8 GETDATE/DATEPART family): calendar
+    * bucketing of order dates; grouping on derived year/month pushes a
+    * two-column scan.
+    */
+  val dateBuckets: Q = Q(
+    "q_date_buckets",
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+      |  EXTRACT(MONTH FROM o_orderdate) AS o_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |FROM orders
+      |GROUP BY o_year, o_month
+      |ORDER BY o_year, o_month""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        ExactAgg.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  /** Event-time tumbling buckets over the `events` stream table — the
+    * batch shape of the streaming windowed aggregate (SURVEY §2.9).
+    * `date_trunc` keeps nanosecond source timestamps comparable across
+    * engines (both truncate to the hour).
+    */
+  val eventsHourly: Q = Q(
+    "q_events_hourly",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM events
+      |GROUP BY hour_ts, event_type
+      |ORDER BY hour_ts, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        ExactAgg.dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  /** Set ops (SURVEY U1/§2.6): distinct union of two key streams,
+    * resolved through a semi join against the dimension.
+    */
+  val unionDistinct: Q = Q(
+    "q_union_distinct",
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey IN (SELECT c_nationkey FROM customer
+      |                      UNION SELECT s_nationkey FROM supplier)
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val keys = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      .unionByName(Tables.supplier(s, dir).select(col("s_nationkey").as("k")))
+      .distinct()
+    val n = Tables.nation(s, dir)
+    n.join(keys, n("n_nationkey") === keys("k"), "left_semi")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Lookup, Profile, Split}
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Lookup: match and no-match streams partition the input losslessly") {
+    val stream = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val ref = Seq((1, "x"), (3, "y")).toDF("rk", "rv")
+    val looked = Lookup(stream, ref, "k", "rk")
+    val (hit, miss) = Lookup.split(looked)
+    assert(hit.count() + miss.count() == stream.count())
+    assert(hit.select("k").as[Int].collect().sorted.toList == List(1, 3))
+    assert(miss.select("k").as[Int].collect().toList == List(2))
+    // no-match rows carry null ref columns (unknown-member input shape)
+    assert(miss.filter($"rv".isNotNull).count() == 0)
+  }
+
+  test("Split.tag applies first-match semantics") {
+    val df = Seq(5, 50, 500).toDF("x")
+    val tagged = Split.tag(df, Seq(
+      "small" -> ($"x" < 10),
+      "medium" -> ($"x" < 100)))
+    val got = tagged.orderBy($"x").select("route").as[String].collect().toList
+    assert(got == List("small", "medium", "default"))
+  }
+
+  test("Split.outputs partitions the input losslessly") {
+    val df = (1 to 100).toDF("x")
+    val outs = Split.outputs(df, Seq("even" -> ($"x" % 2 === 0)))
+    assert(outs("even").count() + outs("default").count() == 100)
+  }
+
+  test("Profile counts rows, nulls, distincts in one pass") {
+    val df = Seq(
+      (Some(1), "a"), (None, "a"), (Some(3), "b")
+    ).toDF("num", "s")
+    val p = Profile(df, Seq("num", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(p("num") == ((3L, 1L, 2L)))
+    assert(p("s") == ((3L, 0L, 2L)))
+  }
+
+  test("Profile.keyCandidates finds unique non-null columns") {
+    val df = Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x")).toDF("id", "u", "c")
+    assert(Profile.keyCandidates(df, Seq("id", "u", "c")).toSet == Set("id", "u"))
+  }
+}
