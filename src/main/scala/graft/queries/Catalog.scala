@@ -2,7 +2,7 @@ package graft.queries
 
 /** Aggregates every query module into the driver-facing maps. */
 object Catalog {
-  def all: Seq[Q] = Relational.all ++ Reshape.all ++ Scalar.all
+  def all: Seq[Q] = Relational.all ++ Reshape.all ++ Scalar.all ++ CdcQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.run).toMap

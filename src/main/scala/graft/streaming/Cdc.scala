@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC incremental-load protocol (SURVEY §2.9; reference:
+  * Integration/SSIS/Practice/004 CDC.md, 005 CDC Case
+  * Visualization.md, 006 CDC Store LSN label.md, …/Глава 12…md:59-73).
+  *
+  * The reference specifies an offset/watermark contract, not an
+  * engine: a monotone LSN column orders a change log whose rows carry
+  * `op` ∈ {1=delete, 2=insert, 4=update}; a tiny state table persists
+  * the processed high-water mark; ranges are `(stored, currentMax]`;
+  * state advances only after a successful apply (at-least-once ⇒
+  * duplicates after crash-restart are EXPECTED and the apply must be
+  * idempotent); a stored LSN below the log's retention floor is
+  * silent data loss and must fail loudly (004 CDC.md:226-241).
+  *
+  * Spark shape: the apply is one keyed reconciliation — dedup the
+  * range to latest-per-key (window), full-outer join to the target,
+  * resolve. One shuffle on the key; linear at any scale. No MERGE
+  * target exists over plain parquet, so the caller rewrites the
+  * target output (the Delta/Iceberg seam documented in SURVEY §7.4).
+  */
+object Cdc {
+
+  object Op {
+    val Delete = 1
+    val Insert = 2
+    val Update = 4
+  }
+
+  final case class RetentionLossException(stored: Long, minAvailable: Long)
+    extends RuntimeException(
+      s"CDC retention loss: stored LSN $stored < oldest available LSN " +
+        s"$minAvailable — change log no longer covers the gap; full reload required")
+
+  /** Driver-side state store (the `cdc_states` table,
+    * 006….md:22-27): one parquet of (state_name, state, last_update).
+    * Small by construction — one row per pipeline.
+    */
+  final class StateStore(spark: SparkSession, path: String) {
+    import spark.implicits._
+
+    private def readAll(): Map[String, Long] =
+      try spark.read.parquet(path)
+        .select("state_name", "state").as[(String, Long)]
+        .collect().toMap
+      catch { case _: Exception => Map.empty } // first run: no state yet
+
+    def get(stateName: String): Option[Long] = readAll().get(stateName)
+
+    /** Mark processed range — call ONLY after the output commit
+      * succeeded (C6: state must not advance on failure).
+      */
+    def put(stateName: String, lsn: Long): Unit = {
+      val updated = readAll() + (stateName -> lsn)
+      updated.toSeq
+        .map { case (n, l) => (n, l, new java.sql.Timestamp(System.currentTimeMillis())) }
+        .toDF("state_name", "state", "last_update")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Processing range `(from, to]` filter (C3). */
+  def range(changes: DataFrame, lsnCol: String, from: Long, to: Long): DataFrame =
+    changes.filter(col(lsnCol) > from && col(lsnCol) <= to)
+
+  /** Retention-loss guard (C7): the stored watermark must still be
+    * covered by the change log, else the gap was silently truncated.
+    * `minAvailable` is the log's oldest retained LSN.
+    */
+  def retentionGuard(stored: Long, minAvailable: Long): Unit =
+    if (stored < minAvailable - 1)
+      throw RetentionLossException(stored, minAvailable)
+
+  /** CDC Splitter (C4, …/Глава 12…md:62-63): fan a change range to
+    * insert/update/delete streams by op marker.
+    */
+  def split(changes: DataFrame, opCol: String = "op"): Map[Int, DataFrame] =
+    Map(
+      Op.Delete -> changes.filter(col(opCol) === Op.Delete),
+      Op.Insert -> changes.filter(col(opCol) === Op.Insert),
+      Op.Update -> changes.filter(col(opCol) === Op.Update))
+
+  /** Latest change per key (C5 dedup): crash-restart replays a range,
+    * so the same key may appear twice — keep the highest LSN only.
+    */
+  def latestPerKey(changes: DataFrame, keyCols: Seq[String], lsnCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(lsnCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent apply (C5): reconcile a change range into the target.
+    *
+    * Target schema: keyCols ++ dataCols ++ last_lsn.
+    * Changes schema: keyCols ++ dataCols ++ lsnCol ++ opCol.
+    *
+    * Keyed last-writer-wins with delete-removes semantics, which makes
+    * the operation idempotent (applying a range twice ≡ once) and
+    * composable (applying (a,b] then (b,c] ≡ applying (a,c]).
+    */
+  def apply(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      lsnCol: String = "lsn",
+      opCol: String = "op"): DataFrame = {
+    // Rename the change side so the plan never self-join-ambiguates
+    // (target is often derived from the same source as the changes —
+    // e.g. a snapshot built from an earlier range of the same log).
+    def cc(name: String) = col(s"__c_$name")
+    val latest = latestPerKey(changes, keyCols, lsnCol)
+      .select((keyCols ++ dataCols :+ lsnCol :+ opCol)
+        .map(n => col(n).as(s"__c_$n")): _*)
+    val cond = keyCols.map(k => target(k) <=> cc(k)).reduce(_ && _)
+    val joined = target.join(latest, cond, "full_outer")
+    val useChange = cc(lsnCol).isNotNull
+    val deleted = useChange && cc(opCol) === Op.Delete
+    joined
+      .filter(!coalesce(deleted, lit(false)))
+      .select(
+        keyCols.map(k => coalesce(cc(k), target(k)).as(k)) ++
+        dataCols.map(d => when(useChange, cc(d)).otherwise(target(d)).as(d)) :+
+        when(useChange, cc(lsnCol)).otherwise(target("last_lsn")).as("last_lsn"): _*)
+  }
+
+  /** Empty target with the apply-compatible schema (C1 initial load
+    * starts from nothing; the snapshot is just `apply` of the full
+    * range onto this).
+    */
+  def emptyTarget(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      lsnCol: String = "lsn"): DataFrame =
+    changes
+      .select((keyCols ++ dataCols).map(col) :+ col(lsnCol).as("last_lsn"): _*)
+      .limit(0)
+
+  /** Lag monitoring (C8): hours between the processed watermark's
+    * timestamp and the newest change — the reference alerts when
+    * retention headroom falls under 24h (004 CDC.md:288-298).
+    */
+  def lagHours(stateTs: java.sql.Timestamp, newestChangeTs: java.sql.Timestamp): Double =
+    (newestChangeTs.getTime - stateTs.getTime) / 3600000.0
+}

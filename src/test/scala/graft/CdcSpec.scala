@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Cdc
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def feed = Seq(
+    // (user_id, amount, lsn, op)
+    (1L, 10.0, 1L, Cdc.Op.Insert),
+    (2L, 20.0, 2L, Cdc.Op.Insert),
+    (1L, 11.0, 3L, Cdc.Op.Update),
+    (2L, 0.0, 4L, Cdc.Op.Delete),
+    (3L, 30.0, 5L, Cdc.Op.Insert),
+    (2L, 25.0, 6L, Cdc.Op.Insert) // re-insert after delete
+  ).toDF("user_id", "amount", "lsn", "op")
+
+  private val keys = Seq("user_id")
+  private val data = Seq("amount")
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Long, Double, Long)] =
+    df.select("user_id", "amount", "last_lsn").as[(Long, Double, Long)]
+      .collect().toSet
+
+  test("apply: last-writer-wins with delete-removes and re-insert") {
+    val got = state(Cdc.apply(Cdc.emptyTarget(feed, keys, data), feed, keys, data))
+    assert(got == Set((1L, 11.0, 3L), (2L, 25.0, 6L), (3L, 30.0, 5L)))
+  }
+
+  test("apply is idempotent: same range twice ≡ once") {
+    val once = Cdc.apply(Cdc.emptyTarget(feed, keys, data), feed, keys, data)
+    val twice = Cdc.apply(once, feed, keys, data)
+    assert(state(twice) == state(once))
+  }
+
+  test("apply composes: (a,b] then (b,c] ≡ (a,c]") {
+    val empty = Cdc.emptyTarget(feed, keys, data)
+    for (mid <- 0L to 6L) {
+      val seq2 = Cdc.apply(
+        Cdc.apply(empty, Cdc.range(feed, "lsn", Long.MinValue, mid), keys, data),
+        Cdc.range(feed, "lsn", mid, 6L), keys, data)
+      val all = Cdc.apply(empty, feed, keys, data)
+      assert(state(seq2) == state(all), s"mid=$mid")
+    }
+  }
+
+  test("split fans rows by op marker, losslessly") {
+    val parts = Cdc.split(feed)
+    assert(parts(Cdc.Op.Insert).count() == 4)
+    assert(parts(Cdc.Op.Update).count() == 1)
+    assert(parts(Cdc.Op.Delete).count() == 1)
+  }
+
+  test("retention guard fails loudly on truncated log") {
+    Cdc.retentionGuard(stored = 10, minAvailable = 5) // covered: ok
+    Cdc.retentionGuard(stored = 4, minAvailable = 5)  // adjacent: ok
+    intercept[Cdc.RetentionLossException] {
+      Cdc.retentionGuard(stored = 3, minAvailable = 5)
+    }
+  }
+
+  test("state store round-trips and advances watermarks") {
+    val dir = s"target/tmp/cdc_state_${System.nanoTime()}"
+    val store = new Cdc.StateStore(spark, dir)
+    assert(store.get("pipe") == None)
+    store.put("pipe", 42L)
+    assert(store.get("pipe") == Some(42L))
+    store.put("pipe", 99L)
+    store.put("other", 7L)
+    assert(store.get("pipe") == Some(99L))
+    assert(store.get("other") == Some(7L))
+  }
+
+  test("latestPerKey dedups crash-restart duplicates") {
+    val dup = feed.union(feed) // replayed range
+    val got = Cdc.latestPerKey(dup, keys, "lsn")
+    assert(got.count() == 3)
+  }
+}
