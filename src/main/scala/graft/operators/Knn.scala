@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — brute-force cosine top-k as the correctness
+  * baseline, random-hyperplane LSH bucketing as the 100 TB path.
+  */
+object Knn {
+
+  /** Brute-force cosine top-k: every query row scores against every
+    * corpus row. Correct, O(|Q|·|C|) — the baseline the ANN variant is
+    * measured against, and the right choice when |Q| is small (the
+    * query side is broadcast; the corpus streams through one codegen
+    * stage, then a top-k window per query).
+    *
+    * Norms are precomputed per row BEFORE the pairing join — the fold
+    * runs once per vector, not once per pair, and because it is the
+    * same sequential fold the oracle runs per pair, `dot/(n1*n2)`
+    * stays bit-identical. The corpus side is repartitioned: a single
+    * parquet row group would otherwise serialize the whole score loop.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vec.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vec.norm(col(vecCol)).as("nn"))
+      .repartition(col(s"neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vec.dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` × `dim` doubles
+    * from a fixed-seed RNG (data-independent, identical on every
+    * executor because they ship as literals).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(vec: Column, plane: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, array(plane.map(lit): _*),
+        (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sign-bucket of a vector under the hyperplane family — vectors in
+    * the same bucket are likely cosine-close (SRP-LSH).
+    */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a + b)
+
+  /** LSH-bucketed ANN top-k with MULTIPLE hash tables: `numTables`
+    * independent SRP families of `bitsPerTable` hyperplanes each. A
+    * candidate is any corpus row sharing a bucket with the query in at
+    * least one table — recall 1-(1-p^b)^L for per-plane agreement p,
+    * tunable without touching candidate verification. Both sides
+    * explode ×numTables and join on (table, bucket): the only shuffle
+    * is on that compound key, candidate count ∝ Σ bucket² per table.
+    * The spec measures recall against `bruteForceTopK`.
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int,
+      numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
+    def buckets(vec: Column): Column =
+      array(tables.map(planes => srpBucket(vec, planes)): _*)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      posexplode(buckets(col(vecCol))))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      posexplode(buckets(col(vecCol))))
+      .withColumnsRenamed(Map("pos" -> "ctbl", "col" -> "cbucket"))
+    val cands = c.join(q,
+        col("tbl") === col("ctbl") && col("bucket") === col("cbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cosine", Vec.cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** All pairs with cosine ≥ tau (embedding near-dup detection),
+    * id-ordered. Brute-force self-join baseline; swap the join
+    * condition for SRP buckets (`srpBucket`) at corpus scale.
+    * Norms precompute per row (fold once per vector, not per pair —
+    * same fold order, bit-identical result); the streamed side is
+    * repartitioned so the O(n²) score loop parallelizes across cores
+    * even from a single-row-group parquet.
+    */
+  def cosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val withNorm = df.select(
+      col(idCol), col(vecCol), Vec.norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(
+      col(idCol).as("d1"), col(vecCol).as("v1"), col("nrm").as("n1"))
+      .repartition(col("d1"))
+    val b = withNorm.select(
+      col(idCol).as("d2"), col(vecCol).as("v2"), col("nrm").as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("cosine",
+        Vec.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= tau)
+      .select(col("d1"), col("d2"), col("cosine"))
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Text-analysis + dedup query surface over `documents` (BASELINE.json
+  * north star: language-ID, quality scoring, token stats,
+  * fingerprinting, near-dup detection).
+  */
+object TextQueries {
+
+  def all: Seq[Q] = Seq(
+    textStats, tokenTopK, langId, qualityScore, fingerprintDup,
+    ngramJaccard, minhashDedup, simhashPairs)
+
+  private val enStops = Seq("the", "of", "and", "to", "in", "is", "for", "on", "with", "as")
+  private val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los")
+  private val deStops = Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich")
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Per-document token statistics (token counting via the same
+    * whitespace kernel in both engines).
+    */
+  val textStats: Q = Q(
+    "q_text_stats",
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS avg_token_len
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide token frequency top-k (two-phase: distributed count,
+    * then TakeOrdered — never a single-partition window).
+    */
+  val tokenTopK: Q = Q(
+    "q_token_topk",
+    """SELECT token, COUNT(*) AS cnt
+      |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Language-ID heuristic: distinct-stopword overlap per language,
+    * deterministic argmax (en ≥ es ≥ de on ties).
+    */
+  val langId: Q = Q(
+    "q_lang_id",
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    CAST(len(list_intersect(toks, ${sqlList(enStops)})) AS BIGINT) AS s_en,
+       |    CAST(len(list_intersect(toks, ${sqlList(esStops)})) AS BIGINT) AS s_es,
+       |    CAST(len(list_intersect(toks, ${sqlList(deStops)})) AS BIGINT) AS s_de
+       |  FROM t)
+       |SELECT doc_id, lang AS declared_lang, s_en, s_es, s_de,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = array_distinct(Text.tokens(col("text")))
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      Text.overlapScore(toks, enStops).as("s_en"),
+      Text.overlapScore(toks, esStops).as("s_es"),
+      Text.overlapScore(toks, deStops).as("s_de"))
+    scored
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score: length component + stopword-density component,
+    * identical double arithmetic in both engines, bucketed.
+    */
+  val qualityScore: Q = Q(
+    "q_quality_score",
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(least(len(toks), 200) AS DOUBLE)/200.0 AS len_score,
+       |    CAST(len(list_intersect(list_distinct(toks), ${sqlList(enStops)})) AS BIGINT) AS s_en
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  len_score*0.5 + (CAST(s_en AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5 AS quality,
+       |  CASE WHEN len_score*0.5 + (CAST(s_en AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5 >= 0.3 THEN 'high'
+       |       WHEN len_score*0.5 + (CAST(s_en AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5 >= 0.15 THEN 'medium'
+       |       ELSE 'low' END AS bucket
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (least(size(toks), lit(200)).cast("double") / 200.0).as("len_score"),
+      Text.overlapScore(array_distinct(toks), enStops).as("s_en"))
+    val quality = col("len_score") * 0.5 +
+      (col("s_en").cast("double") / col("n_tokens").cast("double")) * 0.5
+    base
+      .select(
+        col("doc_id"), col("n_tokens"),
+        quality.as("quality"),
+        when(quality >= 0.3, "high")
+          .when(quality >= 0.15, "medium")
+          .otherwise("low").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-dedup fingerprint (md5 of normalized text) + duplicate
+    * flag per fingerprint group.
+    */
+  val fingerprintDup: Q = Q(
+    "q_fingerprint",
+    """WITH f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp,
+      |  COUNT(*) OVER (PARTITION BY fp) > 1 AS has_dup
+      |FROM f
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .withColumn("has_dup",
+        count(lit(1)).over(Window.partitionBy(col("fp"))) > 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs with shingle blocking — the
+    * oracle-checked reference result the LSH variants approximate.
+    */
+  val ngramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |shl AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |  FROM toks),
+      |sh AS (SELECT doc_id, unnest(s) AS g FROM shl),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM shl)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash-LSH near-dup pairs (scale path; xxhash64 signatures are
+    * not oracle-expressible — verified in the spec against the exact
+    * query instead).
+    */
+  val minhashDedup: Q = Q.noOracle("q_minhash_dedup") { (s, dir) =>
+    Dedup.minhashLshPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3, block-banded). */
+  val simhashPairs: Q = Q.noOracle("q_simhash_pairs") { (s, dir) =>
+    val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+}

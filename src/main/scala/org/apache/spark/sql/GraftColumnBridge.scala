@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(Expression) constructor; the
+  * conversion lives in `classic.ExpressionUtils`, which is
+  * private[sql]. This bridge re-exports the two conversions for
+  * graft's custom Catalyst expressions — the standard pattern for
+  * out-of-tree extensions.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Knn}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("exact dedup: identical normalized texts cluster, others don't") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "completely different text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("jaccardPairs finds the planted near-duplicates symmetrically") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val got = pairs.select("d1", "d2").as[(Long, Long)].collect()
+    assert(got.nonEmpty, "testdata plants near-dup documents")
+    assert(got.forall { case (a, b) => a < b }, "pairs are id-ordered")
+  }
+
+  test("minhash LSH: no false positives, high recall vs exact") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8, 8, 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "verification step must kill false positives")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall too low (8 bands x 4 rows at tau=0.8)")
+    }
+  }
+
+  test("simhash: near-identical token multisets collide, disjoint ones don't") {
+    val df = Seq(
+      (1L, "spark query engine shuffle partition codegen broadcast join filter"),
+      (2L, "spark query engine shuffle partition codegen broadcast join filters"),
+      (3L, "entirely unrelated vocabulary about cooking pasta tomato basil olive")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("simhashPairs self-consistency: identical docs at distance 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("ANN recall vs brute force on the embeddings fixture") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Knn.annTopK(emb, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    // 8 tables x 6 bits over weakly-similar random vectors: theory
+    // predicts ~0.4; must at minimum be far above random (~1%).
+    assert(recall >= 0.15, s"ANN recall $recall too close to random")
+  }
+
+  test("wordShingles guards short documents") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.shingles(df, "doc_id", "text", 3)
+      .select("doc_id", "sh").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L) == Seq("a b c", "b c d"))
+  }
+}
