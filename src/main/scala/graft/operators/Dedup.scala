@@ -45,7 +45,10 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // Persisted: the shingle sets feed three scans (two join sides of
+    // the blocking join + the size lookup); without a barrier each
+    // would re-tokenize and re-shingle the full corpus.
+    val sh = shingles(df, idCol, textCol, n).persist()
     val sizes = sh.select(col(idCol).as("id"), size(col("sh")).as("nsh"))
     val exploded = sh.select(col(idCol).as("id"), explode(col("sh")).as("g"))
     val a = exploded.select(col("id").as("d1"), col("g"))
@@ -63,14 +66,26 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numPerms` permutations, the
-    * minimum `xxhash64(shingle, perm)` over the document's shingles.
-    * Pure expressions — the signature computes inside the scan stage.
+  /** MinHash signature. Each shingle is hashed ONCE (`xxhash64`); the
+    * `numPerms` permutations are affine maps `a_p*h + b_p` over that
+    * 64-bit value (universal hashing, wrap-around multiplication) —
+    * 1 string hash + numPerms multiply-adds per shingle instead of
+    * numPerms string hashes. Pure expressions, computed in the scan
+    * stage.
     */
-  def minhashSignature(sh: Column, numPerms: Int): Column =
+  def minhashSignature(sh: Column, numPerms: Int): Column = {
+    // 31-bit hash values and coefficients keep a*h+b under 2^62 —
+    // ANSI mode (Spark 4 default) would raise on long overflow, so
+    // the permutation family must be overflow-free by construction.
+    val rnd = new scala.util.Random(0x5eed)
+    val as = array(Seq.fill(numPerms)(lit((rnd.nextInt(Int.MaxValue) | 1).toLong)): _*)
+    val bs = array(Seq.fill(numPerms)(lit(rnd.nextInt(Int.MaxValue).toLong)): _*)
+    val hashed = transform(sh, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
     transform(
       sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(sh, s => xxhash64(s, p))))
+      p => array_min(transform(hashed,
+        h => element_at(as, p + 1) * h + element_at(bs, p + 1))))
+  }
 
   /** MinHash-LSH near-dup pairs (the scale path): band the signature
     * (`bands` × `rowsPerBand`), bucket-join on (band index, band
@@ -85,6 +100,11 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    // Persist the banded signatures: both sides of the candidate
+    // self-join scan them, and without a materialization barrier each
+    // side would recompute shingling+hashing from the raw text. The
+    // persisted projection is tiny (id + shingles + one band row per
+    // band) relative to the corpus.
     val banded = sh.select(
       col(idCol).as("id"), col("sh"),
       posexplode(transform(
@@ -92,6 +112,7 @@ object Dedup {
         i => hash(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
+      .persist()
     val a = banded.select(col("id").as("d1"), col("sh").as("sh1"),
       col("band"), col("bandhash"))
     val b = banded.select(col("id").as("d2"), col("sh").as("sh2"),
@@ -152,6 +173,7 @@ object Dedup {
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "blkval")
+      .persist() // both join sides scan this; avoid recomputing simhash
     val a = blocks.select(col("id").as("d1"), col("simhash").as("s1"),
       col("blk"), col("blkval"))
     val b = blocks.select(col("id").as("d2"), col("simhash").as("s2"),
