@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DQS-style domain validation (SURVEY Q3; reference: …/Глава
+  * 11…md:66-84 — value-in-domain / format rules with
+  * Correct/Suggested/Invalid outcomes).
+  *
+  * A rule targets one column with a validity predicate and an optional
+  * correction expression. One codegen pass classifies every row:
+  * `valid` (all rules pass), `corrected` (every failing rule had a
+  * fix, applied), `invalid` (some failing rule had no fix). Compose
+  * with `Split.outputs` for the three-stream routing.
+  */
+object Rules {
+
+  final case class Rule(target: String, valid: Column, fix: Option[Column] = None)
+
+  def validate(df: DataFrame, rules: Seq[Rule],
+      statusCol: String = "dq_status"): DataFrame = {
+    val allValid = rules.map(_.valid).reduce(_ && _)
+    val anyUnfixable = rules.filter(_.fix.isEmpty).map(!_.valid)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // Status FIRST (predicates must see pre-fix values), corrections
+    // applied afterwards.
+    val classified = df.withColumn(statusCol,
+      when(allValid, "valid")
+        .when(anyUnfixable, "invalid")
+        .otherwise("corrected"))
+    rules.foldLeft(classified) { (d, r) =>
+      r.fix match {
+        case Some(f) => d.withColumn(r.target,
+          when(r.valid, col(r.target)).otherwise(f))
+        case None => d
+      }
+    }
+  }
+}

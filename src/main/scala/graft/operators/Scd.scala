@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension maintenance (SURVEY Q4/Q5; reference:
+  * …/Глава 10…md:48-61 — SCD wizard criticized, set-based MERGE
+  * preferred, …/Глава 12…md:87-99 — the MERGE example; unknown member
+  * …/Глава 10…md:74-76).
+  *
+  * Set-based, one keyed reconciliation per run (the reference's own
+  * recommendation over the row-by-row wizard): current dimension rows
+  * full-outer-join the staging snapshot on the business key; rows
+  * classify as unchanged / changed / new in a single pass, and the new
+  * dimension is a union of untouched history, carried-forward
+  * unchanged rows, closed-out old versions, new versions, and
+  * inserts. One shuffle on the business key; a full-partition rewrite
+  * (no MERGE target over plain parquet — the Delta/Iceberg seam,
+  * SURVEY §7.4).
+  *
+  * Dimension schema contract: bk ++ attrs ++ (is_current: boolean,
+  * start_date: date, end_date: date nullable).
+  */
+object Scd {
+
+  /** SCD Type 2: attribute change closes the old version and opens a
+    * new one at `runDate`; absent keys are untouched; unknown keys
+    * insert.
+    */
+  def scd2(dim: DataFrame, staging: DataFrame, bk: String,
+      attrs: Seq[String], runDate: String): DataFrame = {
+    val hist = dim.filter(!col("is_current"))
+    val cur = dim.filter(col("is_current"))
+    val stg = staging.select(
+      col(bk).as(s"__s_$bk") +: attrs.map(a => col(a).as(s"__s_$a")): _*)
+    val joined = cur.join(stg, col(bk) === col(s"__s_$bk"), "full_outer")
+
+    val inStaging = col(s"__s_$bk").isNotNull
+    val inDim = col(bk).isNotNull
+    val changed = attrs.map(a => !(col(a) <=> col(s"__s_$a"))).reduce(_ || _)
+
+    val unchanged = joined.filter(inDim && inStaging && !changed)
+      .select(dim.columns.map(col): _*)
+    val closedOld = joined.filter(inDim && inStaging && changed)
+      .select(col(bk) +: attrs.map(col) :+
+        lit(false).as("is_current") :+
+        col("start_date") :+
+        lit(runDate).cast("date").as("end_date"): _*)
+    val newVersion = joined.filter(inDim && inStaging && changed)
+      .select(col(s"__s_$bk").as(bk) +:
+        attrs.map(a => col(s"__s_$a").as(a)) :+
+        lit(true).as("is_current") :+
+        lit(runDate).cast("date").as("start_date") :+
+        lit(null).cast("date").as("end_date"): _*)
+    val inserts = joined.filter(!inDim && inStaging)
+      .select(col(s"__s_$bk").as(bk) +:
+        attrs.map(a => col(s"__s_$a").as(a)) :+
+        lit(true).as("is_current") :+
+        lit(runDate).cast("date").as("start_date") :+
+        lit(null).cast("date").as("end_date"): _*)
+    val keyGone = joined.filter(inDim && !inStaging)
+      .select(dim.columns.map(col): _*)
+
+    Seq(hist, unchanged, closedOld, newVersion, inserts, keyGone)
+      .reduce(_ unionByName _)
+  }
+
+  /** SCD Type 1: in-place overwrite of changed attributes, insert of
+    * new keys, history-free.
+    */
+  def scd1(dim: DataFrame, staging: DataFrame, bk: String,
+      attrs: Seq[String]): DataFrame = {
+    val stg = staging.select(
+      col(bk).as(s"__s_$bk") +: attrs.map(a => col(a).as(s"__s_$a")): _*)
+    dim.join(stg, col(bk) === col(s"__s_$bk"), "full_outer")
+      .select(
+        coalesce(col(s"__s_$bk"), col(bk)).as(bk) +:
+          attrs.map(a => coalesce(col(s"__s_$a"), col(a)).as(a)): _*)
+  }
+
+  /** Unknown-member pattern: failed dimension lookups surface with
+    * surrogate key −1 instead of dropping fact rows.
+    */
+  def unknownMember(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, sk: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left")
+      .withColumn(sk, coalesce(col(sk), lit(-1L)))
+      .drop(dim(dimKey))
+}

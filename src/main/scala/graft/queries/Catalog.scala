@@ -4,7 +4,8 @@ package graft.queries
 object Catalog {
   def all: Seq[Q] =
     Relational.all ++ Reshape.all ++ Scalar.all ++ CdcQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ SourceQueries.all
+      TextQueries.all ++ VectorQueries.all ++ SourceQueries.all ++
+      QualityQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Fuzzy, Rules, Scd}
+
+/** Data-quality surface (SURVEY §2.10): SCD2, fuzzy lookup/grouping,
+  * DQS rule validation, unknown member — all derived deterministically
+  * from the star schema so DuckDB can replay the same scenario.
+  */
+object QualityQueries {
+
+  def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, dqsValidate, unknownMember)
+
+  /** SCD Type 2 over a synthesized staging snapshot: customers with
+    * bk%5==0 change segment, bk%7==0 are absent from staging
+    * (untouched), bk%50==0 additionally spawn brand-new keys.
+    */
+  val scd2: Q = Q(
+    "q_scd2",
+    """WITH dim AS (SELECT c_custkey AS customer_bk, c_name AS name,
+      |    c_mktsegment AS segment FROM customer)
+      |SELECT customer_bk, name, segment, is_current, start_date, end_date FROM (
+      |  SELECT customer_bk, name, segment, true AS is_current,
+      |    DATE '2020-01-01' AS start_date, CAST(NULL AS DATE) AS end_date
+      |  FROM dim WHERE customer_bk % 7 = 0 OR customer_bk % 5 <> 0
+      |  UNION ALL
+      |  SELECT customer_bk, name, segment, false,
+      |    DATE '2020-01-01', DATE '2024-06-01'
+      |  FROM dim WHERE customer_bk % 7 <> 0 AND customer_bk % 5 = 0
+      |  UNION ALL
+      |  SELECT customer_bk, name, segment || '_X', true,
+      |    DATE '2024-06-01', NULL
+      |  FROM dim WHERE customer_bk % 7 <> 0 AND customer_bk % 5 = 0
+      |  UNION ALL
+      |  SELECT customer_bk + 1000000, name || '_NEW', segment, true,
+      |    DATE '2024-06-01', NULL
+      |  FROM dim WHERE customer_bk % 50 = 0
+      |) t
+      |ORDER BY customer_bk, is_current, start_date""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val dim = cust.select(
+      col("c_custkey").as("customer_bk"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      lit(true).as("is_current"),
+      lit("2020-01-01").cast("date").as("start_date"),
+      lit(null).cast("date").as("end_date"))
+    val stagingBase = cust.filter(col("c_custkey") % 7 =!= 0).select(
+      col("c_custkey").as("customer_bk"),
+      col("c_name").as("name"),
+      when(col("c_custkey") % 5 === 0, concat(col("c_mktsegment"), lit("_X")))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    val stagingNew = cust.filter(col("c_custkey") % 50 === 0).select(
+      (col("c_custkey") + 1000000).as("customer_bk"),
+      concat(col("c_name"), lit("_NEW")).as("name"),
+      col("c_mktsegment").as("segment"))
+    Scd.scd2(dim, stagingBase.unionByName(stagingNew),
+        "customer_bk", Seq("name", "segment"), "2024-06-01")
+      .orderBy(col("customer_bk"), col("is_current"), col("start_date"))
+  }
+
+  /** Fuzzy Lookup: '#'-stripped customer names matched back to the
+    * clean reference at similarity ≥ 0.8 (Levenshtein-normalized),
+    * best match per stream row. The oracle cross-joins; the operator
+    * 3-gram-blocks — identical results because every ≥0.8 pair shares
+    * grams.
+    */
+  val fuzzyLookup: Q = Q(
+    "q_fuzzy_lookup",
+    """WITH stream AS (SELECT c_custkey AS sid,
+      |    substring(c_name, 1, 8) || substring(c_name, 10) AS dirty
+      |  FROM customer WHERE c_custkey < 100),
+      |ref AS (SELECT c_custkey AS rid, c_name FROM customer),
+      |scored AS (SELECT sid, rid,
+      |    1.0 - CAST(levenshtein(dirty, c_name) AS DOUBLE)
+      |        / CAST(greatest(length(dirty), length(c_name)) AS DOUBLE) AS _similarity
+      |  FROM stream, ref)
+      |SELECT sid, rid AS match_id, _similarity FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+      |      ORDER BY _similarity DESC, rid) AS rn
+      |  FROM scored WHERE _similarity >= 0.8) t
+      |WHERE rn = 1
+      |ORDER BY sid""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val stream = cust.filter(col("c_custkey") < 100).select(
+      col("c_custkey").as("sid"),
+      concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100))
+        .as("dirty"))
+    val ref = cust.select(col("c_custkey").as("rid"), col("c_name"))
+    Fuzzy.lookup(stream, ref, "sid", "dirty", "rid", "c_name", tau = 0.8)
+      .select(col("sid"), col("rid").as("match_id"), col("_similarity"))
+      .orderBy(col("sid"))
+  }
+
+  /** Fuzzy Grouping over mangled names (non-oracle: single-level
+    * canonical pick is spec-verified instead).
+    */
+  val fuzzyGroup: Q = Q.noOracle("q_fuzzy_group") { (s, dir) =>
+    val cust = Tables.customer(s, dir).filter(col("c_custkey") < 200)
+    val mangled = cust.select(
+      col("c_custkey").as("id"),
+      when(col("c_custkey") % 3 === 0,
+        concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100)))
+        .otherwise(col("c_name")).as("name"))
+    Fuzzy.group(mangled, "id", "name", tau = 0.85)
+      .orderBy(col("_key_in"))
+  }
+
+  /** DQS-style rule validation: domain rule with correction
+    * (segment → OTHER), range and format rules without (→ invalid).
+    */
+  val dqsValidate: Q = Q(
+    "q_dqs_validate",
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+      |         AND c_acctbal BETWEEN -1000 AND 8000
+      |         AND c_name LIKE 'Customer#%' THEN 'valid'
+      |       WHEN NOT (c_acctbal BETWEEN -1000 AND 8000)
+      |         OR NOT (c_name LIKE 'Customer#%') THEN 'invalid'
+      |       ELSE 'corrected' END AS dq_status,
+      |  CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+      |       THEN c_mktsegment ELSE 'OTHER' END AS c_mktsegment,
+      |  c_acctbal
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val allowed = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")
+    Rules.validate(
+      Tables.customer(s, dir),
+      Seq(
+        Rules.Rule("c_mktsegment",
+          col("c_mktsegment").isin(allowed: _*), Some(lit("OTHER"))),
+        Rules.Rule("c_acctbal",
+          col("c_acctbal").between(-1000, 8000), None),
+        Rules.Rule("c_name", col("c_name").startsWith("Customer#"), None)))
+      .select(col("c_custkey"), col("dq_status"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Unknown-member: fact rows with a poisoned dimension key keep
+    * flowing with surrogate −1 instead of being dropped.
+    */
+  val unknownMember: Q = Q(
+    "q_unknown_member",
+    """SELECT CASE WHEN o_orderkey % 13 = 0 THEN -1 ELSE o_custkey END AS customer_sk,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY customer_sk
+      |ORDER BY customer_sk""".stripMargin) { (s, dir) =>
+    val fact = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      (col("o_custkey") +
+        when(col("o_orderkey") % 13 === 0, 1000000).otherwise(0))
+        .as("cust_fk"))
+    val dim = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_custkey").as("customer_sk"))
+    Scd.unknownMember(fact, dim, "cust_fk", "c_custkey", "customer_sk")
+      .groupBy(col("customer_sk"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("customer_sk"))
+  }
+}
