@@ -5,7 +5,7 @@ object Catalog {
   def all: Seq[Q] =
     Relational.all ++ Reshape.all ++ Scalar.all ++ CdcQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ SourceQueries.all ++
-      QualityQueries.all
+      QualityQueries.all ++ StreamQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -8,7 +8,50 @@ import graft.operators.Profile
 /** Reshaping + array surface (SURVEY §2.7, §2.8) and profiling (A9). */
 object Reshape {
 
-  def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer)
+  def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer,
+    stringAgg, rollupTotals)
+
+  /** `STRING_AGG(expr, sep ORDER BY pos)` (SURVEY A3) — the ordered
+    * string concat driving the reference's DDL generator, over a
+    * broadcast dimension join.
+    */
+  val stringAgg: Q = Q(
+    "q_string_agg",
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |  STRING_AGG(c_name, ',' ORDER BY c_custkey) AS names
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        OrderedAgg.stringAgg(col("c_name"), col("c_custkey"), ",").as("names"))
+      .orderBy(col("n_name"))
+  }
+
+  /** ROLLUP grouping sets (SURVEY §2.4 "free if needed" row) with
+    * NULLS FIRST ordering pinned in both engines (their defaults
+    * differ).
+    */
+  val rollupTotals: Q = Q(
+    "q_rollup",
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        ExactAgg.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
 
   /** Pivot rows→columns (SURVEY R1): order status across priorities.
     * Explicit pivot values keep the plan a single pass (no distinct

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.Streams
+
+/** Streaming + multimodal surface. The streaming query MUST equal its
+  * batch twin on a bounded feed — so it shares the batch oracle.
+  */
+object StreamQueries {
+
+  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures)
+
+  /** Structured-Streaming hourly aggregate drained through a
+    * complete-mode memory sink; oracle = the batch hourly rollup
+    * (streaming ≡ batch on a bounded feed).
+    */
+  val streamHourly: Q = Q(
+    "q_stream_hourly",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM events
+      |GROUP BY hour_ts, event_type
+      |ORDER BY hour_ts, event_type""".stripMargin) { (s, dir) =>
+    val name = s"stream_hourly_${System.nanoTime()}"
+    Streams.drainComplete(s, Streams.hourlyAgg(Streams.eventsStream(s, dir)), name)
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  /** Multimodal pipeline: synthetic media table → per-partition batch
+    * feature extraction (stubbed decode, real plumbing) → typed
+    * output. Rows-only check (binary payloads are engine-internal).
+    */
+  val multimodalFeatures: Q = Q.noOracle("q_multimodal_features") { (s, dir) =>
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+    Multimodal.extractFeatures(media)
+      .select(
+        col("media_id"), col("kind"),
+        length(col("bytes")).as("n_bytes"),
+        col("meta.width").as("width"),
+        size(col("features")).as("feat_dim"),
+        aggregate(col("features"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("feat_mass"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY C9): the continuous variant of
+  * the CDC/event pipeline. The batch queries define the semantics; the
+  * streaming forms here must produce the SAME results when a bounded
+  * feed is drained — which is exactly how the spec and the oracle
+  * check them (`complete`-mode aggregate over the events parquet ≡ the
+  * batch hourly rollup).
+  *
+  * At scale: `readStream` over a file source with `maxFilesPerTrigger`
+  * gives bounded micro-batches; the aggregation state lives in the
+  * checkpoint (the `cdc_states` analog); `foreachBatch` composes the
+  * idempotent `Cdc.apply` for upsert sinks.
+  */
+object Streams {
+
+  /** The events parquet as a bounded stream (schema must be supplied —
+    * streaming sources cannot infer). Nanosecond timestamps arrive as
+    * longs (same legacy flag as the batch reader) and convert the same
+    * way.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a DIRECTORY; select the single table
+    // file via glob filter
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window aggregate, streaming form of
+    * `q_events_hourly`: window(ts, 1 hour) × event_type with exact
+    * cents arithmetic.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_ts"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+
+  /** Drain a bounded stream through a complete-mode memory sink and
+    * return the final result — the harness for checking streaming ≡
+    * batch semantics.
+    */
+  def drainComplete(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming CDC upsert: drain the change feed in micro-batches,
+    * folding each batch into the target with the idempotent
+    * `Cdc.apply` (at-least-once safe). Returns the final target state.
+    * Batch-boundary correctness relies on `Cdc.apply`'s composability:
+    * (a,b] then (b,c] ≡ (a,c].
+    */
+  def cdcUpsertStream(
+      spark: SparkSession, feed: DataFrame,
+      keyCols: Seq[String], dataCols: Seq[String]): DataFrame = {
+    // The empty initial target derives from the first BATCH (a
+    // streaming DataFrame cannot seed a batch plan).
+    var target: DataFrame = null
+    val q = feed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base =
+          if (target == null) Cdc.emptyTarget(batch, keyCols, dataCols)
+          else target
+        target = Cdc.apply(base, batch, keyCols, dataCols)
+          .persist() // pin each folded state; next fold scans it
+        target.count()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    if (target == null)
+      Cdc.emptyTarget(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          feed.schema), keyCols, dataCols)
+    else target
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalAgg, Multimodal}
+import graft.streaming.{Cdc, Streams}
+
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly aggregate equals the batch rollup") {
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val streamed = Streams.drainComplete(
+      spark,
+      Streams.hourlyAgg(Streams.eventsStream(spark, sf)),
+      s"t_${System.nanoTime()}")
+      .select(col("hour_ts"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming CDC upsert equals batch apply on the same feed") {
+    val feed = Tables.events(spark, sf).select(
+      col("user_id"), col("value").as("amount"),
+      col("event_id").as("lsn"),
+      when(col("event_type") === "error", Cdc.Op.Delete)
+        .when(col("event_type") === "signup", Cdc.Op.Insert)
+        .otherwise(Cdc.Op.Update).as("op"))
+    val batchResult = Cdc.apply(
+      Cdc.emptyTarget(feed, Seq("user_id"), Seq("amount")),
+      feed, Seq("user_id"), Seq("amount"))
+      .as[(Long, Double, Long)].collect().toSet
+
+    // bounded stream over the same rows via an in-memory source dir
+    val dir = s"target/tmp/cdcstream_${System.nanoTime()}"
+    feed.write.parquet(dir)
+    val schema = feed.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val streamResult = Streams.cdcUpsertStream(
+      spark, stream, Seq("user_id"), Seq("amount"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(streamResult == batchResult)
+  }
+
+  test("multimodal: schema contract, batch decode, deterministic features") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+    assert(media.schema("bytes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.filter(col("media_id") === 0).head
+    val f = row.getSeq[Float](row.fieldIndex("features")).toList
+    assert(f.length == 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram normalized")
+    // determinism: same input -> same features
+    val again = Multimodal.extractFeatures(media)
+      .filter(col("media_id") === 0).head match { case r => r.getSeq[Float](r.fieldIndex("features")).toList }
+    assert(f == again)
+    assert(feats.count() == media.count())
+  }
+
+  test("multimodal frame sampling emits stride-filtered chunks") {
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, sf).limit(5))
+    val frames = Multimodal.sampleFrames(media, frames = 8, stride = 2)
+    assert(frames.count() == 5 * 4) // every 2nd of 8 frames
+    assert(frames.filter(length(col("frame_bytes")) === 0).count() == 0)
+  }
+
+  test("incremental MV maintenance == full recompute (A6 State/Merge)") {
+    val events = Tables.events(spark, sf)
+    val keys = Seq("event_type")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.partial(df, keys, "value", "event_id")
+    // fold in three batches split by event_id ranges
+    val b1 = events.filter(col("event_id") % 3 === 0)
+    val b2 = events.filter(col("event_id") % 3 === 1)
+    val b3 = events.filter(col("event_id") % 3 === 2)
+    val mv = IncrementalAgg.merge(
+      IncrementalAgg.merge(partial(b1), partial(b2), keys),
+      partial(b3), keys)
+    val inc = IncrementalAgg.finalize(mv, keys)
+      .select(col("event_type"), col("n"), col("total"))
+      .as[(String, Long, Double)].collect().toSet
+    val full = IncrementalAgg.finalize(partial(events), keys)
+      .select(col("event_type"), col("n"), col("total"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(inc == full)
+  }
+
+  test("CentsSum aggregator is exact under repartitioning") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("x").repartition(7)
+    val got = df.agg(IncrementalAgg.centsSum(col("x"))).head.getDouble(0)
+    assert(got == 0.6)
+  }
+}
