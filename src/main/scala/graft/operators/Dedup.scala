@@ -97,31 +97,35 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    // Two persists, both deliberately NARROW: the shingle sets (one
+    // copy per doc — the verification join probes them for the few
+    // candidates) and the banded keys (id+band+hash, three scalars per
+    // band row). Carrying the shingle arrays through the ×bands
+    // explosion would multiply the cached footprint by the band count
+    // and evict under memory pressure, silently recomputing from text.
     val sh = shingles(df, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
+      .persist()
+    val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-    // Persist the banded signatures: both sides of the candidate
-    // self-join scan them, and without a materialization barrier each
-    // side would recompute shingling+hashing from the raw text. The
-    // persisted projection is tiny (id + shingles + one band row per
-    // band) relative to the corpus.
-    val banded = sh.select(
-      col(idCol).as("id"), col("sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        i => hash(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(
+        col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          i => hash(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
       .persist()
-    val a = banded.select(col("id").as("d1"), col("sh").as("sh1"),
-      col("band"), col("bandhash"))
-    val b = banded.select(col("id").as("d2"), col("sh").as("sh2"),
-      col("band").as("band2"), col("bandhash").as("bandhash2"))
+    val a = banded.select(col("id").as("d1"), col("band"), col("bandhash"))
+    val b = banded.select(col("id").as("d2"), col("band").as("band2"),
+      col("bandhash").as("bandhash2"))
     val cands = a.join(b,
         col("band") === col("band2") && col("bandhash") === col("bandhash2") &&
           col("d1") < col("d2"))
-      .select("d1", "d2", "sh1", "sh2").dropDuplicates("d1", "d2")
+      .select("d1", "d2").dropDuplicates("d1", "d2")
     cands
+      .join(sh.select(col(idCol).as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         col("inter").cast("double") /

@@ -10,7 +10,43 @@ import graft.streaming.Streams
   */
 object StreamQueries {
 
-  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures)
+  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, sessionize)
+
+  /** Session windows (30-min inactivity gap) via `session_window`;
+    * the oracle replays the same sessions with gaps-and-islands SQL
+    * (lag → new-session flag → running sum → group). Session start is
+    * the first event; a new session opens when the gap is ≥ 30 min.
+    */
+  val sessionize: Q = Q(
+    "q_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.ExactAgg.dsum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
 
   /** Structured-Streaming hourly aggregate drained through a
     * complete-mode memory sink; oracle = the batch hourly rollup

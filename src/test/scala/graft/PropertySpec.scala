@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.functions.{ExactAgg, OrderedAgg, Text}
+import graft.operators.Skew
+
+/** Algebraic invariants from SURVEY §5 (reference prose → properties):
+  * zip keeps length, explode multiplies row counts by array sizes,
+  * exact sums are partition-invariant, salted join ≡ plain join.
+  * Deterministic seeded generators (scalatestplus bridge is not in
+  * the offline cache; plain loops give the same coverage).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("property: dsum is invariant under partitioning and ordering") {
+    for (_ <- 1 to 5) {
+      val xs = List.fill(30)(rnd.nextLong() % 100000L).map(_ / 100.0)
+      val parts = 1 + rnd.nextInt(8)
+      val df = xs.toDF("x")
+      val a = df.agg(ExactAgg.dsum($"x")).head.getDouble(0)
+      val b = df.repartition(parts).agg(ExactAgg.dsum($"x")).head.getDouble(0)
+      val c = xs.reverse.toDF("x").agg(ExactAgg.dsum($"x")).head.getDouble(0)
+      assert(a == b && b == c, s"xs=$xs parts=$parts")
+    }
+  }
+
+  test("property: explode row count = sum of array sizes (ARRAY JOIN invariant)") {
+    for (_ <- 1 to 5) {
+      val sizes = List.fill(10)(rnd.nextInt(6))
+      val df = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, (0 until n).map(_.toString)) }
+        .toDF("id", "arr")
+      assert(df.select($"id", explode($"arr")).count() == sizes.map(_.toLong).sum)
+    }
+  }
+
+  test("property: sortedZip output length = group size (arrayZip invariant)") {
+    for (_ <- 1 to 5) {
+      val n = 1 + rnd.nextInt(40)
+      val df = (0 until n).map(i => (1, i, s"v$i")).toDF("k", "o", "v")
+      val z = df.groupBy($"k")
+        .agg(OrderedAgg.sortedZip($"o", "v" -> $"v").as("z"))
+        .select(size($"z")).head.getInt(0)
+      assert(z == n)
+    }
+  }
+
+  test("property: wordShingles count = max(0, tokens - n + 1)") {
+    for (t <- Seq(0, 1, 2, 3, 5, 12); n <- 1 to 4) {
+      val text = (0 until t).map(i => s"w$i").mkString(" ")
+      val c = Seq(text).toDF("text")
+        .select(size(Text.wordShingles(Text.tokens($"text"), n)))
+        .head.getInt(0)
+      assert(c == math.max(0, t - n + 1), s"t=$t n=$n")
+    }
+  }
+
+  test("property: salted join equals plain join") {
+    for (_ <- 1 to 3) {
+      val lk = List.fill(25)(rnd.nextInt(6))
+      val rk = List.fill(6)(rnd.nextInt(6)).distinct
+      val factor = 2 + rnd.nextInt(4)
+      val l = lk.zipWithIndex.map { case (k, i) => (k.toLong, i.toLong) }
+        .toDF("k", "lv")
+      val r = rk.map(k => (k.toLong, s"r$k")).toDF("rk", "rv")
+      val plain = l.join(r, l("k") === r("rk"))
+        .select("k", "lv", "rv").as[(Long, Long, String)].collect().toSet
+      val salted = Skew.saltedJoin(l, r, "k", "rk", "lv", factor)
+        .select("k", "lv", "rv").as[(Long, Long, String)].collect().toSet
+      assert(salted == plain, s"factor=$factor")
+    }
+  }
+}
