@@ -24,7 +24,8 @@ object SourceQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
     val cust = Tables.customer(s, dir)
-    val out = s"target/tmp/interchange_${new java.io.File(dir).getName}"
+    // absolute path: the driver may invoke Verify from any CWD
+    val out = s"/root/repo/target/tmp/interchange_${new java.io.File(dir).getName}"
     CsvIngest.writeInterchange(cust, out)
     val meta = TypeMatrix.introspect(cust.schema)
     val target = TypeMatrix.structType(meta)
