@@ -9,7 +9,57 @@ import graft.functions.ExactAgg
   */
 object Scalar {
 
-  def all: Seq[Q] = Seq(stringParse, dateBuckets, eventsHourly, unionDistinct)
+  def all: Seq[Q] = Seq(stringParse, dateBuckets, eventsHourly, unionDistinct,
+    arrayFuncs, dictLookup)
+
+  /** Array lambda surface (SURVEY §2.8: arrayMap/arrayFilter/arraySum/
+    * arrayZip): per-order price array → transform (discounted cents),
+    * filter (cheap lines), aggregate (sequential sum) — each
+    * replayed in DuckDB list lambdas with identical semantics.
+    */
+  val arrayFuncs: Q = Q(
+    "q_array_funcs",
+    """WITH arr AS (
+      |  SELECT l_orderkey,
+      |    list(CAST(round(l_extendedprice*100) AS BIGINT) ORDER BY l_linenumber) AS cents
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(len(list_filter(cents, x -> x < 100000)) AS BIGINT) AS n_cheap,
+      |  CAST(list_reduce(list_transform(cents, x -> x * 95), (a,b) -> a+b) AS DOUBLE)/10000.0 AS disc_total
+      |FROM arr
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    import graft.functions.{ExactAgg, OrderedAgg}
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(OrderedAgg.sortedList(
+        ExactAgg.cents(col("l_extendedprice")), col("l_linenumber")).as("cents"))
+      .select(
+        col("l_orderkey"),
+        size(filter(col("cents"), x => x < 100000L)).cast("long").as("n_cheap"),
+        (aggregate(transform(col("cents"), x => x * 95L), lit(0L),
+          (acc, x) => acc + x).cast("double") / 10000.0).as("disc_total"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Dictionary lookup inside a projection (SURVEY J6 `dictGet`):
+    * region names resolved through a literal-map dictionary, with an
+    * unknown-member default. Oracle replays it as a plain join.
+    */
+  val dictLookup: Q = Q(
+    "q_dict_lookup",
+    """SELECT n.n_nationkey, n.n_name,
+      |  COALESCE(r.r_name, 'UNKNOWN') AS region_name
+      |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+    val dict = graft.operators.Dict.asMap(
+      Tables.region(s, dir), "r_regionkey", "r_name")
+    Tables.nation(s, dir)
+      .select(
+        col("n_nationkey"), col("n_name"),
+        graft.operators.Dict.dictGet(dict, col("n_regionkey"), lit("UNKNOWN"))
+          .as("region_name"))
+      .orderBy(col("n_nationkey"))
+  }
 
   /** Derived Column string kernel (SURVEY P1/Q1 — …/Глава 11…md:17-22
     * name parsing): substring/locate/length/upper/trim/concat, with

@@ -64,6 +64,31 @@ object Streams {
     spark.table(name)
   }
 
+  /** Custom keyed state (SURVEY §2.9 / §2.11): per-user running
+    * (count, exact-cents total) maintained in `GroupState` across
+    * micro-batches via flatMapGroupsWithState — the engine's
+    * `mapGroupsWithState` surface. Emits the updated totals per user
+    * per batch; on a drained bounded feed the final emission per user
+    * equals the batch aggregate (spec-checked).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          Iterator.single((uid, n, cents / 100.0))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Streaming CDC upsert: drain the change feed in micro-batches,
     * folding each batch into the target with the idempotent
     * `Cdc.apply` (at-least-once safe). Returns the final target state.

@@ -72,6 +72,12 @@ class CdcSpec extends SparkSpec {
     assert(store.get("other") == Some(7L))
   }
 
+  test("lagHours measures watermark staleness (alert budget C8)") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 12:00:00")
+    assert(Cdc.lagHours(t0, t1) == 36.0)
+  }
+
   test("latestPerKey dedups crash-restart duplicates") {
     val dup = feed.union(feed) // replayed range
     val got = Cdc.latestPerKey(dup, keys, "lsn")

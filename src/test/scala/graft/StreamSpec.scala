@@ -44,6 +44,26 @@ class StreamSpec extends SparkSpec {
     assert(streamResult == batchResult)
   }
 
+  test("flatMapGroupsWithState running totals equal the batch aggregate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val agg = Streams.runningUserTotals(
+      spark, Streams.eventsStream(spark, sf))
+    val name = s"fmgws_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // keep the LAST emission per user (one per micro-batch)
+    val streamed = spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .as[(Long, Long)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==
