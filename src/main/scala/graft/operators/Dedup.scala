@@ -34,34 +34,39 @@ object Dedup {
       col(idCol),
       array_distinct(Text.wordShingles(Text.tokens(col(textCol)), n)).as("sh"))
 
-  /** Exact n-gram-Jaccard near-dup pairs with shared-shingle blocking:
-    * only document pairs sharing ≥1 shingle are compared (candidate
-    * set ∝ Σ_shingle df(shingle)², bounded when shingles are
-    * selective), and Jaccard is computed from intersection counts —
-    * |A∩B| via the blocking join itself, |A∪B| = |A|+|B|−|A∩B|.
-    * Two shuffles (explode+join on shingle; group on pair). The
+  /** Exact n-gram-Jaccard near-dup pairs with PREFIX-FILTERED shingle
+    * blocking (the PPJoin family): under any global shingle order, a
+    * pair with J ≥ τ must overlap in the first |X|−⌈τ·|X|⌉+1 shingles
+    * of each side (since J ≥ τ ⇒ |A∩B| ≥ τ·|A|), so the blocking join
+    * explodes only that prefix — candidate volume shrinks by ~(1−τ)²
+    * versus all-shingle blocking, with ZERO recall loss. Candidates
+    * travel as narrow id pairs; full shingle sets re-attach for the
+    * exact Jaccard verification. The oracle replays full blocking, so
+    * the equality of results proves the filter lossless. The
     * oracle-checkable reference for the LSH variants below.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    // Persisted: the shingle sets feed three scans (two join sides of
-    // the blocking join + the size lookup); without a barrier each
-    // would re-tokenize and re-shingle the full corpus.
+    // Persisted: feeds the two blocking sides + the verification join.
     val sh = shingles(df, idCol, textCol, n).persist()
-    val sizes = sh.select(col(idCol).as("id"), size(col("sh")).as("nsh"))
-    val exploded = sh.select(col(idCol).as("id"), explode(col("sh")).as("g"))
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(tau) * size(col("sh"))).cast("int") + 1)
+    val exploded = sh.select(
+      col(idCol).as("id"),
+      explode(slice(array_sort(col("sh")), lit(1), greatest(prefixLen, lit(1))))
+        .as("g"))
     val a = exploded.select(col("id").as("d1"), col("g"))
     val b = exploded.select(col("id").as("d2"), col("g").as("g2"))
-    val inter = a.join(b, col("g") === col("g2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("d1"), col("nsh").as("n1")), "d1")
-      .join(sizes.select(col("id").as("d2"), col("nsh").as("n2")), "d2")
+    val cands = a.join(b, col("g") === col("g2") && col("d1") < col("d2"))
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+    cands
+      .join(sh.select(col(idCol).as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"))
+          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -73,19 +78,8 @@ object Dedup {
     * numPerms string hashes. Pure expressions, computed in the scan
     * stage.
     */
-  def minhashSignature(sh: Column, numPerms: Int): Column = {
-    // 31-bit hash values and coefficients keep a*h+b under 2^62 —
-    // ANSI mode (Spark 4 default) would raise on long overflow, so
-    // the permutation family must be overflow-free by construction.
-    val rnd = new scala.util.Random(0x5eed)
-    val as = array(Seq.fill(numPerms)(lit((rnd.nextInt(Int.MaxValue) | 1).toLong)): _*)
-    val bs = array(Seq.fill(numPerms)(lit(rnd.nextInt(Int.MaxValue).toLong)): _*)
-    val hashed = transform(sh, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
-    transform(
-      sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(hashed,
-        h => element_at(as, p + 1) * h + element_at(bs, p + 1))))
-  }
+  def minhashSignature(sh: Column, numPerms: Int): Column =
+    graft.plans.MinHashSig(sh, numPerms)
 
   /** MinHash-LSH near-dup pairs (the scale path): band the signature
     * (`bands` × `rowsPerBand`), bucket-join on (band index, band
