@@ -10,7 +10,29 @@ import graft.functions.ExactAgg
 object Scalar {
 
   def all: Seq[Q] = Seq(stringParse, dateBuckets, eventsHourly, unionDistinct,
-    arrayFuncs, dictLookup)
+    arrayFuncs, dictLookup, jsonExtract)
+
+  /** JSON payload extraction (SURVEY §1.2 json/jsonb → String +
+    * `get_json_object` on demand): typed promote of the events `props`
+    * column, aggregated per type.
+    */
+  val jsonExtract: Q = Q(
+    "q_json_extract",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        countDistinct(k).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+  }
 
   /** Array lambda surface (SURVEY §2.8: arrayMap/arrayFilter/arraySum/
     * arrayZip): per-order price array → transform (discounted cents),
