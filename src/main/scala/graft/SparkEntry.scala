@@ -7,7 +7,7 @@ import graft.queries.Catalog
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Catalog.queries("q_datamart_customer")(spark, "/root/testdata/sf0.001")
+    Catalog.queries("q_mart_wide")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.ExactAgg
+import graft.functions.{ExactAgg, OrderedAgg}
 import graft.operators.Datamart
 
 /** Core relational query set (SURVEY §2.1–§2.5 built-ins). Each entry
@@ -11,8 +11,64 @@ import graft.operators.Datamart
 object Relational {
 
   def all: Seq[Q] = Seq(
-    pricingSummary, customerMart, limitBy,
+    pricingSummary, customerMart, wideMart, limitBy,
     lookupCascade, semiAnti, fullOuterReconcile, splitBands, windowRunning)
+
+  /** The full wide datamart ("одна широкая таблица", SURVEY §1.1):
+    * customer spine + TWO pre-aggregated detail tables — an ordered
+    * ARRAY OF STRUCTS of orders (the Nested-structure shape) and the
+    * line-item counts resolved through the order spine. Both details
+    * shrink to one row per key before any join touches the spine.
+    */
+  val wideMart: Q = Q(
+    "q_mart_wide",
+    """WITH oa AS (
+      |  SELECT o_custkey, COUNT(*) AS order_cnt,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_spent,
+      |    LIST(struct_pack(okey := o_orderkey, total := o_totalprice)
+      |         ORDER BY o_orderkey) AS orders_arr
+      |  FROM orders GROUP BY o_custkey),
+      |li AS (
+      |  SELECT o_custkey, COUNT(*) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_custkey)
+      |SELECT c.c_custkey, c.c_name,
+      |  COALESCE(oa.order_cnt, 0) AS order_cnt,
+      |  COALESCE(oa.total_spent, 0.0) AS total_spent,
+      |  COALESCE(li.n_items, 0) AS n_items,
+      |  oa.orders_arr AS orders_arr
+      |FROM customer c
+      |LEFT JOIN oa ON c.c_custkey = oa.o_custkey
+      |LEFT JOIN li ON c.c_custkey = li.o_custkey
+      |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val oa = orders.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("order_cnt"),
+      ExactAgg.dsum(col("o_totalprice")).as("total_spent"),
+      OrderedAgg.sortedZip(col("o_orderkey"),
+        "okey" -> col("o_orderkey"),
+        "total" -> col("o_totalprice")).as("orders_arr"))
+    val liT = Tables.lineitem(s, dir)
+    val oKeys = orders.select(col("o_orderkey"), col("o_custkey"))
+    val li = liT
+      .join(oKeys, liT("l_orderkey") === oKeys("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"))
+    val c = Tables.customer(s, dir)
+    // rename detail keys: both aggregates derive from `orders`, so the
+    // raw o_custkey lineage would self-join-ambiguate
+    val oaR = oa.withColumnRenamed("o_custkey", "oa_key")
+    val liR = li.withColumnRenamed("o_custkey", "li_key")
+    c.join(oaR, c("c_custkey") === col("oa_key"), "left")
+      .join(liR, c("c_custkey") === col("li_key"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        col("orders_arr"))
+      .orderBy(col("c_custkey"))
+  }
 
   /** Pricing-summary hash aggregate (SURVEY A1): filter → groupBy →
     * {sum, avg, count} with exact decimal arithmetic. The filter and
