@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** IVF-style ANN (inverted-file index over coarse centroids) — the
+  * second scale path for similarity search next to SRP-LSH
+  * (BASELINE.json north star: "an IVF or LSH-bucketed variant").
+  *
+  * Index build: k centroids trained driver-side with Lloyd iterations
+  * on a bounded deterministic sample (centroids are MODEL METADATA —
+  * k·dim doubles — the one legitimate collect in the pipeline; the
+  * corpus itself never leaves executors). Assignment and probing are
+  * pure expressions: each corpus row joins its nearest centroid id,
+  * each query probes the `nprobe` nearest centroid buckets.
+  * Shuffles: one on the bucket id for the candidate join — candidate
+  * count ≈ corpus × nprobe / k, tunable independently of recall via
+  * (k, nprobe). Recall measured against `Knn.bruteForceTopK` in the
+  * spec.
+  */
+object Ivf {
+
+  /** Deterministic Lloyd training on a sample. Sample selection,
+    * initialization, and iteration order are all seed-fixed, so the
+    * index is reproducible across runs/retries.
+    */
+  def trainCentroids(
+      df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 8, sampleSize: Int = 2000): Array[Array[Double]] = {
+    val sample = df.select(col(vecCol))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // k-means++-lite init: evenly strided sample points (deterministic)
+    var centroids = Array.tabulate(k)(i => sample((i * sample.length / k) % sample.length).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  private def centroidLit(c: Array[Double]): Column =
+    array(c.map(lit).toIndexedSeq: _*)
+
+  /** Squared distance of `vec` to each centroid, as an array column. */
+  private def distances(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => Vec.l2sq(vec, centroidLit(c))).toIndexedSeq: _*)
+
+  /** Nearest-centroid bucket id (argmin over the distance array). */
+  def bucketId(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val d = distances(vec, centroids)
+    array_position(d, array_min(d)).cast("int") - 1
+  }
+
+  /** The `nprobe` nearest bucket ids for a query vector. */
+  def probeBuckets(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val d = distances(vec, centroids)
+    slice(
+      transform(
+        array_sort(zip_with(
+          d, sequence(lit(0), lit(centroids.length - 1)),
+          (dist, idx) => struct(dist.as("d"), idx.as("i")))),
+        x => x.getField("i")),
+      1, nprobe)
+  }
+
+  /** IVF ANN top-k: corpus assigned to its nearest bucket, queries
+    * probe their `nprobe` nearest buckets, candidates scored by exact
+    * cosine, top-k per query.
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, numCentroids)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vec.norm(col(vecCol)).as("nn"),
+      bucketId(col(vecCol), centroids).as("bucket"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vec.norm(col(vecCol)).as("qn"),
+      explode(probeBuckets(col(vecCol), centroids, nprobe)).as("qbucket"))
+    val scored = c.join(q,
+        col("bucket") === col("qbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vec.dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+}

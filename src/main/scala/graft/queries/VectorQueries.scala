@@ -11,7 +11,18 @@ import graft.operators.Knn
   */
 object VectorQueries {
 
-  def all: Seq[Q] = Seq(cosinePairs, knnBrute, knnAnn)
+  def all: Seq[Q] = Seq(cosinePairs, knnBrute, knnAnn, knnIvf)
+
+  /** IVF (centroid-bucketed) ANN top-5 — the second scale path;
+    * recall vs brute force measured in the spec.
+    */
+  val knnIvf: Q = Q.noOracle("q_knn_ivf") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Ivf.annTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, numCentroids = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   private val cosineSql =
     """list_reduce(list_transform(range(1, len(E1)+1), i -> CAST(E1[i] AS DOUBLE)*CAST(E2[i] AS DOUBLE)), (x,y) -> x+y)

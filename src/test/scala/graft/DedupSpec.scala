@@ -77,6 +77,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"ANN recall $recall too close to random")
   }
 
+  test("IVF ANN recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = graft.operators.Knn
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.Ivf
+      .annTopK(emb, queries, "vec_id", "embedding", 5, numCentroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // probing 4/16 buckets scans ~25% of the corpus; on weakly-similar
+    // random vectors expect recall well above that floor
+    assert(recall >= 0.2, s"IVF recall $recall too close to random")
+  }
+
+  test("IVF centroids are deterministic across runs") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = graft.operators.Ivf.trainCentroids(emb, "embedding", 8)
+    val b = graft.operators.Ivf.trainCentroids(emb, "embedding", 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("wordShingles guards short documents") {
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
     val got = Dedup.shingles(df, "doc_id", "text", 3)

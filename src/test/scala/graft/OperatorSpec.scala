@@ -44,6 +44,13 @@ class OperatorSpec extends SparkSpec {
     assert(p("s") == ((3L, 0L, 2L)))
   }
 
+  test("approx_count_distinct lands within rsd of exact (profiling at scale)") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct($"l_partkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.05)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
   test("Profile.keyCandidates finds unique non-null columns") {
     val df = Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x")).toDF("id", "u", "c")
     assert(Profile.keyCandidates(df, Seq("id", "u", "c")).toSet == Set("id", "u"))
