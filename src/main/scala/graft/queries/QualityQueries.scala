@@ -88,7 +88,9 @@ object QualityQueries {
       concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100))
         .as("dirty"))
     val ref = cust.select(col("c_custkey").as("rid"), col("c_name"))
-    Fuzzy.lookup(stream, ref, "sid", "dirty", "rid", "c_name", tau = 0.8)
+    // PassJoin segment blocking — lossless for sim >= tau (the
+    // unchanged cross-join oracle proves it)
+    Fuzzy.lookupEdit(stream, ref, "sid", "dirty", "rid", "c_name", tau = 0.8)
       .select(col("sid"), col("rid").as("match_id"), col("_similarity"))
       .orderBy(col("sid"))
   }

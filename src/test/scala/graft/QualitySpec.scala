@@ -24,6 +24,19 @@ class QualitySpec extends SparkSpec {
     assert(got == Map(1L -> 10L), "only Jon→John clears 0.8; Zzz has no match")
   }
 
+  test("Fuzzy.lookupEdit (PassJoin) equals gram-blocked lookup") {
+    val cust = Tables.customer(spark, sf)
+    val stream = cust.filter($"c_custkey" < 50).select(
+      $"c_custkey".as("sid"),
+      concat(substring($"c_name", 1, 8), substring($"c_name", 10, 100)).as("dirty"))
+    val ref = cust.select($"c_custkey".as("rid"), $"c_name")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("sid", "rid").as[(Long, Long)].collect().toSet
+    val grams = pairs(Fuzzy.lookup(stream, ref, "sid", "dirty", "rid", "c_name", 0.8))
+    val passj = pairs(Fuzzy.lookupEdit(stream, ref, "sid", "dirty", "rid", "c_name", 0.8))
+    assert(passj == grams)
+  }
+
   test("Fuzzy.group clusters mangles to the canonical min-id") {
     val df = Seq(
       (1L, "John Smith, 123 Main St."),
