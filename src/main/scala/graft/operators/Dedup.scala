@@ -54,11 +54,19 @@ object Dedup {
       ceil(lit(tau) * size(col("sh"))).cast("int") + 1)
     val exploded = sh.select(
       col(idCol).as("id"),
+      size(col("sh")).as("nsh"),
       explode(slice(array_sort(col("sh")), lit(1), greatest(prefixLen, lit(1))))
         .as("g"))
-    val a = exploded.select(col("id").as("d1"), col("g"))
-    val b = exploded.select(col("id").as("d2"), col("g").as("g2"))
-    val cands = a.join(b, col("g") === col("g2") && col("d1") < col("d2"))
+    val a = exploded.select(col("id").as("d1"), col("nsh").as("n1"), col("g"))
+    val b = exploded.select(col("id").as("d2"), col("nsh").as("n2"),
+      col("g").as("g2"))
+    // length filter (PPJoin): J ≥ τ requires τ·|B| ≤ |A| ≤ |B|/τ —
+    // prunes size-incompatible pairs inside the join, before the
+    // dedup shuffle
+    val cands = a.join(b,
+        col("g") === col("g2") && col("d1") < col("d2") &&
+          col("n1") * lit(tau) <= col("n2") &&
+          col("n2") * lit(tau) <= col("n1"))
       .select("d1", "d2").dropDuplicates("d1", "d2")
     cands
       .join(sh.select(col(idCol).as("d1"), col("sh").as("sh1")), "d1")
