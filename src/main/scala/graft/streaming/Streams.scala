@@ -64,6 +64,28 @@ object Streams {
     spark.table(name)
   }
 
+  /** Watermarked APPEND-mode hourly aggregate — the production
+    * continuous form: a window is emitted exactly once, when the
+    * event-time watermark (max event time − `delay`) passes its end;
+    * later-arriving data beyond the delay is dropped. The spec drives
+    * this with a two-file feed (maxFilesPerTrigger=1) so the watermark
+    * genuinely advances between micro-batches.
+    */
+  def hourlyAggAppend(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      // group on the raw window() column — extracting .start before
+      // the aggregate severs watermark propagation and append mode is
+      // rejected
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+      .select(
+        col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Custom keyed state (SURVEY §2.9 / §2.11): per-user running
     * (count, exact-cents total) maintained in `GroupState` across
     * micro-batches via flatMapGroupsWithState — the engine's

@@ -44,6 +44,49 @@ class StreamSpec extends SparkSpec {
     assert(streamResult == batchResult)
   }
 
+  test("append-mode watermarked windows emit exactly the closed windows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sf).persist()
+    val medianSec = ev.select(percentile_approx(
+      col("ts").cast("double"), lit(0.5), lit(100))).head.getDouble(0)
+    val medianTs = new java.sql.Timestamp((medianSec * 1000).toLong)
+    val dir = s"target/tmp/wm_${System.nanoTime()}"
+    // two time-ordered files -> two micro-batches -> watermark advances
+    ev.filter(col("ts") <= lit(medianTs)).coalesce(1)
+      .write.parquet(s"$dir/batch=0")
+    Thread.sleep(1100) // distinct mod times keep file order deterministic
+    ev.filter(col("ts") > lit(medianTs)).coalesce(1)
+      .write.parquet(s"$dir/batch=1")
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val agg = Streams.hourlyAggAppend(stream, "1 hour")
+    val name = s"wm_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table(name)
+      .select(col("hour_ts"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // watermark after batch 0 = median - 1h; windows ending before it
+    // were emitted during batch 1
+    assert(emitted.nonEmpty, "at least the early windows must have closed")
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every emitted window matches the batch result exactly (no
+    // partial/duplicate emission)
+    emitted.foreach { case (ts, et, n) =>
+      assert(batch((ts, et)) == n, s"window $ts/$et")
+    }
+    ev.unpersist()
+  }
+
   test("flatMapGroupsWithState running totals equal the batch aggregate") {
     import org.apache.spark.sql.streaming.Trigger
     val agg = Streams.runningUserTotals(
