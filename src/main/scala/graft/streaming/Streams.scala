@@ -130,9 +130,11 @@ object Streams {
         val base =
           if (target == null) Cdc.emptyTarget(batch, keyCols, dataCols)
           else target
-        target = Cdc.apply(base, batch, keyCols, dataCols)
-          .persist() // pin each folded state; next fold scans it
-        target.count()
+        val next = Cdc.apply(base, batch, keyCols, dataCols)
+          .persist() // pin the folded state; next fold scans it
+        next.count() // materialize before releasing the previous state
+        if (target != null) target.unpersist()
+        target = next
         ()
       }
       .start()
