@@ -9,7 +9,23 @@ import graft.operators.Profile
 object Reshape {
 
   def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer,
-    stringAgg, rollupTotals)
+    stringAgg, rollupTotals, cubeTotals)
+
+  /** CUBE grouping sets — all four (priority × status) marginals in
+    * one pass.
+    */
+  val cubeTotals: Q = Q(
+    "q_cube",
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
 
   /** `STRING_AGG(expr, sep ORDER BY pos)` (SURVEY A3) — the ordered
     * string concat driving the reference's DDL generator, over a

@@ -13,7 +13,29 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
-    ngramJaccard, minhashDedup, simhashPairs)
+    ngramJaccard, minhashDedup, simhashPairs, tokenRegex)
+
+  /** BPE-ish regex token counting: letter runs / digit runs / single
+    * non-space symbols — the subword-tokenizer-shaped count next to
+    * the whitespace count (identical regex semantics in both engines:
+    * simple character classes only).
+    */
+  val tokenRegex: Q = Q(
+    "q_token_regex",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   private val enStops = Seq("the", "of", "and", "to", "in", "is", "for", "on", "with", "as")
   private val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los")
