@@ -9,7 +9,20 @@ import graft.operators.Profile
 object Reshape {
 
   def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer,
-    stringAgg, rollupTotals, cubeTotals)
+    stringAgg, rollupTotals, cubeTotals, sampled)
+
+  /** Percentage sampling (SURVEY R4): seeded Bernoulli sample —
+    * deterministic for a fixed seed and partitioning, but the sampler
+    * RNG is engine-specific, so the check is rows-only (the spec
+    * asserts the fraction lands in a tolerance band).
+    */
+  val sampled: Q = Q.noOracle("q_sample") { (s, dir) =>
+    Tables.orders(s, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** CUBE grouping sets — all four (priority × status) marginals in
     * one pass.

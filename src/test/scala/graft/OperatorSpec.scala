@@ -44,6 +44,15 @@ class OperatorSpec extends SparkSpec {
     assert(p("s") == ((3L, 0L, 2L)))
   }
 
+  test("seeded sampling is deterministic and lands near the fraction") {
+    val o = Tables.orders(spark, sf)
+    val a = o.sample(false, 0.1, 42L).count()
+    val b = o.sample(false, 0.1, 42L).count()
+    assert(a == b, "same seed, same partitioning -> same sample")
+    val frac = a.toDouble / o.count()
+    assert(frac > 0.05 && frac < 0.15, s"fraction $frac out of band")
+  }
+
   test("approx_count_distinct lands within rsd of exact (profiling at scale)") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct($"l_partkey")).head.getLong(0)
