@@ -19,14 +19,22 @@ object Relational {
     * ARRAY OF STRUCTS of orders (the Nested-structure shape) and the
     * line-item counts resolved through the order spine. Both details
     * shrink to one row per key before any join touches the spine.
+    *
+    * The struct array is canonicalized to an `okey:cents` string in the
+    * final projection ONLY (the aggregate still builds the real
+    * array-of-structs): integer-cents text is bit-identical across
+    * engines, where raw double formatting is not, and the driver's
+    * pandas hash harness cannot sort array cells.
     */
   val wideMart: Q = Q(
     "q_mart_wide",
     """WITH oa AS (
       |  SELECT o_custkey, COUNT(*) AS order_cnt,
       |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_spent,
-      |    LIST(struct_pack(okey := o_orderkey, total := o_totalprice)
-      |         ORDER BY o_orderkey) AS orders_arr
+      |    array_to_string(LIST(
+      |      CAST(o_orderkey AS VARCHAR) || ':' ||
+      |      CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+      |      ORDER BY o_orderkey), ';') AS orders_arr
       |  FROM orders GROUP BY o_custkey),
       |li AS (
       |  SELECT o_custkey, COUNT(*) AS n_items
@@ -66,7 +74,12 @@ object Relational {
         coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
         coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
         coalesce(col("n_items"), lit(0L)).as("n_items"),
-        col("orders_arr"))
+        array_join(
+          transform(col("orders_arr"), t =>
+            concat_ws(":",
+              t.getField("okey").cast("string"),
+              round(t.getField("total") * 100).cast("long").cast("string"))),
+          ";").as("orders_arr"))
       .orderBy(col("c_custkey"))
   }
 
@@ -105,7 +118,8 @@ object Relational {
 
   /** Flagship datamart (SURVEY §3.1, J5+A2+A5): pre-aggregated detail
     * LEFT JOINed onto the dimension spine, with an order-deterministic
-    * grouped array.
+    * grouped array. The price array is canonicalized to a cents string
+    * at the output edge (the mart itself still carries the real array).
     */
   val customerMart: Q = Q(
     "q_datamart_customer",
@@ -118,11 +132,18 @@ object Relational {
       |  SELECT o_custkey,
       |    COUNT(*) AS order_cnt,
       |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_spent,
-      |    LIST(o_totalprice ORDER BY o_orderkey) AS order_prices
+      |    array_to_string(LIST(
+      |      CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+      |      ORDER BY o_orderkey), ',') AS order_prices
       |  FROM orders GROUP BY o_custkey) o
       |ON c.c_custkey = o.o_custkey
       |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
     Datamart.customerOrderMart(Tables.customer(s, dir), Tables.orders(s, dir))
+      .withColumn("order_prices",
+        array_join(
+          transform(col("order_prices"),
+            x => round(x * 100).cast("long").cast("string")),
+          ","))
       .orderBy(col("c_custkey"))
   }
 
