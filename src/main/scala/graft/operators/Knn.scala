@@ -68,37 +68,84 @@ object Knn {
       when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce((a, b) => a + b)
 
+  /** Query-side probe buckets for one SRP table: the base sign-bucket
+    * plus `probes` MULTI-PROBE buckets, each flipping one of the
+    * weakest bits (smallest |margin| to its hyperplane — the bits most
+    * likely to disagree for a true near neighbor). Raises recall at a
+    * fixed table count without touching candidate verification.
+    */
+  private def probeBuckets(
+      vec: Column, planes: Seq[Seq[Double]], probes: Int): Column = {
+    val dots = planes.map(p => dotLit(vec, p))
+    val base = dots.zipWithIndex.map { case (d, i) =>
+      when(d > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    if (probes <= 0) array(base)
+    else {
+      // rank bits by |margin| ascending; struct sort is (margin, bit)
+      val ranked = array_sort(array(dots.zipWithIndex.map { case (d, i) =>
+        struct(abs(d).as("m"), lit(1 << i).as("bit"))
+      }: _*))
+      val flipped = (1 to math.min(probes, planes.size)).map(j =>
+        base.bitwiseXOR(element_at(ranked, j).getField("bit")))
+      array(base +: flipped: _*)
+    }
+  }
+
   /** LSH-bucketed ANN top-k with MULTIPLE hash tables: `numTables`
     * independent SRP families of `bitsPerTable` hyperplanes each. A
-    * candidate is any corpus row sharing a bucket with the query in at
+    * candidate is any corpus row sharing a bucket with one of the
+    * query's probe buckets (base + `probes` weakest-bit flips) in at
     * least one table — recall 1-(1-p^b)^L for per-plane agreement p,
-    * tunable without touching candidate verification. Both sides
-    * explode ×numTables and join on (table, bucket): the only shuffle
-    * is on that compound key, candidate count ∝ Σ bucket² per table.
+    * raised further by multi-probe, tunable without touching candidate
+    * verification. Both sides explode ×numTables and join on (table,
+    * bucket); candidates travel as NARROW id pairs through the dedup
+    * shuffle (at dim 768 a vector is ~3 KB: carrying it ×numTables
+    * through the exchange would dominate the job) and vectors
+    * re-attach via two id-equi joins only for the deduped candidates.
     * The spec measures recall against `bruteForceTopK`.
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int,
-      numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = 6,
+      probes: Int = 2): DataFrame = {
     val tables = (0 until numTables).map(t =>
       hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
-    def buckets(vec: Column): Column =
-      array(tables.map(planes => srpBucket(vec, planes)): _*)
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      posexplode(buckets(col(vecCol))))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      posexplode(buckets(col(vecCol))))
+    // bucket ARRAYS persist before the explode: project collapse would
+    // inline the hyperplane-dot expressions as the Generate child and
+    // re-evaluate all numTables×bits dot products per output row
+    // (see Dedup.jaccardPairs)
+    val qPairs = flatten(array(tables.zipWithIndex.map { case (planes, t) =>
+      transform(probeBuckets(col(vecCol), planes, probes),
+        b => struct(lit(t).as("tbl"), b.as("bucket")))
+    }: _*))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val qB = queries
+      .select(col(idCol), col(vecCol)).repartition(par)
+      .select(col(idCol).as("query_id"), qPairs.as("tbs")).persist()
+    val q = qB.select(col("query_id"), explode(col("tbs")).as("tb"))
+      .select(col("query_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val cB = corpus
+      .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
+      .select(
+        col(idCol).as("neighbor_id"),
+        array(tables.map(planes => srpBucket(col(vecCol), planes)): _*)
+          .as("bks")).persist()
+    val c = cB.select(col("neighbor_id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "ctbl", "col" -> "cbucket"))
     val cands = c.join(q,
         col("tbl") === col("ctbl") && col("bucket") === col("cbucket") &&
           col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "nvec")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.withColumn("cosine", Vec.cosine(col("qvec"), col("nvec")))
+    val scored = cands
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+        "neighbor_id")
+      .withColumn("cosine", Vec.cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

@@ -25,6 +25,13 @@ object Skew {
       key: String, otherKey: String,
       distributor: String, factor: Int,
       joinType: String = "inner"): DataFrame = {
+    // The right side is replicated `factor` times, so join types that
+    // emit unmatched RIGHT rows ("right"/"full") would duplicate each
+    // unmatched right row factor times — restrict to the salt-correct
+    // family.
+    require(
+      Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val l = skewed.withColumn("__salt",
       pmod(xxhash64(col(distributor)), lit(factor.toLong)))
     val r = other.withColumn("__salt",

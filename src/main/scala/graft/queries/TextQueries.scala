@@ -13,7 +13,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
-    ngramJaccard, minhashDedup, simhashPairs, tokenRegex)
+    ngramJaccard, jaccardPruned, minhashDedup, simhashPairs, tokenRegex)
 
   /** BPE-ish regex token counting: letter runs / digit runs / single
     * non-space symbols — the subword-tokenizer-shaped count next to
@@ -201,6 +201,36 @@ object TextQueries {
       |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.8
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** DF-pruned Jaccard (stop-shingle pruning, the degenerate-corpus
+    * scale path): grams in more than 20 documents are dropped from
+    * every set before similarity — pruning mirrored in the oracle.
+    */
+  val jaccardPruned: Q = Q(
+    "q_jaccard_pruned",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |shl AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |  FROM toks),
+      |sh AS (SELECT doc_id, unnest(s) AS g FROM shl),
+      |kept AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 20),
+      |sh2 AS (SELECT doc_id, g FROM sh JOIN kept USING (g)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM sh2 a JOIN sh2 b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairsPruned(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, tau = 0.8, maxDf = 20)
       .orderBy(col("d1"), col("d2"))
   }
 

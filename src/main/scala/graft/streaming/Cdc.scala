@@ -42,17 +42,35 @@ object Cdc {
     */
   final class StateStore(spark: SparkSession, path: String) {
     import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-    private def readAll(): Map[String, Long] =
-      try spark.read.parquet(path)
+    private def fs: FileSystem =
+      new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def tmpPath = path + ".__staging"
+
+    private def readFrom(p: String): Map[String, Long] =
+      spark.read.parquet(p)
         .select("state_name", "state").as[(String, Long)]
         .collect().toMap
-      catch { case _: Exception => Map.empty } // first run: no state yet
+
+    /** Missing path = first run = empty state. ANY other failure
+      * (corrupt footer, permissions, schema drift) rethrows: a state
+      * store silently read as empty would reset every watermark and
+      * bypass the retention guard — the exact silent-loss mode
+      * C6/C7 exist to prevent.
+      */
+    private def readAll(): Map[String, Long] =
+      if (fs.exists(new HPath(path))) readFrom(path)
+      else if (fs.exists(new HPath(tmpPath))) readFrom(tmpPath) // crash between delete+rename
+      else Map.empty
 
     def get(stateName: String): Option[Long] = readAll().get(stateName)
 
     /** Mark processed range — call ONLY after the output commit
-      * succeeded (C6: state must not advance on failure).
+      * succeeded (C6: state must not advance on failure). Writes to a
+      * staging path first and renames over, so a crash mid-write
+      * leaves either the old state or a complete staging copy — never
+      * a torn file.
       */
     def put(stateName: String, lsn: Long): Unit = {
       val updated = readAll() + (stateName -> lsn)
@@ -60,7 +78,11 @@ object Cdc {
         .map { case (n, l) => (n, l, new java.sql.Timestamp(System.currentTimeMillis())) }
         .toDF("state_name", "state", "last_update")
         .coalesce(1)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmpPath)
+      fs.delete(new HPath(path), true)
+      if (!fs.rename(new HPath(tmpPath), new HPath(path)))
+        throw new java.io.IOException(
+          s"state store rename failed: $tmpPath -> $path (state preserved at staging path)")
     }
   }
 
