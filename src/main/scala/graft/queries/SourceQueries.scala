@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.ExactAgg
-import graft.sources.{CsvIngest, TypeMatrix}
+import graft.sources.{CsvIngest, FixedWidth, Jdbc, TypeMatrix}
 
 /** Source/sink surface exercised end-to-end (SURVEY §2.1): the
   * migration pipeline's interchange round-trip — export to the
@@ -14,7 +15,71 @@ import graft.sources.{CsvIngest, TypeMatrix}
   */
 object SourceQueries {
 
-  def all: Seq[Q] = Seq(csvRoundtrip)
+  def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip)
+
+  /** S5 fixed-width format: customer exports as a space-padded
+    * fixed-width text file, reads back through substring slicing +
+    * typed promote, then aggregates. The oracle aggregates the
+    * original parquet — equality proves the fixed-width round-trip
+    * lossless (doubles survive via their canonical string form).
+    */
+  val fixedWidthRoundtrip: Q = Q(
+    "q_fixed_width",
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val widths = Seq(
+      "c_custkey" -> 12, "c_name" -> 26, "c_acctbal" -> 14,
+      "c_mktsegment" -> 12)
+    val out = s"/root/repo/target/tmp/fixedwidth_${new java.io.File(dir).getName}"
+    FixedWidth.writeFixed(
+      Tables.customer(s, dir)
+        .select(widths.map { case (n, _) => col(n) }: _*),
+      out, widths)
+    val target = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val (typed, _) = FixedWidth.readTyped(
+      s, out, FixedWidth.layout(widths: _*), target, runId = "fw")
+    typed.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        ExactAgg.dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** S9 exercised for REAL: supplier bulk-loads into an embedded Derby
+    * database over `df.write.jdbc` (batched inserts), reads back
+    * through the `dbtable` + pushed-filter path, joins the broadcast
+    * nation dimension and aggregates. The oracle aggregates the
+    * original parquet, so equality proves the relational round-trip
+    * (type mapping included) lossless.
+    */
+  val jdbcRoundtrip: Q = Q(
+    "q_jdbc_roundtrip",
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 0
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val url = Jdbc.memoryUrl("graftdb")
+    Jdbc.write(Tables.supplier(s, dir), url, "supplier", batchsize = 5000)
+    val sup = Jdbc.readTable(s, url, "supplier")
+      .filter(col("s_acctbal") > 0) // pushed into the source SQL (P9)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        ExactAgg.dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
 
   val csvRoundtrip: Q = Q(
     "q_csv_roundtrip",

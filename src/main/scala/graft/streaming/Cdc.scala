@@ -151,6 +151,70 @@ object Cdc {
         when(useChange, cc(lsnCol)).otherwise(target("last_lsn")).as("last_lsn"): _*)
   }
 
+  /** Partition-scoped apply (the table-format-MERGE cost model over
+    * plain parquet): the target lives hive-partitioned by a key-derived
+    * partition value; only partitions CONTAINING changed keys are read,
+    * reconciled, and rewritten — untouched partitions' files are never
+    * opened. At 100 TB a CDC batch touches a tiny key set, so the
+    * full-target rewrite (the correct-but-costly default `apply`
+    * composition) is replaced by work proportional to the changed
+    * partitions. Reference semantics: the MERGE upsert sketch
+    * (Integration/SSIS/Practice/004 CDC.md:354-362, …/Глава
+    * 12…md:87-99).
+    *
+    * `partOf` derives the partition value from a row's key columns and
+    * MUST be a pure function of them (same key ⇒ same partition), or
+    * a key's old and new versions could land in different partitions.
+    * Partitions emptied by deletes are removed explicitly (dynamic
+    * partition overwrite alone would leave their stale files: an empty
+    * result writes no partition directory).
+    */
+  def applyPartitioned(
+      spark: SparkSession,
+      targetPath: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      partCol: String,
+      partOf: DataFrame => org.apache.spark.sql.Column,
+      lsnCol: String = "lsn",
+      opCol: String = "op"): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val latest = latestPerKey(changes, keyCols, lsnCol)
+    val withPart = latest.withColumn(partCol, partOf(latest))
+    // partition METADATA collect — bounded by the batch's distinct
+    // partition count, not data size
+    val parts = withPart.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (parts.isEmpty) return
+    val target = spark.read.parquet(targetPath)
+      .filter(col(partCol).isInCollection(parts)) // partition-pruned scan
+      .select((keyCols ++ dataCols :+ "last_lsn").map(col): _*)
+    val applied = apply(target, withPart, keyCols, dataCols, lsnCol, opCol)
+    // Materialize BEFORE the write: the reconciled result reads the
+    // very files the dynamic overwrite replaces, so the lineage must
+    // be cut (localCheckpoint) or write tasks would re-open deleted
+    // inputs. (A table format makes this swap transactional; this is
+    // the plain-parquet equivalent, scoped to the changed partitions.)
+    val appliedP = applied.withColumn(partCol, partOf(applied))
+      .repartition(col(partCol))
+      .localCheckpoint(true)
+    val remaining = appliedP.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    appliedP
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(targetPath)
+    // remove partitions whose keys were all deleted (absent from the
+    // dynamic-overwrite output)
+    val fs = new HPath(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.filterNot(remaining).foreach { p =>
+      fs.delete(new HPath(s"$targetPath/$partCol=$p"), true)
+    }
+  }
+
   /** Empty target with the apply-compatible schema (C1 initial load
     * starts from nothing; the snapshot is just `apply` of the full
     * range onto this).

@@ -83,4 +83,58 @@ class CdcSpec extends SparkSpec {
     val got = Cdc.latestPerKey(dup, keys, "lsn")
     assert(got.count() == 3)
   }
+
+  private def fileStates(dir: String): Set[(String, Long, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Set.empty
+    else d.listFiles.filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+  }
+
+  test("partition-scoped apply ≡ full rewrite; untouched partitions byte-identical") {
+    val dir = s"target/tmp/cdc_part_${System.nanoTime()}"
+    val init = (0L until 100L).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    init.withColumn("bucket", pmod(col("user_id"), lit(4L)))
+      .write.partitionBy("bucket").parquet(dir)
+
+    // buckets touched: 8%4=0, 102%4=2, 13%4=1 — bucket 3 untouched
+    val changes = Seq(
+      (8L, 88.0, 10L, Cdc.Op.Update),
+      (102L, 12.0, 11L, Cdc.Op.Insert),
+      (13L, 0.0, 12L, Cdc.Op.Delete)
+    ).toDF("user_id", "amount", "lsn", "op")
+
+    val untouchedBefore = fileStates(s"$dir/bucket=3")
+    assert(untouchedBefore.nonEmpty)
+    Cdc.applyPartitioned(spark, dir, changes, keys, data,
+      "bucket", d => pmod(col("user_id"), lit(4L)))
+    assert(fileStates(s"$dir/bucket=3") == untouchedBefore)
+
+    val got = spark.read.parquet(dir)
+      .select("user_id", "amount", "last_lsn").as[(Long, Double, Long)]
+      .collect().toSet
+    val ref = Cdc.apply(init, changes, keys, data)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("partition-scoped apply removes partitions emptied by deletes") {
+    val dir = s"target/tmp/cdc_part_empty_${System.nanoTime()}"
+    val init = (1L to 8L).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    init.withColumn("bucket", pmod(col("user_id"), lit(4L)))
+      .write.partitionBy("bucket").parquet(dir)
+    // delete every bucket-1 key (1 and 5)
+    val changes = Seq(
+      (1L, 0.0, 10L, Cdc.Op.Delete),
+      (5L, 0.0, 11L, Cdc.Op.Delete)
+    ).toDF("user_id", "amount", "lsn", "op")
+    Cdc.applyPartitioned(spark, dir, changes, keys, data,
+      "bucket", d => pmod(col("user_id"), lit(4L)))
+    assert(!new java.io.File(s"$dir/bucket=1").exists)
+    val got = spark.read.parquet(dir)
+      .select("user_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L, 6L, 7L, 8L))
+  }
 }
