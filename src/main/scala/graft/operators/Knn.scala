@@ -155,9 +155,47 @@ object Knn {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** SRP-bucketed near-dup pairs over the WHOLE corpus — the 100 TB
+    * default for embedding near-dup detection (no broadcast, no O(n²)
+    * pair loop): both occurrences of the corpus explode into
+    * (table, sign-bucket) keys, candidates are any id-ordered pair
+    * sharing a bucket in ≥1 table, travel as narrow id pairs through
+    * the dedup shuffle, and verify with exact cosine ≥ tau — zero
+    * false positives, recall bounded by the (numTables, bitsPerTable)
+    * LSH family exactly as in `annTopK`. `cosinePairs` below stays
+    * the exact oracle baseline at small scale.
+    */
+  def cosinePairsBucketed(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val tables = (0 until numTables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bk = df.select(col(idCol), col(vecCol)).repartition(par)
+      .select(col(idCol).as("id"),
+        array(tables.map(p => srpBucket(col(vecCol), p)): _*).as("bks"))
+      .persist() // bucket arrays materialize before the explode
+    val e = bk.select(col("id"), posexplode(col("bks")))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val a = e.select(col("id").as("d1"), col("tbl"), col("bucket"))
+    val b = e.select(col("id").as("d2"), col("tbl").as("tbl2"),
+      col("bucket").as("bucket2"))
+    val cands = a.join(b,
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+          col("d1") < col("d2"))
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+    cands
+      .join(df.select(col(idCol).as("d1"), col(vecCol).as("v1")), "d1")
+      .join(df.select(col(idCol).as("d2"), col(vecCol).as("v2")), "d2")
+      .withColumn("cosine", Vec.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= tau)
+      .select(col("d1"), col("d2"), col("cosine"))
+  }
+
   /** All pairs with cosine ≥ tau (embedding near-dup detection),
-    * id-ordered. Brute-force self-join baseline; swap the join
-    * condition for SRP buckets (`srpBucket`) at corpus scale.
+    * id-ordered. Brute-force self-join baseline for the bucketed
+    * variant above; the oracle gate at small scale.
     * Norms precompute per row (fold once per vector, not per pair —
     * same fold order, bit-identical result); the streamed side is
     * repartitioned so the O(n²) score loop parallelizes across cores

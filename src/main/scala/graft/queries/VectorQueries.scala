@@ -11,7 +11,18 @@ import graft.operators.Knn
   */
 object VectorQueries {
 
-  def all: Seq[Q] = Seq(cosinePairs, knnBrute, knnAnn, knnIvf)
+  def all: Seq[Q] = Seq(cosinePairs, srpPairs, knnBrute, knnAnn, knnIvf)
+
+  /** SRP-bucketed near-dup pairs — the catalog's SCALE default for
+    * whole-corpus embedding dedup (the exact `q_embed_cosine_pairs`
+    * stays the small-scale oracle gate). Subset-of-exact + recall
+    * proven in the spec.
+    */
+  val srpPairs: Q = Q.noOracle("q_embed_srp_pairs") { (s, dir) =>
+    Knn.cosinePairsBucketed(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+      .orderBy(col("d1"), col("d2"))
+  }
 
   /** IVF (centroid-bucketed) ANN top-5 — the second scale path;
     * recall vs brute force measured in the spec.

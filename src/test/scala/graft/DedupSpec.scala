@@ -77,6 +77,34 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"ANN recall $recall too close to random")
   }
 
+  test("SRP-bucketed cosine pairs: subset of exact, measurable recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Knn.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val bucketed = Knn.cosinePairsBucketed(emb, "vec_id", "embedding", 0.4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact)) // exact verification ⇒ no false positives
+    assert(exact.nonEmpty)
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.3, s"SRP pair recall $recall too low")
+  }
+
+  test("multi-probe raises ANN recall at a fixed table budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(probes: Int) = {
+      val ann = Knn.annTopK(emb, queries, "vec_id", "embedding", 5, 64,
+        probes = probes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      ann.intersect(brute).size.toDouble / brute.size
+    }
+    val (r0, r2) = (recallAt(0), recallAt(2))
+    assert(r2 >= r0, s"multi-probe recall $r2 below base $r0")
+    assert(r2 > 0.15)
+  }
+
   test("IVF ANN recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 20)
