@@ -95,10 +95,29 @@ object QualityQueries {
       .orderBy(col("sid"))
   }
 
-  /** Fuzzy Grouping over mangled names (non-oracle: single-level
-    * canonical pick is spec-verified instead).
+  /** Fuzzy Grouping over mangled names. The single-level canonical
+    * pick (min id over the ≥τ neighborhood, self included) is exactly
+    * expressible as a brute-force similarity self-join in the oracle —
+    * equality proves the gram blocking + one-sided scoring +
+    * symmetrization lossless.
     */
-  val fuzzyGroup: Q = Q.noOracle("q_fuzzy_group") { (s, dir) =>
+  val fuzzyGroup: Q = Q(
+    "q_fuzzy_group",
+    """WITH m AS (SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey % 3 = 0
+      |      THEN substring(c_name, 1, 8) || substring(c_name, 10)
+      |      ELSE c_name END AS name
+      |  FROM customer WHERE c_custkey < 200),
+      |nbr AS (SELECT a.id AS id, MIN(b.id) AS min_nbr
+      |  FROM m a JOIN m b ON a.id <> b.id
+      |    AND 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+      |      / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE) >= 0.85
+      |  GROUP BY a.id)
+      |SELECT m.id AS _key_in,
+      |  least(COALESCE(nbr.min_nbr, m.id), m.id) AS _key_out,
+      |  m.name AS name
+      |FROM m LEFT JOIN nbr ON m.id = nbr.id
+      |ORDER BY _key_in""".stripMargin) { (s, dir) =>
     val cust = Tables.customer(s, dir).filter(col("c_custkey") < 200)
     val mangled = cust.select(
       col("c_custkey").as("id"),
@@ -106,6 +125,7 @@ object QualityQueries {
         concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100)))
         .otherwise(col("c_name")).as("name"))
     Fuzzy.group(mangled, "id", "name", tau = 0.85)
+      .select(col("_key_in"), col("_key_out"), col("name"))
       .orderBy(col("_key_in"))
   }
 
