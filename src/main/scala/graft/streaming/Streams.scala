@@ -111,6 +111,20 @@ object Streams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup (the training-pipeline dedup operator in
+    * continuous form): keep the FIRST row per key, with state bounded
+    * by the event-time watermark — a key's state is dropped once the
+    * watermark passes its event time plus the delay, so the operator
+    * runs forever on bounded memory (the property that matters on an
+    * unbounded 100 TB feed; an unwatermarked dropDuplicates would
+    * accumulate state without bound). Duplicates arriving within the
+    * watermark window are suppressed exactly.
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming CDC upsert: drain the change feed in micro-batches,
     * folding each batch into the target with the idempotent
     * `Cdc.apply` (at-least-once safe). Returns the final target state.

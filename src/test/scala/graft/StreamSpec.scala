@@ -107,6 +107,36 @@ class StreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup suppresses cross-batch duplicates within the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = s"target/tmp/dedupstream_${System.nanoTime()}"
+    // batch 0: keys 1,2 (key 1 twice); batch 1: key 1 AGAIN (in-window
+    // duplicate) + key 3 — event times close together so the watermark
+    // never expires key 1's state between batches
+    Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:00:05"),
+        (2L, "2024-01-01 10:00:10"))
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$dir/batch=0")
+    Thread.sleep(1100)
+    Seq((1L, "2024-01-01 10:00:20"), (3L, "2024-01-01 10:00:30"))
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$dir/batch=1")
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val deduped = Streams.dedupStream(stream, Seq("k"), "ts", "10 minutes")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val keys = spark.table(name).select(col("k")).as[Long].collect().toSeq
+    assert(keys.sorted == Seq(1L, 2L, 3L), s"got $keys")
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==
