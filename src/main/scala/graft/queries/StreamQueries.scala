@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{IncrementalAgg, Multimodal}
 import graft.streaming.Streams
 
 /** Streaming + multimodal surface. The streaming query MUST equal its
@@ -10,7 +10,43 @@ import graft.streaming.Streams
   */
 object StreamQueries {
 
-  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, sessionize)
+  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, sessionize,
+    incrementalMv)
+
+  /** A6 State/Merge materialized view, oracle-gated: the MV is built
+    * by folding THREE batch partials (split by event_id) and
+    * finalizing; the oracle aggregates the full input directly in one
+    * pass. Equality proves maintaining the MV incrementally equals
+    * recomputing — including the ordered element list, canonicalized
+    * to a cents string (see q_mart_wide).
+    */
+  val incrementalMv: Q = Q(
+    "q_incremental_mv",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total,
+      |  array_to_string(LIST(
+      |    CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)
+      |    ORDER BY event_id), ',') AS vals
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val keys = Seq("event_type")
+    def part(f: org.apache.spark.sql.Column) =
+      IncrementalAgg.partial(events.filter(f), keys, "value", "event_id")
+    val mv = IncrementalAgg.merge(
+      IncrementalAgg.merge(
+        part(col("event_id") % 3 === 0), part(col("event_id") % 3 === 1), keys),
+      part(col("event_id") % 3 === 2), keys)
+    IncrementalAgg.finalize(mv, keys)
+      .select(
+        col("event_type"), col("n"), col("total"),
+        array_join(
+          transform(col("values"),
+            x => round(x * 100).cast("long").cast("string")),
+          ",").as("vals"))
+      .orderBy(col("event_type"))
+  }
 
   /** Session windows (30-min inactivity gap) via `session_window`;
     * the oracle replays the same sessions with gaps-and-islands SQL
