@@ -11,7 +11,38 @@ import graft.streaming.Streams
 object StreamQueries {
 
   def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, sessionize,
-    incrementalMv)
+    incrementalMv, asofJoin)
+
+  /** AS-OF join (custom operator — Spark lacks it): each event carries
+    * the same user's latest at-or-before 'signup' event id. The oracle
+    * replays the identical union+window form in SQL, so the
+    * one-shuffle implementation is value-proven, nulls included.
+    */
+  val asofJoin: Q = Q(
+    "q_asof_join",
+    """WITH r AS (SELECT user_id AS k, ts, MAX(event_id) AS sid
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id AS k, ts, event_id, CAST(NULL AS BIGINT) AS sid, 1 AS src
+      |  FROM events
+      |  UNION ALL
+      |  SELECT k, ts, NULL, sid, 0 AS src FROM r),
+      |w AS (SELECT *, LAST_VALUE(sid IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY ts, src
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+      |  FROM u)
+      |SELECT k AS user_id, event_id, asof_signup
+      |FROM w WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsOf.joinAsOf(
+      ev.select(col("user_id"), col("event_id"), col("ts")), signups,
+      "user_id", "ts", "user_id", "ts", "event_id", "asof_signup")
+      .select(col("user_id"), col("event_id"), col("asof_signup"))
+      .orderBy(col("event_id"))
+  }
 
   /** A6 State/Merge materialized view, oracle-gated: the MV is built
     * by folding THREE batch partials (split by event_id) and

@@ -1,10 +1,28 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Lookup, Profile, Split}
+import graft.operators.{AsOf, Lookup, Profile, Split}
 
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
+
+  test("as-of join attaches the latest at-or-before value per key") {
+    val left = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 15L, 200L), (3L, 5L, 300L))
+      .toDF("k", "t", "eid")
+    val right = Seq(
+      (1L, 10L, 900L), (1L, 25L, 901L), // same-instant (t=10) visible
+      (2L, 20L, 902L))                  // after 2's only event -> null
+      .toDF("k", "t", "v")
+    val got = AsOf.joinAsOf(left, right, "k", "t", "k", "t", "v", "asof_v")
+      .select(col("eid"), col("asof_v"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got == Set(
+      (100L, 900L), (101L, 900L), (102L, 901L),
+      (200L, -1L), (300L, -1L)))
+  }
 
   test("Lookup: match and no-match streams partition the input losslessly") {
     val stream = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
