@@ -111,6 +111,25 @@ object Streams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming sessionization: watermarked `session_window` (30-min
+    * inactivity gap by default) — a session closes and is emitted in
+    * append mode once the watermark passes its end; state per open
+    * session only, dropped at emission. The streaming twin of the
+    * batch `q_sessionize` gaps-and-islands query.
+    */
+  def sessionizeStream(events: DataFrame, gap: String, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup (the training-pipeline dedup operator in
     * continuous form): keep the FIRST row per key, with state bounded
     * by the event-time watermark — a key's state is dropped once the

@@ -107,6 +107,46 @@ class StreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming session windows match the batch sessions they close") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sf).persist()
+    val medianSec = ev.select(percentile_approx(
+      col("ts").cast("double"), lit(0.5), lit(100))).head.getDouble(0)
+    val medianTs = new java.sql.Timestamp((medianSec * 1000).toLong)
+    val dir = s"target/tmp/sess_${System.nanoTime()}"
+    ev.filter(col("ts") <= lit(medianTs)).coalesce(1)
+      .write.parquet(s"$dir/batch=0")
+    Thread.sleep(1100)
+    ev.filter(col("ts") > lit(medianTs)).coalesce(1)
+      .write.parquet(s"$dir/batch=1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val name = s"sess_${System.nanoTime()}"
+    val q = Streams.sessionizeStream(stream, "30 minutes", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table(name)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    assert(emitted.nonEmpty, "watermark advance must close early sessions")
+    val batch = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("tv"))
+      .select(col("user_id"), col("session_window.start"), col("n"), col("tv"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    emitted.foreach { case (u, st, n, tv) =>
+      assert(batch((u, st)) == ((n, tv)), s"session $u/$st")
+    }
+    ev.unpersist()
+  }
+
   test("streaming dedup suppresses cross-batch duplicates within the watermark") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = s"target/tmp/dedupstream_${System.nanoTime()}"
