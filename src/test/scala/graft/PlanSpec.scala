@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Catalog
+
+/** Physical-plan regression tests: the scale-critical plan properties
+  * (scan pushdown/pruning, broadcast dimension joins, window-group
+  * limits, top-k) asserted continuously, not just snapshotted in
+  * PLANS_r*.txt.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push into the parquet scan (P9)") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,30"), plan)
+    // pruned scan: only the two referenced columns reach the reader
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("lookup cascade joins broadcast, probe side never shuffles (J2/J6)") {
+    val plan = planOf(Catalog.queries("q_lookup_cascade")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("LIMIT BY plans as a window group limit, not a full sort (W1/A7)") {
+    val plan = planOf(Catalog.queries("q_limit_by")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (W5)") {
+    val plan = planOf(Catalog.queries("q_token_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("pre-aggregation sits below the join in the flagship mart (J5)") {
+    val df = Catalog.queries("q_datamart_customer")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    // the detail side of the join must already be an Aggregate —
+    // the structural property that shrinks the shuffle to 1 row/key
+    val hasAggBelowJoin = joins.exists(_.right.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined)
+    assert(hasAggBelowJoin, df.queryExecution.optimizedPlan.toString)
+  }
+}
