@@ -11,7 +11,33 @@ import graft.streaming.Streams
 object StreamQueries {
 
   def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, sessionize,
-    incrementalMv, asofJoin)
+    incrementalMv, asofJoin, rangeJoin)
+
+  /** Range join (custom operator — a bare non-equi condition would be
+    * a nested-loop in Spark): every event landing within one hour
+    * after a signup of the same user, via time-bucket blocking. The
+    * oracle runs the plain BETWEEN join — equality proves the
+    * blocking exact.
+    */
+  val rangeJoin: Q = Q(
+    "q_range_join",
+    """WITH s AS (SELECT user_id AS su, event_id AS signup_id, ts AS s_ts
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id AS event_id, s.signup_id AS signup_id
+      |FROM events e JOIN s ON e.user_id = s.su
+      |  AND e.ts >= s.s_ts AND e.ts < s.s_ts + INTERVAL 1 HOUR
+      |ORDER BY event_id, signup_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("s_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      ev.select(col("user_id"), col("event_id"), col("ts")), signups,
+      "user_id", "ts", "su", "s_ts", "s_end")
+      .select(col("event_id"), col("signup_id"))
+      .orderBy(col("event_id"), col("signup_id"))
+  }
 
   /** AS-OF join (custom operator — Spark lacks it): each event carries
     * the same user's latest at-or-before 'signup' event id. The oracle

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Lookup, Profile, Split}
+import graft.operators.{AsOf, Lookup, Profile, RangeJoin, Split}
 
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
@@ -22,6 +22,28 @@ class OperatorSpec extends SparkSpec {
     assert(got == Set(
       (100L, 900L), (101L, 900L), (102L, 901L),
       (200L, -1L), (300L, -1L)))
+  }
+
+  test("bucket-blocked range join equals the plain non-equi join") {
+    val pts = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 11:30:00", 2L),
+      (1L, "2024-01-01 12:00:00", 3L), (2L, "2024-01-01 10:10:00", 4L))
+      .toDF("k", "pt", "pid")
+      .withColumn("pt", col("pt").cast("timestamp"))
+    val ivs = Seq(
+      (1L, "2024-01-01 09:30:00", "2024-01-01 11:00:00", 10L), // pid 1
+      (1L, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 11L), // pid 2 (start incl, end excl)
+      (2L, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 12L)) // empty
+      .toDF("ik", "s", "e", "iid")
+      .withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+    val blocked = RangeJoin.pointInInterval(pts, ivs, "k", "pt", "ik", "s", "e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val plain = pts.join(ivs,
+        col("k") === col("ik") && col("pt") >= col("s") && col("pt") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(blocked == plain)
+    assert(blocked == Set((1L, 10L), (2L, 11L)))
   }
 
   test("Lookup: match and no-match streams partition the input losslessly") {
