@@ -69,14 +69,23 @@ object Multimodal {
 
   /** Feature extraction over the media table: batch-iterates each
     * partition (mapPartitions — the JVM analog of a batched pandas
-    * UDF) and appends a fixed-width feature vector. Narrow op, no
-    * shuffle; partition sizing is inherited from the scan.
+    * UDF) and appends a fixed-width feature vector. Decode is
+    * CPU-bound, so a scan with too few partitions (a one-row-group
+    * parquet scans as ONE) is spread to `minPartitions` first —
+    * otherwise the whole decode runs on one core no matter how many
+    * executors exist; when the scan already has enough partitions the
+    * op stays narrow (no shuffle).
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame, minPartitions: Option[Int] = None): DataFrame = {
+    val target = minPartitions.getOrElse(
+      media.sparkSession.sparkContext.defaultParallelism)
+    val spread =
+      if (media.rdd.getNumPartitions < target) media.repartition(target)
+      else media
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(FloatType, false), false))
     val byteIdx = media.schema.fieldIndex("bytes")
-    media.mapPartitions { iter =>
+    spread.mapPartitions { iter =>
       // batch shape: one iterator in, one iterator out — the decoder
       // could hold per-partition state (model handle, codec context)
       iter.map { row =>
