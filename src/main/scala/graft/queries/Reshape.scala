@@ -9,7 +9,30 @@ import graft.operators.Profile
 object Reshape {
 
   def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer,
-    stringAgg, rollupTotals, cubeTotals, sampled)
+    stringAgg, rollupTotals, cubeTotals, sampled, sampledHash)
+
+  /** Deterministic KEY-HASH sampling (R4's reproducible form): keep
+    * rows whose md5(key-string) lands under the rate threshold —
+    * engine-independent, repartition-stable, and the property a
+    * 100 TB pipeline actually wants (the same rows sampled on every
+    * run and every cluster layout, unlike an RNG sampler). Oracle
+    * replays the identical hash predicate.
+    */
+  val sampledHash: Q = Q(
+    "q_sample_hash",
+    """SELECT o_orderstatus, COUNT(*) AS cnt
+      |FROM orders
+      |WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 10 === 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** Percentage sampling (SURVEY R4): seeded Bernoulli sample —
     * deterministic for a fixed seed and partitioning, but the sampler
