@@ -130,6 +130,28 @@ object Streams {
         col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream inner join with event-time bounds: each side
+    * watermarked, the join condition carrying an explicit time range
+    * (right.ts in [left.ts, left.ts + window]) so Spark can expire
+    * buffered state once the watermark passes — the only way a
+    * stream-stream join runs forever on bounded memory. Unbounded
+    * stream-stream joins (no time constraint) buffer both sides
+    * forever and are rejected here by construction.
+    */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, window: String, delay: String): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+    val r = right
+      .withColumnRenamed(keyCol, s"__r_$keyCol")
+      .withColumnRenamed("ts", "__r_ts")
+      .withWatermark("__r_ts", delay)
+    l.join(r,
+      col(keyCol) === col(s"__r_$keyCol") &&
+        col("__r_ts") >= col("ts") &&
+        col("__r_ts") <= col("ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Streaming exact dedup (the training-pipeline dedup operator in
     * continuous form): keep the FIRST row per key, with state bounded
     * by the event-time watermark — a key's state is dropped once the

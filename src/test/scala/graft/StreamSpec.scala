@@ -147,6 +147,40 @@ class StreamSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("stream-stream time-bounded join equals the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sf).persist()
+    val dir = s"target/tmp/ssj_${System.nanoTime()}"
+    val lB = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    val rB = ev.select(col("user_id").as("u2"), col("ts").as("ts2"), col("event_id"))
+    lB.coalesce(1).write.parquet(s"$dir/left")
+    rB.withColumnRenamed("u2", "user_id").withColumnRenamed("ts2", "ts")
+      .coalesce(1).write.parquet(s"$dir/right")
+    val ls = spark.readStream
+      .schema(spark.read.parquet(s"$dir/left").schema).parquet(s"$dir/left")
+    val rs = spark.readStream
+      .schema(spark.read.parquet(s"$dir/right").schema).parquet(s"$dir/right")
+    val name = s"ssj_${System.nanoTime()}"
+    val q = Streams.streamStreamJoin(ls, rs, "user_id", "1 HOUR", "2 hours")
+      .select(col("signup_id"), col("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .as[(Long, Long)].collect().toSet
+    val batch = lB.join(rB,
+        col("user_id") === col("u2") &&
+          col("ts2") >= col("ts") &&
+          col("ts2") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    ev.unpersist()
+  }
+
   test("streaming dedup suppresses cross-batch duplicates within the watermark") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = s"target/tmp/dedupstream_${System.nanoTime()}"
