@@ -28,13 +28,9 @@ object Vec {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Squared L2 distance (double). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Squared L2 distance (double). Backed by the codegen'd
+    * [[graft.plans.L2Sq]] kernel; arithmetically identical to the
+    * composable `aggregate(zip_with(...))` sequential fold.
+    */
+  def l2sq(a: Column, b: Column): Column = graft.plans.L2Sq(a, b)
 }

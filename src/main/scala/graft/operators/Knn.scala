@@ -54,11 +54,12 @@ object Knn {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Hyperplane dot via the codegen'd DotProduct kernel (the
+    * `aggregate(zip_with(...))` form allocates an intermediate array
+    * per plane per row — ×numTables×bits on the bucket scan).
+    */
   private def dotLit(vec: Column, plane: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, array(plane.map(lit): _*),
-        (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, x) => acc + x)
+    Vec.dot(vec, array(plane.map(lit): _*))
 
   /** Sign-bucket of a vector under the hyperplane family — vectors in
     * the same bucket are likely cosine-close (SRP-LSH).
