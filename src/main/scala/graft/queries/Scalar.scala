@@ -10,7 +10,7 @@ import graft.functions.ExactAgg
 object Scalar {
 
   def all: Seq[Q] = Seq(stringParse, dateBuckets, eventsHourly, unionDistinct,
-    arrayFuncs, dictLookup, jsonExtract)
+    arrayFuncs, dictLookup, jsonExtract, intersectExcept)
 
   /** JSON payload extraction (SURVEY §1.2 json/jsonb → String +
     * `get_json_object` on demand): typed promote of the events `props`
@@ -172,5 +172,31 @@ object Scalar {
     n.join(keys, n("n_nationkey") === keys("k"), "left_semi")
       .select(col("n_nationkey"), col("n_name"))
       .orderBy(col("n_nationkey"))
+  }
+
+  /** INTERSECT / EXCEPT (§2.6 "free if needed" row, exercised):
+    * customers ordering in both 1995 and 1996, and in 1995 only.
+    */
+  val intersectExcept: Q = Q(
+    "q_intersect_except",
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE year(o_orderdate) = 1995),
+      |y96 AS (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE year(o_orderdate) = 1996)
+      |SELECT 'both' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+      |UNION ALL
+      |SELECT 'only95' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+      |ORDER BY tag, o_custkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    def inYear(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val (y95, y96) = (inYear(1995), inYear(1996))
+    y95.intersect(y96).withColumn("tag", lit("both"))
+      .unionByName(y95.except(y96).withColumn("tag", lit("only95")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
   }
 }
