@@ -95,6 +95,38 @@ object Dedup {
     countVerifiedPairs(ex, tau)
   }
 
+  /** Cross-corpus Jaccard — the DECONTAMINATION operator: flag
+    * training documents whose n-gram overlap with ANY benchmark/eval
+    * document reaches τ. Same count-based kernel as [[jaccardPairs]]
+    * but across two corpora (no id ordering): candidates are narrow
+    * (train_id, bench_id) pairs from the gram equi-join, intersection
+    * = the join's own match count. At 100 TB the benchmark side is
+    * tiny and the gram join shuffles it against the corpus exactly
+    * once — linear in corpus gram volume.
+    */
+  def jaccardAgainstPairs(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val shC = shingles(corpus, idCol, textCol, n).persist()
+    val shB = shingles(bench, idCol, textCol, n).persist()
+    val a = shC.select(col(idCol).as("d1"), size(col("sh")).as("n1"),
+      explode(col("sh")).as("g"))
+    val b = shB.select(col(idCol).as("d2"), size(col("sh")).as("n2"),
+      explode(col("sh")).as("g2"))
+    a.join(b,
+        col("g") === col("g2") &&
+          col("n1") * lit(tau) <= col("n2") &&
+          col("n2") * lit(tau) <= col("n1"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Shared tail of the count-based Jaccard joins: self-join exploded
     * (id, setSize, gram) rows on the gram with the PPJoin length
     * filter, count matches per pair, keep J ≥ τ.

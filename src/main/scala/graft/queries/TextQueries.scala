@@ -13,7 +13,42 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
-    ngramJaccard, jaccardPruned, minhashDedup, simhashPairs, tokenRegex)
+    ngramJaccard, jaccardPruned, minhashDedup, simhashPairs, tokenRegex,
+    decontaminate)
+
+  /** Decontamination: training docs (doc_id % 20 != 0) whose 3-gram
+    * Jaccard against ANY benchmark doc (doc_id % 20 = 0, standing in
+    * for an eval set) reaches 0.8. Oracle replays the full cross
+    * count-based join.
+    */
+  val decontaminate: Q = Q(
+    "q_decontaminate",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |shl AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |  FROM toks),
+      |sh AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shl),
+      |tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      |be AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+      |inter AS (SELECT tr.doc_id AS d1, be.doc_id AS d2,
+      |    tr.n AS n1, be.n AS n2, COUNT(*) AS i
+      |  FROM tr JOIN be ON tr.g = be.g
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.jaccardAgainstPairs(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, tau = 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
 
   /** BPE-ish regex token counting: letter runs / digit runs / single
     * non-space symbols — the subword-tokenizer-shaped count next to
