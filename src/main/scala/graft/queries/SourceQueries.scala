@@ -15,7 +15,38 @@ import graft.sources.{CsvIngest, FixedWidth, Jdbc, TypeMatrix}
   */
 object SourceQueries {
 
-  def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip)
+  def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
+    xmlRoundtrip)
+
+  /** S7 XML: customer exports as repeated row elements, reads back
+    * through the schema-declared (XSD-analog) PERMISSIVE XML source,
+    * then aggregates; the oracle aggregates the original parquet —
+    * equality proves the XML round-trip lossless (doubles survive via
+    * their shortest round-trip decimal form).
+    */
+  val xmlRoundtrip: Q = Q(
+    "q_xml_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n_c,
+      |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val out = s"/root/repo/target/tmp/xmlrt_${new java.io.File(dir).getName}"
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").format("xml").option("rowTag", "cust").save(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val (good, _) = CsvIngest.splitCorrupt(
+      graft.sources.XmlIngest.read(s, out, "cust", schema), runId = "xmlrt")
+    good.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_c"),
+        ExactAgg.dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
 
   /** S5 fixed-width format: customer exports as a space-padded
     * fixed-width text file, reads back through substring slicing +
