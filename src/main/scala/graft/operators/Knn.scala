@@ -169,7 +169,11 @@ object Knn {
   def cosinePairsBucketed(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dimOpt = df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) // empty corpus: no pairs, not a crash
+      return df.select(col(idCol).as("d1"), col(idCol).as("d2"),
+        lit(0.0).as("cosine")).limit(0)
+    val dim = dimOpt.get
     val tables = (0 until numTables).map(t =>
       hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
     val par = df.sparkSession.sparkContext.defaultParallelism

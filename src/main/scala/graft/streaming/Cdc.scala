@@ -70,9 +70,14 @@ object Cdc {
       * succeeded (C6: state must not advance on failure). Writes to a
       * staging path first and renames over, so a crash mid-write
       * leaves either the old state or a complete staging copy — never
-      * a torn file.
+      * a torn file. Before writing, any staging copy left by a crash
+      * between the previous delete and rename is PROMOTED back to the
+      * main path — otherwise overwriting the staging path would
+      * destroy the only surviving state copy.
       */
     def put(stateName: String, lsn: Long): Unit = {
+      if (!fs.exists(new HPath(path)) && fs.exists(new HPath(tmpPath)))
+        fs.rename(new HPath(tmpPath), new HPath(path)) // crash recovery
       val updated = readAll() + (stateName -> lsn)
       updated.toSeq
         .map { case (n, l) => (n, l, new java.sql.Timestamp(System.currentTimeMillis())) }
@@ -131,12 +136,26 @@ object Cdc {
       keyCols: Seq[String],
       dataCols: Seq[String],
       lsnCol: String = "lsn",
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op"): DataFrame =
+    applyLatest(target, latestPerKey(changes, keyCols, lsnCol),
+      keyCols, dataCols, lsnCol, opCol)
+
+  /** The reconcile step over an ALREADY latest-per-key change set —
+    * callers that have deduped (applyPartitioned) skip the second
+    * window pass.
+    */
+  private def applyLatest(
+      target: DataFrame,
+      latestChanges: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      lsnCol: String,
+      opCol: String): DataFrame = {
     // Rename the change side so the plan never self-join-ambiguates
     // (target is often derived from the same source as the changes —
     // e.g. a snapshot built from an earlier range of the same log).
     def cc(name: String) = col(s"__c_$name")
-    val latest = latestPerKey(changes, keyCols, lsnCol)
+    val latest = latestChanges
       .select((keyCols ++ dataCols :+ lsnCol :+ opCol)
         .map(n => col(n).as(s"__c_$n")): _*)
     val cond = keyCols.map(k => target(k) <=> cc(k)).reduce(_ && _)
@@ -187,10 +206,16 @@ object Cdc {
     val parts = withPart.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (parts.isEmpty) return
+    // a null partition value would land in Hive's default-partition
+    // directory AND escape the isInCollection pruning below — the
+    // key-derived partition function must be total
+    require(!parts.contains(null),
+      s"applyPartitioned: partOf produced a null partition value")
     val target = spark.read.parquet(targetPath)
       .filter(col(partCol).isInCollection(parts)) // partition-pruned scan
       .select((keyCols ++ dataCols :+ "last_lsn").map(col): _*)
-    val applied = apply(target, withPart, keyCols, dataCols, lsnCol, opCol)
+    // withPart is already latest-per-key — skip apply()'s own dedup
+    val applied = applyLatest(target, withPart, keyCols, dataCols, lsnCol, opCol)
     // Materialize BEFORE the write: the reconciled result reads the
     // very files the dynamic overwrite replaces, so the lineage must
     // be cut (localCheckpoint) or write tasks would re-open deleted
@@ -207,11 +232,15 @@ object Cdc {
       .partitionBy(partCol)
       .parquet(targetPath)
     // remove partitions whose keys were all deleted (absent from the
-    // dynamic-overwrite output)
+    // dynamic-overwrite output); directory names use the SAME
+    // Hive-escaping the writer used, so special characters in values
+    // still address the right directory
     val fs = new HPath(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     parts.filterNot(remaining).foreach { p =>
-      fs.delete(new HPath(s"$targetPath/$partCol=$p"), true)
+      val dirVal = org.apache.spark.sql.GraftColumnBridge
+        .escapePartitionValue(String.valueOf(p))
+      fs.delete(new HPath(s"$targetPath/$partCol=$dirVal"), true)
     }
   }
 

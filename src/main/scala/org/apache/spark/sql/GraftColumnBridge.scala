@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Hive-style partition-directory escaping — the SAME function the
+    * parquet writer uses for `partCol=value` directory names, so
+    * partition-scoped maintenance (Cdc.applyPartitioned) addresses the
+    * directories Spark actually wrote, special characters included.
+    */
+  def escapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 }
