@@ -10,7 +10,8 @@ import graft.functions.ExactAgg
 object Scalar {
 
   def all: Seq[Q] = Seq(stringParse, dateBuckets, eventsHourly, unionDistinct,
-    arrayFuncs, dictLookup, jsonExtract, intersectExcept)
+    arrayFuncs, dictLookup, jsonExtract, intersectExcept, percentiles,
+    slidingWindow)
 
   /** JSON payload extraction (SURVEY §1.2 json/jsonb → String +
     * `get_json_object` on demand): typed promote of the events `props`
@@ -172,6 +173,52 @@ object Scalar {
     n.join(keys, n("n_nationkey") === keys("k"), "left_semi")
       .select(col("n_nationkey"), col("n_name"))
       .orderBy(col("n_nationkey"))
+  }
+
+  /** Exact interpolated percentiles (A9 profiling depth): median and
+    * p90 account balance per segment. Both engines interpolate
+    * identically on the sorted values — proven bit-exact.
+    */
+  val percentiles: Q = Q(
+    "q_percentile",
+    """SELECT c_mktsegment,
+      |  quantile_cont(c_acctbal, 0.5) AS med_bal,
+      |  quantile_cont(c_acctbal, 0.9) AS p90_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        percentile(col("c_acctbal"), lit(0.5)).as("med_bal"),
+        percentile(col("c_acctbal"), lit(0.9)).as("p90_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Sliding event-time windows (1 h length, 30 min slide): every
+    * event lands in exactly two windows; the oracle unrolls the two
+    * window starts per event explicitly.
+    */
+  val slidingWindow: Q = Q(
+    "q_sliding_window",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    unnest([w0, w0 - INTERVAL 30 MINUTE]) AS win_start
+      |  FROM (SELECT event_type,
+      |          date_trunc('hour', CAST(ts AS TIMESTAMP)) +
+      |            INTERVAL 30 MINUTE * CAST(floor(minute(ts)/30) AS INT) AS w0
+      |        FROM events) t)
+      |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+      |  COUNT(*) AS n
+      |FROM w
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
   }
 
   /** INTERSECT / EXCEPT (§2.6 "free if needed" row, exercised):
