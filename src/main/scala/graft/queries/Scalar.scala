@@ -207,13 +207,16 @@ object Scalar {
       |  FROM (SELECT event_type,
       |          date_trunc('hour', CAST(ts AS TIMESTAMP)) +
       |            INTERVAL 30 MINUTE * CAST(floor(minute(ts)/30) AS INT) AS w0
-      |        FROM events) t)
+      |        FROM events WHERE ts IS NOT NULL) t)
       |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
       |  COUNT(*) AS n
       |FROM w
       |GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    // NULL ts pinned out on BOTH sides: Spark's window() rewrite
+    // null-rejects, the oracle's unnest would emit NULL groups
     Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(
