@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import scala.util.Random
 import graft.functions.{ExactAgg, OrderedAgg, Text}
-import graft.operators.Skew
+import graft.operators.{AsOf, RangeJoin, Skew}
 
 /** Algebraic invariants from SURVEY §5 (reference prose → properties):
   * zip keeps length, explode multiplies row counts by array sizes,
@@ -56,6 +56,54 @@ class PropertySpec extends SparkSpec {
         .select(size(Text.wordShingles(Text.tokens($"text"), n)))
         .head.getInt(0)
       assert(c == math.max(0, t - n + 1), s"t=$t n=$n")
+    }
+  }
+
+  test("property: as-of join equals the naive per-row latest-at-or-before scan") {
+    for (_ <- 1 to 3) {
+      val left = List.fill(30)((rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = List.fill(15)((rnd.nextInt(4).toLong, rnd.nextInt(50).toLong,
+        rnd.nextInt(1000).toLong))
+      val lDf = left.toDF("k", "t", "eid")
+      val rDf = right.toDF("k", "t", "v")
+      val got = AsOf.joinAsOf(lDf, rDf, "k", "t", "k", "t", "v", "av")
+        .select($"eid", $"av")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // naive reference: per left row, the max v among right rows at
+      // the max at-or-before ts of the same key (max v = the operator's
+      // documented per-(key,ts) tie resolution)
+      left.foreach { case (k, t, eid) =>
+        val eligible = right.filter(r => r._1 == k && r._2 <= t)
+        val want =
+          if (eligible.isEmpty) None
+          else {
+            val ts = eligible.map(_._2).max
+            Some(eligible.filter(_._2 == ts).map(_._3).max)
+          }
+        assert(got(eid) == want, s"k=$k t=$t")
+      }
+    }
+  }
+
+  test("property: bucket-blocked range join equals the plain non-equi join") {
+    for (trial <- 1 to 3) {
+      val pts = List.fill(25)((rnd.nextInt(3).toLong, rnd.nextInt(100000).toLong))
+        .zipWithIndex.map { case ((k, s), i) =>
+          (k, new java.sql.Timestamp(1700000000000L + s * 1000), i.toLong) }
+      val ivs = List.fill(10)((rnd.nextInt(3).toLong, rnd.nextInt(100000).toLong,
+        rnd.nextInt(20000).toLong)).zipWithIndex.map { case ((k, s, len), i) =>
+          (k, new java.sql.Timestamp(1700000000000L + s * 1000),
+            new java.sql.Timestamp(1700000000000L + (s + len) * 1000), i.toLong) }
+      val pDf = pts.toDF("k", "pt", "pid")
+      val iDf = ivs.toDF("ik", "s", "e", "iid")
+      val blocked = RangeJoin.pointInInterval(pDf, iDf, "k", "pt", "ik", "s", "e")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      val plain = pDf.join(iDf,
+          $"k" === $"ik" && $"pt" >= $"s" && $"pt" < $"e")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(blocked == plain, s"trial=$trial")
     }
   }
 
