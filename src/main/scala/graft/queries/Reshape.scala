@@ -9,7 +9,64 @@ import graft.operators.Profile
 object Reshape {
 
   def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer,
-    stringAgg, rollupTotals, cubeTotals, sampled, sampledHash)
+    stringAgg, rollupTotals, cubeTotals, sampled, sampledHash,
+    groupingSets, lagLeadRank)
+
+  /** Explicit GROUPING SETS (beyond cube/rollup) with grouping_id —
+    * two chosen marginals in one pass, and the bitmask that
+    * disambiguates a grouped NULL from a data NULL.
+    */
+  val groupingSets: Q = Q(
+    "q_grouping_sets",
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+      |    AS gid,
+      |  COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    orders.createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  grouping_id(o_orderpriority, o_orderstatus) AS gid,
+        |  COUNT(*) AS cnt
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Analytic functions beyond frames (lag/lead deltas, rank with
+    * ties vs dense_rank) over each customer's order history.
+    */
+  val lagLeadRank: Q = Q(
+    "q_lag_lead",
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey) OVER w IS NOT NULL AS has_prev,
+      |  CAST(date_diff('day',
+      |    LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+      |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+      |    AS prio_dense
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wp = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).isNotNull.as("has_prev"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("days_since_prev"),
+        rank().over(wp).as("prio_rank"),
+        dense_rank().over(wp).as("prio_dense"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   /** Deterministic KEY-HASH sampling (R4's reproducible form): keep
     * rows whose md5(key-string) lands under the rate threshold —
