@@ -73,4 +73,17 @@ object MinHashSig {
   def apply(shingles: Column, numPerms: Int): Column =
     GraftColumnBridge.column(
       MinHashSig(GraftColumnBridge.expression(shingles), numPerms))
+
+  /** SQL-registration form: `graft_minhash(shingles, numPerms)` with
+    * the permutation count as a literal.
+    */
+  def expr(shingles: Expression, numPerms: Expression): MinHashSig =
+    numPerms match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        MinHashSig(shingles, v)
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        MinHashSig(shingles, v.toInt)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash numPerms must be an integer literal, got $other")
+    }
 }

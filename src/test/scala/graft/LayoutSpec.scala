@@ -57,11 +57,14 @@ class LayoutSpec extends SparkSpec {
     assert(obs.get("n_rows") == n)
   }
 
-  test("graft_dot is callable from SQL after registration") {
+  test("custom expressions are callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
-    val got = spark.sql(
-      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
-      .head.getDouble(0)
-    assert(got == 11.0)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  graft_l2sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l,
+        |  size(graft_minhash(array('a', 'b'), 8)) AS m""".stripMargin).head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 8.0)
+    assert(r.getInt(2) == 8)
   }
 }
