@@ -66,7 +66,10 @@ object Scd {
   }
 
   /** SCD Type 1: in-place overwrite of changed attributes, insert of
-    * new keys, history-free.
+    * new keys, history-free. A staged NULL keeps the dimension's old
+    * value (coalesce semantics) — "overwrite with NULL" requires a
+    * sentinel in the staging feed, matching the wizard's treatment of
+    * absent attribute values.
     */
   def scd1(dim: DataFrame, staging: DataFrame, bk: String,
       attrs: Seq[String]): DataFrame = {
