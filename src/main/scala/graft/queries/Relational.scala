@@ -12,7 +12,71 @@ object Relational {
 
   def all: Seq[Q] = Seq(
     pricingSummary, customerMart, wideMart, limitBy,
-    lookupCascade, semiAnti, fullOuterReconcile, splitBands, windowRunning)
+    lookupCascade, semiAnti, fullOuterReconcile, splitBands, windowRunning,
+    shippingPriority, correlatedBalance)
+
+  /** TPC-H-Q3-shaped flagship: segment-filtered customer dimension,
+    * date-bounded orders and lineitem, three-way join, exact-cents
+    * revenue per order, deterministic top-10 (TakeOrderedAndProject —
+    * no global sort materializes).
+    */
+  val shippingPriority: Q = Q(
+    "q_shipping_priority",
+    """SELECT l_orderkey AS okey,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  CAST(o_orderdate AS TIMESTAMP) AS odate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, okey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val cut = lit("1997-03-15").cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(ExactAgg.dsumOneMinus(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .select(col("l_orderkey").as("okey"), col("revenue"),
+        col("o_orderdate").as("odate"))
+      .orderBy(col("revenue").desc, col("okey"))
+      .limit(10)
+  }
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a
+    * join — SURVEY §4's RewriteCorrelatedScalarSubquery row,
+    * exercised): customers above their own segment's exact average
+    * balance.
+    */
+  val correlatedBalance: Q = Q(
+    "q_correlated",
+    """SELECT c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+      |         / COUNT(*)
+      |  FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer_corr")
+    s.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM customer_corr c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+        |         / COUNT(*)
+        |  FROM customer_corr c2 WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin)
+  }
 
   /** The full wide datamart ("одна широкая таблица", SURVEY §1.1):
     * customer spine + TWO pre-aggregated detail tables — an ordered
