@@ -12,17 +12,19 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_l2sq",
-      exprs => L2Sq(exprs(0), exprs(1)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSig.expr(exprs(0), exprs(1)),
-      "scala_udf")
+    def arity2(name: String)(
+        build: (org.apache.spark.sql.catalyst.expressions.Expression,
+                org.apache.spark.sql.catalyst.expressions.Expression) =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, exprs => {
+        // extra args must not be silently dropped, missing args must
+        // not surface as a bare IndexOutOfBounds
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"$name expects exactly 2 arguments, got ${exprs.length}")
+        build(exprs(0), exprs(1))
+      }, "scala_udf")
+    arity2("graft_dot")(DotProduct(_, _))
+    arity2("graft_l2sq")(L2Sq(_, _))
+    arity2("graft_minhash")(MinHashSig.expr(_, _))
   }
 }

@@ -29,6 +29,17 @@ case class MinHashSig(child: Expression, numPerms: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // SQL-reachable (graft_minhash): mistyped input must fail analysis,
+  // not ClassCastException inside an executor task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash expects array<string>, got ${other.sql}")
+    }
+
   @transient private lazy val (as, bs) = {
     val rnd = new scala.util.Random(0x5eed)
     val a = Array.fill(numPerms)((rnd.nextInt(Int.MaxValue) | 1).toLong)

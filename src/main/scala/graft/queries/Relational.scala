@@ -58,24 +58,20 @@ object Relational {
     * exercised): customers above their own segment's exact average
     * balance.
     */
-  val correlatedBalance: Q = Q(
-    "q_correlated",
+  private val correlatedSql =
     """SELECT c_custkey, c_acctbal
       |FROM customer c
       |WHERE c_acctbal > (
       |  SELECT CAST(SUM(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
       |         / COUNT(*)
       |  FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment)
-      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      |ORDER BY c_custkey""".stripMargin
+
+  val correlatedBalance: Q = Q("q_correlated", correlatedSql) { (s, dir) =>
+    // BOTH engines run the IDENTICAL SQL text (only the table binding
+    // differs) — the same-text intent is enforced, not duplicated
     Tables.customer(s, dir).createOrReplaceTempView("customer_corr")
-    s.sql(
-      """SELECT c_custkey, c_acctbal
-        |FROM customer_corr c
-        |WHERE c_acctbal > (
-        |  SELECT CAST(SUM(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
-        |         / COUNT(*)
-        |  FROM customer_corr c2 WHERE c2.c_mktsegment = c.c_mktsegment)
-        |ORDER BY c_custkey""".stripMargin)
+    s.sql(correlatedSql.replace("customer ", "customer_corr "))
   }
 
   /** The full wide datamart ("одна широкая таблица", SURVEY §1.1):
