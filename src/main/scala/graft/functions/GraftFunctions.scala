@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import graft.plans.{DotProduct, L2Sq, MinHashSig}
+import graft.plans.{DotProduct, L2Sq, MinHashSig, SimHashSig}
 
 /** SQL registration for graft's custom expressions (SURVEY §2.11
   * extension surface): after `register`, plain `spark.sql` users can
@@ -26,5 +26,10 @@ object GraftFunctions {
     arity2("graft_dot")(DotProduct(_, _))
     arity2("graft_l2sq")(L2Sq(_, _))
     arity2("graft_minhash")(MinHashSig.expr(_, _))
+    reg.createOrReplaceTempFunction("graft_simhash", exprs => {
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"graft_simhash expects exactly 1 argument, got ${exprs.length}")
+      SimHashSig(exprs(0))
+    }, "scala_udf")
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 import graft.functions.Text
 
 /** Document deduplication for the training-data pipeline: exact
@@ -215,34 +214,15 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens. MurmurHash3 (JVM-stable,
     * seed-fixed) provides the per-token 64 bits; the signature is the
-    * sign vector of per-bit vote counts. A narrow `map` — no shuffle.
+    * sign vector of per-bit vote counts — computed by the
+    * [[graft.plans.SimHashSig]] expression, so the row never leaves
+    * the DataFrame pipeline (no encoder round-trip). Narrow, no
+    * shuffle beyond the 1-row-group repartition.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .repartition(spark.sparkContext.defaultParallelism) // 1-row-group scans
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        val votes = new Array[Int](64)
-        toks.foreach { t =>
-          val h1 = MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xffffffffL
-          val h2 = MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL
-          val h = (h1 << 32) | h2
-          var b = 0
-          while (b < 64) {
-            votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        (id, sig)
-      }
-      .toDF(idCol, "simhash")
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol), col(textCol).cast("string"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), graft.plans.SimHashSig(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Banding
     * by pigeonhole: distance ≤ 3 ⇒ at least one of 4 16-bit blocks is

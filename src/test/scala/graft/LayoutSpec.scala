@@ -62,9 +62,11 @@ class LayoutSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |  graft_l2sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l,
-        |  size(graft_minhash(array('a', 'b'), 8)) AS m""".stripMargin).head
+        |  size(graft_minhash(array('a', 'b'), 8)) AS m,
+        |  graft_simhash('hello world') AS s""".stripMargin).head
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 8.0)
     assert(r.getInt(2) == 8)
+    assert(!r.isNullAt(3))
   }
 }
