@@ -14,6 +14,9 @@ run / fork := true
 // Stream the forked process's stdout through undecorated (no `[info] `
 // prefix) so the one-line bench JSON is machine-parseable by the driver.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's `[success] Total time: …` epilogue, so the bench
+// JSON is the LAST line of stdout (the driver tails stdout to parse it).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,6 +73,15 @@ object Dedup {
     * degenerates (boilerplate, tiny vocabularies), which is the 100 TB
     * failure mode of any gram-blocked join. Semantics change (Jaccard
     * is over pruned sets), so the oracle mirrors the pruning.
+    *
+    * Built around the SMALL side: the stop list (df > maxDf) is small
+    * by definition — each entry needs > maxDf distinct documents — so
+    * it broadcasts and the pruning is a map-side ANTI-join over the
+    * cached gram table (the keep list, by contrast, is nearly every
+    * distinct gram in a natural corpus). Post-pruning set sizes come
+    * from a partial-aggregated `groupBy(id)` (no Window sort) and are
+    * attached AFTER the pair aggregation, when only the few surviving
+    * (d1,d2) pairs remain — the big gram table never shuffles on id.
     */
   def jaccardPairsPruned(
       df: DataFrame, idCol: String, textCol: String,
@@ -80,18 +89,35 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n).persist() // see jaccardPairs
     val ex0 = sh.select(col(idCol).as("id"), explode(col("sh")).as("g"))
     // grams are distinct per doc, so COUNT(*) per gram = document freq
-    val kept = ex0.groupBy(col("g"))
+    val stop = ex0.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select(col("g"))
-    val pruned = ex0.join(kept, "g")
-    // set sizes change after pruning — recompute over the kept grams
-    val ex = pruned
-      .withColumn("nsh",
-        count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
-      .select(col("id"), col("nsh"), col("g"))
-      .persist()
-    countVerifiedPairs(ex, tau)
+    // narrow (id, gram) rows; three consumers (sizes + both self-join
+    // sides) read this cache instead of re-probing the anti-join
+    val pruned = ex0.join(broadcast(stop), Seq("g"), "left_anti").persist()
+    val sizes = pruned.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("nsh"))
+    val a = pruned.select(col("id").as("d1"), col("g"))
+    val b = pruned.select(col("id").as("d2"), col("g").as("g2"))
+    // per-gram fan-out is capped at maxDf² by the pruning itself, so
+    // the in-join PPJoin length filter buys nothing here; sizes attach
+    // to the post-aggregation pairs (small). The self-join is pinned
+    // to a shuffle on the gram key — a broadcast build of the full
+    // gram table would OOM at corpus scale.
+    val inter = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"),
+        col("g") === col("g2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /** Cross-corpus Jaccard — the DECONTAMINATION operator: flag
@@ -134,7 +160,7 @@ object Dedup {
     val a = ex.select(col("id").as("d1"), col("nsh").as("n1"), col("g"))
     val b = ex.select(col("id").as("d2"), col("nsh").as("n2"),
       col("g").as("g2"))
-    a.join(b,
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
         col("g") === col("g2") && col("d1") < col("d2") &&
           col("n1") * lit(tau) <= col("n2") &&
           col("n2") * lit(tau) <= col("n1"))

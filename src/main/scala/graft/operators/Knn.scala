@@ -54,40 +54,51 @@ object Knn {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Hyperplane dot via the codegen'd DotProduct kernel (the
-    * `aggregate(zip_with(...))` form allocates an intermediate array
-    * per plane per row — ×numTables×bits on the bucket scan).
+  /** All hyperplane tables as ONE nested-array literal
+    * (`array<array<array<double>>>`): a single Literal node instead of
+    * numTables×bits×dim `lit` nodes. The flattened form measured a 7×
+    * wall-clock regression on the ANN path — not from arithmetic but
+    * from Catalyst itself (analysis/canonicalization over ~3k-node
+    * trees) and from every margin being computed twice. One literal
+    * keeps the tree tiny and ships to executors once.
     */
-  private def dotLit(vec: Column, plane: Seq[Double]): Column =
-    Vec.dot(vec, array(plane.map(lit): _*))
+  private def planesLit(tables: Seq[Seq[Seq[Double]]]): Column =
+    typedlit(tables.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq)
 
-  /** Sign-bucket of a vector under the hyperplane family — vectors in
-    * the same bucket are likely cosine-close (SRP-LSH).
-    */
-  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce((a, b) => a + b)
+  private def bitValuesLit(bits: Int): Column =
+    typedlit((0 until bits).map(i => 1 << i).toSeq: Seq[Int])
 
-  /** Query-side probe buckets for one SRP table: the base sign-bucket
-    * plus `probes` MULTI-PROBE buckets, each flipping one of the
-    * weakest bits (smallest |margin| to its hyperplane — the bits most
-    * likely to disagree for a true near neighbor). Raises recall at a
-    * fixed table count without touching candidate verification.
+  /** Per-table hyperplane dots: `transform` over the plane literal,
+    * one codegen'd DotProduct per plane — each margin evaluated
+    * exactly once.
     */
-  private def probeBuckets(
-      vec: Column, planes: Seq[Seq[Double]], probes: Int): Column = {
-    val dots = planes.map(p => dotLit(vec, p))
-    val base = dots.zipWithIndex.map { case (d, i) =>
-      when(d > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def tableDots(vec: Column, planes: Column): Column =
+    transform(planes, tbl => transform(tbl, p => Vec.dot(vec, p)))
+
+  /** Sign-bucket from a table's dot array — vectors in the same
+    * bucket are likely cosine-close (SRP-LSH).
+    */
+  private def bucketFromDots(dots: Column, bits: Int): Column =
+    aggregate(
+      zip_with(dots, bitValuesLit(bits),
+        (d, b) => when(d > 0, b).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Query-side probe buckets for one SRP table, derived purely from
+    * the (already materialized) dot array: the base sign-bucket plus
+    * `probes` MULTI-PROBE buckets, each flipping one of the weakest
+    * bits (smallest |margin| to its hyperplane — the bits most likely
+    * to disagree for a true near neighbor). Raises recall at a fixed
+    * table count without touching candidate verification.
+    */
+  private def probeFromDots(dots: Column, bits: Int, probes: Int): Column = {
+    val base = bucketFromDots(dots, bits)
     if (probes <= 0) array(base)
     else {
       // rank bits by |margin| ascending; struct sort is (margin, bit)
-      val ranked = array_sort(array(dots.zipWithIndex.map { case (d, i) =>
-        struct(abs(d).as("m"), lit(1 << i).as("bit"))
-      }: _*))
-      val flipped = (1 to math.min(probes, planes.size)).map(j =>
+      val ranked = array_sort(zip_with(dots, bitValuesLit(bits),
+        (d, b) => struct(abs(d).as("m"), b.as("bit"))))
+      val flipped = (1 to math.min(probes, bits)).map(j =>
         base.bitwiseXOR(element_at(ranked, j).getField("bit")))
       array(base +: flipped: _*)
     }
@@ -113,27 +124,28 @@ object Knn {
       probes: Int = 2): DataFrame = {
     val tables = (0 until numTables).map(t =>
       hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
-    // bucket ARRAYS persist before the explode: project collapse would
+    val planes = planesLit(tables)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // dot ARRAYS persist before the explode: project collapse would
     // inline the hyperplane-dot expressions as the Generate child and
     // re-evaluate all numTables×bits dot products per output row
-    // (see Dedup.jaccardPairs)
-    val qPairs = flatten(array(tables.zipWithIndex.map { case (planes, t) =>
-      transform(probeBuckets(col(vecCol), planes, probes),
-        b => struct(lit(t).as("tbl"), b.as("bucket")))
-    }: _*))
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val qB = queries
+    // (see Dedup.jaccardPairs). The probe buckets then derive from the
+    // CACHED dots, so base bucket + margin ranking share one
+    // evaluation of every dot.
+    val qD = queries
       .select(col(idCol), col(vecCol)).repartition(par)
-      .select(col(idCol).as("query_id"), qPairs.as("tbs")).persist()
-    val q = qB.select(col("query_id"), explode(col("tbs")).as("tb"))
-      .select(col("query_id"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
+      .select(col(idCol).as("query_id"),
+        tableDots(col(vecCol), planes).as("dts")).persist()
+    val q = qD.select(col("query_id"), posexplode(col("dts")))
+      .select(col("query_id"), col("pos").as("tbl"),
+        probeFromDots(col("col"), bitsPerTable, probes).as("buckets"))
+      .select(col("query_id"), col("tbl"), explode(col("buckets")).as("bucket"))
     val cB = corpus
       .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
       .select(
         col(idCol).as("neighbor_id"),
-        array(tables.map(planes => srpBucket(col(vecCol), planes)): _*)
-          .as("bks")).persist()
+        transform(tableDots(col(vecCol), planes),
+          dots => bucketFromDots(dots, bitsPerTable)).as("bks")).persist()
     val c = cB.select(col("neighbor_id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "ctbl", "col" -> "cbucket"))
     val cands = c.join(q,
@@ -179,7 +191,8 @@ object Knn {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bk = df.select(col(idCol), col(vecCol)).repartition(par)
       .select(col(idCol).as("id"),
-        array(tables.map(p => srpBucket(col(vecCol), p)): _*).as("bks"))
+        transform(tableDots(col(vecCol), planesLit(tables)),
+          dots => bucketFromDots(dots, bitsPerTable)).as("bks"))
       .persist() // bucket arrays materialize before the explode
     val e = bk.select(col("id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))

@@ -240,9 +240,12 @@ object Scalar {
       |  SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
       |ORDER BY tag, o_custkey""".stripMargin) { (s, dir) =>
     val orders = Tables.orders(s, dir)
+    // each year-set feeds BOTH the intersect and the except branch —
+    // persisted, orders scans+distincts once per year (2 total) instead
+    // of once per branch reference (4)
     def inYear(y: Int) = orders
       .filter(year(col("o_orderdate")) === y)
-      .select(col("o_custkey")).distinct()
+      .select(col("o_custkey")).distinct().persist()
     val (y95, y96) = (inYear(1995), inYear(1996))
     y95.intersect(y96).withColumn("tag", lit("both"))
       .unionByName(y95.except(y96).withColumn("tag", lit("only95")))
