@@ -26,6 +26,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      CacheScope.release()
       spark.catalog.clearCache()
     }
 
@@ -39,7 +40,8 @@ object Bench {
                catch { case _: Throwable => errors += name; false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // operators persist() blocking intermediates; release them so a
-      // 48-query session doesn't accumulate cached blocks across queries
+      // 65-query session doesn't accumulate cached blocks across queries
+      CacheScope.release()
       spark.catalog.clearCache()
       name -> dt
     }

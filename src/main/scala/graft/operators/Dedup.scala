@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataFrame
 import graft.functions.Text
 
 /** Document deduplication for the training-data pipeline: exact
@@ -59,7 +60,7 @@ object Dedup {
     // the Generate child, re-evaluating it per OUTPUT row (~|sh|× the
     // work — measured ~10× on this path). From the cache, the explode
     // is a column read, and both self-join sides share it.
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sh = shingles(df, idCol, textCol, n).persistTracked()
     val ex = sh.select(col(idCol).as("id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
     countVerifiedPairs(ex, tau)
@@ -86,7 +87,7 @@ object Dedup {
   def jaccardPairsPruned(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).persist() // see jaccardPairs
+    val sh = shingles(df, idCol, textCol, n).persistTracked() // see jaccardPairs
     val ex0 = sh.select(col(idCol).as("id"), explode(col("sh")).as("g"))
     // grams are distinct per doc, so COUNT(*) per gram = document freq
     val stop = ex0.groupBy(col("g"))
@@ -95,7 +96,7 @@ object Dedup {
       .select(col("g"))
     // narrow (id, gram) rows; three consumers (sizes + both self-join
     // sides) read this cache instead of re-probing the anti-join
-    val pruned = ex0.join(broadcast(stop), Seq("g"), "left_anti").persist()
+    val pruned = ex0.join(broadcast(stop), Seq("g"), "left_anti").persistTracked()
     val sizes = pruned.groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("nsh"))
     val a = pruned.select(col("id").as("d1"), col("g"))
@@ -133,8 +134,8 @@ object Dedup {
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    val shC = shingles(corpus, idCol, textCol, n).persist()
-    val shB = shingles(bench, idCol, textCol, n).persist()
+    val shC = shingles(corpus, idCol, textCol, n).persistTracked()
+    val shB = shingles(bench, idCol, textCol, n).persistTracked()
     val a = shC.select(col(idCol).as("d1"), size(col("sh")).as("n1"),
       explode(col("sh")).as("g"))
     val b = shB.select(col(idCol).as("d2"), size(col("sh")).as("n2"),
@@ -203,7 +204,7 @@ object Dedup {
     // below the cache would re-evaluate the shingle expression for the
     // predicate on top of the projection (measured ~5× materialization
     // cost).
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sh = shingles(df, idCol, textCol, n).persistTracked()
       .filter(size(col("sh")) > 0)
     // Materialize the signature BEFORE banding: project collapse would
     // inline the signature expression into the band-transform lambda,
@@ -211,7 +212,7 @@ object Dedup {
     val sig = sh
       .select(col(idCol).as("id"),
         minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-      .persist()
+      .persistTracked()
     val banded = sig
       .select(
         col("id"),
@@ -263,7 +264,7 @@ object Dedup {
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "blkval")
-      .persist() // both join sides scan this; avoid recomputing simhash
+      .persistTracked() // both join sides scan this; avoid recomputing simhash
     val a = blocks.select(col("id").as("d1"), col("simhash").as("s1"),
       col("blk"), col("blkval"))
     val b = blocks.select(col("id").as("d2"), col("simhash").as("s2"),

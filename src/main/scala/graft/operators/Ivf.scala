@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataFrame
 import graft.functions.Vec
 
 /** IVF-style ANN (inverted-file index over coarse centroids) — the
@@ -111,7 +112,7 @@ object Ivf {
     val qB = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qvec"),
       Vec.norm(col(vecCol)).as("qn"),
-      probeBuckets(col(vecCol), centroids, nprobe).as("qbuckets")).persist()
+      probeBuckets(col(vecCol), centroids, nprobe).as("qbuckets")).persistTracked()
     val q = qB.select(col("query_id"), col("qvec"), col("qn"),
       explode(col("qbuckets")).as("qbucket"))
     val scored = c.join(q,

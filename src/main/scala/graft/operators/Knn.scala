@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataFrame
 import graft.functions.Vec
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -135,7 +136,7 @@ object Knn {
     val qD = queries
       .select(col(idCol), col(vecCol)).repartition(par)
       .select(col(idCol).as("query_id"),
-        tableDots(col(vecCol), planes).as("dts")).persist()
+        tableDots(col(vecCol), planes).as("dts")).persistTracked()
     val q = qD.select(col("query_id"), posexplode(col("dts")))
       .select(col("query_id"), col("pos").as("tbl"),
         probeFromDots(col("col"), bitsPerTable, probes).as("buckets"))
@@ -145,7 +146,7 @@ object Knn {
       .select(
         col(idCol).as("neighbor_id"),
         transform(tableDots(col(vecCol), planes),
-          dots => bucketFromDots(dots, bitsPerTable)).as("bks")).persist()
+          dots => bucketFromDots(dots, bitsPerTable)).as("bks")).persistTracked()
     val c = cB.select(col("neighbor_id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "ctbl", "col" -> "cbucket"))
     val cands = c.join(q,
@@ -193,7 +194,7 @@ object Knn {
       .select(col(idCol).as("id"),
         transform(tableDots(col(vecCol), planesLit(tables)),
           dots => bucketFromDots(dots, bitsPerTable)).as("bks"))
-      .persist() // bucket arrays materialize before the explode
+      .persistTracked() // bucket arrays materialize before the explode
     val e = bk.select(col("id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     val a = e.select(col("id").as("d1"), col("tbl"), col("bucket"))

@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * video travel as opaque `binary` columns with typed metadata; decode
   * and feature extraction run batch-wise per partition.
   *
-  * The DECODE ITSELF IS A STUB — this container ships no image/audio
-  * codecs — but everything Spark-side is real and tested: the schema
-  * contract, the per-partition batch iteration (the Scala analog of a
-  * `mapInPandas` batch UDF: one iterator in, one iterator out, no
-  * per-row scheduling), partition sizing, and the feature-vector
-  * output shape that feeds the Knn/Dedup operators. Swapping the stub
-  * for a real decoder changes one function body, not the plumbing.
+  * IMAGE decode is REAL: `javax.imageio` (in the JDK — PNG, JPEG, GIF,
+  * BMP) sniffs and decodes the payload, emitting true width/height and
+  * a normalized 16-bin luminance histogram. Audio/video have no JDK
+  * codec, so they take a deterministic 16-bin BYTE histogram — the
+  * same fixed-width `Array[Float]` shape — and a NULL `decoded`
+  * struct, keeping the boundary honest and visible in the output. The
+  * Spark-side plumbing is identical for both: per-partition batch
+  * iteration (the Scala analog of a `mapInPandas` batch UDF: one
+  * iterator in, one iterator out, no per-row scheduling), partition
+  * sizing, and a feature-vector output that feeds the Knn/Dedup
+  * operators.
   */
 object Multimodal {
 
@@ -47,15 +51,94 @@ object Multimodal {
         lit(1).as("height"),
         (length(col("text")) * 10L).as("duration_ms")).as("meta"))
 
-  /** ===== STUB BOUNDARY =====
-    * A real implementation decodes image bytes and emits pixel
-    * features (e.g. via a JNI codec or, in PySpark, a Pandas UDF over
-    * mapInPandas). The deterministic fake — a normalized 16-bin byte
-    * histogram — preserves every plumbing property: fixed-width
-    * Array[Float] output, per-partition batching, null-safe on missing
-    * payloads.
+  /** Synthetic media with REAL image payloads: image-kind rows carry a
+    * deterministic PNG (rendered from the media id, encoded with the
+    * JDK's ImageIO writer), so the decode path below runs against true
+    * compressed image bytes end-to-end. Audio/video rows keep the text
+    * payload.
     */
-  private def decodeBytesStub(bytes: Array[Byte]): Array[Float] = {
+  def syntheticMediaWithImages(documents: DataFrame): DataFrame = {
+    val base = syntheticMedia(documents)
+    val schema = base.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val kindIdx = schema.fieldIndex("kind")
+    base.mapPartitions { iter =>
+      iter.map { row =>
+        if (row.getString(kindIdx) == "image") {
+          val id = row.getLong(idIdx)
+          val w = 8 + (id % 8).toInt
+          val h = 8
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + x * 7 + y * 13) & 0xffL).toInt
+              img.setRGB(x, y,
+                (v << 16) | (((x * 255) / math.max(w - 1, 1)) << 8) |
+                  ((y * 255) / math.max(h - 1, 1)))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, "image", bos.toByteArray, Row("png", w, h, null))
+        } else row
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Real image decode via the JDK's `javax.imageio`: sniffs the
+    * payload for a registered reader (PNG/JPEG/GIF/BMP magic bytes),
+    * decodes, and returns (width, height, format, normalized 16-bin
+    * luminance histogram). None when the payload is null, not an
+    * image, or corrupt — the caller falls back to byte features, so a
+    * bad file degrades instead of failing the partition.
+    */
+  private def decodeImage(
+      bytes: Array[Byte]): Option[(Int, Int, String, Array[Float])] = {
+    if (bytes == null) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              hist(lum >> 4) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(w * h, 1)
+          var b = 0
+          while (b < 16) { hist(b) /= n; b += 1 }
+          Some((w, h, fmt, hist))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Non-image fallback features: a normalized 16-bin byte histogram —
+    * the same fixed-width shape, deterministic, null-safe.
+    */
+  private def byteHistogram(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (bytes != null) {
       var i = 0
@@ -69,12 +152,13 @@ object Multimodal {
 
   /** Feature extraction over the media table: batch-iterates each
     * partition (mapPartitions — the JVM analog of a batched pandas
-    * UDF) and appends a fixed-width feature vector. Decode is
-    * CPU-bound, so a scan with too few partitions (a one-row-group
-    * parquet scans as ONE) is spread to `minPartitions` first —
-    * otherwise the whole decode runs on one core no matter how many
-    * executors exist; when the scan already has enough partitions the
-    * op stays narrow (no shuffle).
+    * UDF) and appends a fixed-width feature vector plus a `decoded`
+    * struct (real width/height/format for payloads ImageIO can read,
+    * NULL otherwise). Decode is CPU-bound, so a scan with too few
+    * partitions (a one-row-group parquet scans as ONE) is spread to
+    * `minPartitions` first — otherwise the whole decode runs on one
+    * core no matter how many executors exist; when the scan already
+    * has enough partitions the op stays narrow (no shuffle).
     */
   def extractFeatures(media: DataFrame, minPartitions: Option[Int] = None): DataFrame = {
     val target = minPartitions.getOrElse(
@@ -82,8 +166,12 @@ object Multimodal {
     val spread =
       if (media.rdd.getNumPartitions < target) media.repartition(target)
       else media
-    val outSchema = StructType(media.schema.fields :+
-      StructField("features", ArrayType(FloatType, false), false))
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("features", ArrayType(FloatType, false), false),
+      StructField("decoded", StructType(Seq(
+        StructField("width", IntegerType, true),
+        StructField("height", IntegerType, true),
+        StructField("format", StringType, true))), true)))
     val byteIdx = media.schema.fieldIndex("bytes")
     spread.mapPartitions { iter =>
       // batch shape: one iterator in, one iterator out — the decoder
@@ -91,7 +179,12 @@ object Multimodal {
       iter.map { row =>
         val bytes =
           if (row.isNullAt(byteIdx)) null else row.getAs[Array[Byte]](byteIdx)
-        Row.fromSeq(row.toSeq :+ decodeBytesStub(bytes).toSeq)
+        decodeImage(bytes) match {
+          case Some((w, h, fmt, hist)) =>
+            Row.fromSeq(row.toSeq :+ hist.toSeq :+ Row(w, h, fmt))
+          case None =>
+            Row.fromSeq(row.toSeq :+ byteHistogram(bytes).toSeq :+ null)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

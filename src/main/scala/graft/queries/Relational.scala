@@ -13,7 +13,7 @@ object Relational {
   def all: Seq[Q] = Seq(
     pricingSummary, customerMart, wideMart, limitBy,
     lookupCascade, semiAnti, fullOuterReconcile, splitBands, windowRunning,
-    shippingPriority, correlatedBalance)
+    shippingPriority, correlatedBalance, skewJoin)
 
   /** TPC-H-Q3-shaped flagship: segment-filtered customer dimension,
     * date-bounded orders and lineitem, three-way join, exact-cents
@@ -346,6 +346,42 @@ object Relational {
         count(lit(1)).as("cnt"),
         ExactAgg.dsum(col("o_totalprice")).as("total"))
       .orderBy(col("band"))
+  }
+
+  /** Skew-salted join in anger (SURVEY §7.2 "salting for skew"):
+    * orders carries exactly 5 distinct `o_orderpriority` values
+    * (~N/5 rows each) — a worst-case hot-key join where at most 5 of
+    * the shuffle partitions would do all the work. [[graft.operators
+    * .Skew.saltedJoin]] spreads each hot key over `factor` composite
+    * (key, salt) keys; salting never changes join results, so the
+    * oracle is the plain join. The partition-spread property itself is
+    * asserted in PropertySpec with broadcast disabled.
+    */
+  val skewJoin: Q = Q(
+    "q_skew_join",
+    """SELECT o_orderpriority AS priority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT) * w.weight) AS DOUBLE)/100.0
+      |    AS weighted_total
+      |FROM orders JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4),
+      |    ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+      |  AS w(priority, weight)
+      |  ON o_orderpriority = w.priority
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val weights = Seq(
+      ("1-URGENT", 5L), ("2-HIGH", 4L), ("3-MEDIUM", 3L),
+      ("4-NOT SPECIFIED", 2L), ("5-LOW", 1L)).toDF("priority", "weight")
+    graft.operators.Skew.saltedJoin(
+        Tables.orders(s, dir), weights,
+        key = "o_orderpriority", otherKey = "priority",
+        distributor = "o_orderkey", factor = 8)
+      .groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(ExactAgg.cents(col("o_totalprice")) * col("weight"))
+          .cast("double") / 100.0).as("weighted_total"))
+      .orderBy(col("priority"))
   }
 
   /** Analytic frame (SURVEY §2.5): exact running spend per customer —

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataFrame
 import graft.Tables
 import graft.functions.ExactAgg
 
@@ -245,7 +246,7 @@ object Scalar {
     // of once per branch reference (4)
     def inYear(y: Int) = orders
       .filter(year(col("o_orderdate")) === y)
-      .select(col("o_custkey")).distinct().persist()
+      .select(col("o_custkey")).distinct().persistTracked()
     val (y95, y96) = (inYear(1995), inYear(1996))
     y95.intersect(y96).withColumn("tag", lit("both"))
       .unionByName(y95.except(y96).withColumn("tag", lit("only95")))

@@ -34,6 +34,9 @@ object SourceQueries {
     val out = s"/root/repo/target/tmp/xmlrt_${new java.io.File(dir).getName}"
     Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      // 1-row-group parquet scans as ONE partition; spread so the
+      // row-tag XML serialization runs on all cores, not one
+      .repartition(s.sparkContext.defaultParallelism)
       .write.mode("overwrite").format("xml").option("rowTag", "cust").save(out)
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),

@@ -158,17 +158,22 @@ object StreamQueries {
       .orderBy(col("hour_ts"), col("event_type"))
   }
 
-  /** Multimodal pipeline: synthetic media table → per-partition batch
-    * feature extraction (stubbed decode, real plumbing) → typed
-    * output. Rows-only check (binary payloads are engine-internal).
+  /** Multimodal pipeline: media table (image rows carry REAL PNG
+    * payloads) → per-partition batch feature extraction (true ImageIO
+    * decode for images, byte-histogram features for audio/video) →
+    * typed output with decoded dimensions. Rows-only check (binary
+    * payloads are engine-internal).
     */
   val multimodalFeatures: Q = Q.noOracle("q_multimodal_features") { (s, dir) =>
-    val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+    val media = Multimodal.syntheticMediaWithImages(Tables.documents(s, dir))
     Multimodal.extractFeatures(media)
       .select(
         col("media_id"), col("kind"),
         length(col("bytes")).as("n_bytes"),
         col("meta.width").as("width"),
+        col("decoded.width").as("dec_width"),
+        col("decoded.height").as("dec_height"),
+        col("decoded.format").as("dec_format"),
         size(col("features")).as("feat_dim"),
         aggregate(col("features"), lit(0.0),
           (acc, x) => acc + x.cast("double")).as("feat_mass"))

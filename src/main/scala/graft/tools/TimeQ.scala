@@ -22,6 +22,7 @@ object TimeQ {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(f"TIMEQ iter$i $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      graft.CacheScope.release()
       spark.catalog.clearCache()
     }
     spark.stop()

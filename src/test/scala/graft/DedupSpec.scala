@@ -134,4 +134,20 @@ class DedupSpec extends SparkSpec {
     assert(got(1L).isEmpty)
     assert(got(2L) == Seq("a b c", "b c d"))
   }
+
+  test("CacheScope.release drops every operator-persisted block") {
+    spark.catalog.clearCache()
+    graft.CacheScope.release(blocking = true)
+    val docs = Tables.documents(spark, sf)
+    // two operators that persist intermediates, materialized fully
+    Dedup.jaccardPairsPruned(docs, "doc_id", "text", 3, 0.8, 20).count()
+    Knn.annTopK(Tables.embeddings(spark, sf),
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 5),
+      "vec_id", "embedding", 3, 64).count()
+    assert(graft.CacheScope.trackedCount > 0, "operators registered blocks")
+    graft.CacheScope.release(blocking = true)
+    assert(graft.CacheScope.trackedCount == 0)
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "no cached blocks survive release()")
+  }
 }

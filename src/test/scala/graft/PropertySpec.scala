@@ -122,4 +122,29 @@ class PropertySpec extends SparkSpec {
       assert(salted == plain, s"factor=$factor")
     }
   }
+
+  test("salted join spreads a hot key across factor partitions") {
+    // one giant key (Zipf head), broadcast disabled so the join really
+    // shuffles on the composite (key, salt) — the scenario saltedJoin
+    // exists for. Without salting every hot-key row lands in ONE
+    // shuffle partition; with it they must occupy > 1 (and ≤ factor).
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.get(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hot = (1 to 2000).map(i => (7L, i.toLong)) ++
+        (1 to 50).map(i => (i.toLong % 5, 10000L + i))
+      val l = hot.toDF("k", "lv")
+      val r = (0 to 10).map(k => (k.toLong, s"r$k")).toDF("rk", "rv")
+      val factor = 8
+      val salted = Skew.saltedJoin(l, r, "k", "rk", "lv", factor)
+      val spread = salted.filter($"k" === 7L)
+        .select(spark_partition_id().as("p"))
+        .distinct().count()
+      assert(spread > 1 && spread <= factor,
+        s"hot key occupied $spread partitions (factor=$factor)")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }

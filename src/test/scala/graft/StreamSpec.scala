@@ -220,11 +220,38 @@ class StreamSpec extends SparkSpec {
     val f = row.getSeq[Float](row.fieldIndex("features")).toList
     assert(f.length == 16)
     assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram normalized")
+    // text payloads are not images: decoded must be NULL, not garbage
+    assert(row.isNullAt(row.fieldIndex("decoded")))
     // determinism: same input -> same features
     val again = Multimodal.extractFeatures(media)
       .filter(col("media_id") === 0).head match { case r => r.getSeq[Float](r.fieldIndex("features")).toList }
     assert(f == again)
     assert(feats.count() == media.count())
+  }
+
+  test("multimodal: REAL ImageIO decode of PNG payloads (P12)") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val media = Multimodal.syntheticMediaWithImages(docs)
+    val feats = Multimodal.extractFeatures(media)
+    val images = feats.filter(col("kind") === "image")
+      .select("media_id", "meta.width", "meta.height",
+        "decoded.width", "decoded.height", "decoded.format", "features")
+      .collect()
+    assert(images.nonEmpty, "expected image-kind rows in the sample")
+    images.foreach { r =>
+      val id = r.getLong(0)
+      // decoded dimensions come from the actual PNG pixels, and must
+      // equal the generator's geometry (width = 8 + id % 8, height 8)
+      assert(r.getInt(3) == 8 + (id % 8).toInt, s"decoded width for $id")
+      assert(r.getInt(4) == 8, s"decoded height for $id")
+      assert(r.getString(5) == "png")
+      val hist = r.getSeq[Float](6)
+      assert(hist.length == 16)
+      assert(math.abs(hist.sum - 1.0f) < 1e-3, "luminance histogram normalized")
+    }
+    // non-image rows keep byte features and a NULL decoded struct
+    val others = feats.filter(col("kind") =!= "image")
+    assert(others.filter(col("decoded").isNotNull).count() == 0)
   }
 
   test("multimodal frame sampling emits stride-filtered chunks") {
