@@ -58,7 +58,10 @@ object Multimodal {
     * payload.
     */
   def syntheticMediaWithImages(documents: DataFrame): DataFrame = {
+    // PNG encode is CPU-bound and the documents parquet scans as one
+    // partition — spread BEFORE the mapPartitions or it runs one-core
     val base = syntheticMedia(documents)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     val schema = base.schema
     val idIdx = schema.fieldIndex("media_id")
     val kindIdx = schema.fieldIndex("kind")
@@ -83,6 +86,7 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.setUseCache(false) // no temp-file spool
           javax.imageio.ImageIO.write(img, "png", bos)
           Row(id, "image", bos.toByteArray, Row("png", w, h, null))
         } else row
@@ -101,6 +105,9 @@ object Multimodal {
       bytes: Array[Byte]): Option[(Int, Int, String, Array[Float])] = {
     if (bytes == null) return None
     try {
+      // default ImageIO stream cache spools through a TEMP FILE per
+      // call — for in-memory byte payloads that is pure disk overhead
+      javax.imageio.ImageIO.setUseCache(false)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
