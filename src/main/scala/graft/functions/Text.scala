@@ -34,6 +34,19 @@ object Text {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Duplicate-token ratio: 1 − |distinct tokens| / |tokens| — the
+    * repetition/boilerplate signal of quality filtering (a high ratio
+    * marks template or degenerate text). 0.0 for empty documents.
+    * Pure double arithmetic on counts, so bit-identical across
+    * engines.
+    */
+  def repetitionRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(t)).cast("double") / size(t).cast("double"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * non-alphanumerics (keeping spaces), collapse whitespace, trim.
     */

@@ -36,4 +36,17 @@ object Rules {
       }
     }
   }
+
+  /** PII redaction: mask every match of `pattern` (a character class
+    * or full regex — digits, emails, phone shapes) with `mask`, and
+    * count the characters redacted, so downstream audits can gate on
+    * redaction volume. Pure codegen'd regexp built-ins — scales as a
+    * narrow map.
+    */
+  def redact(c: Column, pattern: String, mask: String = "*")
+      : (Column, Column) = {
+    val masked = regexp_replace(c, pattern, mask)
+    val removed = length(c) - length(regexp_replace(c, pattern, ""))
+    (masked, removed.cast("long"))
+  }
 }

@@ -10,7 +10,30 @@ import graft.operators.{Fuzzy, Rules, Scd}
   */
 object QualityQueries {
 
-  def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, dqsValidate, unknownMember)
+  def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, dqsValidate,
+    unknownMember, piiScrub)
+
+  /** PII redaction over the customer names (account-number shapes):
+    * digits masked to '*', with a per-row redacted-character count for
+    * the audit gate. Simple character-class regex ⇒ identical
+    * semantics in both engines; narrow codegen map at any scale.
+    */
+  val piiScrub: Q = Q(
+    "q_pii_scrub",
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+      |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+      |    AS n_redacted
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val (masked, removed) = graft.operators.Rules.redact(col("c_name"), "[0-9]")
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        masked.as("masked_name"),
+        removed.as("n_redacted"))
+      .orderBy(col("c_custkey"))
+  }
 
   /** SCD Type 2 over a synthesized staging snapshot: customers with
     * bk%5==0 change segment, bk%7==0 are absent from staging

@@ -10,7 +10,7 @@ object Reshape {
 
   def all: Seq[Q] = Seq(pivot, unpivot, explodeZip, profileCustomer,
     stringAgg, rollupTotals, cubeTotals, sampled, sampledHash,
-    groupingSets, lagLeadRank)
+    stratifiedSample, groupingSets, lagLeadRank)
 
   /** Explicit GROUPING SETS (beyond cube/rollup) with grouping_id —
     * two chosen marginals in one pass, and the bitmask that
@@ -89,6 +89,35 @@ object Reshape {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** Deterministic STRATIFIED sampling: exactly k rows per stratum,
+    * chosen by hash rank — the balanced-corpus sampler of a training
+    * pipeline (equal per-language/per-source quotas from a skewed
+    * corpus). Hash-rank replaces per-stratum reservoirs: one window
+    * over the stratum key, same rows on every run and layout, oracle
+    * replays the identical md5 ordering. At 100 TB this is a single
+    * shuffle on the stratum key; rank ≤ k prunes via WindowGroupLimit
+    * before the sort materializes.
+    */
+  val stratifiedSample: Q = Q(
+    "q_stratified_sample",
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
   }
 
   /** Percentage sampling (SURVEY R4): seeded Bernoulli sample —

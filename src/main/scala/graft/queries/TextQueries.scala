@@ -14,7 +14,35 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, minhashDedup, simhashPairs, tokenRegex,
-    decontaminate)
+    decontaminate, repetition)
+
+  /** Repetition/boilerplate scoring: duplicate-token ratio per
+    * document, bucketed — the quality-filter signal that drops
+    * template text from a training corpus. Integer-count double
+    * arithmetic ⇒ bit-identical across engines.
+    */
+  val repetition: Q = Q(
+    "q_repetition",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tok,
+      |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+      |  CASE WHEN len(t) = 0 THEN 0.0
+      |    ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE)
+      |  END AS rep_ratio
+      |FROM toks
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = Text.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tok"),
+        size(array_distinct(t)).cast("long").as("n_uniq"),
+        Text.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Decontamination: training docs (doc_id % 20 != 0) whose 3-gram
     * Jaccard against ANY benchmark doc (doc_id % 20 = 0, standing in
