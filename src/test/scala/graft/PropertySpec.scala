@@ -123,6 +123,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetitionRatio: 0 for empty/all-distinct, (n-1)/n for constant text") {
+    val df = Seq(
+      (1L, ""), (2L, "   "), (3L, "a b c"), (4L, "x x x x"),
+      (5L, "a b a")).toDF("id", "t")
+    val got = df.select($"id", Text.repetitionRatio($"t").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0, "empty text guards")
+    assert(got(3L) == 0.0, "all-distinct")
+    assert(got(4L) == 1.0 - 1.0 / 4.0, "constant text")
+    assert(got(5L) == 1.0 - 2.0 / 3.0)
+  }
+
   test("salted join spreads a hot key across factor partitions") {
     // one giant key (Zipf head), broadcast disabled so the join really
     // shuffles on the composite (key, salt) — the scenario saltedJoin
