@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** Transactional manifest table: commit atomicity, snapshot isolation,
+  * atomic multi-partition overwrite, time travel, vacuum safety.
+  */
+class TxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String) =
+    s"/root/repo/target/tmp/tx_${tag}_${System.nanoTime()}"
+
+  private def seed = Seq(
+    (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0),
+    (4L, "B", 40.0), (5L, "C", 50.0)).toDF("k", "p", "v")
+
+  test("create + read roundtrip preserves rows and schema") {
+    val root = freshRoot("rt")
+    TxTable.create(seed, root, Some("p"))
+    val back = TxTable.read(spark, root)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("k", "p", "v"))
+    assert(back.select("k", "p", "v").as[(Long, String, Double)].collect().toSet ==
+      seed.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("append becomes visible atomically; version increments") {
+    val root = freshRoot("ap")
+    TxTable.create(seed, root, Some("p"))
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    assert(TxTable.currentVersion(spark, root).contains(1L))
+    assert(TxTable.read(spark, root).count() == 6)
+  }
+
+  test("overwritePartitions swaps ONLY touched partitions in one commit") {
+    val root = freshRoot("ow")
+    TxTable.create(seed, root, Some("p"))
+    val v0 = TxTable.snapshot(spark, root, 0L)
+    // replace partition B wholesale; A and C untouched
+    TxTable.overwritePartitions(
+      Seq((30L, "B", 300.0)).toDF("k", "p", "v"), root, "p")
+    val v1 = TxTable.snapshot(spark, root, 1L)
+    val back = TxTable.read(spark, root)
+      .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "A", 10.0), (2L, "A", 20.0), (5L, "C", 50.0),
+      (30L, "B", 300.0)))
+    // untouched partitions keep their EXACT files (no rewrite)
+    val keptA = v0.entries.filter(_.partition == "p=A").map(_.relPath).toSet
+    assert(v1.entries.filter(_.partition == "p=A").map(_.relPath).toSet == keptA)
+    assert(v1.entries.filter(_.partition == "p=B").map(_.relPath).toSet
+      .intersect(v0.entries.filter(_.partition == "p=B").map(_.relPath).toSet)
+      .isEmpty)
+  }
+
+  test("crash before the manifest rename leaves the table bit-identical") {
+    val root = freshRoot("crash")
+    TxTable.create(seed, root, Some("p"))
+    val before = TxTable.read(spark, root)
+      .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
+    // simulate a writer that died after writing data files but before
+    // committing: files land under data/ with no manifest reference
+    Seq((99L, "A", 999.0)).toDF("k", "p", "v")
+      .write.parquet(s"$root/data/orphan-${System.nanoTime()}")
+    val after = TxTable.read(spark, root)
+      .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
+    assert(after == before, "uncommitted data files must be invisible")
+    assert(TxTable.currentVersion(spark, root).contains(0L))
+  }
+
+  test("time travel: every committed version stays readable") {
+    val root = freshRoot("tt")
+    TxTable.create(seed, root, Some("p"))
+    TxTable.overwritePartitions(
+      Seq((30L, "B", 300.0)).toDF("k", "p", "v"), root, "p")
+    assert(TxTable.readVersion(spark, root, 0L).count() == 5)
+    assert(TxTable.readVersion(spark, root, 1L).count() == 4)
+    assert(TxTable.readVersion(spark, root, 0L)
+      .filter($"k" === 3L).count() == 1, "old snapshot keeps replaced rows")
+  }
+
+  test("vacuum reclaims orphans + dropped history, never live files") {
+    val root = freshRoot("vac")
+    TxTable.create(seed, root, Some("p"))
+    Seq((99L, "A", 999.0)).toDF("k", "p", "v")
+      .write.parquet(s"$root/data/orphan-${System.nanoTime()}") // crash orphan
+    TxTable.overwritePartitions(
+      Seq((30L, "B", 300.0)).toDF("k", "p", "v"), root, "p")
+    TxTable.vacuum(spark, root, keepFromVersion = 1L)
+    // current snapshot fully readable after vacuum
+    assert(TxTable.read(spark, root).count() == 4)
+    // v0's replaced B files are gone: time travel to 0 now fails to
+    // find them (vacuum dropped pre-keep history)
+    val v0b = TxTable.snapshot(spark, root, 0L).entries
+      .filter(_.partition == "p=B")
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(v0b.forall(e =>
+      !f.exists(new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))))
+  }
+
+  test("concurrent commit to the same version: one wins, one aborts cleanly") {
+    val root = freshRoot("cc")
+    TxTable.create(seed, root, Some("p"))
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    // a second writer that read v0 tries to commit v1 again
+    intercept[TxTable.ConcurrentCommitException] {
+      // force the race by asking commit for an existing version: replay
+      // an append computed against the stale snapshot
+      val stale = TxTable.snapshot(spark, root, 0L)
+      val m = classOf[TxTable.type].getDeclaredMethods
+        .find(_.getName == "commit").get
+      m.setAccessible(true)
+      try m.invoke(TxTable, spark, root,
+        java.lang.Long.valueOf(stale.version + 1), stale.schemaDdl,
+        stale.entries)
+      catch {
+        case e: java.lang.reflect.InvocationTargetException => throw e.getCause
+      }
+    }
+    assert(TxTable.read(spark, root).count() == 6, "winner's commit intact")
+  }
+}
