@@ -14,17 +14,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     data/<uuid>/...parquet    ← immutable, write-once data files
   *
   * A manifest is a text file: line 1 `#schema=<DDL>`, then one
-  * `relativePath<TAB>partitionValue` entry per live data file. A
-  * commit writes its data files first (invisible — no manifest
-  * references them), then writes `v<N+1>.manifest.tmp` and RENAMES it
-  * to `v<N+1>.manifest`. Readers resolve the highest committed
-  * manifest once and read exactly its file list, so they see the
-  * previous snapshot or the new one — never a torn mix; a crash at
-  * any point before the rename leaves the table bit-identical
-  * (orphaned data files are invisible and reclaimed by [[vacuum]]).
-  * Version numbers give free time travel ([[readVersion]]) and an
-  * optimistic-concurrency guard (a second writer racing to the same
-  * version loses the rename and must retry on the new snapshot).
+  * `relativePath<TAB>partitionValue` entry per live data file, then a
+  * final `#eof` sentinel. A commit writes its data files first
+  * (invisible — no manifest references them), then EXCLUSIVE-creates
+  * `v<N+1>.manifest` (create with overwrite=false — the
+  * mutual-exclusion point) and streams its content; the manifest only
+  * counts as committed once `#eof` is on disk. Readers resolve the
+  * highest COMPLETE manifest once and read exactly its file list, so
+  * they see the previous snapshot or the new one — never a torn mix;
+  * a crash at any point mid-commit leaves the readable table
+  * bit-identical (orphaned data files and `#eof`-less manifests are
+  * invisible and reclaimed by [[vacuum]]). Version numbers give free
+  * time travel ([[readVersion]]) and an optimistic-concurrency guard
+  * (of two writers racing to the same version number, exactly one
+  * wins the exclusive create; the loser gets
+  * [[ConcurrentCommitException]] and must retry on the new snapshot).
   *
   * This is the transactional upgrade of `Cdc.applyPartitioned`'s
   * dynamic partition overwrite: [[overwritePartitions]] swaps the
@@ -56,28 +60,45 @@ object TxTable {
 
   private val ManifestRe = "v(\\d+)\\.manifest".r
 
-  /** All committed versions, ascending (empty for a fresh root). */
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** All committed versions, ascending (empty for a fresh root). A
+    * manifest is committed only once its `#eof` sentinel is on disk —
+    * exclusive-create makes the file name visible before its content
+    * is complete, so a crash (or an in-flight writer) mid-manifest
+    * reads as "version not yet committed", never as a torn snapshot.
+    */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     if (!f.exists(manifestDir(root))) return Seq.empty
     f.listStatus(manifestDir(root)).toSeq
       .map(_.getPath.getName)
       .collect { case ManifestRe(n) => n.toLong }
+      .filter(v => readText(f, new Path(manifestDir(root), s"v$v.manifest"))
+        .endsWith("#eof\n"))
       .sorted
   }
 
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  /** Parse one committed manifest. */
+  /** Parse one committed manifest. Refuses a manifest without its
+    * `#eof` sentinel — that file is an in-flight or crashed commit,
+    * not a snapshot.
+    */
   def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
     val f = fs(spark, root)
     val p = new Path(manifestDir(root), s"v$version.manifest")
-    val in = f.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val text = readText(f, p)
+    if (!text.endsWith("#eof\n"))
+      throw new IllegalStateException(
+        s"manifest v$version under $root is incomplete (no #eof) — " +
+          "in-flight or crashed commit, not a committed snapshot")
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty).filterNot(_ == "#eof")
     val ddl = lines.head.stripPrefix("#schema=")
     val entries = lines.tail.map { l =>
       val Array(rel, part) = l.split("\t", 2)
@@ -129,14 +150,21 @@ object TxTable {
       case None => df.write.parquet(dir)
     }
     val f = fs(spark, root)
+    // relativize against the qualified table root (same rule vacuum
+    // uses), not by substring search — immune to roots whose own path
+    // contains "data/"
+    val rootPrefix = {
+      val p = f.makeQualified(new Path(root)).toUri.getPath
+      if (p.endsWith("/")) p else p + "/"
+    }
     val it = f.listFiles(new Path(dir), true)
     val out = scala.collection.mutable.Buffer.empty[Entry]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet")) {
-        val full = st.getPath.toUri.getPath
-        val relPath = full.substring(full.indexOf(rel))
+        val full = f.makeQualified(st.getPath).toUri.getPath
+        val relPath = full.stripPrefix(rootPrefix)
         val part = partitionCol.map { c =>
           relPath.split("/").find(_.startsWith("__gtx_part="))
             .map(seg => c + seg.stripPrefix("__gtx_part"))
@@ -148,11 +176,30 @@ object TxTable {
     out.toSeq
   }
 
-  /** The single commit point: write `v<next>.manifest.tmp`, rename to
-    * `v<next>.manifest`. Rename is the atomicity primitive (POSIX /
-    * HDFS); losing the race to the version number aborts the commit
-    * (the data files stay orphaned and vacuumable, the table is
-    * untouched).
+  /** The single commit point: EXCLUSIVE-create `v<next>.manifest` and
+    * write its content directly. `FileSystem.create(path,
+    * overwrite=false)` is the mutual-exclusion primitive: exactly one
+    * of two writers racing to the same version number gets the create;
+    * the loser sees FileAlreadyExistsException and aborts (its data
+    * files stay orphaned and vacuumable, the table is untouched).
+    * Rename was deliberately NOT used here: Hadoop's
+    * RawLocalFileSystem delegates to POSIX rename(2), which silently
+    * REPLACES an existing destination — two racing writers would both
+    * "succeed" and one commit would be lost.
+    *
+    * A reader can observe the manifest file mid-write (create is
+    * exclusive, not atomic-content). [[snapshot]] guards this: a
+    * manifest is only valid once its final `#eof` line is present;
+    * incomplete manifests are read as "version not yet committed".
+    *
+    * Object-store boundary: this protocol needs an exclusive-create
+    * (or atomic-rename-without-replace) primitive. HDFS and POSIX
+    * `O_CREAT|O_EXCL` provide it. Plain S3 does NOT — PUT
+    * unconditionally replaces — so there the commit point must be a
+    * conditional PUT (`If-None-Match: *`, supported since 2024) or an
+    * external lock/log (the published Delta-on-S3 approach: DynamoDB
+    * as the mutual-exclusion table). The file layout stays identical;
+    * only this one primitive is storage-specific.
     */
   private def commit(
       spark: SparkSession, root: String, next: Long,
@@ -160,19 +207,21 @@ object TxTable {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
-    if (f.exists(finalP)) throw new ConcurrentCommitException(next)
-    val tmp = new Path(manifestDir(root), s"v$next.manifest.tmp")
-    val os = f.create(tmp, true)
+    val os =
+      try f.create(finalP, false) // overwrite=false: the exclusive commit point
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(next)
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") =>
+          throw new ConcurrentCommitException(next)
+      }
     try os.write(
       (s"#schema=$schemaDdl\n" +
-        entries.map(e => s"${e.relPath}\t${e.partition}").mkString("\n") +
-        (if (entries.isEmpty) "" else "\n"))
+        entries.map(e => s"${e.relPath}\t${e.partition}\n").mkString +
+        "#eof\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    if (!f.rename(tmp, finalP)) {
-      f.delete(tmp, false)
-      throw new ConcurrentCommitException(next)
-    }
     next
   }
 
@@ -197,9 +246,19 @@ object TxTable {
     val cur = snapshot(spark, root,
       currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed manifest under $root")))
+    requireSchema(df, cur, "append")
     val entries = writeData(df, root, partitionCol)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries)
   }
+
+  /** A commit must match the table's declared schema: divergent
+    * parquet files would read back under the manifest schema with
+    * silently-nulled or dropped columns.
+    */
+  private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit =
+    require(df.schema.toDDL == cur.schemaDdl,
+      s"$op: schema mismatch — table declares [${cur.schemaDdl}] " +
+        s"but commit carries [${df.schema.toDDL}]")
 
   /** ATOMIC dynamic partition overwrite — the CDC apply target shape:
     * every partition present in `df` has its file set replaced by
@@ -212,10 +271,82 @@ object TxTable {
     val cur = snapshot(spark, root,
       currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed manifest under $root")))
+    requireSchema(df, cur, "overwritePartitions")
     val fresh = writeData(df, root, Some(partitionCol))
     val touched = fresh.map(_.partition).toSet
     val kept = cur.entries.filterNot(e => touched.contains(e.partition))
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh)
+  }
+
+  /** Bin-pack compaction — the housekeeping op every manifest table
+    * needs at scale: CDC upserts and small appends accumulate
+    * many-small-files partitions whose open/footer overhead dominates
+    * scan cost long before data volume does. Per partition, every
+    * data file smaller than `targetFileBytes` is read back and
+    * rewritten as `ceil(bytes/target)` packed files (coalesce — no
+    * shuffle); files already at/above target, and partitions with a
+    * single small file, are left byte-untouched. ONE commit swaps all
+    * rewritten file sets, so readers see pre- or post-compaction in
+    * full; rows are identical by construction (read → coalesce →
+    * write, no transform). The replaced files stay readable via time
+    * travel until [[vacuum]] reclaims them.
+    *
+    * Returns the new version, or the current one when nothing
+    * qualified (no empty commit).
+    */
+  def compact(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val cur = snapshot(spark, root,
+      currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $root")))
+    val f = fs(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val size = cur.entries.map(e =>
+      e -> f.getFileStatus(new Path(s"$root/${e.relPath}")).getLen).toMap
+    // partition column name is recoverable from the entries themselves
+    // ("p=A" → "p"); empty partition strings = unpartitioned table
+    val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)
+      .map(_.split("=", 2)(0))
+    val (rewrite, keep) = cur.entries.groupBy(_.partition).toSeq
+      .flatMap { case (_, es) =>
+        val small = es.filter(size(_) < targetFileBytes)
+        if (small.size >= 2) small.map(e => (e, true)) ++
+          es.filterNot(small.contains).map(e => (e, false))
+        else es.map(e => (e, false))
+      }.partition(_._2) match { case (r, k) => (r.map(_._1), k.map(_._1)) }
+    if (rewrite.isEmpty) return cur.version
+    // one writeData per rewritten partition group (driver loop bounded
+    // by partition count — metadata-scale), one commit for all of them
+    val fresh = rewrite.groupBy(_.partition).toSeq.flatMap { case (_, es) =>
+      val df = spark.read.schema(schema)
+        .parquet(es.map(e => s"$root/${e.relPath}"): _*)
+      val nOut = math.max(1L,
+        (es.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      writeData(df.coalesce(nOut), root, partitionCol)
+    }
+    commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh)
+  }
+
+  /** Crash recovery: delete incomplete (`#eof`-less) manifests so
+    * their version numbers become committable again. A torn manifest
+    * is invisible to readers but holds its version number (the
+    * exclusive-create commit point refuses it) — after a writer crash
+    * the table would otherwise refuse that version forever. ONLY call
+    * this when no writer is in flight: deleting a manifest an alive
+    * writer is still streaming would let a second writer steal the
+    * version while the first believes it committed.
+    */
+  def recover(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    if (!f.exists(manifestDir(root))) return Seq.empty
+    val torn = f.listStatus(manifestDir(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(n) => n.toLong }
+      .filterNot(v => readText(f, new Path(manifestDir(root), s"v$v.manifest"))
+        .endsWith("#eof\n"))
+    torn.foreach(v => f.delete(new Path(manifestDir(root), s"v$v.manifest"), false))
+    torn.sorted
   }
 
   /** Drop data files referenced by NO manifest ≥ `keepFromVersion`
@@ -228,13 +359,23 @@ object TxTable {
       .flatMap(v => snapshot(spark, root, v).entries.map(_.relPath)).toSet
     val dataDir = new Path(root, "data")
     if (!f.exists(dataDir)) return
+    // Relativize against the TABLE ROOT, never by substring: a root
+    // that itself lives under a ".../data/..." path (e.g. a test dir)
+    // would make a substring match pick the wrong prefix, mark every
+    // live file as orphaned, and silently delete the whole table.
+    val rootPrefix = {
+      val p = f.makeQualified(new Path(root)).toUri.getPath
+      if (p.endsWith("/")) p else p + "/"
+    }
     val it = f.listFiles(dataDir, true)
     val doomed = scala.collection.mutable.Buffer.empty[Path]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val full = st.getPath.toUri.getPath
-        val rel = full.substring(full.indexOf("data/"))
+        val full = f.makeQualified(st.getPath).toUri.getPath
+        require(full.startsWith(rootPrefix),
+          s"vacuum: data file $full escapes table root $rootPrefix")
+        val rel = full.stripPrefix(rootPrefix)
         if (!live.contains(rel)) doomed += st.getPath
       }
     }

@@ -99,6 +99,93 @@ class TxSpec extends SparkSpec {
       !f.exists(new org.apache.hadoop.fs.Path(s"$root/${e.relPath}"))))
   }
 
+  test("vacuum under a root whose own path contains 'data/' never deletes live files") {
+    // regression: relative paths must be computed against the table
+    // root, not by substring-searching "data/" — a root like
+    // .../data/mytable made the old code misalign every path and
+    // delete the entire live table
+    val root = s"/root/repo/target/tmp/data/tx_vacregr_${System.nanoTime()}"
+    TxTable.create(seed, root, Some("p"))
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    TxTable.vacuum(spark, root, keepFromVersion = 0L)
+    assert(TxTable.read(spark, root).count() == 6,
+      "vacuum with full history retained must delete nothing")
+    TxTable.vacuum(spark, root, keepFromVersion = 1L)
+    assert(TxTable.read(spark, root).count() == 6,
+      "current snapshot intact after dropping v0 history")
+  }
+
+  test("torn manifest (no #eof) is invisible to readers; recover() frees its version") {
+    val root = freshRoot("torn")
+    TxTable.create(seed, root, Some("p"))
+    // simulate a writer that died mid-manifest-stream: the v1 file
+    // exists (exclusive create succeeded) but has no #eof sentinel
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$root/_manifest/v1.manifest")
+    val os = f.create(torn, false)
+    os.write("#schema=`k` BIGINT\nsome/file.parquet\tp=A\n".getBytes("UTF-8"))
+    os.close()
+    assert(TxTable.currentVersion(spark, root).contains(0L),
+      "incomplete manifest must not count as committed")
+    assert(TxTable.read(spark, root).count() == 5)
+    // the torn file blocks version 1 for any new writer...
+    intercept[TxTable.ConcurrentCommitException] {
+      TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    }
+    // ...until recover() (caller asserts no writer in flight) frees it
+    assert(TxTable.recover(spark, root) == Seq(1L))
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    assert(TxTable.read(spark, root).count() == 6)
+  }
+
+  test("append with a divergent schema is refused before any commit") {
+    val root = freshRoot("schema")
+    TxTable.create(seed, root, Some("p"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.append(Seq((6L, "C")).toDF("k", "p"), root, Some("p"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(TxTable.currentVersion(spark, root).contains(0L), "no commit happened")
+  }
+
+  test("compact bin-packs small files, keeps rows identical, one commit") {
+    val root = freshRoot("compact")
+    TxTable.create(seed, root, Some("p"))
+    // accumulate small-file debt: 4 appends → every partition multi-file
+    (10L to 13L).foreach { i =>
+      TxTable.append(
+        Seq((i, "A", i * 1.0), (i + 100L, "B", i * 2.0))
+          .toDF("k", "p", "v"), root, Some("p"))
+    }
+    val before = TxTable.read(spark, root)
+      .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
+    val vBefore = TxTable.currentVersion(spark, root).get
+    val filesBefore = TxTable.snapshot(spark, root, vBefore).entries.size
+    val vAfter = TxTable.compact(spark, root)
+    assert(vAfter == vBefore + 1, "compaction is one commit")
+    val snap = TxTable.snapshot(spark, root, vAfter)
+    assert(snap.entries.size < filesBefore, "file count must drop")
+    assert(snap.entries.groupBy(_.partition).forall(_._2.size == 1),
+      "every partition packs to one file at this tiny size")
+    val after = TxTable.read(spark, root)
+      .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
+    assert(after == before, "rows identical across compaction")
+    // compacted-away files survive for time travel, then vacuum reclaims
+    assert(TxTable.readVersion(spark, root, vBefore).count() == before.size)
+    TxTable.vacuum(spark, root, keepFromVersion = vAfter)
+    assert(TxTable.read(spark, root).count() == before.size)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val oldFiles = TxTable.snapshot(spark, root, vBefore).entries
+      .map(_.relPath).toSet -- snap.entries.map(_.relPath).toSet
+    assert(oldFiles.nonEmpty && oldFiles.forall(r =>
+      !f.exists(new org.apache.hadoop.fs.Path(s"$root/$r"))),
+      "replaced files reclaimed by vacuum")
+    // idempotent: nothing left to pack → same version, no empty commit
+    assert(TxTable.compact(spark, root) == vAfter)
+  }
+
   test("concurrent commit to the same version: one wins, one aborts cleanly") {
     val root = freshRoot("cc")
     TxTable.create(seed, root, Some("p"))
