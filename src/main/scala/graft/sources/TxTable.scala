@@ -116,15 +116,39 @@ object TxTable {
         throw new IllegalStateException(s"no committed manifest under $root")))
 
   /** Time travel: read an exact committed version's file set. */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val s = snapshot(spark, root, version)
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    readEntries(spark, root, snapshot(spark, root, version), identity)
+
+  /** MANIFEST-SIDE partition pruning: read only the file sets of the
+    * named partition values — no other file is listed, opened, or even
+    * mentioned to Spark. This is the pruning the manifest exists for:
+    * at 100 TB a CDC batch touches a handful of partitions, and the
+    * scan plan should carry exactly those paths. Values are the
+    * partition column's string form (pre-escaping), as in
+    * [[overwritePartitions]]'s `alsoDropValues`.
+    */
+  def readPartitions(
+      spark: SparkSession, root: String, partitionCol: String,
+      values: Seq[String]): DataFrame = {
+    val s = snapshot(spark, root,
+      currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $root")))
+    val wanted = values.map(v => s"$partitionCol=" +
+      org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v)).toSet
+    readEntries(spark, root, s, _.filter(e => wanted.contains(e.partition)))
+  }
+
+  private def readEntries(
+      spark: SparkSession, root: String, s: Snapshot,
+      pick: Seq[Entry] => Seq[Entry]): DataFrame = {
     val schema = StructType.fromDDL(s.schemaDdl)
-    if (s.entries.isEmpty)
+    val entries = pick(s.entries)
+    if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(s.entries.map(e => s"$root/${e.relPath}"): _*)
+        .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
   }
 
   /** Write `df`'s rows as immutable data files (NOT yet visible — no
@@ -263,17 +287,30 @@ object TxTable {
   /** ATOMIC dynamic partition overwrite — the CDC apply target shape:
     * every partition present in `df` has its file set replaced by
     * `df`'s rows; untouched partitions keep their exact files. One
-    * rename makes the whole multi-partition swap visible.
+    * commit makes the whole multi-partition swap visible.
+    *
+    * `alsoDropValues` names partition VALUES (pre-escaping, as the
+    * partition column's string form) whose file sets are dropped even
+    * when `df` carries no rows for them. A plain dynamic overwrite
+    * cannot express "this partition is now empty" — an empty result
+    * writes no files, so the stale partition would survive. CDC passes
+    * the full changed-partition list here and delete-emptied
+    * partitions vanish in the same single commit.
     */
   def overwritePartitions(
-      df: DataFrame, root: String, partitionCol: String): Long = {
+      df: DataFrame, root: String, partitionCol: String,
+      alsoDropValues: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, root,
       currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed manifest under $root")))
     requireSchema(df, cur, "overwritePartitions")
     val fresh = writeData(df, root, Some(partitionCol))
-    val touched = fresh.map(_.partition).toSet
+    // entry partition strings are Hive-escaped directory segments, so
+    // explicit drop values go through the same writer escaping
+    val touched = fresh.map(_.partition).toSet ++
+      alsoDropValues.map(v => s"$partitionCol=" +
+        org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v))
     val kept = cur.entries.filterNot(e => touched.contains(e.partition))
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh)
   }

@@ -197,20 +197,14 @@ object Cdc {
       partCol: String,
       partOf: DataFrame => org.apache.spark.sql.Column,
       lsnCol: String = "lsn",
-      opCol: String = "op"): Unit = {
+      opCol: String = "op",
+      maxPartitionsPerBatch: Int = 10000): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val latest = latestPerKey(changes, keyCols, lsnCol)
     val withPart = latest.withColumn(partCol, partOf(latest))
-    // partition METADATA collect — bounded by the batch's distinct
-    // partition count, not data size
-    val parts = withPart.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    val parts = collectChangedPartitions(
+      withPart, partCol, maxPartitionsPerBatch, "applyPartitioned")
     if (parts.isEmpty) return
-    // a null partition value would land in Hive's default-partition
-    // directory AND escape the isInCollection pruning below — the
-    // key-derived partition function must be total
-    require(!parts.contains(null),
-      s"applyPartitioned: partOf produced a null partition value")
     val target = spark.read.parquet(targetPath)
       .filter(col(partCol).isInCollection(parts)) // partition-pruned scan
       .select((keyCols ++ dataCols :+ "last_lsn").map(col): _*)
@@ -242,6 +236,92 @@ object Cdc {
         .escapePartitionValue(String.valueOf(p))
       fs.delete(new HPath(s"$targetPath/$partCol=$dirVal"), true)
     }
+  }
+
+  /** Partition METADATA collect — bounded by the batch's distinct
+    * partition count, not data size. The ceiling turns a mis-declared
+    * `partOf` (e.g. a raw timestamp: one partition per row) from a
+    * silent driver OOM into a contract error; a null partition value
+    * would land in Hive's default-partition directory AND escape the
+    * isInCollection pruning — the key-derived function must be total.
+    */
+  private def collectChangedPartitions(
+      withPart: DataFrame, partCol: String,
+      maxParts: Int, op: String): Seq[Any] = {
+    val parts = withPart.select(col(partCol)).distinct()
+      .limit(maxParts + 1).collect().map(_.get(0)).toSeq
+    require(parts.size <= maxParts,
+      s"$op: change batch touches > $maxParts distinct partitions — " +
+        "partOf is likely keyed too finely (raise maxPartitionsPerBatch " +
+        "only if the partition count is genuinely metadata-scale)")
+    require(!parts.contains(null),
+      s"$op: partOf produced a null partition value")
+    parts
+  }
+
+  /** TRANSACTIONAL partition-scoped apply — [[applyPartitioned]]'s
+    * semantics over a [[graft.sources.TxTable]] instead of raw
+    * parquet directories (the reference's MERGE target done right:
+    * Integration/SSIS/Practice/004 CDC.md:354-362, …/Глава
+    * 12…md:87-99). Same cost model — only partitions containing
+    * changed keys are read, reconciled, and rewritten — but the swap
+    * is ONE manifest commit, which buys what dynamic partition
+    * overwrite cannot:
+    *
+    *  - a reader sees the pre-apply snapshot or the post-apply one,
+    *    never some partitions new and others old (applyPartitioned's
+    *    torn-visibility window);
+    *  - a crash mid-apply leaves the table bit-identical (new data
+    *    files are invisible until the manifest commits; no manual
+    *    directory deletes to half-complete);
+    *  - no lineage cut needed: data files are immutable, so the
+    *    reconcile plan reads v(N) files while the write creates new
+    *    ones — applyPartitioned must localCheckpoint to avoid its
+    *    write tasks re-opening the directories it deletes;
+    *  - delete-emptied partitions drop in the same commit
+    *    (overwritePartitions' alsoDropValues), not by trailing
+    *    filesystem deletes.
+    *
+    * The table must have schema keyCols ++ dataCols ++ last_lsn ++
+    * partCol (any order — the reconcile output is aligned and cast to
+    * the manifest schema). Returns the committed version, or the
+    * current one for an empty change batch.
+    */
+  def applyTx(
+      spark: SparkSession,
+      txRoot: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      partCol: String,
+      partOf: DataFrame => org.apache.spark.sql.Column,
+      lsnCol: String = "lsn",
+      opCol: String = "op",
+      maxPartitionsPerBatch: Int = 10000): Long = {
+    import graft.sources.TxTable
+    val latest = latestPerKey(changes, keyCols, lsnCol)
+    val withPart = latest.withColumn(partCol, partOf(latest))
+    val parts = collectChangedPartitions(
+      withPart, partCol, maxPartitionsPerBatch, "applyTx")
+    val current = TxTable.currentVersion(spark, txRoot).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $txRoot"))
+    if (parts.isEmpty) return current
+    val table = TxTable.readVersion(spark, txRoot, current)
+    val target = table
+      .filter(col(partCol).isInCollection(parts)) // manifest-backed pruned scan
+      .select((keyCols ++ dataCols :+ "last_lsn").map(col): _*)
+    val applied = applyLatest(target, withPart, keyCols, dataCols, lsnCol, opCol)
+    // align column order AND types to the manifest schema — the commit
+    // is refused on mismatch, and partOf may produce a wider type than
+    // the stored partition column
+    val aligned = applied.withColumn(partCol, partOf(applied))
+      .select(table.schema.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // every changed partition is passed as a drop candidate: partitions
+    // whose keys were all deleted write no rows, and would otherwise
+    // keep their stale files (an empty dynamic overwrite is a no-op)
+    TxTable.overwritePartitions(
+      aligned, txRoot, partCol, parts.map(String.valueOf(_)))
   }
 
   /** Empty target with the apply-compatible schema (C1 initial load
