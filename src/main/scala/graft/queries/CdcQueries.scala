@@ -12,7 +12,7 @@ import graft.streaming.Cdc
   */
 object CdcQueries {
 
-  def all: Seq[Q] = Seq(cdcApply)
+  def all: Seq[Q] = Seq(cdcApply, cdcTx)
 
   private[queries] def changeFeed(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -23,20 +23,22 @@ object CdcQueries {
         .when(col("event_type") === "signup", Cdc.Op.Insert)
         .otherwise(Cdc.Op.Update).as("op"))
 
-  /** Two-phase incremental apply (C1–C5): snapshot from the first half
-    * of the log, then the `(mid, max]` range applied incrementally.
-    * Sequential range application must equal one latest-per-key pass
-    * over the whole log — which is exactly the oracle's window query.
+  /** The oracle for BOTH apply paths: sequential range application
+    * must equal one latest-per-key pass over the whole log.
     */
-  val cdcApply: Q = Q(
-    "q_cdc_apply",
+  private val latestPerKeySql =
     """SELECT user_id, amount, last_lsn FROM (
       |  SELECT user_id, value AS amount, event_id AS last_lsn,
       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
       |    CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 2 ELSE 4 END AS op
       |  FROM events) t
       |WHERE rn = 1 AND op <> 1
-      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      |ORDER BY user_id""".stripMargin
+
+  /** Two-phase incremental apply (C1–C5): snapshot from the first half
+    * of the log, then the `(mid, max]` range applied incrementally.
+    */
+  val cdcApply: Q = Q("q_cdc_apply", latestPerKeySql) { (s, dir) =>
     val feed = changeFeed(s, dir)
     val maxLsn = feed.agg(max(col("lsn"))).head.getLong(0)
     val mid = maxLsn / 2
@@ -46,6 +48,40 @@ object CdcQueries {
       Cdc.emptyTarget(feed, keys, data),
       Cdc.range(feed, "lsn", Long.MinValue, mid), keys, data)
     Cdc.apply(snapshot, Cdc.range(feed, "lsn", mid, maxLsn), keys, data)
+      .orderBy(col("user_id"))
+  }
+
+  /** TRANSACTIONAL two-phase apply — the same protocol as
+    * [[cdcApply]] but through a [[graft.sources.TxTable]] MERGE
+    * target (reference: Integration/SSIS/Practice/004 CDC.md:354-362,
+    * …/Глава 12…md:87-99): snapshot of the first half committed as
+    * table v0 (hive-partitioned on a key-derived bucket), then the
+    * `(mid, max]` range applied with [[Cdc.applyTx]] — a
+    * manifest-pruned read of ONLY the changed buckets and ONE atomic
+    * multi-partition commit. The read-back of the committed table
+    * must equal the same latest-per-key oracle as the
+    * non-transactional path.
+    */
+  val cdcTx: Q = Q("q_cdc_tx", latestPerKeySql) { (s, dir) =>
+    import graft.sources.TxTable
+    val feed = changeFeed(s, dir)
+    val maxLsn = feed.agg(max(col("lsn"))).head.getLong(0)
+    val mid = maxLsn / 2
+    val keys = Seq("user_id")
+    val data = Seq("amount")
+    val bucketOf = (d: org.apache.spark.sql.DataFrame) =>
+      pmod(col("user_id"), lit(16L))
+    val snapshot = Cdc.apply(
+      Cdc.emptyTarget(feed, keys, data),
+      Cdc.range(feed, "lsn", Long.MinValue, mid), keys, data)
+    // deterministic per-dir root: create() reinitializes it each run
+    val root = s"target/tmp/cdc_tx_q_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    TxTable.create(
+      snapshot.withColumn("bucket", bucketOf(snapshot)), root, Some("bucket"))
+    Cdc.applyTx(s, root, Cdc.range(feed, "lsn", mid, maxLsn),
+      keys, data, "bucket", bucketOf)
+    TxTable.read(s, root)
+      .select(col("user_id"), col("amount"), col("last_lsn"))
       .orderBy(col("user_id"))
   }
 }

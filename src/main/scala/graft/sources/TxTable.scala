@@ -60,11 +60,47 @@ object TxTable {
 
   private val ManifestRe = "v(\\d+)\\.manifest".r
 
+  /** Manifest reads performed (test hook: TxSpec asserts a snapshot
+    * resolve costs ONE manifest read, not O(history)).
+    */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   private def readText(f: FileSystem, p: Path): String = {
+    manifestReads.incrementAndGet()
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
+
+  /** Resolve the CURRENT snapshot with ONE manifest read in the
+    * steady state: list the manifest directory (names only — no file
+    * content), walk version numbers descending, and return the first
+    * manifest that parses complete. Torn manifests (crashed writers)
+    * cost one extra read each, and they are bounded by writer crashes,
+    * not by history length — unlike [[versions]], which reads EVERY
+    * historical manifest's full text and is O(history × manifest size)
+    * driver work per call. At 100 TB commit rates (a CDC apply per
+    * minute = half a million manifests a year) every read-path resolve
+    * goes through here; [[versions]] stays for the history-enumerating
+    * ops (vacuum, time travel listing) that genuinely need all of it.
+    */
+  def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val f = fs(spark, root)
+    if (!f.exists(manifestDir(root))) return None
+    f.listStatus(manifestDir(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(n) => n.toLong }
+      .sorted(Ordering[Long].reverse)
+      .iterator
+      .map(v => (v, readText(f, new Path(manifestDir(root), s"v$v.manifest"))))
+      .collectFirst { case (v, text) if text.endsWith("#eof\n") =>
+        parseManifest(v, text, root)
+      }
+  }
+
+  private def requireSnapshot(spark: SparkSession, root: String): Snapshot =
+    currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
 
   /** All committed versions, ascending (empty for a fresh root). A
     * manifest is committed only once its `#eof` sentinel is on disk —
@@ -84,16 +120,9 @@ object TxTable {
   }
 
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).lastOption
+    currentSnapshot(spark, root).map(_.version)
 
-  /** Parse one committed manifest. Refuses a manifest without its
-    * `#eof` sentinel — that file is an in-flight or crashed commit,
-    * not a snapshot.
-    */
-  def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
-    val f = fs(spark, root)
-    val p = new Path(manifestDir(root), s"v$version.manifest")
-    val text = readText(f, p)
+  private def parseManifest(version: Long, text: String, root: String): Snapshot = {
     if (!text.endsWith("#eof\n"))
       throw new IllegalStateException(
         s"manifest v$version under $root is incomplete (no #eof) — " +
@@ -107,13 +136,21 @@ object TxTable {
     Snapshot(version, ddl, entries)
   }
 
+  /** Parse one committed manifest. Refuses a manifest without its
+    * `#eof` sentinel — that file is an in-flight or crashed commit,
+    * not a snapshot.
+    */
+  def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
+    val f = fs(spark, root)
+    val p = new Path(manifestDir(root), s"v$version.manifest")
+    parseManifest(version, readText(f, p), root)
+  }
+
   /** Read the CURRENT snapshot (empty-but-typed DataFrame for a table
     * with a schema and no live files; error for an uninitialized root).
     */
   def read(spark: SparkSession, root: String): DataFrame =
-    readVersion(spark, root,
-      currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $root")))
+    readEntries(spark, root, requireSnapshot(spark, root), identity)
 
   /** Time travel: read an exact committed version's file set. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
@@ -129,10 +166,19 @@ object TxTable {
     */
   def readPartitions(
       spark: SparkSession, root: String, partitionCol: String,
-      values: Seq[String]): DataFrame = {
-    val s = snapshot(spark, root,
-      currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $root")))
+      values: Seq[String]): DataFrame =
+    readPartitionsOf(spark, root, requireSnapshot(spark, root),
+      partitionCol, values)
+
+  /** [[readPartitions]] pinned to an already-resolved snapshot — the
+    * transactional read-modify-write shape: resolve once, reconcile
+    * against exactly that version, commit with the same version as
+    * `expectedVersion`. Re-resolving inside each step would let a
+    * concurrent commit slide in between read and write unnoticed.
+    */
+  def readPartitionsOf(
+      spark: SparkSession, root: String, s: Snapshot,
+      partitionCol: String, values: Seq[String]): DataFrame = {
     val wanted = values.map(v => s"$partitionCol=" +
       org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v)).toSet
     readEntries(spark, root, s, _.filter(e => wanted.contains(e.partition)))
@@ -257,7 +303,7 @@ object TxTable {
     val f = fs(spark, root)
     f.delete(new Path(root), true)
     val entries = writeData(df, root, partitionCol)
-    commit(spark, root, 0L, df.schema.toDDL, entries)
+    commit(spark, root, 0L, declaredDdl(df), entries)
   }
 
   /** Append-only commit: new files become visible atomically alongside
@@ -267,9 +313,7 @@ object TxTable {
       df: DataFrame, root: String,
       partitionCol: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val cur = snapshot(spark, root,
-      currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $root")))
+    val cur = requireSnapshot(spark, root)
     requireSchema(df, cur, "append")
     val entries = writeData(df, root, partitionCol)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries)
@@ -277,12 +321,35 @@ object TxTable {
 
   /** A commit must match the table's declared schema: divergent
     * parquet files would read back under the manifest schema with
-    * silently-nulled or dropped columns.
+    * silently-nulled or dropped columns. Compared NULLABILITY-
+    * normalized ([[declaredDdl]]): name/type divergence is the failure
+    * this guards, while nullability flags are advisory over parquet
+    * and flip freely through expressions (a coalesce over a NOT NULL
+    * column reads back nullable) — requiring them to match would
+    * refuse every reconcile-shaped commit.
     */
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit =
-    require(df.schema.toDDL == cur.schemaDdl,
+    require(declaredDdl(df) == cur.schemaDdl,
       s"$op: schema mismatch — table declares [${cur.schemaDdl}] " +
-        s"but commit carries [${df.schema.toDDL}]")
+        s"but commit carries [${declaredDdl(df)}]")
+
+  private def declaredDdl(df: DataFrame): String =
+    nullableType(df.schema).asInstanceOf[StructType].toDDL
+
+  private def nullableType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = nullableType(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(nullableType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nullableType(m.keyType), nullableType(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
 
   /** ATOMIC dynamic partition overwrite — the CDC apply target shape:
     * every partition present in `df` has its file set replaced by
@@ -296,14 +363,24 @@ object TxTable {
     * writes no files, so the stale partition would survive. CDC passes
     * the full changed-partition list here and delete-emptied
     * partitions vanish in the same single commit.
+    *
+    * `expectedVersion` makes the swap a full optimistic transaction:
+    * when set, the commit is refused (ConcurrentCommitException, no
+    * data visible) if the table has moved past that version — the
+    * caller reconciled against a snapshot that is no longer current
+    * and must re-read and retry. Without it, a concurrent commit
+    * landing between the caller's read and this write would be
+    * silently overwritten on the touched partitions.
     */
   def overwritePartitions(
       df: DataFrame, root: String, partitionCol: String,
-      alsoDropValues: Seq[String] = Nil): Long = {
+      alsoDropValues: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
-    val cur = snapshot(spark, root,
-      currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $root")))
+    val cur = requireSnapshot(spark, root)
+    expectedVersion.filter(_ != cur.version).foreach { _ =>
+      throw new ConcurrentCommitException(cur.version)
+    }
     requireSchema(df, cur, "overwritePartitions")
     val fresh = writeData(df, root, Some(partitionCol))
     // entry partition strings are Hive-escaped directory segments, so
@@ -334,9 +411,7 @@ object TxTable {
   def compact(
       spark: SparkSession, root: String,
       targetFileBytes: Long = 128L << 20): Long = {
-    val cur = snapshot(spark, root,
-      currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $root")))
+    val cur = requireSnapshot(spark, root)
     val f = fs(spark, root)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val size = cur.entries.map(e =>

@@ -303,25 +303,34 @@ object Cdc {
     val withPart = latest.withColumn(partCol, partOf(latest))
     val parts = collectChangedPartitions(
       withPart, partCol, maxPartitionsPerBatch, "applyTx")
-    val current = TxTable.currentVersion(spark, txRoot).getOrElse(
+    val snap = TxTable.currentSnapshot(spark, txRoot).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $txRoot"))
-    if (parts.isEmpty) return current
-    val table = TxTable.readVersion(spark, txRoot, current)
-    val target = table
-      .filter(col(partCol).isInCollection(parts)) // manifest-backed pruned scan
+    if (parts.isEmpty) return snap.version
+    // MANIFEST-side pruning: only the changed partitions' files enter
+    // the scan's file index — at 100 TB a batch touching 5 partitions
+    // must not list (or open footers for) the other million. A
+    // row-level filter over a full-table read would preserve the
+    // answer but defeat the manifest's entire reason to exist.
+    val target = TxTable.readPartitionsOf(
+        spark, txRoot, snap, partCol, parts.map(String.valueOf(_)))
       .select((keyCols ++ dataCols :+ "last_lsn").map(col): _*)
     val applied = applyLatest(target, withPart, keyCols, dataCols, lsnCol, opCol)
     // align column order AND types to the manifest schema — the commit
     // is refused on mismatch, and partOf may produce a wider type than
     // the stored partition column
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
     val aligned = applied.withColumn(partCol, partOf(applied))
-      .select(table.schema.fields.toSeq
+      .select(schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     // every changed partition is passed as a drop candidate: partitions
     // whose keys were all deleted write no rows, and would otherwise
-    // keep their stale files (an empty dynamic overwrite is a no-op)
+    // keep their stale files (an empty dynamic overwrite is a no-op).
+    // expectedVersion pins the commit to the snapshot the reconcile
+    // read — a concurrent commit in between aborts this one instead of
+    // being silently overwritten.
     TxTable.overwritePartitions(
-      aligned, txRoot, partCol, parts.map(String.valueOf(_)))
+      aligned, txRoot, partCol, parts.map(String.valueOf(_)),
+      expectedVersion = Some(snap.version))
   }
 
   /** Empty target with the apply-compatible schema (C1 initial load

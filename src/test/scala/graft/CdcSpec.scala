@@ -119,6 +119,135 @@ class CdcSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  // ---- transactional apply (applyTx over TxTable) ----
+
+  import graft.sources.TxTable
+
+  private def txInit(tag: String, n: Long = 100L): (String, org.apache.spark.sql.DataFrame) = {
+    val root = s"target/tmp/cdc_tx_${tag}_${System.nanoTime()}"
+    val init = (0L until n).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    TxTable.create(
+      init.withColumn("bucket", pmod(col("user_id"), lit(4L))),
+      root, Some("bucket"))
+    (root, init)
+  }
+
+  private def bucketOf = (d: org.apache.spark.sql.DataFrame) =>
+    pmod(col("user_id"), lit(4L))
+
+  test("applyTx ≡ applyPartitioned ≡ full rewrite") {
+    val (root, init) = txInit("equiv")
+    val changes = Seq(
+      (8L, 88.0, 10L, Cdc.Op.Update),
+      (102L, 12.0, 11L, Cdc.Op.Insert),
+      (13L, 0.0, 12L, Cdc.Op.Delete)
+    ).toDF("user_id", "amount", "lsn", "op")
+    Cdc.applyTx(spark, root, changes, keys, data, "bucket", bucketOf)
+    val got = state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn"))
+    val ref = state(Cdc.apply(init, changes, keys, data))
+    assert(got == ref)
+    // untouched bucket (3) kept its EXACT manifest entries across the commit
+    val v0 = TxTable.snapshot(spark, root, 0L)
+    val v1 = TxTable.snapshot(spark, root, 1L)
+    assert(v1.entries.filter(_.partition == "bucket=3").toSet ==
+      v0.entries.filter(_.partition == "bucket=3").toSet)
+  }
+
+  test("applyTx is idempotent: the same range twice ≡ once") {
+    val (root, init) = txInit("idem")
+    val changes = Seq(
+      (8L, 88.0, 10L, Cdc.Op.Update),
+      (13L, 0.0, 12L, Cdc.Op.Delete)
+    ).toDF("user_id", "amount", "lsn", "op")
+    Cdc.applyTx(spark, root, changes, keys, data, "bucket", bucketOf)
+    val once = state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn"))
+    Cdc.applyTx(spark, root, changes, keys, data, "bucket", bucketOf)
+    val twice = state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn"))
+    assert(twice == once)
+  }
+
+  test("aborted applyTx commit leaves the readable snapshot bit-identical") {
+    val (root, init) = txInit("crash")
+    val before = state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn"))
+    // occupy version 1 with a torn manifest (a crashed concurrent
+    // writer): applyTx's reconcile and data write proceed, but its
+    // exclusive-create commit point must refuse — and refusal must be
+    // invisible to readers
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val os = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest/v1.manifest"), false)
+    os.write("#schema=`x` BIGINT\n".getBytes("UTF-8")) // no #eof
+    os.close()
+    val changes = Seq((8L, 88.0, 10L, Cdc.Op.Update))
+      .toDF("user_id", "amount", "lsn", "op")
+    intercept[TxTable.ConcurrentCommitException] {
+      Cdc.applyTx(spark, root, changes, keys, data, "bucket", bucketOf)
+    }
+    assert(TxTable.currentVersion(spark, root).contains(0L))
+    assert(state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn")) == before,
+      "a failed commit must leave the readable table untouched")
+    // the aborted write's data files are orphans; vacuum reclaims them
+    // and the snapshot still reads whole
+    TxTable.recover(spark, root)
+    TxTable.vacuum(spark, root, keepFromVersion = 0L)
+    assert(state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn")) == before)
+  }
+
+  test("applyTx drops delete-emptied partitions in the same commit") {
+    val (root, _) = txInit("empty", n = 8L)
+    // delete every bucket-1 key (1 and 5)
+    val changes = Seq(
+      (1L, 0.0, 10L, Cdc.Op.Delete),
+      (5L, 0.0, 11L, Cdc.Op.Delete)
+    ).toDF("user_id", "amount", "lsn", "op")
+    val v = Cdc.applyTx(spark, root, changes, keys, data, "bucket", bucketOf)
+    assert(v == 1L, "drop + overwrite land in ONE commit")
+    val snap = TxTable.snapshot(spark, root, v)
+    assert(!snap.entries.exists(_.partition == "bucket=1"),
+      "emptied partition's files leave the manifest in the same commit")
+    val got = TxTable.read(spark, root).select("user_id").as[Long].collect().toSet
+    assert(got == Set(0L, 2L, 3L, 4L, 6L, 7L))
+  }
+
+  test("applyTx lifecycle: batches → compact → vacuum, state preserved") {
+    val (root, init) = txInit("life", n = 20L)
+    // 4 incremental batches, each touching a couple of keys
+    val batches = Seq(
+      Seq((2L, 2.2, 10L, Cdc.Op.Update), (21L, 21.0, 11L, Cdc.Op.Insert)),
+      Seq((3L, 3.3, 12L, Cdc.Op.Update), (7L, 0.0, 13L, Cdc.Op.Delete)),
+      Seq((21L, 21.5, 14L, Cdc.Op.Update), (2L, 2.5, 15L, Cdc.Op.Update)),
+      Seq((11L, 0.0, 16L, Cdc.Op.Delete), (30L, 30.0, 17L, Cdc.Op.Insert)))
+    var ref = init
+    batches.foreach { b =>
+      val changes = b.toDF("user_id", "amount", "lsn", "op")
+      Cdc.applyTx(spark, root, changes, keys, data, "bucket", bucketOf)
+      ref = Cdc.apply(ref, changes, keys, data)
+    }
+    val want = state(ref)
+    assert(state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn")) == want)
+    // small-file debt from 4 upserts packs down in one commit…
+    val vBefore = TxTable.currentVersion(spark, root).get
+    val filesBefore = TxTable.snapshot(spark, root, vBefore).entries.size
+    val vc = TxTable.compact(spark, root)
+    assert(vc == vBefore + 1)
+    assert(TxTable.snapshot(spark, root, vc).entries.size < filesBefore)
+    assert(state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn")) == want)
+    // …and vacuum reclaims replaced history without touching the live set
+    TxTable.vacuum(spark, root, keepFromVersion = vc)
+    assert(state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn")) == want)
+  }
+
   test("partition-scoped apply removes partitions emptied by deletes") {
     val dir = s"target/tmp/cdc_part_empty_${System.nanoTime()}"
     val init = (1L to 8L).map(k => (k, k * 1.0, 1L))

@@ -186,6 +186,38 @@ class TxSpec extends SparkSpec {
     assert(TxTable.compact(spark, root) == vAfter)
   }
 
+  test("snapshot resolve costs ONE manifest read, not O(history)") {
+    val root = freshRoot("cost")
+    TxTable.create(seed, root, Some("p"))
+    (1L to 10L).foreach { i =>
+      TxTable.append(Seq((100L + i, "A", i * 1.0)).toDF("k", "p", "v"),
+        root, Some("p"))
+    }
+    TxTable.manifestReads.set(0L)
+    TxTable.read(spark, root)
+    assert(TxTable.manifestReads.get == 1L,
+      "current-snapshot resolve must read only the newest manifest, " +
+        s"got ${TxTable.manifestReads.get} reads over an 11-version history")
+    TxTable.manifestReads.set(0L)
+    TxTable.readPartitions(spark, root, "p", Seq("A"))
+    assert(TxTable.manifestReads.get == 1L)
+  }
+
+  test("overwritePartitions with a stale expectedVersion refuses to commit") {
+    val root = freshRoot("ev")
+    TxTable.create(seed, root, Some("p"))
+    val read = TxTable.currentVersion(spark, root).get // transaction reads v0
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    intercept[TxTable.ConcurrentCommitException] {
+      TxTable.overwritePartitions(
+        Seq((30L, "B", 300.0)).toDF("k", "p", "v"), root, "p",
+        expectedVersion = Some(read))
+    }
+    // the interleaved append's commit is intact; nothing from the
+    // refused transaction is visible
+    assert(TxTable.read(spark, root).count() == 6)
+  }
+
   test("concurrent commit to the same version: one wins, one aborts cleanly") {
     val root = freshRoot("cc")
     TxTable.create(seed, root, Some("p"))
