@@ -57,7 +57,18 @@ object Multimodal {
     * compressed image bytes end-to-end. Audio/video rows keep the text
     * payload.
     */
-  def syntheticMediaWithImages(documents: DataFrame): DataFrame = {
+  def syntheticMediaWithImages(documents: DataFrame): DataFrame =
+    syntheticMediaWithImages(documents, None)
+
+  /** As above, but image CONTENT is keyed by `media_id % groupMod`
+    * when `groupMod` is set: ids in the same residue class render
+    * byte-identical PNGs — a controlled exact-duplicate population for
+    * the image near-dup operator, whose ground truth is then
+    * SQL-expressible (same group ⇔ identical payload ⇔ dHash Hamming
+    * distance 0).
+    */
+  def syntheticMediaWithImages(
+      documents: DataFrame, groupMod: Option[Long]): DataFrame = {
     // PNG encode is CPU-bound and the documents parquet scans as one
     // partition — spread BEFORE the mapPartitions or it runs one-core
     val base = syntheticMedia(documents)
@@ -69,29 +80,40 @@ object Multimodal {
       iter.map { row =>
         if (row.getString(kindIdx) == "image") {
           val id = row.getLong(idIdx)
-          val w = 8 + (id % 8).toInt
-          val h = 8
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = ((id * 31 + x * 7 + y * 13) & 0xffL).toInt
-              img.setRGB(x, y,
-                (v << 16) | (((x * 255) / math.max(w - 1, 1)) << 8) |
-                  ((y * 255) / math.max(h - 1, 1)))
-              x += 1
-            }
-            y += 1
-          }
+          val seed = groupMod.map(id % _).getOrElse(id)
+          val img = renderImage(seed)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.setUseCache(false) // no temp-file spool
           javax.imageio.ImageIO.write(img, "png", bos)
-          Row(id, "image", bos.toByteArray, Row("png", w, h, null))
+          Row(id, "image", bos.toByteArray,
+            Row("png", img.getWidth, img.getHeight, null))
         } else row
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Deterministic seed-keyed test image (also used by DedupSpec to
+    * build controlled perturbations): width varies with the seed,
+    * pixels mix a wrapping seed-keyed ramp with x/y gradients.
+    */
+  def renderImage(seed: Long): java.awt.image.BufferedImage = {
+    val w = 8 + (seed % 8).toInt
+    val h = 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 31 + x * 7 + y * 13) & 0xffL).toInt
+        img.setRGB(x, y,
+          (v << 16) | (((x * 255) / math.max(w - 1, 1)) << 8) |
+            ((y * 255) / math.max(h - 1, 1)))
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   /** Real image decode via the JDK's `javax.imageio`: sniffs the
