@@ -251,17 +251,24 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), graft.plans.SimHashSig(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Banding
-    * by pigeonhole: distance ≤ 3 ⇒ at least one of 4 16-bit blocks is
-    * identical, so candidates join on (block index, block value) —
-    * never all-pairs.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Delegates
+    * to the generic 64-bit [[hammingPairs]] banding join.
     */
-  def simhashPairs(sigs: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+  def simhashPairs(sigs: DataFrame, idCol: String, maxDist: Int): DataFrame =
+    hammingPairs(sigs, idCol, "simhash", maxDist)
+
+  /** Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    * dHash, …) with Hamming distance ≤ maxDist. Banding by pigeonhole:
+    * distance ≤ 3 ⇒ at least one of 4 16-bit blocks is identical, so
+    * candidates join on (block index, block value) — never all-pairs.
+    */
+  def hammingPairs(
+      sigs: DataFrame, idCol: String, sigCol: String, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-block banding guarantees recall only for maxDist <= 3")
     val blocks = sigs.select(
-      col(idCol).as("id"), col("simhash"),
+      col(idCol).as("id"), col(sigCol).as("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+        shiftright(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "blkval")
       .persistTracked() // both join sides scan this; avoid recomputing simhash

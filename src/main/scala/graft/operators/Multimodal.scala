@@ -92,9 +92,22 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** splitmix64 finalizer — a well-mixed deterministic per-pixel hash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic seed-keyed test image (also used by DedupSpec to
-    * build controlled perturbations): width varies with the seed,
-    * pixels mix a wrapping seed-keyed ramp with x/y gradients.
+    * build controlled perturbations): width varies with the seed
+    * (8 + seed % 8, height 8 — StreamSpec pins the geometry), pixels
+    * are seed-keyed splitmix noise in all three channels so distinct
+    * seeds produce structurally distinct images — a smooth ramp would
+    * make different seeds dHash-collide (their neighbor-luminance
+    * ORDER survives a constant shift), which DedupSpec's pairwise-
+    * distinct precondition for the q_image_neardup oracle forbids.
     */
   def renderImage(seed: Long): java.awt.image.BufferedImage = {
     val w = 8 + (seed % 8).toInt
@@ -105,10 +118,8 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = ((seed * 31 + x * 7 + y * 13) & 0xffL).toInt
-        img.setRGB(x, y,
-          (v << 16) | (((x * 255) / math.max(w - 1, 1)) << 8) |
-            ((y * 255) / math.max(h - 1, 1)))
+        val m = mix64(seed * 65599L + y.toLong * 131L + x.toLong)
+        img.setRGB(x, y, (m & 0xffffff).toInt)
         x += 1
       }
       y += 1
@@ -116,15 +127,13 @@ object Multimodal {
     img
   }
 
-  /** Real image decode via the JDK's `javax.imageio`: sniffs the
-    * payload for a registered reader (PNG/JPEG/GIF/BMP magic bytes),
-    * decodes, and returns (width, height, format, normalized 16-bin
-    * luminance histogram). None when the payload is null, not an
-    * image, or corrupt — the caller falls back to byte features, so a
-    * bad file degrades instead of failing the partition.
+  /** Decode to a BufferedImage via the JDK's `javax.imageio`: sniffs
+    * the payload for a registered reader (PNG/JPEG/GIF/BMP magic
+    * bytes). None when the payload is null, not an image, or corrupt —
+    * callers degrade instead of failing the partition.
     */
-  private def decodeImage(
-      bytes: Array[Byte]): Option[(Int, Int, String, Array[Float])] = {
+  private def decodeBuffered(
+      bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
     if (bytes == null) return None
     try {
       // default ImageIO stream cache spools through a TEMP FILE per
@@ -138,31 +147,126 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis)
-          val fmt = reader.getFormatName.toLowerCase
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          val hist = new Array[Float](16)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              hist(lum >> 4) += 1f
-              x += 1
-            }
-            y += 1
-          }
-          val n = math.max(w * h, 1)
-          var b = 0
-          while (b < 16) { hist(b) /= n; b += 1 }
-          Some((w, h, fmt, hist))
+          Some((reader.read(0), reader.getFormatName.toLowerCase))
         } finally reader.dispose()
       } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
   }
+
+  /** ITU-R 601 integer luminance of a packed RGB pixel, 0..255. */
+  @inline private def luminance(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000
+
+  /** Real image decode: (width, height, format, normalized 16-bin
+    * luminance histogram), or None when undecodable.
+    */
+  private def decodeImage(
+      bytes: Array[Byte]): Option[(Int, Int, String, Array[Float])] =
+    decodeBuffered(bytes).map { case (img, fmt) =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          hist(luminance(img.getRGB(x, y)) >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1)
+      var b = 0
+      while (b < 16) { hist(b) /= n; b += 1 }
+      (w, h, fmt, hist)
+    }
+
+  /** 64-bit dHash (difference hash) of a decoded image: average-pool
+    * the luminance plane onto a 9×8 grid, then bit (y*8+x) = 1 iff
+    * grid(y)(x+1) > grid(y)(x). Scale/encode-invariant enough that a
+    * lightly perturbed re-encode lands within a small Hamming
+    * distance — the classic perceptual near-dup key.
+    */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val grid = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += luminance(img.getRGB(x, y)); n += 1; x += 1 }
+          y += 1
+        }
+        grid(gy)(gx) = sum.toDouble / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < 8) {
+        if (grid(gy)(gx + 1) > grid(gy)(gx)) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash table for image near-dup: (idCol, dhash) with a
+    * NULL dhash for undecodable/non-image payloads. Decode is
+    * CPU-bound, so the scan is spread like [[extractFeatures]]; the
+    * output is two scalars per row — the narrow shape the Hamming
+    * banding join wants at corpus scale.
+    */
+  def dhash(
+      media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", minPartitions: Option[Int] = None): DataFrame = {
+    val target = minPartitions.getOrElse(
+      media.sparkSession.sparkContext.defaultParallelism)
+    val narrowed = media.select(col(idCol), col(bytesCol))
+    val spread =
+      if (narrowed.rdd.getNumPartitions < target) narrowed.repartition(target)
+      else narrowed
+    val outSchema = StructType(Seq(
+      StructField(idCol, media.schema(idCol).dataType, false),
+      StructField("dhash", LongType, true)))
+    spread.mapPartitions { iter =>
+      iter.map { row =>
+        val bytes = if (row.isNullAt(1)) null else row.getAs[Array[Byte]](1)
+        val hash = decodeBuffered(bytes) match {
+          case Some((img, _)) => java.lang.Long.valueOf(dhash64(img))
+          case None => null
+        }
+        Row(row.get(0), hash)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Image near-dup pairs: dHash each decodable payload, then reuse
+    * the generic 64-bit Hamming banding join
+    * ([[graft.operators.Dedup.hammingPairs]]) — candidates meet on an
+    * identical 16-bit block, never all-pairs. Output
+    * (d1, d2, hamming) with d1 < d2.
+    */
+  def imageNearDupPairs(
+      media: DataFrame, maxDist: Int, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame =
+    Dedup.hammingPairs(
+      dhash(media, idCol, bytesCol).filter(col("dhash").isNotNull),
+      idCol, "dhash", maxDist)
 
   /** Non-image fallback features: a normalized 16-bin byte histogram —
     * the same fixed-width shape, deterministic, null-safe.

@@ -10,8 +10,8 @@ import graft.streaming.Streams
   */
 object StreamQueries {
 
-  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, sessionize,
-    incrementalMv, asofJoin, rangeJoin)
+  def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, imageNearDup,
+    sessionize, incrementalMv, asofJoin, rangeJoin)
 
   /** Range join (custom operator — a bare non-equi condition would be
     * a nested-loop in Spark): every event landing within one hour
@@ -164,6 +164,30 @@ object StreamQueries {
     * typed output with decoded dimensions. Rows-only check (binary
     * payloads are engine-internal).
     */
+  /** Image near-dup via perceptual hash (dHash + Hamming banding).
+    * The media population renders image payloads keyed by
+    * `doc_id % 25`: same residue class ⇒ byte-identical PNG ⇒ dHash
+    * distance 0, and distinct seeds render images whose dHashes
+    * differ (asserted pairwise in DedupSpec) — so the exact ground
+    * truth is SQL-expressible from `documents` alone: image-kind rows
+    * (doc_id % 3 = 0) in the same residue class. maxDist = 0 keeps
+    * the oracle exact; the recall-at-perturbation story for
+    * maxDist > 0 is spec-gated (DedupSpec).
+    */
+  val imageNearDup: Q = Q(
+    "q_image_neardup",
+    """SELECT a.doc_id AS d1, b.doc_id AS d2, 0 AS hamming
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id
+      | AND a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
+      | AND a.doc_id % 25 = b.doc_id % 25
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val media = Multimodal.syntheticMediaWithImages(
+      Tables.documents(s, dir), Some(25L))
+    Multimodal.imageNearDupPairs(media, maxDist = 0)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val multimodalFeatures: Q = Q.noOracle("q_multimodal_features") { (s, dir) =>
     val media = Multimodal.syntheticMediaWithImages(Tables.documents(s, dir))
     Multimodal.extractFeatures(media)

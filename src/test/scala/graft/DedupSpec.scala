@@ -135,6 +135,45 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == Seq("a b c", "b c d"))
   }
 
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash: the 25 render seeds are pairwise distinct (q_image_neardup oracle precondition)") {
+    // q_image_neardup at maxDist=0 claims pairs ⇔ same doc_id%25 group.
+    // That needs: same seed ⇒ identical PNG ⇒ distance 0 (trivial), AND
+    // different seeds ⇒ dHash distance > 0 — asserted here pairwise.
+    val hashes = (0L until 25L).map(s =>
+      s -> graft.operators.Multimodal.dhash64(
+        graft.operators.Multimodal.renderImage(s)))
+    for (Seq((s1, h1), (s2, h2)) <- hashes.combinations(2))
+      assert(java.lang.Long.bitCount(h1 ^ h2) > 0,
+        s"render seeds $s1 and $s2 collide on dhash")
+  }
+
+  test("image near-dup: perturbed re-encode recovered by Hamming banding") {
+    import graft.operators.Multimodal
+    // plant pairs: original + a 1-pixel blue-channel perturbation (a
+    // 1-px change touches one pool cell = at most 2 dhash bits)
+    val rows = (0 until 8).flatMap { i =>
+      val img = Multimodal.renderImage(i * 97L + 3)
+      val pert = Multimodal.renderImage(i * 97L + 3)
+      val rgb = pert.getRGB(2, 2)
+      pert.setRGB(2, 2, (rgb & 0xffff00) | math.min((rgb & 0xff) + 64, 255))
+      Seq((i * 2L, encodePng(img)), (i * 2L + 1, encodePng(pert)))
+    }
+    val media = rows.toDF("media_id", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(media, maxDist = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    (0 until 8).foreach { i =>
+      assert(pairs.contains((i * 2L, i * 2L + 1)),
+        s"planted perturbed pair ${i * 2L} missing")
+    }
+  }
+
   test("CacheScope.release drops every operator-persisted block") {
     spark.catalog.clearCache()
     graft.CacheScope.release(blocking = true)
