@@ -86,7 +86,8 @@ object Dedup {
     */
   def jaccardPairsPruned(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double, maxDf: Int): DataFrame = {
+      n: Int, tau: Double, maxDf: Int,
+      broadcastStopLimit: Long = 1000000L): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persistTracked() // see jaccardPairs
     val ex0 = sh.select(col(idCol).as("id"), explode(col("sh")).as("g"))
     // grams are distinct per doc, so COUNT(*) per gram = document freq
@@ -94,9 +95,21 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("g"))
+      .persistTracked() // counted below, then probed by the anti-join
+    // GUARDED broadcast: the stop list is small for natural corpora
+    // (each entry needs > maxDf distinct documents), but a degenerate
+    // corpus or a tiny maxDf makes it approach the full gram
+    // dictionary — and an unconditional broadcast() hint bypasses
+    // autoBroadcastJoinThreshold, turning a parameter mistake into a
+    // driver OOM. Counting it costs one aggregation over rows the
+    // anti-join needs materialized anyway (the persist makes the
+    // count's work reusable); oversized lists fall back to a shuffled
+    // left-anti join.
+    val stopSide =
+      if (stop.count() <= broadcastStopLimit) broadcast(stop) else stop
     // narrow (id, gram) rows; three consumers (sizes + both self-join
     // sides) read this cache instead of re-probing the anti-join
-    val pruned = ex0.join(broadcast(stop), Seq("g"), "left_anti").persistTracked()
+    val pruned = ex0.join(stopSide, Seq("g"), "left_anti").persistTracked()
     val sizes = pruned.groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("nsh"))
     val a = pruned.select(col("id").as("d1"), col("g"))

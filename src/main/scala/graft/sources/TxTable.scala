@@ -328,10 +328,17 @@ object TxTable {
     * column reads back nullable) — requiring them to match would
     * refuse every reconcile-shaped commit.
     */
-  private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit =
-    require(declaredDdl(df) == cur.schemaDdl,
+  private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
+    // normalize BOTH sides: a manifest written before nullability
+    // normalization stores NOT NULL markers in its schemaDdl, and
+    // comparing it verbatim would permanently refuse writes to a
+    // durable pre-existing table
+    val stored = nullableType(StructType.fromDDL(cur.schemaDdl))
+      .asInstanceOf[StructType].toDDL
+    require(declaredDdl(df) == stored,
       s"$op: schema mismatch — table declares [${cur.schemaDdl}] " +
         s"but commit carries [${declaredDdl(df)}]")
+  }
 
   private def declaredDdl(df: DataFrame): String =
     nullableType(df.schema).asInstanceOf[StructType].toDDL

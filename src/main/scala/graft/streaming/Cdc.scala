@@ -300,11 +300,19 @@ object Cdc {
       maxPartitionsPerBatch: Int = 10000): Long = {
     import graft.sources.TxTable
     val latest = latestPerKey(changes, keyCols, lsnCol)
-    val withPart = latest.withColumn(partCol, partOf(latest))
-    val parts = collectChangedPartitions(
-      withPart, partCol, maxPartitionsPerBatch, "applyTx")
     val snap = TxTable.currentSnapshot(spark, txRoot).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $txRoot"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    // The derived partition value is cast to the STORED partition
+    // column's type BEFORE it is collected: pruning and drop candidates
+    // are matched by Hive directory STRING, so a wider partOf type
+    // (e.g. Double 3.0 against a stored BIGINT directory 'bucket=3')
+    // would read an empty target yet still drop the partition's old
+    // files — silently losing every unchanged key in it.
+    val withPart = latest.withColumn(
+      partCol, partOf(latest).cast(schema(partCol).dataType))
+    val parts = collectChangedPartitions(
+      withPart, partCol, maxPartitionsPerBatch, "applyTx")
     if (parts.isEmpty) return snap.version
     // MANIFEST-side pruning: only the changed partitions' files enter
     // the scan's file index — at 100 TB a batch touching 5 partitions
@@ -318,7 +326,6 @@ object Cdc {
     // align column order AND types to the manifest schema — the commit
     // is refused on mismatch, and partOf may produce a wider type than
     // the stored partition column
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
     val aligned = applied.withColumn(partCol, partOf(applied))
       .select(schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)

@@ -155,6 +155,24 @@ class CdcSpec extends SparkSpec {
       v0.entries.filter(_.partition == "bucket=3").toSet)
   }
 
+  test("applyTx with a wider-typed partOf still matches stored partitions") {
+    // partOf yields DOUBLE against a BIGINT-partitioned table: the
+    // collected values must be cast to the stored type before they are
+    // stringified, or pruning misses ('bucket=3.0' vs 'bucket=3') while
+    // the drop list still empties the partition — losing unchanged keys.
+    val (root, init) = txInit("widen")
+    val wide = (d: org.apache.spark.sql.DataFrame) =>
+      pmod(col("user_id"), lit(4L)).cast("double")
+    val changes = Seq((8L, 88.0, 10L, Cdc.Op.Update))
+      .toDF("user_id", "amount", "lsn", "op")
+    Cdc.applyTx(spark, root, changes, keys, data, "bucket", wide)
+    val got = state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn"))
+    val ref = state(Cdc.apply(init, changes, keys, data))
+    assert(got == ref,
+      "unchanged keys in the touched partition must survive a widened partOf")
+  }
+
   test("applyTx is idempotent: the same range twice ≡ once") {
     val (root, init) = txInit("idem")
     val changes = Seq(

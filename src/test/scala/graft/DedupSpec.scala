@@ -135,6 +135,26 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == Seq("a b c", "b c d"))
   }
 
+  test("jaccardPairsPruned: oversized stop list falls back to shuffled anti-join") {
+    // degenerate corpus: tiny maxDf over shared boilerplate makes the
+    // stop list most of the gram dictionary. With broadcastStopLimit=1
+    // the guard must take the non-broadcast path and still produce the
+    // same pairs as the broadcast path.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "entirely different padding text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    def run(limit: Long) =
+      Dedup.jaccardPairsPruned(docs, "doc_id", "text", 3, 0.5, 2, limit)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val shuffled = run(1L)       // forces the fallback
+    val broadcasted = run(1000000L)
+    assert(shuffled == broadcasted, "guarded fallback must not change results")
+    assert(shuffled.contains((1L, 3L)), "identical docs survive pruning")
+  }
+
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false)

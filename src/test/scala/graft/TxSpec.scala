@@ -139,6 +139,32 @@ class TxSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 6)
   }
 
+  test("append accepts a legacy manifest whose DDL carries NOT NULL markers") {
+    // manifests written before nullability normalization stored
+    // df.schema.toDDL verbatim (NOT NULL on non-nullable fields);
+    // requireSchema must normalize BOTH sides or such tables are
+    // permanently refused writes. Simulate one by rewriting v0's
+    // schema line the way the old writer emitted it.
+    val root = freshRoot("legacy")
+    TxTable.create(seed, root, Some("p"))
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_manifest/v0.manifest")
+    val text = {
+      val in = f.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val legacy = text.replaceFirst(
+      "#schema=k BIGINT", "#schema=k BIGINT NOT NULL")
+    assert(legacy != text, "test fixture must actually inject NOT NULL")
+    val os = f.create(p, true)
+    try os.write(legacy.getBytes("UTF-8")) finally os.close()
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p"))
+    assert(TxTable.read(spark, root).count() == 6)
+  }
+
   test("append with a divergent schema is refused before any commit") {
     val root = freshRoot("schema")
     TxTable.create(seed, root, Some("p"))
