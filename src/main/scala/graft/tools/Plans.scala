@@ -15,9 +15,12 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q_pricing_summary", "q_datamart_customer", "q_lookup_cascade",
-      "q_limit_by", "q_embed_cosine_pairs")
+    val names =
+      if (args.sameElements(Array("all"))) graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else Seq(
+        "q_pricing_summary", "q_datamart_customer", "q_lookup_cascade",
+        "q_limit_by", "q_embed_cosine_pairs")
     for (n <- names) {
       println(s"\n========== $n ==========")
       println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -40,6 +40,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("jaccard_pruned plans without a Window and shuffle-hashes the gram self-join") {
+    // r3 wins, pinned: set sizes come from a partial-aggregated
+    // groupBy (a Window here would sort every gram row), and the gram
+    // self-join must never broadcast-build the full gram table.
+    val plan = formatted(Catalog.queries("q_jaccard_pruned")(spark, sf))
+    assert(!plan.contains("Window"), plan.linesIterator.take(40).mkString("\n"))
+    assert(plan.contains("ShuffledHashJoin"),
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("ngram_jaccard shuffle-hashes the gram self-join, no Window") {
+    val plan = formatted(Catalog.queries("q_ngram_jaccard")(spark, sf))
+    assert(!plan.contains("Window"), plan.linesIterator.take(40).mkString("\n"))
+    assert(plan.contains("ShuffledHashJoin"),
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("knn_ann evaluates the hyperplane literal once per join side") {
+    // r3 win, pinned: the SRP plane table is a single typedlit whose
+    // dot products materialize ONCE per side (query + corpus caches).
+    // Before the fix, project collapse inlined it into the Generate
+    // child and the plan carried one copy per probe/band expansion.
+    val plan = formatted(Catalog.queries("q_knn_ann")(spark, sf))
+    val marker = "[[[1.1419053154730547"
+    val n = plan.sliding(marker.length).count(_ == marker)
+    assert(n == 2, s"hyperplane literal appears $n times (want 2: qD + cB)")
+  }
+
   test("pre-aggregation sits below the join in the flagship mart (J5)") {
     val df = Catalog.queries("q_datamart_customer")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {
