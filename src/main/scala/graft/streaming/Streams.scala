@@ -200,4 +200,58 @@ object Streams {
           feed.schema), keyCols, dataCols)
     else target
   }
+
+  /** Streaming TRANSACTIONAL CDC apply: drain the change feed in
+    * micro-batches, folding each into a [[graft.sources.TxTable]] via
+    * [[Cdc.applyTx]] — the continuous form of the MERGE target
+    * (SURVEY C9 × the transactional apply; reference:
+    * Integration/SSIS/Practice/004 CDC.md:354-362 for the MERGE
+    * semantics, 226-241 for the at-least-once watermark contract).
+    *
+    * Restart semantics (the property that matters for an unbounded
+    * feed): the checkpoint gives AT-LEAST-ONCE batch delivery — the
+    * offsets WAL is written before a batch runs, the commit-log entry
+    * after the user function returns, so a crash between applyTx's
+    * manifest commit and Spark's checkpoint commit REPLAYS that batch
+    * on restart. End-to-end correctness therefore leans on applyTx's
+    * idempotence (latest-per-key LSN reconcile: re-applying a range
+    * leaves row content unchanged, spec-proven), not on exactly-once
+    * delivery — the same contract the batch protocol's C5/C6 state
+    * machine documents, inherited unchanged by the streaming form.
+    * No batch can be LOST either: Spark only advances past a batch
+    * once the user function returned, i.e. once the manifest commit
+    * succeeded.
+    *
+    * `afterBatch` is a test seam (crash injection between the tx
+    * commit and the checkpoint commit); production callers leave the
+    * default no-op.
+    */
+  def cdcApplyTxStream(
+      spark: SparkSession,
+      feed: DataFrame,
+      txRoot: String,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      partCol: String,
+      partOf: DataFrame => org.apache.spark.sql.Column,
+      checkpoint: String,
+      lsnCol: String = "lsn",
+      opCol: String = "op",
+      afterBatch: Long => Unit = _ => ()): Unit = {
+    val q = feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty replayed batch (all its rows already folded) still
+        // reaches here; applyTx short-circuits on an empty partition
+        // set, so no table version is burned for it
+        Cdc.applyTx(spark, txRoot, batch, keyCols, dataCols,
+          partCol, partOf, lsnCol, opCol)
+        afterBatch(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

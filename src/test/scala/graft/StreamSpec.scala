@@ -211,6 +211,73 @@ class StreamSpec extends SparkSpec {
     assert(keys.sorted == Seq(1L, 2L, 3L), s"got $keys")
   }
 
+  test("streaming applyTx: crash-restart neither loses nor double-applies a batch") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import graft.sources.TxTable
+    import graft.streaming.Streams
+
+    val base = s"target/tmp/txstream_${System.nanoTime()}"
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val feedDir = s"$base/feed"
+    val keys = Seq("user_id"); val data = Seq("amount")
+    val bucketOf = (d: org.apache.spark.sql.DataFrame) =>
+      pmod(col("user_id"), lit(4L))
+
+    val init = (0L until 100L).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    TxTable.create(
+      init.withColumn("bucket", pmod(col("user_id"), lit(4L))), root, Some("bucket"))
+
+    // two change files -> two micro-batches (maxFilesPerTrigger=1)
+    val b0 = Seq(
+      (8L, 88.0, 10L, Cdc.Op.Update),
+      (102L, 12.0, 11L, Cdc.Op.Insert),
+      (13L, 0.0, 12L, Cdc.Op.Delete)).toDF("user_id", "amount", "lsn", "op")
+    val b1 = Seq(
+      (8L, 99.0, 20L, Cdc.Op.Update), // second update of the same key
+      (102L, 0.0, 21L, Cdc.Op.Delete),
+      (55L, 5.5, 22L, Cdc.Op.Update)).toDF("user_id", "amount", "lsn", "op")
+    b0.coalesce(1).write.parquet(s"$feedDir/f=0")
+    Thread.sleep(1100) // distinct mod times keep file->batch order deterministic
+    b1.coalesce(1).write.parquet(s"$feedDir/f=1")
+
+    def stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(feedDir)
+
+    // run 1: crash AFTER batch 0's manifest commit, BEFORE the
+    // checkpoint commit — the at-least-once window
+    val ex = intercept[StreamingQueryException] {
+      Streams.cdcApplyTxStream(spark, stream, root, keys, data,
+        "bucket", bucketOf, ckpt,
+        afterBatch = bid => if (bid == 0) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    // batch 0's transaction IS committed (version advanced past create's v0)
+    val vAfterCrash = TxTable.currentVersion(spark, root).get
+    assert(vAfterCrash >= 1L, "batch 0 must have committed before the crash")
+
+    // run 2: same checkpoint — Spark replays batch 0 (its checkpoint
+    // commit never happened), applyTx folds it idempotently, then
+    // batch 1 applies
+    Streams.cdcApplyTxStream(spark, stream, root, keys, data,
+      "bucket", bucketOf, ckpt)
+
+    val got = TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn").as[(Long, Double, Long)]
+      .collect().toSet
+    val ref = Cdc.apply(Cdc.apply(init, b0, keys, data), b1, keys, data)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == ref)
+    // spot-check the batch-boundary keys: 8 carries batch 1's value
+    // exactly once, 102 inserted then deleted, 13 deleted in batch 0
+    assert(got.contains((8L, 99.0, 20L)))
+    assert(!got.exists(_._1 == 102L))
+    assert(!got.exists(_._1 == 13L))
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==
