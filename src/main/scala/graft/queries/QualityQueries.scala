@@ -10,8 +10,8 @@ import graft.operators.{Fuzzy, Rules, Scd}
   */
 object QualityQueries {
 
-  def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, dqsValidate,
-    unknownMember, piiScrub)
+  def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, fuzzyGroupCc,
+    dqsValidate, unknownMember, piiScrub)
 
   /** PII redaction over the customer names (account-number shapes):
     * digits masked to '*', with a per-row redacted-character count for
@@ -148,6 +148,44 @@ object QualityQueries {
         concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100)))
         .otherwise(col("c_name")).as("name"))
     Fuzzy.group(mangled, "id", "name", tau = 0.85)
+      .select(col("_key_in"), col("_key_out"), col("name"))
+      .orderBy(col("_key_in"))
+  }
+
+  /** Transitive Fuzzy Grouping over the same mangled population:
+    * connected components of the ≥τ similarity graph (min-label
+    * propagation + pointer jumping in Spark). The oracle computes the
+    * SAME fixpoint from first principles — a recursive reachability
+    * CTE over the brute-force similarity edges, component id = min
+    * reachable id — so equality proves both the gram blocking's recall
+    * AND the distributed fixpoint iteration exact.
+    */
+  val fuzzyGroupCc: Q = Q(
+    "q_fuzzy_group_cc",
+    """WITH RECURSIVE m AS (SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey % 3 = 0
+      |      THEN substring(c_name, 1, 8) || substring(c_name, 10)
+      |      ELSE c_name END AS name
+      |  FROM customer WHERE c_custkey < 200),
+      |sim AS (SELECT a.id AS src, b.id AS dst
+      |  FROM m a JOIN m b ON a.id <> b.id
+      |    AND 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+      |      / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE) >= 0.85),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM m
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sim s ON r.dst = s.src)
+      |SELECT m.id AS _key_in, comp._key_out, m.name
+      |FROM m JOIN (SELECT src, MIN(dst) AS _key_out
+      |  FROM reach GROUP BY src) comp ON m.id = comp.src
+      |ORDER BY _key_in""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir).filter(col("c_custkey") < 200)
+    val mangled = cust.select(
+      col("c_custkey").as("id"),
+      when(col("c_custkey") % 3 === 0,
+        concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100)))
+        .otherwise(col("c_name")).as("name"))
+    Fuzzy.groupConnected(mangled, "id", "name", tau = 0.85)
       .select(col("_key_in"), col("_key_out"), col("name"))
       .orderBy(col("_key_in"))
   }

@@ -48,6 +48,66 @@ class QualitySpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 3L)
   }
 
+  test("group is one-level, groupConnected closes the chain (§7.4 risk 1)") {
+    // sim(A,B) = sim(B,C) = 0.9, sim(A,C) = 0.8 < τ=0.85: a 3-chain
+    // whose endpoints only connect through the middle row
+    val df = Seq(
+      (1L, "aaaaaaaaaa"),
+      (2L, "baaaaaaaaa"),
+      (3L, "bbaaaaaaaa"),
+      (9L, "zzzzzzzzzz") // isolated
+    ).toDF("id", "name")
+    // documented single-level contract: C's neighborhood is {B} only,
+    // so it canonicalizes to 2 while A,B pick 1 — the split this
+    // operator accepts by design
+    val oneLevel = Fuzzy.group(df, "id", "name", tau = 0.85)
+      .select("_key_in", "_key_out").as[(Long, Long)].collect().toMap
+    assert(oneLevel == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 9L -> 9L))
+    // transitive contract: one component {A,B,C} under min id 1
+    val cc = Fuzzy.groupConnected(df, "id", "name", tau = 0.85)
+      .select("_key_in", "_key_out").as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("groupConnected equals a driver-side union-find on real names") {
+    val cust = Tables.customer(spark, sf).filter($"c_custkey" < 120)
+    val mangled = cust.select(
+      $"c_custkey".as("id"),
+      when($"c_custkey" % 3 === 0,
+        concat(substring($"c_name", 1, 8), substring($"c_name", 10, 100)))
+        .otherwise($"c_name").as("name"))
+    val rows = mangled.as[(Long, String)].collect()
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      if 1.0 - lev(sa, sb).toDouble / math.max(sa.length, sb.length) >= 0.85
+    } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = rows.map(r => r._1 -> find(r._1)).toMap
+
+    val got = Fuzzy.groupConnected(mangled, "id", "name", tau = 0.85)
+      .select("_key_in", "_key_out").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("Scd.scd2 classifies unchanged/changed/new/absent") {
     val dim = Seq(
       (1L, "a", true, "2020-01-01", null.asInstanceOf[String]),
