@@ -43,17 +43,22 @@ object Bench {
     }
 
     // A query that throws records the sentinel -1 (not a plausible
-    // wall-clock) and lands in `errors`; it is excluded from MIN so a
-    // flaky pass can't mask a real failure, but a query that fails in
-    // EVERY pass stays -1.
-    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // wall-clock) for that pass; failed passes are excluded from MIN
+    // so a flaky pass can't mask a real timing. The two failure modes
+    // are reported SEPARATELY so consumers never see a query listed as
+    // an error while also carrying a valid time: `errors` = failed in
+    // EVERY pass (its MIN stays -1 and it contributes nothing to the
+    // total); `flaky` = failed in some pass but succeeded in another
+    // (its MIN is a real wall-clock from the passing run).
+    val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val names = SparkEntry.queries.keys.toSeq
     def onePass(): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => errors += name; false }
+                 catch { case _: Throwable =>
+                   failCounts(name) = failCounts.getOrElse(name, 0) + 1; false }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // operators persist() blocking intermediates; release them so a
         // 65-query pass doesn't accumulate cached blocks across queries
@@ -68,7 +73,12 @@ object Bench {
     }
     def qjson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def strArr(ss: Iterable[String]): String =
+      ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = strArr(failCounts.collect {
+      case (n, c) if c == Passes => n })
+    val flakyJson = strArr(failCounts.collect {
+      case (n, c) if c < Passes => n })
     val total = best.map(_._2).filter(_ >= 0).sum
     val passJson = passes.map(p => qjson(names.map(n => n -> p(n))))
       .mkString("[", ",", "]")
@@ -78,12 +88,13 @@ object Bench {
     // a line truncated mid-number), so the machine-readable contract
     // is: short final line on stdout, full detail in target/bench.json.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,""" +
-      s""""queries":${qjson(best)},"raw_passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""queries":${qjson(best)},"raw_passes":$passJson,"errors":$errJson,""" +
+      s""""flaky":$flakyJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")
     catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"n":${best.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"n":${best.size},"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
