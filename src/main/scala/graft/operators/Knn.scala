@@ -212,6 +212,38 @@ object Knn {
       .select(col("d1"), col("d2"), col("cosine"))
   }
 
+  /** Cross-corpus embedding decontamination: flag corpus rows whose
+    * cosine against ANY benchmark vector clears `tau` — the
+    * embedding-space twin of the n-gram `Dedup.jaccardAgainstPairs`
+    * (train-set leakage scan before a training run). Emits one row
+    * per contaminated corpus id: hit count and max cosine.
+    *
+    * Scale shape: the benchmark side is tiny by nature (eval suites,
+    * not corpora) and BROADCASTS; the corpus streams through one
+    * codegen stage and the per-row reduction happens in the partial
+    * aggregate (map-side combine), so the only shuffle carries at
+    * most one row per FLAGGED corpus id — linear in |corpus|, no
+    * pair set materializes past the map side. Norms precompute per
+    * row; the per-pair arithmetic is the same sequential fold as the
+    * oracle's, so cosines (and the max over them) are bit-identical.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val c = corpus.select(
+      col(idCol), col(vecCol).as("__cv"), Vec.norm(col(vecCol)).as("__cn"))
+      .repartition(col(idCol)) // parallelize from 1-row-group scans
+    val b = benchmark.select(
+      col(idCol).as("__bench_id"), col(vecCol).as("__bv"),
+      Vec.norm(col(vecCol)).as("__bn"))
+    c.join(broadcast(b), col(idCol) =!= col("__bench_id"))
+      .withColumn("cosine",
+        Vec.dot(col("__cv"), col("__bv")) / (col("__cn") * col("__bn")))
+      .filter(col("cosine") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
   /** All pairs with cosine ≥ tau (embedding near-dup detection),
     * id-ordered. Brute-force self-join baseline for the bucketed
     * variant above; the oracle gate at small scale.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.ExactAgg
-import graft.sources.{CsvIngest, FixedWidth, Jdbc, TypeMatrix}
+import graft.sources.{CsvIngest, FixedWidth, Jdbc, JsonIngest, TypeMatrix}
 
 /** Source/sink surface exercised end-to-end (SURVEY §2.1): the
   * migration pipeline's interchange round-trip — export to the
@@ -16,7 +16,34 @@ import graft.sources.{CsvIngest, FixedWidth, Jdbc, TypeMatrix}
 object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
-    xmlRoundtrip)
+    xmlRoundtrip, jsonlRoundtrip)
+
+  /** JSONL: the documents corpus exports as newline-delimited JSON,
+    * reads back typed through the PERMISSIVE quarantine path under
+    * the error budget, then aggregates per language; the oracle
+    * aggregates the original parquet — equality proves the JSONL
+    * round-trip lossless (including multi-byte text content).
+    */
+  val jsonlRoundtrip: Q = Q(
+    "q_jsonl_roundtrip",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    // absolute path: the driver may invoke Verify from any CWD
+    val out = s"/root/repo/target/tmp/jsonl_${new java.io.File(dir).getName}"
+    JsonIngest.writeInterchange(docs, out)
+    val (good, bad) = CsvIngest.splitCorrupt(
+      JsonIngest.readStaging(s, out, docs.schema), runId = "jsonl_roundtrip")
+    CsvIngest.enforceBudget(good.count(), bad.count())
+    good.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
 
   /** S7 XML: customer exports as repeated row elements, reads back
     * through the schema-declared (XSD-analog) PERMISSIVE XML source,

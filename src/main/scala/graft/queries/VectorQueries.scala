@@ -11,7 +11,8 @@ import graft.operators.Knn
   */
 object VectorQueries {
 
-  def all: Seq[Q] = Seq(cosinePairs, srpPairs, knnBrute, knnAnn, knnIvf)
+  def all: Seq[Q] = Seq(cosinePairs, srpPairs, knnBrute, knnAnn, knnIvf,
+    embedDecontaminate)
 
   /** SRP-bucketed near-dup pairs — the catalog's SCALE default for
     * whole-corpus embedding dedup (the exact `q_embed_cosine_pairs`
@@ -85,5 +86,33 @@ object VectorQueries {
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, dim = 64)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-space decontamination: corpus vectors (vec_id % 20 ≠ 0)
+    * scanned against the benchmark slice (vec_id % 20 = 0) — one row
+    * per contaminated corpus id with hit count and max cosine. The
+    * oracle recomputes the same broadcast-join-then-aggregate from the
+    * brute-force pair set with the identical sequential cosine fold.
+    * (Declared after `cosineSql`: object vals initialize in order.)
+    */
+  val embedDecontaminate: Q = Q(
+    "q_embed_decontaminate",
+    s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS bv
+       |    FROM embeddings WHERE vec_id % 20 = 0),
+       |c AS (SELECT vec_id, embedding AS cv
+       |    FROM embeddings WHERE vec_id % 20 <> 0),
+       |scored AS (SELECT c.vec_id,
+       |    ${cosineSql.replace("E1", "cv").replace("E2", "bv")} AS cosine
+       |  FROM c JOIN b ON c.vec_id <> b.bench_id)
+       |SELECT vec_id, COUNT(*) AS n_hits, MAX(cosine) AS max_cosine
+       |FROM scored WHERE cosine >= 0.4
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Knn.decontaminate(
+      emb.filter(col("vec_id") % 20 =!= 0),
+      emb.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", tau = 0.4)
+      .orderBy(col("vec_id"))
   }
 }

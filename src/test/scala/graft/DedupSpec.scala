@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"SRP pair recall $recall too low")
   }
 
+  test("decontaminate equals the brute-force pair aggregate") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val bench = emb.filter(col("vec_id") % 20 === 0)
+    val got = Knn.decontaminate(corpus, bench, "vec_id", "embedding", 0.4)
+      .select("vec_id", "n_hits", "max_cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: exact pairs from the oracle-gated cosinePairs kernel,
+    // restricted to corpus×bench, aggregated driver-side
+    val pairs = Knn.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("d1", "d2", "cosine").as[(Long, Long, Double)].collect()
+    val crossed = pairs.flatMap { case (a, b, c) =>
+      Seq((a, b, c), (b, a, c)) }.filter { case (cid, bid, _) =>
+        cid % 20 != 0 && bid % 20 == 0 }
+    val expected = crossed.groupBy(_._1).map { case (cid, hits) =>
+      (cid, hits.length.toLong, hits.map(_._3).max) }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must contain contaminated rows")
+  }
+
   test("multi-probe raises ANN recall at a fixed table budget") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 20)

@@ -84,6 +84,41 @@ class SourcesSpec extends SparkSpec {
     CsvIngest.enforceBudget(good.count(), bad.count(), maxRatio = 0.3)
   }
 
+  test("dirty JSONL: typed landing, quarantine keeps raw lines, budget") {
+    import graft.sources.JsonIngest
+    import org.apache.spark.sql.types._
+    val dir = Files.createDirectories(
+      Paths.get(s"target/tmp/jsonl_${System.nanoTime()}")).toString
+    val jsonl =
+      """{"id": 1, "name": "alice", "amount": 10.5}
+        |{"id": 2, "name": "bob", "amount": null}
+        |{"id": 3, "name": "broken line no close
+        |{"id": "not_a_number", "name": "carol", "amount": 1.0}
+        |""".stripMargin
+    Files.writeString(Paths.get(s"$dir/data.jsonl"), jsonl)
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DoubleType)))
+    val staged = JsonIngest.readStaging(spark, s"$dir/data.jsonl", target)
+    val (good, bad) = CsvIngest.splitCorrupt(staged, "jrun")
+    assert(good.count() + bad.count() == 4, "good+bad = input (lossless)")
+    // both the unparseable line AND the type-mismatch line quarantine
+    assert(bad.count() == 2)
+    val raws = bad.select("raw_record").as[String].collect()
+    assert(raws.exists(_.contains("broken line")), "raw line preserved")
+    assert(raws.exists(_.contains("not_a_number")), "type mismatch preserved")
+    assert(bad.select("error_code").as[String].collect()
+      .forall(_ == "MALFORMED_ROW"))
+    // typed values land typed — no promote hop for JSON
+    assert(good.filter($"id" === 1).head.getAs[Double]("amount") == 10.5)
+    assert(good.filter($"id" === 2).head.isNullAt(2), "explicit null stays null")
+    // 2 of 4 = 50%: over the default 10% ratio budget
+    intercept[CsvIngest.ErrorBudgetExceeded] {
+      CsvIngest.enforceBudget(good.count(), bad.count())
+    }
+    CsvIngest.enforceBudget(good.count(), bad.count(), maxRatio = 0.5)
+  }
+
   test("budget enforcement raises on ratio violation") {
     intercept[CsvIngest.ErrorBudgetExceeded] {
       CsvIngest.enforceBudget(goodCount = 4, badCount = 1) // 20% > 10%
