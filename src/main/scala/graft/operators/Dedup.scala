@@ -66,6 +66,30 @@ object Dedup {
     countVerifiedPairs(ex, tau)
   }
 
+  /** Corpus-scale DUPLICATE-CLUSTER assignment: connected components
+    * over the exact blocked Jaccard pairs — the canonical "keep one
+    * per duplicate cluster" pass of a training-data pipeline (pairwise
+    * near-dup output alone under-deletes: a chain A~B~C with only
+    * pairwise handling can keep two of three). One row per document:
+    * `cluster_id` (the cluster's minimum doc id) and `is_canonical`
+    * (true for the representative to KEEP; filtering on it yields the
+    * deduplicated corpus). The fixpoint runs in
+    * [[Components.connected]] — O(log diameter) rounds of narrow
+    * id/label shuffles over the pair set, so the cost beyond
+    * [[jaccardPairs]] itself is a few metadata-sized joins.
+    */
+  def duplicateClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, tau)
+    val labels = Components.connected(
+      df.select(col(idCol)), idCol, pairs, "d1", "d2")
+    labels.select(
+      col(idCol),
+      col("component").as("cluster_id"),
+      (col(idCol) === col("component")).as("is_canonical"))
+  }
+
   /** Jaccard over DOCUMENT-FREQUENCY-PRUNED shingle sets (stop-shingle
     * pruning): grams appearing in more than `maxDf` documents are
     * dropped from every set before similarity is computed. This bounds

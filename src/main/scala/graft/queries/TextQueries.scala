@@ -13,8 +13,8 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
-    ngramJaccard, jaccardPruned, minhashDedup, simhashPairs, tokenRegex,
-    decontaminate, repetition)
+    ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
+    tokenRegex, decontaminate, repetition)
 
   /** Repetition/boilerplate scoring: duplicate-token ratio per
     * document, bucketed — the quality-filter signal that drops
@@ -295,6 +295,47 @@ object TextQueries {
     Dedup.jaccardPairsPruned(Tables.documents(s, dir), "doc_id", "text",
         n = 3, tau = 0.8, maxDf = 20)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Duplicate-cluster assignment: connected components over the
+    * q_ngram_jaccard pair set, one row per document with its cluster
+    * id and keep flag. The oracle recomputes the same fixpoint from
+    * first principles — recursive reachability over the brute-force
+    * pair edges, cluster id = min reachable doc id — so equality
+    * proves the distributed label propagation exact over the full
+    * corpus (isolated documents included).
+    */
+  val dedupClusters: Q = Q(
+    "q_dedup_clusters",
+    """WITH RECURSIVE toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |shl AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |  FROM toks),
+      |sh AS (SELECT doc_id, unnest(s) AS g FROM shl),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM shl),
+      |edges AS (SELECT d1, d2
+      |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |  WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.8),
+      |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+      |  UNION ALL SELECT d2, d1 FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+      |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+      |  MIN(dst) = src AS is_canonical
+      |FROM reach GROUP BY src
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.duplicateClusters(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, tau = 0.8)
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash-LSH near-dup pairs (scale path; xxhash64 signatures are

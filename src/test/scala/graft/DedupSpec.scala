@@ -27,6 +27,29 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b }, "pairs are id-ordered")
   }
 
+  test("duplicateClusters: edges stay intra-cluster, one canonical each, total") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    // total: every document is assigned exactly once
+    assert(clusters.length == docs.count())
+    val byId = clusters.map(c => c._1 -> c._2).toMap
+    // every near-dup edge has both endpoints in the same cluster
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"edge ($a,$b) split across clusters") }
+    // cluster id is the member minimum; exactly its owner is canonical
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid)
+    }
+    // duplicates exist in the fixture, so some cluster has >1 member
+    assert(clusters.exists(c => c._2 != c._1))
+  }
+
   test("minhash LSH: no false positives, high recall vs exact") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

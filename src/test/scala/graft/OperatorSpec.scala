@@ -1,10 +1,56 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Lookup, Profile, RangeJoin, Split}
+import graft.operators.{AsOf, Funnel, Lookup, Profile, RangeJoin, Split}
 
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
+
+  test("funnel chains first-touch strictly: out-of-order steps don't count") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: purchase BEFORE view — reaches view only
+      (2L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:30:00")),
+      (2L, "view", ts("2024-01-01 11:00:00")),
+      // user 3: no signup — never enters the funnel
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 4: view at EXACTLY the signup instant — strict > excludes
+      (4L, "signup", ts("2024-01-01 10:00:00")),
+      (4L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("1_signup" -> 3L, "2_view" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("cohortRetention counts a user once per active week from their cohort") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: signs up week of Jan 1 (Mon), active weeks 0 and 2,
+      // with TWO events in week 2 (must count once)
+      (1L, "signup", ts("2024-01-02 10:00:00")),
+      (1L, "click", ts("2024-01-16 10:00:00")),
+      (1L, "view", ts("2024-01-17 10:00:00")),
+      // user 2: same cohort week, pre-signup activity ignored
+      (2L, "view", ts("2023-12-26 10:00:00")),
+      (2L, "signup", ts("2024-01-03 10:00:00")),
+      // user 3: no signup — in no cohort
+      (3L, "click", ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "event_type", "ts", "signup")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_active"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", 0L, 2L), // both cohort members active week 0
+      ("2024-01-01 00:00:00", 2L, 1L))) // user 1 active week 2, counted once
+  }
 
   test("as-of join attaches the latest at-or-before value per key") {
     val left = Seq(
