@@ -55,7 +55,10 @@ object ScaleRehearsal {
 
   private val Family = Seq(
     "q_ngram_jaccard", "q_jaccard_pruned", "q_simhash_pairs",
-    "q_embed_srp_pairs", "q_knn_ann", "q_knn_ivf", "q_cdc_tx")
+    "q_embed_srp_pairs", "q_knn_ann", "q_knn_ivf", "q_cdc_tx",
+    // iterative connected-components family: rounds scale with
+    // component diameter, each round with corpus size
+    "q_dedup_clusters", "q_embed_decontaminate")
 
   private val Copies = 10
   private val IdStride = 10000000L

@@ -27,6 +27,24 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b }, "pairs are id-ordered")
   }
 
+  test("Components: 200-node path graph converges within the iteration cap") {
+    // a pure chain is the worst case for plain min-propagation
+    // (O(diameter) rounds); pointer jumping must close it in
+    // O(log n) — well inside the default maxIters=30
+    val nodes = spark.range(0, 200).toDF("id")
+    val edges = spark.range(0, 199)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val got = graft.operators.Components.connected(nodes, "id", edges, "src", "dst")
+      .select("id", "component").as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L), "one chain, min id 0")
+    // two isolated nodes + disjoint triangle keep separate labels
+    val n2 = Seq(10L, 20L, 30L, 31L, 32L).toDF("id")
+    val e2 = Seq((30L, 31L), (31L, 32L), (32L, 30L)).toDF("src", "dst")
+    val got2 = graft.operators.Components.connected(n2, "id", e2, "src", "dst")
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got2 == Map(10L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
   test("duplicateClusters: edges stay intra-cluster, one canonical each, total") {
     val docs = Tables.documents(spark, sf)
     val clusters = Dedup.duplicateClusters(docs, "doc_id", "text", 3, 0.8)
