@@ -319,6 +319,42 @@ object TxTable {
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries)
   }
 
+  /** ADDITIVE schema evolution, metadata-only: commit a new version
+    * whose schema is the current one plus `newCols` (appended), over
+    * the SAME data files — no rewrite at any size. Old files simply
+    * lack the new columns and the declared-schema read
+    * ([[readEntries]] passes the manifest schema to the parquet
+    * reader) fills them with NULL, exactly the semantics a widened
+    * table should have.
+    *
+    * Only nullable additions are legal (a required column would make
+    * every existing row invalid — the additions are force-nullable
+    * here), and names must not collide with existing columns. After
+    * evolution, writers must carry the widened schema: a writer still
+    * holding the old one is refused by [[requireSchema]] — the loud
+    * failure that prevents silently nulling the new column on every
+    * append from a stale job. Concurrency: the version bump goes
+    * through the same exclusive-create [[commit]] as every other
+    * write, so an evolve racing a data commit loses cleanly.
+    */
+  def addColumns(
+      spark: SparkSession, root: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(newCols.nonEmpty, "addColumns: no columns given")
+    val cur = requireSnapshot(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val clash = newCols.map(_.name).intersect(schema.fieldNames.toSeq)
+    require(clash.isEmpty,
+      s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+    val dup = newCols.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty,
+      s"addColumns: duplicate new column name(s): ${dup.mkString(", ")}")
+    val evolved = StructType(
+      schema.fields ++ newCols.map(_.copy(nullable = true)))
+    commit(spark, root, cur.version + 1,
+      nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries)
+  }
+
   /** A commit must match the table's declared schema: divergent
     * parquet files would read back under the manifest schema with
     * silently-nulled or dropped columns. Compared NULLABILITY-

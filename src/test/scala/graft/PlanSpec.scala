@@ -72,6 +72,41 @@ class PlanSpec extends SparkSpec {
     assert(n == 2, s"hyperplane literal appears $n times (want 2: qD + cB)")
   }
 
+  test("decontaminate broadcasts the benchmark and partial-aggregates before its only exchange") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.operators.Knn.decontaminate(
+      emb.filter(col("vec_id") % 20 =!= 0),
+      emb.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", 0.4)
+    val plan = formatted(df)
+    // the join is non-equi (id inequality over a broadcast benchmark),
+    // so the right shape is a broadcast nested-loop with the BENCH
+    // side built — each corpus row scans the broadcast bench rows once
+    assert(plan.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"), "pair set must never sort-merge")
+    // map-side combine: a HashAggregate below the shuffle (partial)
+    // and one above (final) — the pair set itself never shuffles
+    val aggs = plan.sliding("HashAggregate".length).count(_ == "HashAggregate")
+    assert(aggs >= 2, s"want partial+final HashAggregate, saw $aggs")
+  }
+
+  test("funnel steps reuse ONE cached co-partitioned events projection") {
+    val df = graft.operators.Funnel.funnel(
+      Tables.events(spark, sf), "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+    val plan = formatted(df)
+    // every step reads the persisted projection, so the whole funnel
+    // carries exactly ONE underlying parquet scan node (FormattedMode
+    // re-prints the cached subtree per usage but keeps its node id)
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 1,
+      s"events parquet must be scanned via one node, saw ids $scanIds")
+    graft.CacheScope.release()
+  }
+
   test("pre-aggregation sits below the join in the flagship mart (J5)") {
     val df = Catalog.queries("q_datamart_customer")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {

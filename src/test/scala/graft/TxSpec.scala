@@ -33,6 +33,52 @@ class TxSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 6)
   }
 
+  test("addColumns: metadata-only widening, null backfill, stale writers refused") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val root = freshRoot("evolve")
+    TxTable.create(seed, root, Some("p"))
+    val dataFilesBefore = TxTable.snapshot(spark, root, 0L).entries.toSet
+
+    val v = TxTable.addColumns(spark, root, Seq(StructField("note", StringType)))
+    assert(v == 1L)
+    // metadata-only: the exact same data files back the new version
+    assert(TxTable.snapshot(spark, root, 1L).entries.toSet == dataFilesBefore)
+    // old rows read back with the new column null-backfilled
+    val widened = TxTable.read(spark, root)
+    assert(widened.schema.fieldNames.contains("note"))
+    assert(widened.filter(col("note").isNotNull).count() == 0)
+    assert(widened.count() == 5)
+    // time travel still reads the PRE-evolution schema
+    assert(!TxTable.readVersion(spark, root, 0L)
+      .schema.fieldNames.contains("note"))
+
+    // a writer with the widened schema appends; values round-trip
+    TxTable.append(
+      Seq((6L, "C", 60.0, "fresh")).toDF("k", "p", "v", "note"),
+      root, Some("p"))
+    val after = TxTable.read(spark, root)
+    assert(after.count() == 6)
+    assert(after.filter(col("note") === "fresh").count() == 1)
+    // a STALE writer still holding the old schema is refused loudly
+    intercept[IllegalArgumentException] {
+      TxTable.append(Seq((7L, "A", 70.0)).toDF("k", "p", "v"), root, Some("p"))
+    }
+    // name collisions and empty additions are contract errors
+    intercept[IllegalArgumentException] {
+      TxTable.addColumns(spark, root, Seq(StructField("note", StringType)))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.addColumns(spark, root, Seq.empty)
+    }
+    // compaction rewrites under the EVOLVED schema: backfilled nulls
+    // and fresh values both survive
+    TxTable.compact(spark, root, targetFileBytes = 1L)
+    val compacted = TxTable.read(spark, root)
+    assert(compacted.count() == 6)
+    assert(compacted.filter(col("note") === "fresh").count() == 1)
+    assert(compacted.filter(col("note").isNull).count() == 5)
+  }
+
   test("overwritePartitions swaps ONLY touched partitions in one commit") {
     val root = freshRoot("ow")
     TxTable.create(seed, root, Some("p"))
