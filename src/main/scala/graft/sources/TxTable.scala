@@ -355,6 +355,35 @@ object TxTable {
       nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries)
   }
 
+  /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
+    * data files keep the bytes (immutable), but the narrowed declared
+    * schema projects them away on every read — and [[compact]]'s
+    * rewrite physically sheds them when it next runs. Refuses to drop
+    * a column that appears in any entry's partition directory (the
+    * partition key is structural: pruning and overwritePartitions
+    * address directories by it) and refuses to drop ALL columns.
+    */
+  def dropColumns(
+      spark: SparkSession, root: String, names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns: no columns given")
+    val cur = requireSnapshot(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missing = names.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"dropColumns: no such column(s): ${missing.mkString(", ")}")
+    val partCols = cur.entries.flatMap(e =>
+      e.partition.split('=').headOption.filter(_.nonEmpty)).toSet
+    val structural = names.filter(partCols.contains)
+    require(structural.isEmpty,
+      s"dropColumns: ${structural.mkString(", ")} is the partition key " +
+        "of existing data — rewrite the table instead")
+    val kept = schema.fields.filterNot(f => names.contains(f.name))
+    require(kept.nonEmpty, "dropColumns: cannot drop every column")
+    commit(spark, root, cur.version + 1,
+      nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
+      cur.entries)
+  }
+
   /** A commit must match the table's declared schema: divergent
     * parquet files would read back under the manifest schema with
     * silently-nulled or dropped columns. Compared NULLABILITY-

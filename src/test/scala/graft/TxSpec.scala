@@ -79,6 +79,42 @@ class TxSpec extends SparkSpec {
     assert(compacted.filter(col("note").isNull).count() == 5)
   }
 
+  test("dropColumns: projection-only narrowing; partition key protected") {
+    val root = freshRoot("drop")
+    TxTable.create(seed, root, Some("p"))
+    val before = TxTable.snapshot(spark, root, 0L).entries.toSet
+    TxTable.dropColumns(spark, root, Seq("v"))
+    // same files, narrowed read
+    assert(TxTable.snapshot(spark, root, 1L).entries.toSet == before)
+    val narrowed = TxTable.read(spark, root)
+    assert(narrowed.schema.fieldNames.sorted.toSeq == Seq("k", "p"))
+    assert(narrowed.count() == 5)
+    // time travel still carries the dropped column
+    assert(TxTable.readVersion(spark, root, 0L)
+      .schema.fieldNames.contains("v"))
+    // writers must use the narrowed schema now
+    TxTable.append(Seq((6L, "C")).toDF("k", "p"), root, Some("p"))
+    assert(TxTable.read(spark, root).count() == 6)
+    intercept[IllegalArgumentException] {
+      TxTable.append(Seq((7L, "A", 70.0)).toDF("k", "p", "v"), root, Some("p"))
+    }
+    // structural and contract guards
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumns(spark, root, Seq("p")) // partition key
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumns(spark, root, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumns(spark, root, Seq("k", "p")) // would leave nothing + partition key
+    }
+    // compaction under the narrowed schema physically sheds the column
+    TxTable.compact(spark, root, targetFileBytes = 1L)
+    assert(TxTable.read(spark, root).schema.fieldNames.sorted.toSeq ==
+      Seq("k", "p"))
+    assert(TxTable.read(spark, root).count() == 6)
+  }
+
   test("overwritePartitions swaps ONLY touched partitions in one commit") {
     val root = freshRoot("ow")
     TxTable.create(seed, root, Some("p"))
