@@ -14,7 +14,118 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
-    tokenRegex, decontaminate, repetition)
+    tokenRegex, decontaminate, repetition, packSequences, corpusSelect)
+
+  /** Sequence packing (training-batch prep): greedy sequential
+    * token-budget packing in id order, sharded 8 ways — pack id =
+    * ⌊prior running token total / budget⌋ within the shard. The
+    * oracle replays the identical window arithmetic; output is pack
+    * occupancy (the training-side contract: how full the sequences
+    * run).
+    */
+  val packSequences: Q = Q(
+    "q_pack_sequences",
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, shard, toks,
+      |    SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT shard, CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+      |FROM c
+      |GROUP BY shard, pack_id
+      |ORDER BY shard, pack_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Pack
+    val packed = Pack.pack(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", size(Text.tokens(col("text"))), budget = 512L, numShards = 8)
+    packed.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("total_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** CAPSTONE composition — the full training-corpus selection
+    * pipeline in ONE query: keep a document iff it is (a) the
+    * canonical representative of its near-dup cluster, (b) tagged
+    * English, (c) at or above medium quality, and (d) not
+    * contaminated against the benchmark slice. Each leg reuses an
+    * already-oracle-gated operator (duplicateClusters,
+    * q_quality_score's formula, jaccardAgainstPairs); the oracle
+    * re-derives all four from first principles in one SQL statement —
+    * equality proves the operators COMPOSE, not just pass alone.
+    */
+  lazy val corpusSelect: Q = Q( // lazy: reads enStops, declared below
+    "q_corpus_select",
+    s"""WITH RECURSIVE toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |shl AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [] END) AS s
+       |  FROM toks),
+       |sh AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shl),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+       |    COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |edges AS (SELECT d1, d2 FROM inter
+       |  WHERE CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) >= 0.8),
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+       |  UNION ALL SELECT d2, d1 FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+       |canon AS (SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING MIN(dst) = src),
+       |contaminated AS (SELECT DISTINCT tr.doc_id
+       |  FROM sh tr JOIN sh be ON tr.g = be.g
+       |    AND tr.doc_id % 20 <> 0 AND be.doc_id % 20 = 0
+       |  GROUP BY tr.doc_id, be.doc_id, tr.n, be.n
+       |  HAVING CAST(COUNT(*) AS DOUBLE)
+       |    / CAST(tr.n + be.n - COUNT(*) AS DOUBLE) >= 0.8),
+       |q AS (SELECT t.doc_id,
+       |    CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |    (CAST(least(len(t.t), 200) AS DOUBLE)/200.0)*0.5 +
+       |    (CAST(len(list_intersect(list_distinct(t.t), ${sqlList(enStops)})) AS DOUBLE)
+       |      / CAST(len(t.t) AS DOUBLE))*0.5 AS quality
+       |  FROM toks t)
+       |SELECT d.doc_id, q.n_tokens, q.quality
+       |FROM documents d
+       |JOIN canon USING (doc_id)
+       |JOIN q ON d.doc_id = q.doc_id
+       |WHERE d.lang = 'en' AND d.doc_id % 20 <> 0
+       |  AND q.quality >= 0.15
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val canonical = Dedup.duplicateClusters(docs, "doc_id", "text", 3, 0.8)
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val contaminated = Dedup.jaccardAgainstPairs(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, tau = 0.8)
+      .select(col("d1").as("doc_id")).distinct()
+    val toks = Text.tokens(col("text"))
+    val quality = col("len_score") * 0.5 +
+      (col("s_en").cast("double") / col("n_tokens").cast("double")) * 0.5
+    docs.filter(col("lang") === "en" && col("doc_id") % 20 =!= 0)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (least(size(toks), lit(200)).cast("double") / 200.0).as("len_score"),
+        Text.overlapScore(array_distinct(toks), enStops).as("s_en"))
+      .join(canonical, "doc_id") // semi by construction: canonical is unique
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), quality.as("quality"))
+      .filter(col("quality") >= 0.15)
+      .orderBy(col("doc_id"))
+  }
 
   /** Repetition/boilerplate scoring: duplicate-token ratio per
     * document, bucketed — the quality-filter signal that drops

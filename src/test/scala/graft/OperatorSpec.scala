@@ -30,6 +30,25 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map("1_signup" -> 3L, "2_view" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("pack: budget boundaries, oversize rows, shard independence") {
+    import graft.operators.Pack
+    val df = Seq(
+      (0L, 60L), (2L, 60L), (4L, 60L), // shard 0: cum 60,120,180
+      (1L, 250L), (3L, 10L)            // shard 1: oversize then small
+    ).toDF("id", "toks")
+    val got = Pack.pack(df, "id", col("toks"), budget = 100L, numShards = 2)
+      .select("id", "shard", "pack_id").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // shard 0: doc 0 starts at 0 → pack 0; doc 2 starts at 60 → pack 0
+    // (overflows to 120 — at most one doc over budget); doc 4 starts
+    // at 120 → pack 1
+    assert(got(0L) == ((0L, 0L)) && got(2L) == ((0L, 0L)) && got(4L) == ((0L, 1L)))
+    // shard 1: oversize doc 1 starts at 0 → pack 0 alone spans past
+    // the budget; doc 3 starts at 250 → pack 2 (packs 1 skipped — ids
+    // are ⌊offset/budget⌋, not dense ranks, by contract)
+    assert(got(1L) == ((1L, 0L)) && got(3L) == ((1L, 2L)))
+  }
+
   test("cohortRetention counts a user once per active week from their cohort") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
