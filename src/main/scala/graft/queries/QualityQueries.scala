@@ -135,11 +135,17 @@ object QualityQueries {
       |  FROM m a JOIN m b ON a.id <> b.id
       |    AND 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
       |      / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE) >= 0.85
-      |  GROUP BY a.id)
-      |SELECT m.id AS _key_in,
-      |  least(COALESCE(nbr.min_nbr, m.id), m.id) AS _key_out,
-      |  m.name AS name
-      |FROM m LEFT JOIN nbr ON m.id = nbr.id
+      |  GROUP BY a.id),
+      |keyed AS (SELECT m.id AS _key_in,
+      |    least(COALESCE(nbr.min_nbr, m.id), m.id) AS _key_out,
+      |    m.name AS name
+      |  FROM m LEFT JOIN nbr ON m.id = nbr.id)
+      |SELECT k._key_in, k._key_out, k.name,
+      |  CASE WHEN k._key_in = k._key_out THEN 1.0
+      |    ELSE 1.0 - CAST(levenshtein(k.name, c.name) AS DOUBLE)
+      |      / CAST(greatest(length(k.name), length(c.name)) AS DOUBLE)
+      |  END AS _score
+      |FROM keyed k JOIN m c ON k._key_out = c.id
       |ORDER BY _key_in""".stripMargin) { (s, dir) =>
     val cust = Tables.customer(s, dir).filter(col("c_custkey") < 200)
     val mangled = cust.select(
@@ -148,7 +154,7 @@ object QualityQueries {
         concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 100)))
         .otherwise(col("c_name")).as("name"))
     Fuzzy.group(mangled, "id", "name", tau = 0.85)
-      .select(col("_key_in"), col("_key_out"), col("name"))
+      .select(col("_key_in"), col("_key_out"), col("name"), col("_score"))
       .orderBy(col("_key_in"))
   }
 

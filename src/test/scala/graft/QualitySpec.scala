@@ -43,9 +43,15 @@ class QualitySpec extends SparkSpec {
       (2L, "Jon Smith, 123 Main St."),
       (3L, "totally unrelated row xyz")
     ).toDF("id", "name")
-    val got = Fuzzy.group(df, "id", "name", tau = 0.8)
-      .select("_key_in", "_key_out").as[(Long, Long)].collect().toMap
-    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 3L)
+    val out = Fuzzy.group(df, "id", "name", tau = 0.8)
+      .select("_key_in", "_key_out", "_score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 3L)
+    // _score: exactly 1.0 for canonical rows, the canonical-text
+    // similarity (≥ τ by construction) for members
+    assert(out(1L)._2 == 1.0 && out(3L)._2 == 1.0)
+    assert(out(2L)._2 >= 0.8 && out(2L)._2 < 1.0)
   }
 
   test("group is one-level, groupConnected closes the chain (§7.4 risk 1)") {
