@@ -16,6 +16,32 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(42)
 
+  test("property: Components.connected equals union-find on random graphs") {
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(n) // sparse: interesting component mix
+      val edgeList = List.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L until n).map(i => i -> find(i)).toMap
+      val nodes = (0L until n).toDF("id")
+      val edges =
+        if (edgeList.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edgeList.toDF("src", "dst")
+      val got = graft.operators.Components.connected(nodes, "id", edges, "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: n=$n edges=${edgeList.size}")
+      CacheScope.release()
+    }
+  }
+
   test("property: dsum is invariant under partitioning and ordering") {
     for (_ <- 1 to 5) {
       val xs = List.fill(30)(rnd.nextLong() % 100000L).map(_ / 100.0)
