@@ -58,7 +58,10 @@ object ScaleRehearsal {
     "q_embed_srp_pairs", "q_knn_ann", "q_knn_ivf", "q_cdc_tx",
     // iterative connected-components family: rounds scale with
     // component diameter, each round with corpus size
-    "q_dedup_clusters", "q_embed_decontaminate")
+    "q_dedup_clusters", "q_embed_decontaminate",
+    // the composed selection pipeline (clusters ∧ lang ∧ quality ∧
+    // decontamination in one query)
+    "q_corpus_select")
 
   private val Copies = 10
   private val IdStride = 10000000L
