@@ -173,6 +173,39 @@ class CdcSpec extends SparkSpec {
       "unchanged keys in the touched partition must survive a widened partOf")
   }
 
+  test("applyTx continues across additive schema evolution") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val (root, _) = txInit("evolve")
+    // batch 1 under the original schema
+    Cdc.applyTx(spark, root,
+      Seq((8L, 88.0, 10L, Cdc.Op.Update)).toDF("user_id", "amount", "lsn", "op"),
+      keys, data, "bucket", bucketOf)
+    // evolve the live table, then apply with the WIDENED dataCols —
+    // the changes now carry the new column; unchanged keys read back
+    // from old files with it null-backfilled
+    TxTable.addColumns(spark, root, Seq(StructField("note", StringType)))
+    Cdc.applyTx(spark, root,
+      Seq((8L, 99.0, "late", 20L, Cdc.Op.Update),
+          (102L, 12.0, "new", 21L, Cdc.Op.Insert))
+        .toDF("user_id", "amount", "note", "lsn", "op"),
+      keys, Seq("amount", "note"), "bucket", bucketOf)
+    val after = TxTable.read(spark, root)
+    assert(after.filter(col("user_id") === 8L).head.getAs[String]("note") == "late")
+    assert(after.filter(col("user_id") === 102L).head.getAs[String]("note") == "new")
+    // untouched keys: value preserved, new column null
+    val untouched = after.filter(col("user_id") === 9L).head
+    assert(untouched.getAs[Double]("amount") == 9.0)
+    assert(untouched.isNullAt(untouched.fieldIndex("note")))
+    assert(after.count() == 101) // 100 seed + 1 insert
+    // a STALE pipeline still applying with the old dataCols fails
+    // loudly (missing column), never silently nulling the new field
+    intercept[Exception] {
+      Cdc.applyTx(spark, root,
+        Seq((9L, 1.0, 30L, Cdc.Op.Update)).toDF("user_id", "amount", "lsn", "op"),
+        keys, data, "bucket", bucketOf)
+    }
+  }
+
   test("applyTx is idempotent: the same range twice ≡ once") {
     val (root, init) = txInit("idem")
     val changes = Seq(
