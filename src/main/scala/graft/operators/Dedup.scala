@@ -80,15 +80,27 @@ object Dedup {
     */
   def duplicateClusters(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double): DataFrame = {
-    val pairs = jaccardPairs(df, idCol, textCol, n, tau)
-    val labels = Components.connected(
-      df.select(col(idCol)), idCol, pairs, "d1", "d2")
-    labels.select(
-      col(idCol),
-      col("component").as("cluster_id"),
-      (col(idCol) === col("component")).as("is_canonical"))
-  }
+      n: Int, tau: Double): DataFrame =
+    duplicateClustersFromPairs(df, idCol, jaccardPairs(df, idCol, textCol, n, tau))
+
+  /** [[duplicateClusters]] over a PRECOMPUTED pair set — the seam that
+    * lets the cluster pass ride any candidate generator: exact blocked
+    * Jaccard (the oracle-gated default above), MinHash-LSH
+    * ([[minhashLshPairs]] — the 100 TB path, where exact pair
+    * generation over every shingle is the bottleneck), or SimHash
+    * banding. Because every LSH variant here VERIFIES candidates with
+    * the exact similarity, its pair set is a subset of the exact one,
+    * and the resulting clustering is a refinement of the exact
+    * clustering (spec-checked) — the standard recall-for-cost trade,
+    * made explicit at the clustering level.
+    */
+  def duplicateClustersFromPairs(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    Components.connected(docs.select(col(idCol)), idCol, pairs, "d1", "d2")
+      .select(
+        col(idCol),
+        col("component").as("cluster_id"),
+        (col(idCol) === col("component")).as("is_canonical"))
 
   /** Jaccard over DOCUMENT-FREQUENCY-PRUNED shingle sets (stop-shingle
     * pruning): grams appearing in more than `maxDf` documents are

@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(clusters.exists(c => c._2 != c._1))
   }
 
+  test("LSH-pair clustering refines the exact clustering (scale path)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.duplicateClusters(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+    val lsh = Dedup.duplicateClustersFromPairs(docs, "doc_id", lshPairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(lsh.keySet == exact.keySet, "both assign every document")
+    // refinement: LSH pairs verify with exact Jaccard, so its edge set
+    // is a subset — two docs in one LSH cluster are in one exact
+    // cluster (the converse may fail only by LSH recall)
+    lsh.groupBy(_._2).values.foreach { members =>
+      val exactIds = members.keys.map(exact).toSet
+      assert(exactIds.size == 1,
+        s"LSH cluster spans exact clusters $exactIds")
+    }
+  }
+
   test("minhash LSH: no false positives, high recall vs exact") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
