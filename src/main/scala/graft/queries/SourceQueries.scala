@@ -16,7 +16,44 @@ import graft.sources.{CsvIngest, FixedWidth, Jdbc, JsonIngest, TypeMatrix}
 object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
-    xmlRoundtrip, jsonlRoundtrip)
+    xmlRoundtrip, jsonlRoundtrip, statsSkipping)
+
+  /** TxTable file-level data skipping end-to-end: lineitem lands
+    * range-clustered on l_orderkey in a transactional table (the
+    * sort-keyed bulk-load layout), then a key-range + measure
+    * predicate reads back through [[TxTable.readWhere]] — manifest
+    * stats prove most files empty BEFORE Spark lists a path, and the
+    * query REQUIREs that skipping actually happened. The oracle runs
+    * the same predicate over the raw parquet, so equality proves
+    * pruning never dropped a matching row. At 100 TB this is the
+    * difference between scanning a table and scanning a key range.
+    */
+  val statsSkipping: Q = Q(
+    "q_stats_skipping",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_quantity > 25
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import graft.sources.TxTable
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val root = s"/root/repo/target/tmp/skipq_${new java.io.File(dir).getName}"
+    TxTable.create(li.repartitionByRange(8, col("l_orderkey")), root)
+    val cond = col("l_orderkey").between(1000L, 3000L) && col("l_quantity") > 25.0
+    val snap = TxTable.currentSnapshot(s, root).get
+    val kept = TxTable.statsPrune(s, snap, cond)
+    require(kept.size < snap.entries.size,
+      s"stats skipping did not prune: ${kept.size}/${snap.entries.size} files kept")
+    TxTable.readWhere(s, root, cond)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        ExactAgg.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** JSONL: the documents corpus exports as newline-delimited JSON,
     * reads back typed through the PERMISSIVE quarantine path under

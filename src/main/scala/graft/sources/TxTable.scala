@@ -44,7 +44,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object TxTable {
 
-  final case class Entry(relPath: String, partition: String)
+  /** One live data file. `stats` is [[FileStats]]'s encoded per-column
+    * min/max/nullCount blob ("" = none — legacy entries and error
+    * paths degrade to "never pruned", not to failure).
+    */
+  final case class Entry(relPath: String, partition: String, stats: String = "")
 
   final case class Snapshot(version: Long, schemaDdl: String, entries: Seq[Entry])
 
@@ -130,8 +134,12 @@ object TxTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty).filterNot(_ == "#eof")
     val ddl = lines.head.stripPrefix("#schema=")
     val entries = lines.tail.map { l =>
-      val Array(rel, part) = l.split("\t", 2)
-      Entry(rel, part)
+      // 3rd field (stats) is optional: manifests written before data
+      // skipping carry 2 fields and stay readable (never pruned)
+      l.split("\t", 3) match {
+        case Array(rel, part, stats) => Entry(rel, part, stats)
+        case Array(rel, part) => Entry(rel, part)
+      }
     }
     Snapshot(version, ddl, entries)
   }
@@ -182,6 +190,38 @@ object TxTable {
     val wanted = values.map(v => s"$partitionCol=" +
       org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v)).toSet
     readEntries(spark, root, s, _.filter(e => wanted.contains(e.partition)))
+  }
+
+  /** STATS-PRUNED read — file-level data skipping: drop every data
+    * file whose manifest stats ([[FileStats]]) prove `cond` selects
+    * nothing from it, scan only the survivors, and re-apply the full
+    * `cond` row-by-row on them. Correct for ANY `cond` (pruning uses
+    * only the provably-empty conjuncts; unknown stats keep the file),
+    * fast when the predicate ranges over a column the file layout is
+    * clustered on — a sort-keyed or range-partitioned write makes
+    * per-file ranges disjoint, so a point/range predicate reduces the
+    * scan to the matching files before Spark lists a single path.
+    * Subsumes manifest-side partition pruning: the partition column is
+    * a real column in the data files, so its stats prune exactly the
+    * non-matching partitions' files.
+    */
+  def readWhere(spark: SparkSession, root: String, cond: org.apache.spark.sql.Column): DataFrame = {
+    val s = requireSnapshot(spark, root)
+    readEntries(spark, root, s, _ => statsPrune(spark, s, cond)).filter(cond)
+  }
+
+  /** The entries a [[readWhere]] of `cond` would scan (test hook +
+    * metadata API — lets a spec assert file-level skipping without
+    * instrumenting the scan). Normalizes the predicate ONCE, then
+    * evaluates the per-file skip decision driver-side over manifest
+    * entries only.
+    */
+  private[graft] def statsPrune(
+      spark: SparkSession, s: Snapshot,
+      cond: org.apache.spark.sql.Column): Seq[Entry] = {
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val norm = FileStats.normalize(spark, schema, cond)
+    s.entries.filterNot(e => FileStats.provesEmpty(norm, schema, e.stats))
   }
 
   private def readEntries(
@@ -243,7 +283,15 @@ object TxTable {
         out += Entry(relPath, part)
       }
     }
-    out.toSeq
+    // commit-time stats collection (footer-only reads, bounded by THIS
+    // commit's file count — see FileStats scaladoc for the 100 TB story)
+    val conf = spark.sparkContext.hadoopConfiguration
+    out.toSeq.map { e =>
+      val stats = scala.util.Try(
+        FileStats.encode(FileStats.forFile(conf, new Path(s"$root/${e.relPath}"))))
+        .getOrElse("")
+      e.copy(stats = stats)
+    }
   }
 
   /** The single commit point: EXCLUSIVE-create `v<next>.manifest` and
@@ -288,7 +336,7 @@ object TxTable {
       }
     try os.write(
       (s"#schema=$schemaDdl\n" +
-        entries.map(e => s"${e.relPath}\t${e.partition}\n").mkString +
+        entries.map(e => s"${e.relPath}\t${e.partition}\t${e.stats}\n").mkString +
         "#eof\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
