@@ -333,4 +333,76 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** EXACT SUBSTRING-SPAN dedup — the "remove duplicated training
+    * text" operator (Lee et al. 2022, *Deduplicating Training Data
+    * Makes Language Models Better*), as its standard word-n-gram
+    * approximation: every word n-gram occurrence that repeats
+    * anywhere in the corpus, EXCEPT the globally first occurrence
+    * (minimal (doc id, position)), has its n covering word positions
+    * deleted; each document is reassembled from its surviving words
+    * in original order. Unlike document-level dedup this removes the
+    * boilerplate *inside* otherwise-distinct documents (headers,
+    * license blocks, templated paragraphs) — the duplication that
+    * document fingerprints cannot see.
+    *
+    * Output: one row per input document — `doc_id`, `text_clean`
+    * (possibly empty), `n_kept`, `n_removed`.
+    *
+    * Scale plan (the suffix-array of the paper is replaced by joins
+    * that all hash-partition on bounded keys): gram construction is
+    * a NARROW per-row array transform; the first-occurrence pass is
+    * one map-side-combined groupBy on the gram value; duplicate
+    * occurrences come back from an equi-join on the gram; covered
+    * positions explode each duplicate span into ≤ n (doc, pos) rows
+    * (an equi-join-able set — deliberately NOT a range join) and
+    * anti-join the exploded words; reassembly is one groupBy on the
+    * doc id. Nothing is quadratic, no window spans more than one
+    * document, and every shuffle key (gram value, (doc, pos), doc)
+    * stays bounded under corpus growth.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "spanDedup: n-gram order must be >= 2")
+    val base = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("arr"))
+      // 1-row-group parquet scans as ONE partition; spread the string
+      // work across cores (same rationale as shingles())
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("nw", size(col("arr")))
+      .persistTracked() // words, grams, and the final rebuild all scan this
+    // positional words and grams, both narrow (pos is 1-based)
+    val words = base.select(col("doc_id"),
+      posexplode(col("arr")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+    val grams = base.filter(col("nw") >= n).select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(1, size(arr) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(arr, i, $n)))")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    // globally-first occurrence per gram value: min-struct groupBy
+    // (map-side combine), NOT a window — then every occurrence that
+    // is not its gram's first is a duplicate span start
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = grams.join(firsts, "g")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"))
+    // covered word positions: bounded n-fold explode → equi-anti-join
+    val rm = dups.select(col("doc_id"),
+      explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos")).distinct()
+    val kept = words.join(rm, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      graft.functions.OrderedAgg.stringAgg(
+        col("w"), col("pos"), " ").as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    // left join keeps fully-deleted documents (empty text, 0 kept)
+    base.select(col("doc_id"), col("nw"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

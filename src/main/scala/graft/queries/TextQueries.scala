@@ -14,7 +14,50 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
-    tokenRegex, decontaminate, repetition, packSequences, corpusSelect)
+    tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
+    spanDedup)
+
+  /** Exact substring-span dedup (Lee et al. 2022 shape): repeated
+    * word-8-gram occurrences — all but the corpus-wide first — have
+    * their covering words deleted and documents are reassembled from
+    * the survivors. The oracle replays the identical first-occurrence
+    * + position-cover rule from first principles (window row_number
+    * instead of the operator's min-struct groupBy), so equality
+    * proves the distributed join plan computes the paper semantics.
+    */
+  val spanDedup: Q = Q(
+    "q_span_dedup",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |words AS (
+      |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w FROM docs),
+      |nw AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, array_to_string(arr[i : i + 7], ' ') AS g
+      |  FROM docs, unnest(range(1, greatest(len(arr) - 6, 1))) AS t(i)),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |    FROM grams) WHERE rn > 1),
+      |rm AS (SELECT DISTINCT doc_id, pos + o AS rmpos
+      |  FROM dup, unnest(range(0, 8)) AS t(o)),
+      |kept AS (
+      |  SELECT w.doc_id, w.pos, w.w FROM words w
+      |  LEFT JOIN rm ON w.doc_id = rm.doc_id AND w.pos = rm.rmpos
+      |  WHERE rm.doc_id IS NULL),
+      |agg AS (
+      |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_clean,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  nw.nw - coalesce(a.n_kept, 0) AS n_removed
+      |FROM documents d JOIN nw ON d.doc_id = nw.doc_id
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", 8)
+      .orderBy(col("doc_id"))
+  }
 
   /** Sequence packing (training-batch prep): greedy sequential
     * token-budget packing in id order, sharded 8 ways — pack id =

@@ -274,6 +274,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup removes repeated spans, keeps the global first occurrence") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // exactly one 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),     // first occurrence — kept
+      (2L, s"x1 x2 x3 $boiler y1 y2"),             // later occurrence — span cut
+      (3L, boiler),                                 // doc IS the span — fully deleted
+      (4L, "short doc under n words"),              // < n words: untouched
+      (5L, s"alpha beta $boiler gamma delta")       // exact dup of doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // doc 1 holds the minimal (id, pos) occurrence of every repeated
+    // gram it contains... except grams also present at a smaller pos
+    // in itself only; here it is untouched
+    assert(out(0)._2 == s"alpha beta $boiler gamma delta" && out(0)._4 == 0)
+    // doc 2 loses exactly the 8 boilerplate words
+    assert(out(1)._2 == "x1 x2 x3 y1 y2" && out(1)._4 == 8)
+    // doc 3 is deleted entirely
+    assert(out(2)._2 == "" && out(2)._3 == 0 && out(2)._4 == 8)
+    // doc 4 is below the gram order — untouched by construction
+    assert(out(3)._2 == "short doc under n words" && out(3)._4 == 0)
+    // doc 5 repeats doc 1 wholesale: every one of its 12 words is
+    // covered by some duplicated 8-gram occurrence
+    assert(out(4)._2 == "" && out(4)._4 == 12)
+  }
+
   test("CacheScope.release drops every operator-persisted block") {
     spark.catalog.clearCache()
     graft.CacheScope.release(blocking = true)
