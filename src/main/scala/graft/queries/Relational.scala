@@ -13,7 +13,7 @@ object Relational {
   def all: Seq[Q] = Seq(
     pricingSummary, customerMart, wideMart, limitBy,
     lookupCascade, semiAnti, fullOuterReconcile, splitBands, windowRunning,
-    shippingPriority, correlatedBalance, skewJoin)
+    shippingPriority, correlatedBalance, skewJoin, bloomJoin)
 
   /** TPC-H-Q3-shaped flagship: segment-filtered customer dimension,
     * date-bounded orders and lineitem, three-way join, exact-cents
@@ -382,6 +382,40 @@ object Relational {
         (sum(ExactAgg.cents(col("o_totalprice")) * col("weight"))
           .cast("double") / 100.0).as("weighted_total"))
       .orderBy(col("priority"))
+  }
+
+  /** Bloom-reduced fact/dim join ([[graft.operators.BloomJoin]]): the
+    * urgent-orders dimension is too big for a row-broadcast posture at
+    * scale, but its KEY SET fits a few MB of bloom bits — so the
+    * lineitem side is pre-filtered by a codegen'd `might_contain`
+    * probe below its exchange and only ~matching rows shuffle. The
+    * reduction is correctness-neutral (false positives die in the real
+    * join, false negatives can't exist), so the oracle is the plain
+    * join; the plan property (probe filter below the exchange, no
+    * extra shuffle) is pinned in PlanSpec.
+    */
+  val bloomJoin: Q = Q(
+    "q_bloom_join",
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+      |    AS gross
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomJoin.join(
+        fact, dim, col("l_orderkey"), col("o_orderkey"), fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(ExactAgg.cents(col("l_extendedprice"))).cast("double") / 100.0)
+          .as("gross"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** Analytic frame (SURVEY §2.5): exact running spend per customer —
