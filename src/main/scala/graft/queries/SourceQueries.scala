@@ -16,7 +16,7 @@ import graft.sources.{CsvIngest, FixedWidth, Jdbc, JsonIngest, TypeMatrix}
 object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
-    xmlRoundtrip, jsonlRoundtrip, statsSkipping)
+    xmlRoundtrip, jsonlRoundtrip, statsSkipping, zorderSkipping)
 
   /** TxTable file-level data skipping end-to-end: lineitem lands
     * range-clustered on l_orderkey in a transactional table (the
@@ -53,6 +53,51 @@ object SourceQueries {
         count(lit(1)).as("n_rows"),
         ExactAgg.dsum(col("l_extendedprice")).as("revenue"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Z-order clustering end-to-end ([[graft.sources.ZOrder]]): orders
+    * lands Morton-interleaved on (o_custkey, o_orderdate) — TWO
+    * independent dimensions a single sort key cannot serve — and a
+    * selective predicate on EACH dimension separately reads back
+    * through the stats-pruned path, REQUIREing that files were
+    * actually skipped on both. The oracle re-derives both legs from
+    * the raw parquet, so equality proves multi-dimension pruning never
+    * dropped a matching row.
+    */
+  val zorderSkipping: Q = Q(
+    "q_zorder_skip",
+    """SELECT dim, n_rows, total FROM (
+      |  SELECT 'by_cust' AS dim, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |  FROM orders WHERE o_custkey BETWEEN 100 AND 200
+      |  UNION ALL
+      |  SELECT 'by_date' AS dim, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1993-01-01')
+      |ORDER BY dim""".stripMargin) { (s, dir) =>
+    import graft.sources.{TxTable, ZOrder}
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val root = s"/root/repo/target/tmp/zorderq_${new java.io.File(dir).getName}"
+    ZOrder.write(o, root, Seq(col("o_custkey"), col("o_orderdate")),
+      numFiles = 16, bits = 6)
+    val snap = TxTable.currentSnapshot(s, root).get
+    val onCust = col("o_custkey").between(100L, 200L)
+    // NTZ literal: an LTZ one would make the analyzer cast the COLUMN,
+    // hiding the attribute from the stats pruner
+    val onDate = col("o_orderdate") < lit("1993-01-01").cast("timestamp_ntz")
+    for ((cond, tag) <- Seq((onCust, "o_custkey"), (onDate, "o_orderdate"))) {
+      val kept = TxTable.statsPrune(s, snap, cond).size
+      require(kept < snap.entries.size,
+        s"z-order did not prune on $tag: $kept/${snap.entries.size} files kept")
+    }
+    def leg(cond: org.apache.spark.sql.Column, name: String) =
+      TxTable.readWhere(s, root, cond)
+        .agg(count(lit(1)).as("n_rows"),
+          ExactAgg.dsum(col("o_totalprice")).as("total"))
+        .select(lit(name).as("dim"), col("n_rows"), col("total"))
+    leg(onCust, "by_cust").unionAll(leg(onDate, "by_date"))
+      .orderBy(col("dim"))
   }
 
   /** JSONL: the documents corpus exports as newline-delimited JSON,
