@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-weighted corpus mixing: draw a deterministic sample whose
+  * per-domain row counts hit target mixture proportions under a total
+  * row budget — the "re-weight the corpus before training" step of a
+  * data pipeline (up-weight underrepresented languages/sources,
+  * down-weight crawl bulk), and the set-based form of the reference's
+  * percentage-allocation staging loads (`Integration/SSIS/Professional
+  * …/Глава 10: Загрузка хранилища данных.md` splits loads by fixed
+  * percentage bands).
+  *
+  * Selection is HASH-RANK, not RNG: within each domain, rows are
+  * ranked by `md5(id)` and the first `k_d` kept, where
+  * `k_d = min(n_d, round(weight_d · budget))`. The same rows are
+  * chosen on every run, every cluster layout, and every engine that
+  * can evaluate md5 — which is what makes the operator oracle-checkable
+  * and a corpus snapshot reproducible. Domains missing from `weights`
+  * are excluded (weight 0); a domain with fewer rows than its target
+  * contributes everything it has (documented clamp, no re-allocation —
+  * re-spreading the shortfall would make every k_d data-dependent and
+  * the sample non-reproducible under corpus growth).
+  *
+  * 100 TB posture: one partial-aggregated count per domain (domain
+  * cardinality is pipeline-config-sized, so the driver map is
+  * metadata), a broadcast of the (domain → k) map, and ONE shuffle on
+  * the domain key for the rank window — whose `rn ≤ maxK` literal leg
+  * plans as a WindowGroupLimit, so each map task forwards at most
+  * `maxK` rows per domain instead of its whole partition.
+  */
+object Mix {
+
+  /** Per-domain targets: `min(n_d, round(weight_d · budget))`. Kept
+    * driver-side (bounded by domain cardinality) so callers can log or
+    * assert the realized mixture.
+    */
+  def targets(
+      df: DataFrame, domain: Column,
+      weights: Map[String, Double], budget: Long): Map[String, Long] = {
+    require(budget > 0, "budget must be positive")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      "weights must be non-negative and finite")
+    val counts = df.groupBy(domain.as("__dom")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.flatMap { case (d, w) =>
+      counts.get(d).map(n => d -> math.min(n, math.round(w * budget)))
+    }.filter(_._2 > 0)
+  }
+
+  /** The mixed sample itself: input rows of the selected domains,
+    * first-k by md5 rank within each. Deterministic and
+    * layout-independent; ties on the hash break by `id`.
+    */
+  def sample(
+      df: DataFrame, domain: Column, id: Column,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    val ks = targets(df, domain, weights, budget)
+    if (ks.isEmpty) return df.limit(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kDf = broadcast(ks.toSeq.toDF("__dom", "__k"))
+    val w = Window.partitionBy(domain).orderBy(md5(id.cast("string")), id)
+    val maxK = ks.values.max
+    df.join(kDf, domain === col("__dom")) // inner: weight-0 domains drop here
+      .withColumn("__rn", row_number().over(w))
+      // literal leg first: it alone matches the WindowGroupLimit rule,
+      // pruning map-side; the per-domain leg exacts the final k
+      .filter(col("__rn") <= lit(maxK) && col("__rn") <= col("__k"))
+      .drop("__dom", "__k", "__rn")
+  }
+}

@@ -15,7 +15,36 @@ object TextQueries {
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup)
+    spanDedup, corpusMix)
+
+  /** Domain-weighted mixing ([[graft.operators.Mix]]): resample the
+    * corpus to a target language mixture (50/20/15/10/5) under a
+    * 300-row budget. Hash-rank selection makes the chosen rows
+    * engine-independent, so the oracle re-derives the exact sample:
+    * same per-domain k = min(n, round(w·budget)), same md5 ordering.
+    */
+  val corpusMix: Q = Q(
+    "q_corpus_mix",
+    """WITH w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.2), ('es', 0.15),
+      |    ('de', 0.1), ('fr', 0.05)),
+      |  k AS (
+      |    SELECT d.lang, LEAST(COUNT(*), CAST(round(w.wt * 300) AS BIGINT)) AS k
+      |    FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang, w.wt),
+      |  r AS (
+      |    SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM documents)
+      |SELECT r.lang, r.doc_id FROM r JOIN k ON r.lang = k.lang
+      |WHERE r.rn <= k.k
+      |ORDER BY r.lang, r.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Mix.sample(
+        Tables.documents(s, dir), col("lang"), col("doc_id"),
+        weights = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15,
+          "de" -> 0.1, "fr" -> 0.05),
+        budget = 300L)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 
   /** Exact substring-span dedup (Lee et al. 2022 shape): repeated
     * word-8-gram occurrences — all but the corpus-wide first — have
