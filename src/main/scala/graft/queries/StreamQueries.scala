@@ -11,7 +11,71 @@ import graft.streaming.Streams
 object StreamQueries {
 
   def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, imageNearDup,
-    sessionize, incrementalMv, asofJoin, rangeJoin)
+    sessionize, incrementalMv, asofJoin, rangeJoin, sketchMv, sketchOverlap)
+
+  /** Sketch-typed A6 MV ([[graft.operators.Sketches]]): per-type
+    * distinct users via HLL states folded over three batches. At gate
+    * scale the sketch is in its exact (coupon) range, so the oracle is
+    * plain COUNT(DISTINCT) — the estimate must EQUAL it; the
+    * approximation regime and the merge≡single-shot property at high
+    * cardinality are SketchSpec's. The in-query require pins the MV
+    * invariant: folding batches = one sketch over everything.
+    */
+  val sketchMv: Q = Q(
+    "q_sketch_mv",
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS approx_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.operators.Sketches
+    val events = Tables.events(s, dir)
+    val keys = Seq("event_type")
+    def st(f: org.apache.spark.sql.Column) =
+      Sketches.distinctState(events.filter(f), keys, col("user_id"))
+    val mv = Sketches.mergeDistinct(
+      Sketches.mergeDistinct(
+        st(col("event_id") % 3 === 0), st(col("event_id") % 3 === 1), keys),
+      st(col("event_id") % 3 === 2), keys)
+    val out = Sketches.estimateDistinct(mv, keys)
+      .select(col("event_type"), col("n"),
+        col("approx_distinct").as("approx_users"))
+    // MV invariant: incremental fold ≡ single-shot sketch, exactly
+    val single = Sketches.estimateDistinct(
+        Sketches.distinctState(events, keys, col("user_id")), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val folded = out.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    require(folded == single,
+      s"incremental HLL MV diverged from single-shot: $folded vs $single")
+    out.orderBy(col("event_type"))
+  }
+
+  /** Theta-sketch set algebra ([[graft.operators.Sketches.overlap]]):
+    * click-users vs purchase-users as two linear scans + constant-size
+    * sketch algebra — no join of the two sides anywhere. Exact at gate
+    * cardinality (below the sketch's k), so the oracle computes the
+    * true set sizes.
+    */
+  val sketchOverlap: Q = Q(
+    "q_sketch_overlap",
+    """SELECT
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM events
+      |        WHERE event_type = 'click') AS DOUBLE) AS distinct_a,
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM events
+      |        WHERE event_type = 'purchase') AS DOUBLE) AS distinct_b,
+      |  CAST((SELECT COUNT(*) FROM
+      |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |         INTERSECT
+      |         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+      |    AS DOUBLE) AS overlap,
+      |  CAST((SELECT COUNT(*) FROM
+      |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |         EXCEPT
+      |         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+      |    AS DOUBLE) AS only_a""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.operators.Sketches.overlap(
+      ev.filter(col("event_type") === "click"), col("user_id"),
+      ev.filter(col("event_type") === "purchase"), col("user_id"))
+  }
 
   /** Range join (custom operator — a bare non-equi condition would be
     * a nested-loop in Spark): every event landing within one hour
