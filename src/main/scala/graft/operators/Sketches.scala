@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * `theta_*`), all codegen-planned aggregates with map-side combine.
   *
   * The load-bearing property (asserted in SketchSpec, REQUIREd by
-  * q_sketch_mv): HLL union is associative, commutative, and
-  * deterministic, so maintaining the MV over N batches yields
-  * BIT-IDENTICAL sketches — not merely close estimates — to one
-  * sketch over the full input. Accuracy is the standard HLL bound
-  * (~1.04/√2^lgK relative error; lgK 12 ⇒ ~1.6%).
+  * q_sketch_mv): the fold is DETERMINISTIC and fold-order-independent,
+  * and tracks a single sketch over the full input — exactly equal in
+  * the sketch's exact (coupon) range, within the standard HLL error
+  * bound beyond it (~1.04/√2^lgK rsd; lgK 12 ⇒ ~1.6%). Estimates are
+  * not bitwise path-independent in the dense regime: union partials
+  * densify differently than one straight-line sketch, a documented
+  * property of the HLL family, not a defect of the fold.
   *
   * Theta sketches add set ALGEBRA (intersection/difference), used
   * here for corpus-overlap estimation: "how contaminated is this
