@@ -560,6 +560,32 @@ object TxTable {
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh)
   }
 
+  /** Whole-table rewrite under the same optimistic-concurrency
+    * contract as every other commit: read the pinned snapshot, apply a
+    * LAYOUT-ONLY transform (same rows, same schema — re-sort /
+    * re-partition / re-cluster; [[graft.sources.ZOrder.cluster]] is
+    * the canonical caller), write fresh files, and commit them as ONE
+    * new version replacing every old entry. A concurrent writer that
+    * takes the version first makes the exclusive-create commit fail
+    * loudly — nothing is half-replaced. Replaced files stay readable
+    * via time travel until [[vacuum]].
+    *
+    * The transform's output schema must equal the table's (checked):
+    * this is maintenance, not evolution — use [[addColumns]] /
+    * [[dropColumns]] for schema changes.
+    */
+  def rewriteAll(
+      spark: SparkSession, root: String,
+      transform: DataFrame => DataFrame): Long = {
+    val cur = requireSnapshot(spark, root)
+    val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)
+      .map(_.split("=", 2)(0))
+    val out = transform(readEntries(spark, root, cur, identity))
+    requireSchema(out, cur, "rewriteAll")
+    val entries = writeData(out, root, partitionCol)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, entries)
+  }
+
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so
     * their version numbers become committable again. A torn manifest
     * is invisible to readers but holds its version number (the

@@ -96,18 +96,32 @@ object ZOrder {
       case _ => c.cast("double")
     }
 
+  /** The z-ordered layout of `df`: range-partitioned into `numFiles`
+    * by z-value, sorted within each — rows and schema untouched.
+    */
+  def layout(df: DataFrame, dims: Seq[Column], numFiles: Int, bits: Int): DataFrame =
+    df.withColumn("__zval", zvalue(df, dims, bits))
+      .repartitionByRange(numFiles, col("__zval"))
+      .sortWithinPartitions(col("__zval"))
+      .drop("__zval")
+
   /** Z-order `df` into `numFiles` files and commit as a new
     * [[TxTable]] at `root`. Returns the committed version.
     */
   def write(
       df: DataFrame, root: String, dims: Seq[Column],
-      numFiles: Int, bits: Int = 8): Long = {
-    val z = zvalue(df, dims, bits)
-    val laid = df
-      .withColumn("__zval", z)
-      .repartitionByRange(numFiles, col("__zval"))
-      .sortWithinPartitions(col("__zval"))
-      .drop("__zval")
-    TxTable.create(laid, root)
-  }
+      numFiles: Int, bits: Int = 8): Long =
+    TxTable.create(layout(df, dims, numFiles, bits), root)
+
+  /** OPTIMIZE ZORDER: re-cluster an EXISTING table in place — one
+    * atomic version swap under the table's optimistic-concurrency
+    * contract ([[TxTable.rewriteAll]]); time travel keeps the old
+    * layout until vacuum. Maintenance, not ingestion: run it when a
+    * table accreted via appends no longer prunes well on its hot
+    * filter columns.
+    */
+  def cluster(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      dims: Seq[Column], numFiles: Int, bits: Int = 8): Long =
+    TxTable.rewriteAll(spark, root, df => layout(df, dims, numFiles, bits))
 }

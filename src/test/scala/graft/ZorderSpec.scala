@@ -90,6 +90,33 @@ class ZorderSpec extends SparkSpec {
     assert(TxTable.readWhere(spark, root, col("konst") === 1L).count() == 1000L)
   }
 
+  test("cluster re-z-orders an existing table in one version swap") {
+    val root = freshRoot("cluster")
+    // accreted layout: hash-random files — no column prunes anything
+    TxTable.create(grid.repartition(16), root)
+    val before = TxTable.currentSnapshot(spark, root).get
+    assert(TxTable.statsPrune(spark, before, col("x") === 7L).size == 16)
+
+    val v = ZOrder.cluster(spark, root, Seq(col("x"), col("y")),
+      numFiles = 16, bits = 4)
+    assert(v == before.version + 1)
+    val after = TxTable.currentSnapshot(spark, root).get
+    // same rows, better layout: both dims now prune
+    assert(TxTable.readWhere(spark, root, lit(true)).count() == 4096L)
+    assert(TxTable.statsPrune(spark, after, col("x") === 7L).size <= 8)
+    assert(TxTable.statsPrune(spark, after, col("y") === 7L).size <= 8)
+    // the pre-cluster layout stays readable via time travel
+    assert(TxTable.readVersion(spark, root, before.version).count() == 4096L)
+  }
+
+  test("rewriteAll refuses a transform that changes the schema") {
+    val root = freshRoot("badrw")
+    TxTable.create(grid, root)
+    intercept[IllegalArgumentException] {
+      TxTable.rewriteAll(spark, root, _.withColumn("extra", lit(1)))
+    }
+  }
+
   test("date and timestamp dimensions rank through their time value") {
     val root = freshRoot("dates")
     val df = spark.range(512).select(
