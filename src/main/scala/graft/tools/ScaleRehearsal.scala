@@ -61,7 +61,11 @@ object ScaleRehearsal {
     "q_dedup_clusters", "q_embed_decontaminate",
     // the composed selection pipeline (clusters ∧ lang ∧ quality ∧
     // decontamination in one query)
-    "q_corpus_select")
+    "q_corpus_select",
+    // round-6 part-3 features: bloom build+probe over 10× keys,
+    // quantile+interleave+range-write at 10× rows, per-domain rank
+    // window at 10× corpus, HLL MV fold at 10× events
+    "q_bloom_join", "q_zorder_skip", "q_corpus_mix", "q_sketch_mv")
 
   private val Copies = 10
   private val IdStride = 10000000L
@@ -119,6 +123,26 @@ object ScaleRehearsal {
         col("ts"), col("event_type"), col("value"))
       .repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+
+    // orders/lineitem: order-key space offset per copy so the fact/dim
+    // join structure (q_bloom_join) and per-order line multiplicity
+    // are preserved exactly; custkey/date distributions stay UNCHANGED
+    // so predicate selectivity fractions (q_zorder_skip) carry over
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    ord.crossJoin(copies)
+      .select(
+        (col("o_orderkey") + col("__copy") * IdStride).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(16).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    li.crossJoin(copies)
+      .select(
+        (col("l_orderkey") + col("__copy") * IdStride).as("l_orderkey") +:
+          li.columns.filter(_ != "l_orderkey").map(col): _*)
+      .repartition(16).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
 
     fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"), true).close()
   }
