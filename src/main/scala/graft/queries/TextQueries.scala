@@ -15,7 +15,32 @@ object TextQueries {
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup, corpusMix)
+    spanDedup, corpusMix, shardExport)
+
+  /** Deterministic shard export ([[graft.operators.Shard]]): the
+    * corpus physically lands as 8 hash-assigned shard directories and
+    * the query aggregates what was WRITTEN (read back from the output
+    * files, not the plan). The oracle recomputes shard membership from
+    * the same md5 device over the raw table, so equality proves the
+    * export is a faithful, reproducible global shuffle — nothing
+    * dropped, duplicated, or RNG-placed.
+    */
+  val shardExport: Q = Q(
+    "q_shard_export",
+    """SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+      |    AS shard,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Shard
+    val root = s"/root/repo/target/tmp/shardq_${new java.io.File(dir).getName}"
+    Shard.export(Tables.documents(s, dir), root, col("doc_id"), 8)
+    s.read.parquet(root)
+      .groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("shard"))
+  }
 
   /** Domain-weighted mixing ([[graft.operators.Mix]]): resample the
     * corpus to a target language mixture (50/20/15/10/5) under a
