@@ -254,4 +254,64 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming distinct-count MV: fold each micro-batch's HLL states
+    * ([[graft.operators.Sketches]]) into a [[graft.sources.TxTable]]
+    * MV — the continuous form of the q_sketch_mv fold, with EXACTLY-
+    * ONCE effect on the non-idempotent `n` column across crashes.
+    *
+    * Idempotence device (batchId-as-version): the MV is created as an
+    * empty version 0 before the stream starts, and batch b may commit
+    * ONLY version b+1 — so after a crash in the at-least-once window
+    * (MV committed, checkpoint not), the replayed batch finds
+    * `version != batchId` and skips without burning a version or
+    * double-counting. A second writer racing the same version is
+    * refused by the manifest's exclusive-create commit point, exactly
+    * like every other TxTable writer.
+    *
+    * At scale each fold shuffles the BATCH plus one fixed-size state
+    * row per key — never history (the [[graft.operators
+    * .Sketches]] contract), and the MV table is time-travelable: every
+    * batch boundary is a named version.
+    */
+  def sketchMvStream(
+      spark: SparkSession,
+      feed: DataFrame,
+      mvRoot: String,
+      keys: Seq[String],
+      valueCol: String,
+      checkpoint: String,
+      lgK: Int = 12,
+      afterBatch: Long => Unit = _ => ()): Unit = {
+    import graft.operators.Sketches
+    import graft.sources.TxTable
+    if (TxTable.currentSnapshot(spark, mvRoot).isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feed.schema)
+      TxTable.create(Sketches.distinctState(empty, keys, col(valueCol), lgK), mvRoot)
+    }
+    val q = feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = TxTable.currentSnapshot(spark, mvRoot).get
+        if (cur.version == batchId) { // else: replay of an applied batch
+          val state = Sketches.distinctState(batch, keys, col(valueCol), lgK)
+          TxTable.rewriteAll(spark, mvRoot,
+            mv => Sketches.mergeDistinct(mv, state, keys))
+        }
+        afterBatch(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Serving read of a [[sketchMvStream]] MV: keys ++ (n,
+    * approx_distinct).
+    */
+  def readSketchMv(spark: SparkSession, mvRoot: String, keys: Seq[String]): DataFrame =
+    graft.operators.Sketches.estimateDistinct(
+      graft.sources.TxTable.read(spark, mvRoot), keys)
 }

@@ -278,6 +278,57 @@ class StreamSpec extends SparkSpec {
     assert(!got.exists(_._1 == 13L))
   }
 
+  test("streaming sketch MV: crash-restart neither loses nor double-counts a batch") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import graft.sources.TxTable
+    import graft.streaming.Streams
+
+    val base = s"target/tmp/sketchstream_${System.nanoTime()}"
+    val mvRoot = s"$base/mv"; val ckpt = s"$base/ckpt"; val feedDir = s"$base/feed"
+
+    // two micro-batches with overlapping users: u0..u59 then u40..u99
+    // (duplicates within AND across batches exercise the fold)
+    val b0 = (0 until 120).map(i => (s"t${i % 2}", i % 60L)).toDF("k", "u")
+    val b1 = (0 until 120).map(i => (s"t${i % 2}", 40L + i % 60)).toDF("k", "u")
+    b0.coalesce(1).write.parquet(s"$feedDir/f=0")
+    Thread.sleep(1100)
+    b1.coalesce(1).write.parquet(s"$feedDir/f=1")
+
+    def stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(feedDir)
+
+    // run 1: crash in the at-least-once window of batch 0 (MV version
+    // committed, checkpoint commit not reached)
+    val ex = intercept[StreamingQueryException] {
+      Streams.sketchMvStream(spark, stream, mvRoot, Seq("k"), "u", ckpt,
+        afterBatch = bid => if (bid == 0) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    assert(TxTable.currentVersion(spark, mvRoot).get == 1L)
+
+    // run 2: batch 0 replays (skipped by the version gate), batch 1 folds
+    Streams.sketchMvStream(spark, stream, mvRoot, Seq("k"), "u", ckpt)
+    assert(TxTable.currentVersion(spark, mvRoot).get == 2L)
+
+    val got = Streams.readSketchMv(spark, mvRoot, Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val all = b0.unionByName(b1)
+    val exact = all.groupBy("k")
+      .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // n is the non-idempotent leg: any double-fold of batch 0 would
+    // inflate it; distincts are coupon-exact at this cardinality
+    assert(got == exact, s"got $got, want $exact")
+    // every batch boundary is a time-travelable version: v1 holds
+    // exactly batch 0's fold
+    val v1 = graft.operators.Sketches.estimateDistinct(
+        TxTable.readVersion(spark, mvRoot, 1L), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1 == Map("t0" -> 60L, "t1" -> 60L))
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==
