@@ -15,7 +15,31 @@ object TextQueries {
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup, corpusMix, shardExport)
+    spanDedup, corpusMix, shardExport, freqTokens)
+
+  /** Heavy hitters via the frequent-items sketch
+    * ([[graft.functions.FreqItemsAgg]]): token frequencies in ONE
+    * bounded-state pass — no full-dictionary shuffle. At gate
+    * vocabulary (< 0.75·maxMapSize) the sketch never purges and
+    * estimates are exact, so the oracle is the plain token count;
+    * the purge-regime bounds are FreqSpec's.
+    */
+  val freqTokens: Q = Q(
+    "q_freq_tokens",
+    """SELECT tok AS token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> ''
+      |GROUP BY 1
+      |ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+    import graft.functions.FreqItemsAgg
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(FreqItemsAgg(col("tok"), 1024).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select(col("f.item").as("token"), col("f.estimate").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 
   /** Deterministic shard export ([[graft.operators.Shard]]): the
     * corpus physically lands as 8 hash-assigned shard directories and
