@@ -37,14 +37,29 @@ object Mix {
     * driver-side (bounded by domain cardinality) so callers can log or
     * assert the realized mixture.
     */
+  /** Ceiling on collected domain rows: mixture domains are pipeline
+    * config (languages, sources), not data — a million distinct
+    * values means the wrong column was passed, and collecting it
+    * would be a driver OOM, so fail loudly instead.
+    */
+  val MaxDomains = 100000
+
   def targets(
       df: DataFrame, domain: Column,
       weights: Map[String, Double], budget: Long): Map[String, Long] = {
     require(budget > 0, "budget must be positive")
     require(weights.values.forall(w => w >= 0 && w.isFinite),
       "weights must be non-negative and finite")
-    val counts = df.groupBy(domain.as("__dom")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight keys bound the collect: only weighted domains matter, so
+    // filter BEFORE the aggregate — the guard then only protects
+    // against a degenerate weights map, not the corpus
+    val collected = df.filter(domain.isin(weights.keys.toSeq: _*))
+      .groupBy(domain.as("__dom")).count()
+      .limit(MaxDomains + 1).collect()
+    require(collected.length <= MaxDomains,
+      s"mixture domain column exceeds $MaxDomains distinct weighted values " +
+        "— wrong column?")
+    val counts = collected.map(r => r.getString(0) -> r.getLong(1)).toMap
     weights.flatMap { case (d, w) =>
       counts.get(d).map(n => d -> math.min(n, math.round(w * budget)))
     }.filter(_._2 > 0)
