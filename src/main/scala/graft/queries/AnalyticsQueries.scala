@@ -11,7 +11,69 @@ import graft.operators.Funnel
   */
 object AnalyticsQueries {
 
-  def all: Seq[Q] = Seq(funnel, cohortRetention)
+  def all: Seq[Q] = Seq(funnel, cohortRetention, driftPsi)
+
+  /** Distribution drift ([[graft.operators.Drift]]): PSI of the value
+    * distribution between two halves of the event log (split by
+    * event_id parity — a deterministic stand-in for "this week vs the
+    * reference snapshot"), per event type. Histogram states are exact
+    * and the PSI fold runs in bucket-index order, so the oracle
+    * replays the whole computation — bucket assignment, +1 smoothing,
+    * ordered float fold (`list_reduce`) — to the bit; both sides round
+    * to 9 decimals only to absorb ln() last-ulp differences between
+    * the two engines' libm.
+    */
+  val driftPsi: Q = Q(
+    "q_drift_psi",
+    """WITH base AS (
+      |  SELECT event_type, event_id % 2 AS half,
+      |    CASE WHEN value < 0 THEN 0
+      |         WHEN value > 500 THEN 11
+      |         WHEN value = 500 THEN 10
+      |         ELSE 1 + LEAST(CAST(floor(value/50) AS INT), 9) END AS b
+      |  FROM events),
+      |grid AS (
+      |  SELECT et.event_type, g.b
+      |  FROM (SELECT DISTINCT event_type FROM events) et
+      |  CROSS JOIN (SELECT unnest(range(12)) AS b) g),
+      |c0 AS (SELECT event_type, b, COUNT(*) AS c FROM base WHERE half = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT event_type, b, COUNT(*) AS c FROM base WHERE half = 1 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT grid.event_type, grid.b,
+      |    COALESCE(c0.c, 0) AS ca, COALESCE(c1.c, 0) AS cb
+      |  FROM grid
+      |  LEFT JOIN c0 ON grid.event_type = c0.event_type AND grid.b = c0.b
+      |  LEFT JOIN c1 ON grid.event_type = c1.event_type AND grid.b = c1.b),
+      |t AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+      |        CAST(SUM(cb) AS BIGINT) AS nb FROM j GROUP BY 1),
+      |terms AS (
+      |  SELECT j.event_type, j.b, t.na, t.nb,
+      |    ((j.ca + 1.0)/(t.na + 12.0) - (j.cb + 1.0)/(t.nb + 12.0))
+      |      * ln(((j.ca + 1.0)/(t.na + 12.0)) / ((j.cb + 1.0)/(t.nb + 12.0)))
+      |      AS term
+      |  FROM j JOIN t ON j.event_type = t.event_type)
+      |SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+      |  round(list_reduce(list(term ORDER BY b), (a, b) -> a + b), 9) AS psi
+      |FROM terms
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.operators.Drift
+    val ev = Tables.events(s, dir)
+      .withColumn("half", (col("event_id") % 2).cast("int"))
+    val st = Drift.histState(ev, Seq("event_type", "half"), col("value"),
+      lo = 0.0, hi = 500.0, bins = 10)
+    val a = st.filter(col("half") === 0)
+      .select(col("event_type"), col("hist").as("ha"))
+    val b = st.filter(col("half") === 1)
+      .select(col("event_type").as("__et"), col("hist").as("hb"))
+    a.join(b, col("event_type") === col("__et"))
+      .select(
+        col("event_type"),
+        aggregate(col("ha"), lit(0L), _ + _).as("n_a"),
+        aggregate(col("hb"), lit(0L), _ + _).as("n_b"),
+        round(Drift.psi(col("ha"), col("hb")), 9).as("psi"))
+      .orderBy(col("event_type"))
+  }
 
   /** Strictly-ordered signup → view → click → purchase funnel with
     * first-touch chaining; the oracle chains the same per-step

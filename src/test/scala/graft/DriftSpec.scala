@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Drift, HistAgg, HistUnionAgg}
+
+/** Histogram states + PSI: exactness, exact MV merge, sentinel
+  * buckets, null/NaN posture, and the metric's zero/shift behavior.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist(df: org.apache.spark.sql.DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int): Array[Long] =
+    df.agg(HistAgg(col(c), lo, hi, bins).as("h"))
+      .select("h").as[Array[Long]].head()
+
+  test("histogram counts are exact and layout-independent") {
+    val df = spark.range(1000).select((col("id") % 100).cast("double").as("v"))
+    val h = hist(df, "v", 0.0, 100.0, 10)
+    // 10 per value, 10 values per bin → 100 per bin, nothing outside
+    assert(h.toSeq == Seq(0L) ++ Seq.fill(10)(100L) ++ Seq(0L))
+    assert(hist(df.repartition(17), "v", 0.0, 100.0, 10).toSeq == h.toSeq)
+  }
+
+  test("sentinel buckets catch out-of-range; upper edge closes the last bin") {
+    val df = Seq(-5.0, 0.0, 49.9, 50.0, 99.9, 100.0, 101.0).toDF("v")
+    val h = hist(df, "v", 0.0, 100.0, 2)
+    // under=1 (−5), bin1=3 (0, 49.9 — and 50.0 goes to bin2), bin2=3
+    // (50.0, 99.9, 100.0 inclusive), over=1 (101)
+    assert(h.toSeq == Seq(1L, 2L, 3L, 1L))
+  }
+
+  test("nulls and NaNs are ignored") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(2.0)).toDF("v")
+    assert(hist(df, "v", 0.0, 10.0, 2).sum == 2L)
+  }
+
+  test("mergeHist over batches equals one pass exactly (vector add)") {
+    val df = spark.range(3000).select(
+      (col("id") % 3).cast("string").as("k"),
+      (col("id") % 77).cast("double").as("v"))
+    def st(f: org.apache.spark.sql.Column) =
+      Drift.histState(df.filter(f), Seq("k"), col("v"), 0.0, 80.0, 8)
+    val folded = Drift.mergeHist(
+      st(col("id") % 2 === 0), st(col("id") % 2 === 1), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](2)).toMap
+    val single = Drift.histState(df, Seq("k"), col("v"), 0.0, 80.0, 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](2)).toMap
+    assert(folded == single)
+  }
+
+  test("union refuses mismatched bin configs") {
+    val bad = Seq(
+      (1, Seq(1L, 2L, 3L)), (1, Seq(1L, 2L, 3L, 4L))).toDF("k", "h")
+    val ex = intercept[Exception] {
+      bad.groupBy("k").agg(HistUnionAgg(col("h"))).collect()
+    }
+    assert(ex.getMessage.contains("bin-config mismatch"))
+  }
+
+  test("PSI is zero for identical states and flags a real shift") {
+    val base = spark.range(10000)
+      .select((col("id") % 100).cast("double").as("v"))
+    val shifted = spark.range(10000)
+      .select(((col("id") % 100) * 0.3 + 60.0).cast("double").as("v"))
+    val h = hist(base, "v", 0.0, 100.0, 10)
+    val hs = hist(shifted, "v", 0.0, 100.0, 10)
+    def psiOf(a: Array[Long], b: Array[Long]): Double =
+      Seq((a, b)).toDF("p", "q").select(Drift.psi(col("p"), col("q")))
+        .as[Double].head()
+    assert(psiOf(h, h) == 0.0)           // terms are exactly 0
+    assert(psiOf(h, hs) > 0.25,          // the "investigate" threshold
+      s"psi=${psiOf(h, hs)}")
+    // symmetry of the formula: psi(p,q) == psi(q,p)
+    assert(math.abs(psiOf(h, hs) - psiOf(hs, h)) < 1e-12)
+  }
+}
