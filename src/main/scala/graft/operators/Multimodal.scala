@@ -322,6 +322,80 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Audio feature extraction: per-window RMS energy and zero-crossing
+    * rate over the payload interpreted as 16-bit little-endian PCM
+    * mono — the two classic cheap audio descriptors (energy envelope +
+    * a crude pitch/noisiness proxy).
+    *
+    * STUB SEAM (same contract as the image path's ImageIO boundary):
+    * real audio arrives in containers (wav/flac/ogg) whose codecs this
+    * environment lacks, so the DECODE step is the fixed PCM
+    * interpretation above — deterministic and total (any byte string
+    * is readable as PCM). Swapping in a real decoder changes ONLY the
+    * bytes→samples step inside the kernel; the Spark plumbing
+    * (schema, batching, partition spreading, null posture) is the
+    * production shape and is what the spec tests.
+    *
+    * Output: `audio` = array<struct<rms float, zcr float>> of
+    * ⌈samples/windowSamples⌉ windows (empty array for empty/null
+    * payloads — absence of signal, not an error).
+    */
+  def audioFeatures(
+      media: DataFrame, windowSamples: Int = 1024,
+      minPartitions: Option[Int] = None): DataFrame = {
+    require(windowSamples >= 2, s"windowSamples must be ≥ 2, got $windowSamples")
+    val target = minPartitions.getOrElse(
+      media.sparkSession.sparkContext.defaultParallelism)
+    val spread =
+      if (media.rdd.getNumPartitions < target) media.repartition(target)
+      else media
+    val outSchema = StructType(media.schema.fields :+
+      StructField("audio", ArrayType(StructType(Seq(
+        StructField("rms", FloatType, false),
+        StructField("zcr", FloatType, false))), containsNull = false), false))
+    val byteIdx = media.schema.fieldIndex("bytes")
+    spread.mapPartitions { iter =>
+      iter.map { row =>
+        val bytes =
+          if (row.isNullAt(byteIdx)) null else row.getAs[Array[Byte]](byteIdx)
+        Row.fromSeq(row.toSeq :+ pcmWindows(bytes, windowSamples))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The decode+descriptor kernel: bytes → 16-bit LE samples →
+    * per-window (rms ∈ [0,1], zcr ∈ [0,1]). Pure, deterministic.
+    */
+  private[operators] def pcmWindows(
+      bytes: Array[Byte], windowSamples: Int): Seq[Row] = {
+    if (bytes == null || bytes.length < 2) return Seq.empty
+    val nSamples = bytes.length / 2
+    val out = Seq.newBuilder[Row]
+    var w = 0
+    while (w < nSamples) {
+      val end = math.min(w + windowSamples, nSamples)
+      var sumSq = 0.0
+      var crossings = 0
+      var prevNeg = false
+      var i = w
+      while (i < end) {
+        // 16-bit little-endian signed sample, normalized to [-1, 1]
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+        sumSq += s * s
+        val neg = s < 0
+        if (i > w && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val n = end - w
+      out += Row(
+        math.sqrt(sumSq / n).toFloat,
+        if (n > 1) crossings.toFloat / (n - 1) else 0f)
+      w += windowSamples
+    }
+    out.result()
+  }
+
   /** Frame sampling stub: split the payload into `frames` equal chunks
     * and keep every `stride`-th — the Spark-side shape of video frame
     * extraction (explode to one row per sampled frame).

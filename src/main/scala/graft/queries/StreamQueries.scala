@@ -11,7 +11,28 @@ import graft.streaming.Streams
 object StreamQueries {
 
   def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, imageNearDup,
-    sessionize, incrementalMv, asofJoin, rangeJoin, sketchMv, sketchOverlap)
+    audioFeatures, sessionize, incrementalMv, asofJoin, rangeJoin,
+    sketchMv, sketchOverlap)
+
+  /** Audio descriptor extraction over the media table's audio rows
+    * (P12's audio leg — PCM-interpretation stub, real batched
+    * plumbing; see [[graft.operators.Multimodal.audioFeatures]]).
+    * Spec-gated by nature (the PCM kernel is tested sample-exactly in
+    * StreamSpec); rows-only here.
+    */
+  val audioFeatures: Q = Q.noOracle("q_audio_features") { (s, dir) =>
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      .filter(col("kind") === "audio")
+    Multimodal.audioFeatures(media, windowSamples = 256)
+      .select(
+        col("media_id"),
+        size(col("audio")).as("n_windows"),
+        round(aggregate(col("audio"), lit(0.0),
+          (acc, w) => acc + w.getField("rms").cast("double")), 6).as("rms_mass"),
+        round(aggregate(col("audio"), lit(0.0),
+          (acc, w) => acc + w.getField("zcr").cast("double")), 6).as("zcr_mass"))
+      .orderBy(col("media_id"))
+  }
 
   /** Sketch-typed A6 MV ([[graft.operators.Sketches]]): per-type
     * distinct users via HLL states folded over three batches. At gate

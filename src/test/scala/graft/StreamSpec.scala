@@ -380,6 +380,41 @@ class StreamSpec extends SparkSpec {
     assert(frames.filter(length(col("frame_bytes")) === 0).count() == 0)
   }
 
+  test("multimodal audio: PCM windows carry the expected energy and rate") {
+    def pcmBytes(samples: Seq[Short]): Array[Byte] =
+      samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    // 2048 samples = 2 windows of 1024: silence, then a full-swing
+    // alternating (Nyquist) tone — rms 0→~1, zcr 0→1
+    val silence = Seq.fill[Short](1024)(0)
+    val nyquist = (0 until 1024).map(i =>
+      if (i % 2 == 0) (32767: Short) else (-32768: Short))
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, pcmBytes(silence ++ nyquist)),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, Array.emptyByteArray)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, true))))
+    val got = Multimodal.audioFeatures(media, windowSamples = 1024)
+      .select(col("media_id"), col("audio"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val w = got(1L)
+    assert(w.size == 2)
+    assert(w(0).getFloat(0) == 0f && w(0).getFloat(1) == 0f) // silence
+    assert(w(1).getFloat(0) > 0.9f, s"nyquist rms ${w(1).getFloat(0)}")
+    assert(w(1).getFloat(1) == 1f, s"nyquist zcr ${w(1).getFloat(1)}")
+    // null/empty payloads: empty window arrays, not errors
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    // determinism across layouts
+    val again = Multimodal.audioFeatures(media.repartition(3), 1024)
+      .select(col("media_id"), col("audio"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(again == got)
+  }
+
   test("incremental MV maintenance == full recompute (A6 State/Merge)") {
     val events = Tables.events(spark, sf)
     val keys = Seq("event_type")
