@@ -57,6 +57,30 @@ object Drift {
         sum(col("n")).as("n"),
         HistUnionAgg(col("hist")).as("hist"))
 
+  /** Drift report between two VERSIONS of a [[graft.sources.TxTable]]
+    * — time travel supplies the reference snapshot, so "this week vs
+    * the accepted corpus" needs no copy of last week's data: two
+    * linear scans (each version reads only its own manifest's files)
+    * into fixed-size states, then per-key PSI. Output: keys ++
+    * (n_a, n_b, psi), one row per key present in BOTH versions.
+    */
+  def betweenVersions(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      vA: Long, vB: Long,
+      keys: Seq[String], value: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    import graft.sources.TxTable
+    def st(v: Long, suffix: String) =
+      histState(TxTable.readVersion(spark, root, v), keys, value, lo, hi, bins)
+        .withColumnsRenamed(Map("n" -> s"n_$suffix", "hist" -> s"h_$suffix"))
+    val a = st(vA, "a")
+    val b = st(vB, "b")
+    a.join(b, keys, "inner")
+      .select(keys.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        psi(col("h_a"), col("h_b")).as("psi")): _*)
+  }
+
   /** PSI between two histogram-state COLUMNS (equal bin config):
     * Σ_i (p_i − q_i)·ln(p_i/q_i) over +1-smoothed bucket fractions
     * p_i = (cnt_i + 1)/(n + B). Laplace smoothing keeps empty buckets

@@ -562,16 +562,19 @@ object TxTable {
 
   /** Whole-table rewrite under the same optimistic-concurrency
     * contract as every other commit: read the pinned snapshot, apply a
-    * LAYOUT-ONLY transform (same rows, same schema — re-sort /
-    * re-partition / re-cluster; [[graft.sources.ZOrder.cluster]] is
-    * the canonical caller), write fresh files, and commit them as ONE
-    * new version replacing every old entry. A concurrent writer that
-    * takes the version first makes the exclusive-create commit fail
-    * loudly — nothing is half-replaced. Replaced files stay readable
-    * via time travel until [[vacuum]].
+    * SAME-SCHEMA transform, write fresh files, and commit them as ONE
+    * new version replacing every old entry. Two intended uses: layout
+    * maintenance (same rows re-sorted/re-clustered —
+    * [[graft.sources.ZOrder.cluster]] is the canonical caller) and
+    * full snapshot replacement (a new corpus revision whose previous
+    * state stays time-travelable — [[graft.operators.Drift
+    * .betweenVersions]] reads drift straight out of that history). A
+    * concurrent writer that takes the version first makes the
+    * exclusive-create commit fail loudly — nothing is half-replaced.
+    * Replaced files stay readable via time travel until [[vacuum]].
     *
     * The transform's output schema must equal the table's (checked):
-    * this is maintenance, not evolution — use [[addColumns]] /
+    * content may change, shape may not — use [[addColumns]] /
     * [[dropColumns]] for schema changes.
     */
   def rewriteAll(

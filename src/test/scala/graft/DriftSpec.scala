@@ -58,6 +58,26 @@ class DriftSpec extends SparkSpec {
     assert(ex.getMessage.contains("bin-config mismatch"))
   }
 
+  test("betweenVersions reads drift straight out of table history") {
+    import graft.sources.TxTable
+    val root = s"/root/repo/target/tmp/drift_tt_${System.nanoTime()}"
+    val v0 = spark.range(5000).select(
+      (col("id") % 2).cast("string").as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    TxTable.create(v0, root)
+    // version 1: key "1" shifts hard (+60, compressed), key "0" unchanged
+    val v1 = spark.range(5000).select(
+      (col("id") % 2).cast("string").as("k"),
+      when(col("id") % 2 === 1, (col("id") % 100) * 0.3 + 60.0)
+        .otherwise((col("id") % 100).cast("double")).as("v"))
+    TxTable.rewriteAll(spark, root, _ => v1)
+    val got = Drift.betweenVersions(spark, root, 0L, 1L,
+        Seq("k"), col("v"), 0.0, 100.0, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("0") == 0.0, s"unshifted key drifted: ${got("0")}")
+    assert(got("1") > 0.25, s"shifted key not flagged: ${got("1")}")
+  }
+
   test("PSI is zero for identical states and flags a real shift") {
     val base = spark.range(10000)
       .select((col("id") % 100).cast("double").as("v"))
