@@ -81,6 +81,53 @@ object Drift {
         psi(col("h_a"), col("h_b")).as("psi")): _*)
   }
 
+  /** Quantile estimates from a histogram STATE: linear interpolation
+    * within the covering bin — deterministic (same state ⇒ same
+    * numbers, unlike KLL/t-digest whose compaction is randomized) and
+    * as mergeable as the state itself, with error bounded by one bin
+    * width. The MV-quantile answer: store one `array<long>` per key,
+    * read p50/p95/p99 at serve time from any fold of any batches.
+    *
+    * Sentinel counts (underflow/overflow) participate in rank
+    * arithmetic but clamp to [lo, hi] — a q inside a sentinel bucket
+    * has no finite interpolation anchor, so the domain edge is the
+    * honest answer. Empty states yield nulls.
+    */
+  def quantiles(
+      hist: Column, probs: Seq[Double],
+      lo: Double, hi: Double): Column = {
+    require(probs.forall(p => p >= 0 && p <= 1), s"probs must be in [0,1]")
+    val total = aggregate(hist, lit(0L), _ + _)
+    val arr = probs.map { p =>
+      val target = lit(p) * total.cast("double")
+      // rank-walk via an index fold: find the first bin whose running
+      // count reaches the target, interpolate inside it
+      val bins = size(hist) - 2
+      val w = (lit(hi) - lit(lo)) / bins.cast("double")
+      // struct fold: (remaining, found, value)
+      val folded = aggregate(
+        zip_with(hist, sequence(lit(0), size(hist) - 1), (c, i) => struct(
+          c.cast("double").as("c"), i.as("i"))),
+        struct(target.as("rem"), lit(false).as("found"), lit(0.0).as("v")),
+        (acc, e) => {
+          val c = e.getField("c"); val i = e.getField("i")
+          val hit = !acc.getField("found") && (acc.getField("rem") <= c) && (c > 0.0)
+          val frac = when(c > 0.0, acc.getField("rem") / c).otherwise(lit(0.0))
+          // bin i covers [lo+(i-1)·w, lo+i·w); i==0 under, i==bins+1 over
+          val binLo = lit(lo) + (i.cast("double") - 1.0) * w
+          val v = when(i === 0, lit(lo))
+            .when(i === size(hist) - 1, lit(hi))
+            .otherwise(least(greatest(binLo + frac * w, lit(lo)), lit(hi)))
+          struct(
+            (acc.getField("rem") - c).as("rem"),
+            (acc.getField("found") || hit).as("found"),
+            when(hit, v).otherwise(acc.getField("v")).as("v"))
+        })
+      when(total > 0, folded.getField("v")).otherwise(lit(null))
+    }
+    array(arr: _*)
+  }
+
   /** PSI between two histogram-state COLUMNS (equal bin config):
     * Σ_i (p_i − q_i)·ln(p_i/q_i) over +1-smoothed bucket fractions
     * p_i = (cnt_i + 1)/(n + B). Laplace smoothing keeps empty buckets

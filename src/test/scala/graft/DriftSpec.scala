@@ -58,6 +58,44 @@ class DriftSpec extends SparkSpec {
     assert(ex.getMessage.contains("bin-config mismatch"))
   }
 
+  test("histogram quantiles interpolate deterministically within a bin") {
+    val df = spark.range(1000).select((col("id") % 100).cast("double").as("v"))
+    val h = hist(df, "v", 0.0, 100.0, 10)
+    def q(a: Array[Long], ps: Seq[Double]): Seq[Double] =
+      Seq(Tuple1(a)).toDF("h")
+        .select(Drift.quantiles(col("h"), ps, 0.0, 100.0).as("q"))
+        .as[Seq[Double]].head()
+    // exact uniform fill: interpolation lands on the true quantiles
+    assert(q(h, Seq(0.5)) == Seq(50.0))
+    assert(q(h, Seq(0.1, 0.9)) == Seq(10.0, 90.0))
+    // error bounded by one bin width against the exact percentile
+    val skew = spark.range(1000)
+      .select(pow(col("id").cast("double") / 1000.0, 3.0).multiply(100).as("v"))
+    val hs = hist(skew, "v", 0.0, 100.0, 10)
+    val exactP50 = skew.stat.approxQuantile("v", Array(0.5), 0.0)(0)
+    assert(math.abs(q(hs, Seq(0.5)).head - exactP50) <= 10.0)
+    // sentinel clamping and empty-state null
+    val over = Array(0L, 0L, 0L, 5L) // everything in overflow (2 bins)
+    assert(q(over, Seq(0.5)) == Seq(100.0))
+    val empty = Array(0L, 0L, 0L, 0L)
+    assert(Seq(Tuple1(empty)).toDF("h")
+      .select(Drift.quantiles(col("h"), Seq(0.5), 0.0, 100.0).as("q"))
+      .selectExpr("q[0]").head().isNullAt(0))
+  }
+
+  test("quantiles from a merged state equal quantiles from one pass") {
+    val df = spark.range(4000).select(
+      lit("k").as("k"), (col("id") % 97).cast("double").as("v"))
+    def st(f: org.apache.spark.sql.Column) =
+      Drift.histState(df.filter(f), Seq("k"), col("v"), 0.0, 100.0, 20)
+    val merged = Drift.mergeHist(
+      st(col("v") % 2 === 0), st(col("v") % 2 === 1), Seq("k"))
+    def q(d: org.apache.spark.sql.DataFrame) =
+      d.select(Drift.quantiles(col("hist"), Seq(0.25, 0.5, 0.95), 0.0, 100.0))
+        .as[Seq[Double]].head()
+    assert(q(merged) == q(Drift.histState(df, Seq("k"), col("v"), 0.0, 100.0, 20)))
+  }
+
   test("betweenVersions reads drift straight out of table history") {
     import graft.sources.TxTable
     val root = s"/root/repo/target/tmp/drift_tt_${System.nanoTime()}"

@@ -107,6 +107,19 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("sketch/histogram aggregates partial-aggregate before their exchange") {
+    // the scale contract of every TypedImperativeAggregate here: a
+    // map-side partial (ObjectHashAggregate) combines per-partition
+    // states BEFORE the shuffle, so the exchange carries one
+    // fixed-size state per (partition, key) — not one row per input
+    for (q <- Seq("q_freq_tokens", "q_drift_psi", "q_sketch_mv")) {
+      val plan = formatted(Catalog.queries(q)(spark, sf))
+      assert(plan.contains("ObjectHashAggregate") ||
+        plan.contains("HashAggregate"), s"$q: ${plan.take(1500)}")
+      assert(plan.contains("partial_"), s"$q lacks a partial phase")
+    }
+  }
+
   test("pre-aggregation sits below the join in the flagship mart (J5)") {
     val df = Catalog.queries("q_datamart_customer")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {
