@@ -69,4 +69,32 @@ class LayoutSpec extends SparkSpec {
     assert(r.getInt(2) == 8)
     assert(!r.isNullAt(3))
   }
+
+  test("sketch/histogram aggregates are callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_bucket(CAST(7 AS DOUBLE), array(2.0D, 5.0D, 9.0D)) AS b,
+        |  graft_hist(v, 0.0D, 10.0D, 2) AS h,
+        |  graft_freq_items(w, 64) AS f
+        |FROM VALUES (1.0D, 'a'), (6.0D, 'a'), (7.0D, 'b') AS t(v, w)
+        |GROUP BY 1""".stripMargin).head
+    assert(r.getInt(0) == 2) // two boundaries ≤ 7
+    assert(r.getSeq[Long](1) == Seq(0L, 1L, 2L, 0L))
+    val items = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(items == Map("a" -> 2L, "b" -> 1L))
+    // union folds states built by graft_hist
+    val u = spark.sql(
+      """SELECT graft_hist_union(h) AS h FROM (
+        |  SELECT graft_hist(v, 0.0D, 10.0D, 2) AS h
+        |  FROM VALUES (1.0D), (6.0D) AS t(v) GROUP BY v)""".stripMargin).head
+    assert(u.getSeq[Long](0) == Seq(0L, 1L, 1L, 0L))
+    // config args must be literals, loudly
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_hist(v, v, 10.0D, 2) FROM VALUES (1.0D) t(v)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+  }
 }
