@@ -65,7 +65,10 @@ object ScaleRehearsal {
     // round-6 part-3 features: bloom build+probe over 10× keys,
     // quantile+interleave+range-write at 10× rows, per-domain rank
     // window at 10× corpus, HLL MV fold at 10× events
-    "q_bloom_join", "q_zorder_skip", "q_corpus_mix", "q_sketch_mv")
+    "q_bloom_join", "q_zorder_skip", "q_corpus_mix", "q_sketch_mv",
+    // part-4/5: sketch + histogram TypedImperativeAggregates at 10×
+    // input (state size fixed, input linear), shard write at 10× rows
+    "q_freq_tokens", "q_drift_psi", "q_shard_export")
 
   private val Copies = 10
   private val IdStride = 10000000L
