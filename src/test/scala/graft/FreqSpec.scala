@@ -47,6 +47,30 @@ class FreqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("state/union/topk MV trio equals the direct aggregate") {
+    import graft.functions.{FreqStateAgg, FreqTopK, FreqUnionAgg}
+    val df = spark.range(6000).select(
+      (col("id") % 3).cast("string").as("k"),
+      concat(lit("w"), (col("id") % 30)).as("w"))
+    // per-key batch states (split by parity), unioned, finalized
+    def state(f: org.apache.spark.sql.Column) =
+      df.filter(f).groupBy("k").agg(FreqStateAgg(col("w"), 256).as("st"))
+    val mv = state(col("id") % 2 === 0).unionByName(state(col("id") % 2 === 1))
+      .groupBy("k").agg(FreqUnionAgg(col("st"), 256).as("st"))
+    val folded = mv.select(col("k"), explode(FreqTopK(col("st"))).as("f"))
+      .select(col("k"), col("f.item"), col("f.estimate"))
+      .as[(String, String, Long)].collect().toSet
+    val direct = df.groupBy("k").agg(FreqItemsAgg(col("w"), 256).as("fi"))
+      .select(col("k"), explode(col("fi")).as("f"))
+      .select(col("k"), col("f.item"), col("f.estimate"))
+      .as[(String, String, Long)].collect().toSet
+    assert(folded == direct)
+    // and both match exact counts in the exact regime
+    val exact = df.groupBy("k", "w").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(folded == exact)
+  }
+
   test("nulls are ignored, not counted") {
     val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
       .toDF("w")
