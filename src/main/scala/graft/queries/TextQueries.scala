@@ -15,7 +15,54 @@ object TextQueries {
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup, corpusMix, shardExport, freqTokens)
+    spanDedup, corpusMix, shardExport, freqTokens, trainingExport)
+
+  /** Export-pipeline capstone (the q_corpus_select of the output
+    * side): mixture resampling ([[graft.operators.Mix]]) COMPOSED with
+    * shard assignment ([[graft.operators.Shard]]) in one query — the
+    * corpus that would actually ship to a trainer. The oracle
+    * re-derives both stages in a single statement (window-rank
+    * mixture, then md5 shard of the survivors), so equality proves
+    * the operators compose deterministically, not just pass alone.
+    */
+  val trainingExport: Q = Q(
+    "q_training_export",
+    """WITH w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.2), ('es', 0.15),
+      |    ('de', 0.1), ('fr', 0.05)),
+      |  k AS (
+      |    SELECT d.lang, LEAST(COUNT(*), CAST(round(w.wt * 300) AS BIGINT)) AS k
+      |    FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang, w.wt),
+      |  r AS (
+      |    SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM documents),
+      |  mixed AS (
+      |    SELECT r.lang, r.doc_id, r.n_chars FROM r JOIN k ON r.lang = k.lang
+      |    WHERE r.rn <= k.k)
+      |SELECT
+      |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+      |    AS shard,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM mixed
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.{Mix, Shard}
+    val mixed = Mix.sample(
+      Tables.documents(s, dir), col("lang"), col("doc_id"),
+      weights = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15,
+        "de" -> 0.1, "fr" -> 0.05),
+      budget = 300L)
+    mixed
+      .withColumn("shard", Shard.assign(col("doc_id"), 4))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy(col("shard"))
+  }
 
   /** Heavy hitters via the frequent-items sketch
     * ([[graft.functions.FreqItemsAgg]]): token frequencies in ONE
