@@ -42,4 +42,10 @@ object CacheScope {
 
   /** Currently tracked block count (diagnostics / tests). */
   def trackedCount: Int = synchronized(tracked.size)
+
+  /** Frames tracked right now (tests assert per-frame unpersist after
+    * [[release]] without racing concurrently-running suites' caches).
+    */
+  private[graft] def trackedSnapshot: Seq[DataFrame] =
+    synchronized(tracked.toList)
 }

@@ -304,8 +304,6 @@ class DedupSpec extends SparkSpec {
   }
 
   test("CacheScope.release drops every operator-persisted block") {
-    spark.catalog.clearCache()
-    graft.CacheScope.release(blocking = true)
     val docs = Tables.documents(spark, sf)
     // two operators that persist intermediates, materialized fully
     Dedup.jaccardPairsPruned(docs, "doc_id", "text", 3, 0.8, 20).count()
@@ -313,9 +311,14 @@ class DedupSpec extends SparkSpec {
       Tables.embeddings(spark, sf).filter(col("vec_id") < 5),
       "vec_id", "embedding", 3, 64).count()
     assert(graft.CacheScope.trackedCount > 0, "operators registered blocks")
+    // Assert per-frame, on a snapshot taken before release: suites run
+    // in parallel in one JVM, so global checks (trackedCount == 0,
+    // getRDDStorageInfo.isEmpty) race with other suites' caches.
+    val snap = graft.CacheScope.trackedSnapshot
     graft.CacheScope.release(blocking = true)
-    assert(graft.CacheScope.trackedCount == 0)
-    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
-      "no cached blocks survive release()")
+    snap.foreach { df =>
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "every frame tracked at release() time is unpersisted")
+    }
   }
 }
