@@ -16,7 +16,56 @@ import graft.sources.{CsvIngest, FixedWidth, Jdbc, JsonIngest, TypeMatrix}
 object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
-    xmlRoundtrip, jsonlRoundtrip, statsSkipping, zorderSkipping)
+    xmlRoundtrip, jsonlRoundtrip, statsSkipping, zorderSkipping, formatRead)
+
+  /** The `format("graft")` surface end-to-end ([[graft.sources.GraftSource]]):
+    * lineitem lands range-clustered in a transactional table through
+    * the standard `DataFrameWriter`, is registered as a plain SQL view
+    * (`CREATE TEMP VIEW … USING graft`), and the query is pure SQL
+    * text — the optimizer pushes the WHERE into [[graft.sources.GraftFileIndex]],
+    * which REQUIREs that manifest stats actually skipped files at
+    * planning time. The oracle runs the same SQL over the raw parquet,
+    * so equality proves the whole format stack (writer commit →
+    * manifest → planner pruning → vectorized scan) is lossless.
+    */
+  val formatRead: Q = Q(
+    "q_format_read",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 2000 AND 4000 AND l_discount >= 0.05
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_discount"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val root = s"/root/repo/target/tmp/fmtq_${new java.io.File(dir).getName}"
+    li.repartitionByRange(8, col("l_orderkey"))
+      .write.format("graft").mode("overwrite").save(root)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW fmt_lineitem USING graft " +
+      s"OPTIONS (path '$root')")
+    val sql =
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM fmt_lineitem
+        |WHERE l_orderkey BETWEEN 2000 AND 4000 AND l_discount >= 0.05
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    // cheap pruned probe: prove the optimizer-pushed WHERE skipped
+    // files at planning time before handing back the real query
+    val probe = s.sql(
+      "SELECT COUNT(*) FROM fmt_lineitem WHERE l_orderkey BETWEEN 2000 AND 4000")
+    probe.collect()
+    val idx = probe.queryExecution.optimizedPlan.collectFirst {
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+        h.location.asInstanceOf[graft.sources.GraftFileIndex]
+    }.get
+    require(idx.lastListedCount < idx.snapshot.entries.size,
+      s"format read did not prune: ${idx.lastListedCount}/" +
+        s"${idx.snapshot.entries.size} files scanned")
+    s.sql(sql)
+  }
 
   /** TxTable file-level data skipping end-to-end: lineitem lands
     * range-clustered on l_orderkey in a transactional table (the

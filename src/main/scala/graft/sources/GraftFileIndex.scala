@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** [[org.apache.spark.sql.execution.datasources.FileIndex]] over one
+  * pinned [[TxTable.Snapshot]] — the piece that turns TxTable from a
+  * library API into a planner-integrated table format (the Delta/
+  * Iceberg seam: a transaction log answering Spark's "which files?"
+  * question at PLANNING time; reference workload …/SSIS/Practice
+  * markdown's range-partitioned incremental loads are exactly the
+  * shape this serves).
+  *
+  * What plugging in here buys over [[TxTable.readWhere]]'s call-time
+  * pruning:
+  *   - the OPTIMIZER's pushed `dataFilters` drive file skipping — any
+  *     predicate Catalyst can push (from SQL text, from a view, from a
+  *     join's constant-folded residue) prunes, not just the `Column`
+  *     the caller happened to pass;
+  *   - pruning composes with everything downstream of a scan
+  *     (vectorized parquet reader, whole-stage codegen, AQE) because
+  *     the scan IS Spark's native `FileSourceScanExec`;
+  *   - no directory listing ever happens: the manifest carries path,
+  *     size and stats per file, so planning costs zero filesystem
+  *     round-trips (at 100 TB, listing is the object-store bottleneck
+  *     this format exists to avoid).
+  *
+  * The snapshot is pinned at construction: a concurrent commit after
+  * the DataFrame is built cannot change which files the query reads —
+  * same read-your-snapshot isolation as every TxTable read path.
+  *
+  * `partitionSchema` is empty by design: TxTable keeps every column
+  * (including the layout partition column) INSIDE the data files, so
+  * partition pruning is subsumed by stats pruning (the partition
+  * column's per-file min == max) and Spark never needs directory-name
+  * parsing. All filters arrive as `dataFilters`.
+  */
+final class GraftFileIndex(
+    spark: SparkSession, root: String, val snapshot: TxTable.Snapshot)
+    extends FileIndex {
+
+  private val schema = StructType.fromDDL(snapshot.schemaDdl)
+
+  private val qualifiedRoot: Path = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p)
+  }
+
+  /** Entries the most recent [[listFiles]] kept (test hook — specs
+    * assert skipping without instrumenting the scan).
+    */
+  @volatile private[graft] var lastListedCount: Int = -1
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // dataFilters come from the optimizer: resolved AttributeReferences
+    // with folded literals — exactly the shape FileStats.provesEmpty
+    // evaluates. Files it cannot decide about are kept; Spark re-applies
+    // the full predicate row-by-row on survivors (pruning only ever
+    // REMOVES work, never decides correctness).
+    val survivors =
+      if (dataFilters.isEmpty) snapshot.entries
+      else {
+        val cond = dataFilters.reduce(And)
+        snapshot.entries.filterNot(e =>
+          FileStats.provesEmpty(cond, schema, e.stats))
+      }
+    lastListedCount = survivors.size
+    val fs = qualifiedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = survivors.map { e =>
+      val p = new Path(qualifiedRoot, e.relPath)
+      // manifest-carried size ⇒ zero filesystem calls; -1 (pre-size
+      // manifest) degrades to one getFileStatus, never to failure
+      val len = if (e.size >= 0) e.size else fs.getFileStatus(p).getLen
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
+    }.toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+
+  override def inputFiles: Array[String] =
+    snapshot.entries.map(e => new Path(qualifiedRoot, e.relPath).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  /** Planner input (e.g. broadcast-join decisions). Unknown sizes
+    * count as 0 — consistent with "stats only remove work": a table of
+    * unknown size looks small, and Spark's own runtime guards (driver
+    * maxResultSize on broadcast build) backstop the misestimate.
+    */
+  override def sizeInBytes: Long =
+    snapshot.entries.map(e => math.max(e.size, 0L)).sum
+}

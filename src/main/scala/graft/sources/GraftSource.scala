@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * standard Spark data-source surface over [[TxTable]], registered via
+  * META-INF/services so the short name resolves like any built-in
+  * format. This is the integration layer end users touch; the
+  * transactional semantics live entirely in [[TxTable]], the planning
+  * integration in [[GraftFileIndex]].
+  *
+  * Read side: resolves ONE snapshot (current, or `versionAsOf` for
+  * time travel) and hands Spark a `HadoopFsRelation` whose file
+  * listing is the manifest — so a SQL `WHERE` on a clustered column
+  * skips data files at planning time and the scan itself is Spark's
+  * vectorized parquet reader inside whole-stage codegen. Reads are
+  * snapshot-isolated: concurrent commits after `load()` don't move
+  * the query.
+  *
+  * Write side (`option("partitionCol", c)` for layout partitioning):
+  *   - Append       → [[TxTable.append]] (creates the table on first
+  *                    write — the idempotent-bootstrap shape ETL jobs
+  *                    want), one atomic manifest commit;
+  *   - Overwrite    → same-schema content replacement via
+  *                    [[TxTable.rewriteAll]]: history stays time-
+  *                    travelable, unlike a destructive re-create.
+  *                    Schema-changing overwrite is refused loudly —
+  *                    use evolve ([[TxTable.addColumns]]/
+  *                    [[TxTable.dropColumns]]) or re-create on purpose;
+  *   - ErrorIfExists/ Ignore → standard Spark semantics.
+  *
+  * Reference workload: …/Integration/SSIS/Practice markdown's
+  * "write to the staging table, swap atomically" pattern — here the
+  * swap is the manifest commit, and the reader API is plain
+  * `spark.read`.
+  */
+final class GraftSource
+    extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft format requires a path: spark.read.format(\"graft\").load(root)"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val snap = parameters.get("versionAsOf") match {
+      case Some(v) => TxTable.snapshot(spark, root, v.toLong)
+      case None => TxTable.currentSnapshot(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no committed graft table under $root"))
+    }
+    relationFor(spark, root, snap)
+  }
+
+  private def relationFor(
+      spark: SparkSession, root: String, snap: TxTable.Snapshot): BaseRelation =
+    HadoopFsRelation(
+      location = new GraftFileIndex(spark, root, snap),
+      partitionSchema = StructType(Nil),
+      dataSchema = StructType.fromDDL(snap.schemaDdl),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val partitionCol = parameters.get("partitionCol")
+    val exists = TxTable.currentSnapshot(spark, root).isDefined
+    mode match {
+      case SaveMode.Append =>
+        if (exists) TxTable.append(data, root, partitionCol)
+        else TxTable.create(data, root, partitionCol)
+      case SaveMode.Overwrite =>
+        if (exists) TxTable.rewriteAll(spark, root, _ => data)
+        else TxTable.create(data, root, partitionCol)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table already exists under $root (mode=ErrorIfExists)")
+        else TxTable.create(data, root, partitionCol)
+      case SaveMode.Ignore =>
+        if (!exists) TxTable.create(data, root, partitionCol)
+    }
+    createRelation(sqlContext, parameters - "versionAsOf")
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{FileSystem, Path}
 
+import scala.util.Try
+
 /** Minimal TRANSACTIONAL parquet table — the Delta/Iceberg-shaped seam
   * the CDC module needs, built from first principles on plain
   * parquet + an atomically-renamed manifest (the commit protocol of
@@ -46,9 +48,14 @@ object TxTable {
 
   /** One live data file. `stats` is [[FileStats]]'s encoded per-column
     * min/max/nullCount blob ("" = none — legacy entries and error
-    * paths degrade to "never pruned", not to failure).
+    * paths degrade to "never pruned", not to failure). `size` is the
+    * file length in bytes (-1 = unknown — pre-size manifests); with it
+    * the manifest alone carries everything a scan plan needs, so the
+    * read path ([[GraftFileIndex]]) never stats a data file.
     */
-  final case class Entry(relPath: String, partition: String, stats: String = "")
+  final case class Entry(
+      relPath: String, partition: String, stats: String = "",
+      size: Long = -1L)
 
   final case class Snapshot(version: Long, schemaDdl: String, entries: Seq[Entry])
 
@@ -134,9 +141,12 @@ object TxTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty).filterNot(_ == "#eof")
     val ddl = lines.head.stripPrefix("#schema=")
     val entries = lines.tail.map { l =>
-      // 3rd field (stats) is optional: manifests written before data
-      // skipping carry 2 fields and stay readable (never pruned)
-      l.split("\t", 3) match {
+      // trailing fields (stats, size) are optional: manifests written
+      // before data skipping carry 2 fields, pre-size manifests carry
+      // 3 — both stay readable (never pruned / size unknown)
+      l.split("\t", 4) match {
+        case Array(rel, part, stats, size) =>
+          Entry(rel, part, stats, Try(size.toLong).getOrElse(-1L))
         case Array(rel, part, stats) => Entry(rel, part, stats)
         case Array(rel, part) => Entry(rel, part)
       }
@@ -280,7 +290,7 @@ object TxTable {
             .map(seg => c + seg.stripPrefix("__gtx_part"))
             .getOrElse("")
         }.getOrElse("")
-        out += Entry(relPath, part)
+        out += Entry(relPath, part, size = st.getLen)
       }
     }
     // commit-time stats collection (footer-only reads, bounded by THIS
@@ -336,7 +346,8 @@ object TxTable {
       }
     try os.write(
       (s"#schema=$schemaDdl\n" +
-        entries.map(e => s"${e.relPath}\t${e.partition}\t${e.stats}\n").mkString +
+        entries.map(e =>
+          s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
