@@ -70,7 +70,7 @@ final class GraftSource
       partitionSchema = StructType(Nil),
       dataSchema = StructType.fromDDL(snap.schemaDdl),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat = new GraftSource.ReadOnlyParquet(),
       options = Map.empty)(spark)
 
   override def createRelation(
@@ -97,5 +97,28 @@ final class GraftSource
         if (!exists) TxTable.create(data, root, partitionCol)
     }
     createRelation(sqlContext, parameters - "versionAsOf")
+  }
+}
+
+object GraftSource {
+  /** The scan format for graft relations — parquet reads, NO writes.
+    * Spark plans `INSERT INTO` over any `HadoopFsRelation` as a direct
+    * file write into the relation's root path, which would bypass the
+    * manifest entirely: the inserted rows stay invisible to every read
+    * (manifest-driven listing) while their files orphan in the table
+    * root — silent data loss from the user's view. `prepareWrite` is
+    * the first thing the write path calls, so throwing here refuses
+    * the statement loudly before a single file or staging dir exists.
+    */
+  private final class ReadOnlyParquet extends ParquetFileFormat {
+    override def prepareWrite(
+        sparkSession: SparkSession,
+        job: org.apache.hadoop.mapreduce.Job,
+        options: Map[String, String],
+        dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+      throw new UnsupportedOperationException(
+        "INSERT INTO a graft table view is not supported — it would " +
+          "bypass the transactional manifest. Write through " +
+          "df.write.format(\"graft\").mode(\"append\"|\"overwrite\") instead.")
   }
 }

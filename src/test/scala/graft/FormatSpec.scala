@@ -123,6 +123,25 @@ class FormatSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq == Seq((1L, "A", 1.0)))
   }
 
+  test("INSERT INTO a graft view is refused before any file is written") {
+    val root = freshRoot("ins")
+    Seq((1L, "A", 1.0)).toDF("k", "cat", "v")
+      .write.format("graft").mode("append").save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW fmt_ins_t USING graft " +
+      s"OPTIONS (path '$root')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO fmt_ins_t VALUES (2, 'B', 2.0)")
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).getMessage.contains("bypass the transactional manifest"))
+    // the refusal left no orphan: nothing outside data/ and _manifest/
+    val stray = new java.io.File(root).listFiles()
+      .map(_.getName).filterNot(Set("data", "_manifest"))
+    assert(stray.isEmpty, s"orphan files after refused insert: ${stray.toSeq}")
+    assert(spark.read.format("graft").load(root).count() == 1)
+  }
+
   test("pure SQL: CREATE TEMP VIEW USING graft prunes through SQL text") {
     val root = freshRoot("sql")
     rangedTable(root)
