@@ -3,8 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{
-  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister,
+  RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` — the
@@ -41,9 +44,39 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftSource
     extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — exactly-once streaming append.
+    * Every micro-batch goes through [[TxTable.txnAppend]]: the batch's
+    * data files and the advanced (txnId → batchId) watermark land in
+    * ONE atomic manifest commit, so the at-least-once replay window of
+    * any checkpointed sink (crash after manifest commit, before
+    * checkpoint commit) dedups to a no-op on restart. The transaction
+    * identity defaults to the query's checkpoint location — stable
+    * across restarts by construction — and `option("txnAppId", …)`
+    * overrides it when two queries share a checkpoint layout. Append
+    * output mode only: aggregation modes belong in `foreachBatch`
+    * over the state-MV helpers (Streams.sketchMvStream).
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft streaming sink supports Append output mode only, got " +
+        s"$outputMode — use foreachBatch for stateful MV maintenance")
+    val root = rootOf(parameters)
+    val txnId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink needs a stable transaction identity for " +
+          "exactly-once: set option(\"checkpointLocation\", …) or " +
+          "option(\"txnAppId\", …)"))
+    new GraftSink(root, parameters.get("partitionCol"), txnId)
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -98,6 +131,44 @@ final class GraftSource
     }
     createRelation(sqlContext, parameters - "versionAsOf")
   }
+}
+
+/** The micro-batch end of `writeStream.format("graft")` — see
+  * [[GraftSource.createSink]]. First batch against a fresh root
+  * bootstraps an EMPTY v0 table (schema only, no data files), so a
+  * crash between bootstrap and the first data commit replays safely:
+  * the bootstrap is skipped when a manifest exists, and the data
+  * commit dedups through the txn watermark. Bootstrapping WITH the
+  * first batch's rows instead would leave a replay window where the
+  * same rows land twice (create carries no watermark).
+  */
+final class GraftSink(
+    root: String, partitionCol: Option[String], txnId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the frame arrives flagged streaming (DSv1 sink contract);
+    // re-plan it as batch over the same InternalRows, as
+    // ForeachBatchSink does for its users
+    val batch = org.apache.spark.sql.GraftColumnBridge.asBatch(data)
+    if (TxTable.currentSnapshot(spark, root).isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      TxTable.create(empty, root, partitionCol)
+    }
+    TxTable.txnAppend(batch, root, partitionCol, txnId, batchId)
+    GraftSink.afterBatchHook(batchId)
+  }
+
+  override def toString: String = s"GraftSink[$root]"
+}
+
+object GraftSink {
+  /** Test seam: runs after the manifest commit, before Spark's
+    * checkpoint commit — throwing here simulates a crash in the
+    * at-least-once replay window (StreamSpec).
+    */
+  @volatile private[graft] var afterBatchHook: Long => Unit = _ => ()
 }
 
 object GraftSource {

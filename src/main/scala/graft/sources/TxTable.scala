@@ -57,7 +57,15 @@ object TxTable {
       relPath: String, partition: String, stats: String = "",
       size: Long = -1L)
 
-  final case class Snapshot(version: Long, schemaDdl: String, entries: Seq[Entry])
+  /** `txns` is the cumulative streaming-transaction watermark map
+    * (txnId → highest applied batchId), carried forward by every
+    * commit — the Delta `txn` action pattern that gives
+    * [[txnAppend]] (and through it `writeStream.format("graft")`)
+    * exactly-once semantics across crash-replay.
+    */
+  final case class Snapshot(
+      version: Long, schemaDdl: String, entries: Seq[Entry],
+      txns: Map[String, Long] = Map.empty)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -140,7 +148,16 @@ object TxTable {
           "in-flight or crashed commit, not a committed snapshot")
     val lines = text.split("\n").toSeq.filter(_.nonEmpty).filterNot(_ == "#eof")
     val ddl = lines.head.stripPrefix("#schema=")
-    val entries = lines.tail.map { l =>
+    // `#`-prefixed metadata lines after the schema: `#txn=id:batchId`
+    // carries the streaming watermark map; UNKNOWN `#` lines are
+    // skipped, so future metadata never breaks an old reader
+    val (meta, entryLines) = lines.tail.partition(_.startsWith("#"))
+    val txns = meta.collect {
+      case l if l.startsWith("#txn=") =>
+        val Array(id, bid) = l.stripPrefix("#txn=").split(":", 2)
+        java.net.URLDecoder.decode(id, "UTF-8") -> bid.toLong
+    }.toMap
+    val entries = entryLines.map { l =>
       // trailing fields (stats, size) are optional: manifests written
       // before data skipping carry 2 fields, pre-size manifests carry
       // 3 — both stay readable (never pruned / size unknown)
@@ -151,7 +168,7 @@ object TxTable {
         case Array(rel, part) => Entry(rel, part)
       }
     }
-    Snapshot(version, ddl, entries)
+    Snapshot(version, ddl, entries, txns)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -331,7 +348,8 @@ object TxTable {
     */
   private def commit(
       spark: SparkSession, root: String, next: Long,
-      schemaDdl: String, entries: Seq[Entry]): Long = {
+      schemaDdl: String, entries: Seq[Entry],
+      txns: Map[String, Long] = Map.empty): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -346,6 +364,9 @@ object TxTable {
       }
     try os.write(
       (s"#schema=$schemaDdl\n" +
+        txns.toSeq.sortBy(_._1).map { case (id, bid) =>
+          s"#txn=${java.net.URLEncoder.encode(id, "UTF-8")}:$bid\n"
+        }.mkString +
         entries.map(e =>
           s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
@@ -375,7 +396,48 @@ object TxTable {
     val cur = requireSnapshot(spark, root)
     requireSchema(df, cur, "append")
     val entries = writeData(df, root, partitionCol)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries,
+      cur.txns)
+  }
+
+  /** IDEMPOTENT append for streaming writers: apply `df` as `txnId`'s
+    * batch `batchId` exactly once, no matter how often the call is
+    * replayed. The snapshot's [[Snapshot.txns]] watermark decides:
+    * `batchId <= watermark(txnId)` means an earlier attempt's commit
+    * IS on disk (a crash after manifest commit but before checkpoint
+    * commit replays the batch — the at-least-once window every
+    * checkpointed sink has), so the replay is a no-op. Otherwise data
+    * files are written and the commit carries the advanced watermark
+    * in the SAME atomic manifest — data and dedup marker can never
+    * disagree. Returns true when this call applied the batch.
+    *
+    * Lost optimistic races (a concurrent writer took the version) are
+    * retried on the fresh snapshot, bounded; the already-applied check
+    * re-runs each retry, so a replay racing itself stays exactly-once.
+    */
+  def txnAppend(
+      df: DataFrame, root: String, partitionCol: Option[String],
+      txnId: String, batchId: Long, maxRetries: Int = 10): Boolean = {
+    require(txnId.nonEmpty, "txnAppend: empty txnId")
+    val spark = df.sparkSession
+    var attempt = 0
+    var entries: Seq[Entry] = null // write data files AT MOST once
+    while (true) {
+      val cur = requireSnapshot(spark, root)
+      if (cur.txns.get(txnId).exists(_ >= batchId)) return false
+      requireSchema(df, cur, "txnAppend")
+      if (entries == null) entries = writeData(df, root, partitionCol)
+      try {
+        commit(spark, root, cur.version + 1, cur.schemaDdl,
+          cur.entries ++ entries, cur.txns + (txnId -> batchId))
+        return true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    false // unreachable
   }
 
   /** ADDITIVE schema evolution, metadata-only: commit a new version
@@ -411,7 +473,8 @@ object TxTable {
     val evolved = StructType(
       schema.fields ++ newCols.map(_.copy(nullable = true)))
     commit(spark, root, cur.version + 1,
-      nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries)
+      nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
+      cur.txns)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -440,7 +503,7 @@ object TxTable {
     require(kept.nonEmpty, "dropColumns: cannot drop every column")
     commit(spark, root, cur.version + 1,
       nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
-      cur.entries)
+      cur.entries, cur.txns)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -520,7 +583,8 @@ object TxTable {
       alsoDropValues.map(v => s"$partitionCol=" +
         org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v))
     val kept = cur.entries.filterNot(e => touched.contains(e.partition))
-    commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
+      cur.txns)
   }
 
   /** Bin-pack compaction — the housekeeping op every manifest table
@@ -568,7 +632,8 @@ object TxTable {
         (es.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       writeData(df.coalesce(nOut), root, partitionCol)
     }
-    commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
+      cur.txns)
   }
 
   /** Whole-table rewrite under the same optimistic-concurrency
@@ -597,7 +662,7 @@ object TxTable {
     val out = transform(readEntries(spark, root, cur, identity))
     requireSchema(out, cur, "rewriteAll")
     val entries = writeData(out, root, partitionCol)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, entries)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, entries, cur.txns)
   }
 
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so

@@ -13,6 +13,22 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-plan a streaming micro-batch DataFrame as a BATCH frame over
+    * the same InternalRow RDD — exactly what `ForeachBatchSink` does
+    * before handing the user their batch frame (LogicalRDD.fromDataset
+    * with isStreaming=false). A DSv1 `Sink.addBatch` receives the
+    * frame still flagged streaming, where `.write` is refused; this
+    * unflags it with zero row conversion so graft's sink can reuse the
+    * batch writers.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      c.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        c.queryExecution.toRdd, c, isStreaming = false))
+  }
+
   /** Hive-style partition-directory escaping — the SAME function the
     * parquet writer uses for `partCol=value` directory names, so
     * partition-scoped maintenance (Cdc.applyPartitioned) addresses the

@@ -329,6 +329,58 @@ class StreamSpec extends SparkSpec {
     assert(v1 == Map("t0" -> 60L, "t1" -> 60L))
   }
 
+  test("writeStream.format(\"graft\"): crash-restart appends exactly once") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import graft.sources.{GraftSink, TxTable}
+
+    val base = s"target/tmp/fmtsink_${System.nanoTime()}"
+    val root = s"$base/table"; val ckpt = s"$base/ckpt"; val feedDir = s"$base/feed"
+
+    val b0 = (0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    val b1 = (50 until 90).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    b0.coalesce(1).write.parquet(s"$feedDir/f=0")
+    Thread.sleep(1100) // distinct mod times keep file->batch order deterministic
+    b1.coalesce(1).write.parquet(s"$feedDir/f=1")
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feedDir)
+        .writeStream.format("graft")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      q.awaitTermination()
+    }
+
+    // run 1: crash AFTER batch 0's manifest commit, BEFORE the
+    // checkpoint commit — the at-least-once replay window
+    GraftSink.afterBatchHook =
+      bid => if (bid == 0) throw new RuntimeException("injected crash")
+    try {
+      val ex = intercept[StreamingQueryException] { run() }
+      assert(ex.getMessage.contains("injected crash"))
+    } finally GraftSink.afterBatchHook = _ => ()
+
+    // batch 0's rows AND its watermark are on disk, atomically
+    assert(TxTable.read(spark, root).count() == 50)
+    val crashed = TxTable.currentSnapshot(spark, root).get
+    assert(crashed.txns.values.toSeq == Seq(0L),
+      s"batch-0 watermark must be committed, got ${crashed.txns}")
+
+    // run 2: batch 0 replays (deduped by the watermark), batch 1 lands
+    run()
+    val rows = TxTable.read(spark, root).as[(Long, String)].collect()
+    assert(rows.length == 90, s"exactly-once violated: ${rows.length} rows")
+    assert(rows.map(_._1).distinct.length == 90)
+    val fin = TxTable.currentSnapshot(spark, root).get
+    assert(fin.txns.values.toSeq == Seq(1L))
+    // the format reader sees the same exactly-once table
+    assert(spark.read.format("graft").load(root).count() == 90)
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==

@@ -33,6 +33,25 @@ class TxSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 6)
   }
 
+  test("txnAppend: idempotent per (txnId, batchId); watermark survives other commits") {
+    val root = freshRoot("txn")
+    TxTable.create(seed, root, Some("p"))
+    val b = Seq((10L, "D", 1.0)).toDF("k", "p", "v")
+    assert(TxTable.txnAppend(b, root, Some("p"), "q1", 0L))
+    assert(!TxTable.txnAppend(b, root, Some("p"), "q1", 0L), "replay is a no-op")
+    assert(TxTable.read(spark, root).count() == 6)
+    // an unrelated commit must carry the watermark forward
+    TxTable.append(Seq((11L, "D", 2.0)).toDF("k", "p", "v"), root, Some("p"))
+    assert(!TxTable.txnAppend(b, root, Some("p"), "q1", 0L),
+      "watermark lost by an interleaved append")
+    assert(TxTable.txnAppend(b, root, Some("p"), "q1", 1L), "next batch applies")
+    // a second writer identity is independent
+    assert(TxTable.txnAppend(b, root, Some("p"), "q2", 0L))
+    assert(TxTable.currentSnapshot(spark, root).get.txns ==
+      Map("q1" -> 1L, "q2" -> 0L))
+    assert(TxTable.read(spark, root).count() == 9)
+  }
+
   test("addColumns: metadata-only widening, null backfill, stale writers refused") {
     import org.apache.spark.sql.types.{StringType, StructField}
     val root = freshRoot("evolve")
@@ -340,7 +359,7 @@ class TxSpec extends SparkSpec {
       m.setAccessible(true)
       try m.invoke(TxTable, spark, root,
         java.lang.Long.valueOf(stale.version + 1), stale.schemaDdl,
-        stale.entries)
+        stale.entries, stale.txns)
       catch {
         case e: java.lang.reflect.InvocationTargetException => throw e.getCause
       }
