@@ -3,10 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister,
-  RelationProvider, StreamSinkProvider}
+  RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -44,9 +45,58 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftSource
     extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft")` — tail a graft table's commit
+    * history as a micro-batch stream. Manifest versions ARE the
+    * offsets: a batch is the set of data files version (start, end]
+    * ADDED, so replays of the same version range read identical
+    * immutable files — the deterministic-replay half of end-to-end
+    * exactly-once (the sink's txn watermark is the other half).
+    * Default behavior emits the full current snapshot as the first
+    * batch, then appends; `option("startingVersion", v)` skips the
+    * snapshot and tails changes committed after version v
+    * (`"latest"` = after the version current at stream start). The
+    * source tails APPEND-ONLY history: a version that removed files
+    * (overwrite/compact/z-order) fails loudly unless
+    * `option("ignoreChanges","true")` accepts added-files-only
+    * semantics (rewritten rows may re-emit — same contract Delta
+    * documents for its source).
+    */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val snap = TxTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed graft table under $root — the streaming source " +
+          "needs an existing table to pin its schema"))
+    (shortName(), StructType.fromDDL(snap.schemaDdl))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val base = parameters.get("startingVersion") match {
+      case Some("latest") => TxTable.currentVersion(spark, root).get
+      case Some(v) => v.toLong
+      case None => -1L // full snapshot first
+    }
+    new GraftStreamSource(spark, root, pinned, base,
+      parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
 
   /** `df.writeStream.format("graft")` — exactly-once streaming append.
     * Every micro-batch goes through [[TxTable.txnAppend]]: the batch's
@@ -161,6 +211,61 @@ final class GraftSink(
   }
 
   override def toString: String = s"GraftSink[$root]"
+}
+
+/** The version-tailing end of `readStream.format("graft")` — see
+  * [[GraftSource.createSource]]. Offsets are manifest versions;
+  * `baseVersion` is the EXCLUSIVE lower bound of the tail (-1 = emit
+  * the full snapshot first). Manifests are immutable once committed,
+  * so `getBatch` over a version range is deterministic across
+  * restarts — Spark's checkpointed offset log replays it bit-equal.
+  */
+final class GraftStreamSource(
+    spark: SparkSession, root: String, pinned: StructType,
+    baseVersion: Long, ignoreChanges: Boolean) extends Source {
+
+  override def schema: StructType = pinned
+
+  override def getOffset: Option[Offset] =
+    TxTable.currentVersion(spark, root)
+      .filter(_ > baseVersion).map(LongOffset(_))
+
+  // a restart hands back SerializedOffset(json), not LongOffset —
+  // the json of both is the bare version number
+  private def versionOf(o: Offset): Long = o.json.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endSnap = TxTable.snapshot(spark, root, versionOf(end))
+    val startV = start.map(versionOf).getOrElse(baseVersion)
+    val added =
+      if (startV < 0) endSnap.entries
+      else {
+        val before =
+          TxTable.snapshot(spark, root, startV).entries.map(_.relPath).toSet
+        val removed = before -- endSnap.entries.map(_.relPath).toSet
+        if (removed.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft streaming source: non-append change between " +
+              s"v$startV and v${endSnap.version} under $root " +
+              s"(${removed.size} file(s) removed by overwrite/compact) — " +
+              "tail an append-only table, or accept added-files-only " +
+              "semantics with option(\"ignoreChanges\",\"true\")")
+        endSnap.entries.filterNot(e => before.contains(e.relPath))
+      }
+    val df =
+      if (added.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+      else
+        spark.read.schema(pinned)
+          .parquet(added.map(e => s"$root/${e.relPath}"): _*)
+    // Source.getBatch frames must carry isStreaming=true
+    org.apache.spark.sql.GraftColumnBridge.asStreaming(df)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$root]"
 }
 
 object GraftSink {

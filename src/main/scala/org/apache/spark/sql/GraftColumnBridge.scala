@@ -21,12 +21,21 @@ object GraftColumnBridge {
     * unflags it with zero row conversion so graft's sink can reuse the
     * batch writers.
     */
-  def asBatch(df: DataFrame): DataFrame = {
+  def asBatch(df: DataFrame): DataFrame = replan(df, streaming = false)
+
+  /** The inverse flip, for a DSv1 streaming `Source.getBatch`: the
+    * frames it returns must carry isStreaming=true (MicroBatchExecution
+    * asserts it), but they are built with the BATCH reader over the
+    * version-diff's files. Same zero-conversion re-plan, opposite flag.
+    */
+  def asStreaming(df: DataFrame): DataFrame = replan(df, streaming = true)
+
+  private def replan(df: DataFrame, streaming: Boolean): DataFrame = {
     val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     org.apache.spark.sql.classic.Dataset.ofRows(
       c.sparkSession,
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
-        c.queryExecution.toRdd, c, isStreaming = false))
+        c.queryExecution.toRdd, c, isStreaming = streaming))
   }
 
   /** Hive-style partition-directory escaping — the SAME function the

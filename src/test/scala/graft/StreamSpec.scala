@@ -381,6 +381,64 @@ class StreamSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 90)
   }
 
+  test("readStream.format(\"graft\"): version-tail replication, exactly-once end to end") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import graft.sources.{GraftSink, TxTable}
+
+    val base = s"target/tmp/fmttail_${System.nanoTime()}"
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+
+    TxTable.create((0 until 30).map(i => (i.toLong, s"r$i")).toDF("k", "s"), src)
+    TxTable.append((30 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "s"), src)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+
+    // run 1: the full snapshot (v0+v1 files) arrives as one batch
+    run()
+    assert(TxTable.read(spark, dst).count() == 50)
+
+    // more source commits, then a crash in the sink's replay window
+    TxTable.append((50 until 70).map(i => (i.toLong, s"r$i")).toDF("k", "s"), src)
+    var crashed = false
+    GraftSink.afterBatchHook = _ =>
+      if (!crashed) { crashed = true; throw new RuntimeException("injected crash") }
+    try {
+      val ex = intercept[StreamingQueryException] { run() }
+      assert(ex.getMessage.contains("injected crash"))
+    } finally GraftSink.afterBatchHook = _ => ()
+    run() // restart: the replayed version range dedups through the txn watermark
+
+    val rows = TxTable.read(spark, dst).as[(Long, String)].collect()
+    assert(rows.length == 70, s"exactly-once violated: ${rows.length} rows")
+    assert(rows.map(_._1).distinct.length == 70)
+
+    // startingVersion=latest tails only future commits
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "latest").load(src)
+      .writeStream.format("memory").queryName("fmt_tail_q")
+      .outputMode("append").start()
+    try {
+      TxTable.append((70 until 75).map(i => (i.toLong, s"r$i")).toDF("k", "s"), src)
+      q.processAllAvailable()
+      assert(spark.table("fmt_tail_q").as[(Long, String)].collect()
+        .map(_._1).sorted.toSeq == (70L until 75L))
+    } finally q.stop()
+
+    // a non-append commit (compaction removed files) fails loudly
+    TxTable.compact(spark, src)
+    val ex2 = intercept[StreamingQueryException] { run() }
+    assert(ex2.getMessage.contains("non-append change"),
+      s"wanted the append-only refusal, got: ${ex2.getMessage.take(300)}")
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==
