@@ -91,6 +91,18 @@ object TxTable {
     finally in.close()
   }
 
+  /** [[readText]] for manifests a concurrent writer may still be
+    * streaming: any read failure (ChecksumException on a local FS
+    * whose .crc trails the data, FileNotFound when a torn manifest is
+    * recovered mid-list, EOF races) reads as "" — which never ends in
+    * `#eof`, i.e. exactly the torn-manifest case the resolve loops
+    * already skip. Only the resolution paths use this; an EXPLICIT
+    * [[snapshot]] read of a named version still propagates, because
+    * there an unreadable manifest is an answer, not a race.
+    */
+  private def readTextIfComplete(f: FileSystem, p: Path): String =
+    try readText(f, p) catch { case _: java.io.IOException => "" }
+
   /** Resolve the CURRENT snapshot with ONE manifest read in the
     * steady state: list the manifest directory (names only — no file
     * content), walk version numbers descending, and return the first
@@ -111,7 +123,7 @@ object TxTable {
       .collect { case ManifestRe(n) => n.toLong }
       .sorted(Ordering[Long].reverse)
       .iterator
-      .map(v => (v, readText(f, new Path(manifestDir(root), s"v$v.manifest"))))
+      .map(v => (v, readTextIfComplete(f, new Path(manifestDir(root), s"v$v.manifest"))))
       .collectFirst { case (v, text) if text.endsWith("#eof\n") =>
         parseManifest(v, text, root)
       }
@@ -133,7 +145,7 @@ object TxTable {
     f.listStatus(manifestDir(root)).toSeq
       .map(_.getPath.getName)
       .collect { case ManifestRe(n) => n.toLong }
-      .filter(v => readText(f, new Path(manifestDir(root), s"v$v.manifest"))
+      .filter(v => readTextIfComplete(f, new Path(manifestDir(root), s"v$v.manifest"))
         .endsWith("#eof\n"))
       .sorted
   }
@@ -353,9 +365,30 @@ object TxTable {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
-    val os =
-      try f.create(finalP, false) // overwrite=false: the exclusive commit point
-      catch {
+    // The exclusive commit point. On HDFS, create(overwrite=false) is
+    // an ATOMIC server-side O_EXCL and the catch below is the whole
+    // story. Hadoop's LOCAL filesystem, however, implements it as
+    // exists()-then-open — check-then-act, NOT atomic: two racing
+    // writers can both "win" the same version and one commit silently
+    // vanishes (caught by TxSpec's contention test). For file:// the
+    // commit point is therefore NIO CREATE_NEW — a true O_CREAT|O_EXCL
+    // straight to the kernel. (Side benefit: no trailing .crc file, so
+    // concurrent readers can't hit a mid-write ChecksumException.)
+    val os: java.io.OutputStream =
+      try {
+        f match {
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+               _: org.apache.hadoop.fs.RawLocalFileSystem =>
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(f.makeQualified(finalP).toUri.getPath),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+          case _ =>
+            f.create(finalP, false)
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(next)
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new ConcurrentCommitException(next)
         case e: java.io.IOException if e.getMessage != null &&
@@ -680,7 +713,7 @@ object TxTable {
     val torn = f.listStatus(manifestDir(root)).toSeq
       .map(_.getPath.getName)
       .collect { case ManifestRe(n) => n.toLong }
-      .filterNot(v => readText(f, new Path(manifestDir(root), s"v$v.manifest"))
+      .filterNot(v => readTextIfComplete(f, new Path(manifestDir(root), s"v$v.manifest"))
         .endsWith("#eof\n"))
     torn.foreach(v => f.delete(new Path(manifestDir(root), s"v$v.manifest"), false))
     torn.sorted

@@ -52,6 +52,44 @@ class TxSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 9)
   }
 
+  test("txnAppend under contention: racing writers all land; a replay racing itself stays exactly-once") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+
+    val root = freshRoot("txnrace")
+    TxTable.create(seed.limit(0), root, Some("p"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 4 independent writers x 3 batches, all racing the same table:
+      // every batch must land exactly once despite version conflicts
+      val writers = Future.sequence(
+        (0 until 4).map { w =>
+          Future {
+            (0 until 3).map { b =>
+              val df = Seq((w * 100L + b, s"W$w", b.toDouble)).toDF("k", "p", "v")
+              TxTable.txnAppend(df, root, Some("p"), s"writer$w", b)
+            }
+          }
+        })
+      assert(Await.result(writers, 120.seconds).flatten.forall(identity),
+        "every first-attempt batch must report applied")
+      assert(TxTable.read(spark, root).count() == 12)
+      val snap = TxTable.currentSnapshot(spark, root).get
+      assert(snap.txns == (0 until 4).map(w => s"writer$w" -> 2L).toMap)
+      assert(snap.version == 12L, "12 commits after the v0 bootstrap")
+
+      // the replay race: 6 threads all claim the SAME (txnId, batchId)
+      val df = Seq((999L, "R", 9.9)).toDF("k", "p", "v")
+      val replays = Future.sequence((0 until 6).map(_ =>
+        Future(TxTable.txnAppend(df, root, Some("p"), "replayer", 0L))))
+      val applied = Await.result(replays, 120.seconds).count(identity)
+      assert(applied == 1, s"replay race applied $applied times, want 1")
+      assert(TxTable.read(spark, root).filter(col("k") === 999L).count() == 1)
+    } finally pool.shutdown()
+  }
+
   test("addColumns: metadata-only widening, null backfill, stale writers refused") {
     import org.apache.spark.sql.types.{StringType, StructField}
     val root = freshRoot("evolve")
