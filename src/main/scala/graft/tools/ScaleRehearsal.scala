@@ -68,7 +68,11 @@ object ScaleRehearsal {
     "q_bloom_join", "q_zorder_skip", "q_corpus_mix", "q_sketch_mv",
     // part-4/5: sketch + histogram TypedImperativeAggregates at 10×
     // input (state size fixed, input linear), shard write at 10× rows
-    "q_freq_tokens", "q_drift_psi", "q_shard_export")
+    "q_freq_tokens", "q_drift_psi", "q_shard_export",
+    // part-7: the format("graft") stack — commit-time stats collection
+    // over 10× rows, then a planner-pruned SQL read whose file skipping
+    // must hold the scan constant-ish while the table grows
+    "q_format_read")
 
   private val Copies = 10
   private val IdStride = 10000000L
