@@ -12,7 +12,7 @@ import graft.streaming.Cdc
   */
 object CdcQueries {
 
-  def all: Seq[Q] = Seq(cdcApply, cdcTx)
+  def all: Seq[Q] = Seq(cdcApply, cdcTx, tableChanges)
 
   private[queries] def changeFeed(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -82,6 +82,59 @@ object CdcQueries {
       keys, data, "bucket", bucketOf)
     TxTable.read(s, root)
       .select(col("user_id"), col("amount"), col("last_lsn"))
+      .orderBy(col("user_id"))
+  }
+
+  /** OUTBOUND CDC ([[graft.sources.ChangeFeed]]): the same two-version
+    * transactional table as [[cdcTx]] (v0 = first-half snapshot, v1 =
+    * applyTx of the second half), then the row-level delta BETWEEN the
+    * versions derived from the manifest diff — only the rewritten
+    * buckets' files are read, never the table. The oracle rebuilds
+    * both states from the raw log in DuckDB and full-outer-joins them,
+    * so equality proves insert/update/delete classification, pre/post
+    * image selection, AND that co-resident rows rewritten with
+    * identical values are not reported as changes.
+    */
+  val tableChanges: Q = Q(
+    "q_table_changes",
+    """WITH log AS (SELECT user_id, value AS amount, event_id AS lsn,
+      |    CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'i' ELSE 'u' END AS op
+      |  FROM events),
+      |s0 AS (SELECT user_id, amount, lsn FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      |    FROM log WHERE lsn <= (SELECT max(event_id)//2 FROM events)) t
+      |  WHERE rn = 1 AND op <> 'd'),
+      |s1 AS (SELECT user_id, amount, lsn FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      |    FROM log) t
+      |  WHERE rn = 1 AND op <> 'd')
+      |SELECT COALESCE(s1.user_id, s0.user_id) AS user_id,
+      |  CASE WHEN s1.user_id IS NULL THEN s0.amount ELSE s1.amount END AS amount,
+      |  CASE WHEN s1.user_id IS NULL THEN s0.lsn ELSE s1.lsn END AS last_lsn,
+      |  COALESCE(s1.user_id, s0.user_id) % 16 AS bucket,
+      |  CASE WHEN s0.user_id IS NULL THEN 'insert'
+      |       WHEN s1.user_id IS NULL THEN 'delete' ELSE 'update' END AS _op
+      |FROM s0 FULL OUTER JOIN s1 ON s0.user_id = s1.user_id
+      |WHERE s0.user_id IS NULL OR s1.user_id IS NULL
+      |   OR s0.amount <> s1.amount OR s0.lsn <> s1.lsn
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import graft.sources.{ChangeFeed, TxTable}
+    val feed = changeFeed(s, dir)
+    val maxLsn = feed.agg(max(col("lsn"))).head.getLong(0)
+    val mid = maxLsn / 2
+    val keys = Seq("user_id")
+    val data = Seq("amount")
+    val bucketOf = (d: org.apache.spark.sql.DataFrame) =>
+      pmod(col("user_id"), lit(16L))
+    val snapshot = Cdc.apply(
+      Cdc.emptyTarget(feed, keys, data),
+      Cdc.range(feed, "lsn", Long.MinValue, mid), keys, data)
+    val root = s"target/tmp/cdc_cf_q_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    TxTable.create(
+      snapshot.withColumn("bucket", bucketOf(snapshot)), root, Some("bucket"))
+    val toV = Cdc.applyTx(s, root, Cdc.range(feed, "lsn", mid, maxLsn),
+      keys, data, "bucket", bucketOf)
+    ChangeFeed.between(s, root, 0L, toV, keys)
       .orderBy(col("user_id"))
   }
 }

@@ -90,6 +90,52 @@ class TxSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("ChangeFeed.between: op classification from the manifest diff; unchanged files never read") {
+    import graft.sources.ChangeFeed
+    val root = freshRoot("cf")
+    // v0: keys 1..6 over partitions A (1,2,3), B (4,5), C (6)
+    TxTable.create(Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 40.0), (5L, "B", 50.0), (6L, "C", 60.0)
+    ).toDF("k", "p", "v"), root, Some("p"))
+    // v1 rewrites A and B only: k1 updated, k2 rewritten IDENTICAL,
+    // k3 deleted, k7 inserted into B; C untouched
+    TxTable.overwritePartitions(Seq(
+      (1L, "A", 11.0), (2L, "A", 20.0),
+      (4L, "B", 40.0), (5L, "B", 50.0), (7L, "B", 70.0)
+    ).toDF("k", "p", "v"), root, "p")
+
+    val feed = ChangeFeed.between(spark, root, 0L, 1L, Seq("k"))
+    val got = feed.select("k", "p", "v", ChangeFeed.OpCol)
+      .as[(Long, String, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "A", 11.0, "update"),   // post-image
+      (3L, "A", 30.0, "delete"),   // pre-image
+      (7L, "B", 70.0, "insert")))
+
+    // immutable-file optimization: partition C's file (present in both
+    // versions) must never be scanned
+    val untouched = TxTable.snapshot(spark, root, 0L).entries
+      .filter(_.partition.contains("C")).map(_.relPath)
+    assert(untouched.nonEmpty)
+    val scanned = feed.inputFiles.toSet
+    untouched.foreach(rel =>
+      assert(!scanned.exists(_.endsWith(rel)), s"read unchanged file $rel"))
+
+    // sanity: applying the feed to v0 reproduces v1 exactly
+    val v0 = TxTable.readVersion(spark, root, 0L)
+    val replayed = v0.as("t")
+      .join(feed.as("f"), col("t.k") === col("f.k"), "full_outer")
+      .where(coalesce(col(s"f.${ChangeFeed.OpCol}"), lit("keep")) =!= "delete")
+      .select(
+        coalesce(col("f.k"), col("t.k")).as("k"),
+        coalesce(col("f.p"), col("t.p")).as("p"),
+        coalesce(col("f.v"), col("t.v")).as("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(replayed ==
+      TxTable.read(spark, root).as[(Long, String, Double)].collect().toSet)
+  }
+
   test("addColumns: metadata-only widening, null backfill, stale writers refused") {
     import org.apache.spark.sql.types.{StringType, StructField}
     val root = freshRoot("evolve")
