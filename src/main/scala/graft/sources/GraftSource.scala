@@ -66,6 +66,25 @@ final class GraftSource
     * semantics (rewritten rows may re-emit — same contract Delta
     * documents for its source).
     */
+  /** With `option("readChangeFeed","true")` + `option("keys","k1,k2")`
+    * the stream emits row-level DELTAS instead of appended files: each
+    * micro-batch is [[ChangeFeed.between]] over the version range, so
+    * the output carries the table's columns plus `_op` ∈ {insert,
+    * update, delete}. Where the append tail must refuse rewrites, the
+    * change feed is exactly the right answer to them: an overwrite
+    * emits its net row changes, and a compaction (same rows, new
+    * files) nets to ZERO rows. The first batch emits the starting
+    * snapshot as inserts unless `startingVersion` skips it.
+    */
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  private def cdfKeys(parameters: Map[String, String]): Seq[String] =
+    parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "readChangeFeed needs option(\"keys\",\"k1,k2\") — the columns " +
+        "that identify a row across versions"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -77,7 +96,15 @@ final class GraftSource
       throw new IllegalStateException(
         s"no committed graft table under $root — the streaming source " +
           "needs an existing table to pin its schema"))
-    (shortName(), StructType.fromDDL(snap.schemaDdl))
+    val table = StructType.fromDDL(snap.schemaDdl)
+    val out =
+      if (cdfMode(parameters))
+        StructType(table.fields :+
+          org.apache.spark.sql.types.StructField(
+            ChangeFeed.OpCol, org.apache.spark.sql.types.StringType,
+            nullable = false))
+      else table
+    (shortName(), out)
   }
 
   override def createSource(
@@ -95,7 +122,9 @@ final class GraftSource
       case None => -1L // full snapshot first
     }
     new GraftStreamSource(spark, root, pinned, base,
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      changeFeedKeys =
+        if (cdfMode(parameters)) Some(cdfKeys(parameters)) else None)
   }
 
   /** `df.writeStream.format("graft")` — exactly-once streaming append.
@@ -222,7 +251,8 @@ final class GraftSink(
   */
 final class GraftStreamSource(
     spark: SparkSession, root: String, pinned: StructType,
-    baseVersion: Long, ignoreChanges: Boolean) extends Source {
+    baseVersion: Long, ignoreChanges: Boolean,
+    changeFeedKeys: Option[Seq[String]] = None) extends Source {
 
   override def schema: StructType = pinned
 
@@ -235,6 +265,15 @@ final class GraftStreamSource(
   private def versionOf(o: Offset): Long = o.json.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val df = changeFeedKeys match {
+      case Some(keys) => changeBatch(start, end, keys)
+      case None => appendBatch(start, end)
+    }
+    // Source.getBatch frames must carry isStreaming=true
+    org.apache.spark.sql.GraftColumnBridge.asStreaming(df)
+  }
+
+  private def appendBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endSnap = TxTable.snapshot(spark, root, versionOf(end))
     val startV = start.map(versionOf).getOrElse(baseVersion)
     val added =
@@ -248,19 +287,42 @@ final class GraftStreamSource(
             s"graft streaming source: non-append change between " +
               s"v$startV and v${endSnap.version} under $root " +
               s"(${removed.size} file(s) removed by overwrite/compact) — " +
-              "tail an append-only table, or accept added-files-only " +
-              "semantics with option(\"ignoreChanges\",\"true\")")
+              "tail an append-only table, accept added-files-only " +
+              "semantics with option(\"ignoreChanges\",\"true\"), or " +
+              "stream row-level deltas with option(\"readChangeFeed\"," +
+              "\"true\")")
         endSnap.entries.filterNot(e => before.contains(e.relPath))
       }
-    val df =
-      if (added.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
-      else
-        spark.read.schema(pinned)
-          .parquet(added.map(e => s"$root/${e.relPath}"): _*)
-    // Source.getBatch frames must carry isStreaming=true
-    org.apache.spark.sql.GraftColumnBridge.asStreaming(df)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+    else
+      spark.read.schema(pinned)
+        .parquet(added.map(e => s"$root/${e.relPath}"): _*)
+  }
+
+  /** Row-level delta mode: [[ChangeFeed.between]] over the version
+    * range — rewrites emit their net changes, compactions net to zero
+    * rows. A first batch with no starting version emits the snapshot
+    * as inserts (the Delta CDF bootstrap convention).
+    */
+  private def changeBatch(
+      start: Option[Offset], end: Offset, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val endV = versionOf(end)
+    val startV = start.map(versionOf).getOrElse(baseVersion)
+    if (startV < 0) {
+      val endSnap = TxTable.snapshot(spark, root, endV)
+      val table = StructType.fromDDL(endSnap.schemaDdl)
+      val full =
+        if (endSnap.entries.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table)
+        else
+          spark.read.schema(table)
+            .parquet(endSnap.entries.map(e => s"$root/${e.relPath}"): _*)
+      full.withColumn(ChangeFeed.OpCol, lit("insert"))
+    } else ChangeFeed.between(spark, root, startV, endV, keys)
   }
 
   override def stop(): Unit = ()

@@ -439,6 +439,48 @@ class StreamSpec extends SparkSpec {
       s"wanted the append-only refusal, got: ${ex2.getMessage.take(300)}")
   }
 
+  test("readStream change feed: row-level deltas per version; compaction nets to zero") {
+    import graft.sources.TxTable
+
+    val src = s"target/tmp/cdfsrc_${System.nanoTime()}/t"
+    TxTable.create(Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0)
+    ).toDF("k", "p", "v"), src, Some("p"))
+
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k")
+      .load(src)
+      .writeStream.format("memory").queryName("cdf_q")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def snap(): Set[(Long, String, Double, String)] =
+        spark.table("cdf_q").select("k", "p", "v", "_op")
+          .as[(Long, String, Double, String)].collect().toSet
+      val initial = snap()
+      assert(initial == Set(
+        (1L, "A", 10.0, "insert"), (2L, "A", 20.0, "insert"),
+        (3L, "B", 30.0, "insert"), (4L, "B", 40.0, "insert")),
+        "bootstrap batch = snapshot as inserts")
+
+      // v1 rewrites partition A: k1 updated, k2 deleted, k5 inserted
+      TxTable.overwritePartitions(
+        Seq((1L, "A", 11.0), (5L, "A", 50.0)).toDF("k", "p", "v"), src, "p")
+      q.processAllAvailable()
+      assert(snap() -- initial == Set(
+        (1L, "A", 11.0, "update"),
+        (2L, "A", 20.0, "delete"),
+        (5L, "A", 50.0, "insert")),
+        "an overwrite streams its net row changes")
+
+      // compaction moves every row into new files — and nets to zero
+      val before = snap()
+      TxTable.compact(spark, src)
+      q.processAllAvailable()
+      assert(snap() == before, "compaction must emit no change rows")
+    } finally q.stop()
+  }
+
   test("multimodal: schema contract, batch decode, deterministic features") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     assert(media.schema("bytes").dataType ==
