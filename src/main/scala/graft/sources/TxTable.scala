@@ -61,11 +61,15 @@ object TxTable {
     * (txnId → highest applied batchId), carried forward by every
     * commit — the Delta `txn` action pattern that gives
     * [[txnAppend]] (and through it `writeStream.format("graft")`)
-    * exactly-once semantics across crash-replay.
+    * exactly-once semantics across crash-replay. `checks` is the
+    * CHECK-constraint map (name → boolean SQL expression), likewise
+    * carried forward and enforced by every data-writing commit
+    * ([[addCheck]]).
     */
   final case class Snapshot(
       version: Long, schemaDdl: String, entries: Seq[Entry],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      checks: Map[String, String] = Map.empty)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -153,6 +157,28 @@ object TxTable {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     currentSnapshot(spark, root).map(_.version)
 
+  /** DESCRIBE HISTORY: one row per committed version — version,
+    * live-file count, live bytes (-1 sizes counted as 0), files/bytes
+    * added vs the previous version, streaming watermarks and CHECK
+    * constraints as sorted `k=v` strings. Driver work is O(history),
+    * the documented cost of every history-enumerating op here.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snaps = versions(spark, root).map(v => snapshot(spark, root, v))
+    val rows = snaps.zip(None +: snaps.map(Some(_))).map { case (s, prev) =>
+      val prevPaths = prev.map(_.entries.map(_.relPath).toSet).getOrElse(Set.empty)
+      val added = s.entries.filterNot(e => prevPaths.contains(e.relPath))
+      (s.version, s.entries.size.toLong,
+        s.entries.map(e => math.max(e.size, 0L)).sum,
+        added.size.toLong, added.map(e => math.max(e.size, 0L)).sum,
+        s.txns.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+        s.checks.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+    }
+    rows.toDF("version", "files", "bytes", "files_added", "bytes_added",
+      "txns", "checks")
+  }
+
   private def parseManifest(version: Long, text: String, root: String): Snapshot = {
     if (!text.endsWith("#eof\n"))
       throw new IllegalStateException(
@@ -169,6 +195,12 @@ object TxTable {
         val Array(id, bid) = l.stripPrefix("#txn=").split(":", 2)
         java.net.URLDecoder.decode(id, "UTF-8") -> bid.toLong
     }.toMap
+    val checks = meta.collect {
+      case l if l.startsWith("#check=") =>
+        val Array(n, sql) = l.stripPrefix("#check=").split(":", 2)
+        java.net.URLDecoder.decode(n, "UTF-8") ->
+          java.net.URLDecoder.decode(sql, "UTF-8")
+    }.toMap
     val entries = entryLines.map { l =>
       // trailing fields (stats, size) are optional: manifests written
       // before data skipping carry 2 fields, pre-size manifests carry
@@ -180,7 +212,7 @@ object TxTable {
         case Array(rel, part) => Entry(rel, part)
       }
     }
-    Snapshot(version, ddl, entries, txns)
+    Snapshot(version, ddl, entries, txns, checks)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -361,7 +393,8 @@ object TxTable {
   private def commit(
       spark: SparkSession, root: String, next: Long,
       schemaDdl: String, entries: Seq[Entry],
-      txns: Map[String, Long] = Map.empty): Long = {
+      txns: Map[String, Long] = Map.empty,
+      checks: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -400,6 +433,10 @@ object TxTable {
         txns.toSeq.sortBy(_._1).map { case (id, bid) =>
           s"#txn=${java.net.URLEncoder.encode(id, "UTF-8")}:$bid\n"
         }.mkString +
+        checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+          s"#check=${java.net.URLEncoder.encode(n, "UTF-8")}:" +
+            s"${java.net.URLEncoder.encode(sql, "UTF-8")}\n"
+        }.mkString +
         entries.map(e =>
           s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
@@ -428,9 +465,10 @@ object TxTable {
     val spark = df.sparkSession
     val cur = requireSnapshot(spark, root)
     requireSchema(df, cur, "append")
+    requireChecks(df, cur, "append")
     val entries = writeData(df, root, partitionCol)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries,
-      cur.txns)
+      cur.txns, cur.checks)
   }
 
   /** IDEMPOTENT append for streaming writers: apply `df` as `txnId`'s
@@ -459,10 +497,12 @@ object TxTable {
       val cur = requireSnapshot(spark, root)
       if (cur.txns.get(txnId).exists(_ >= batchId)) return false
       requireSchema(df, cur, "txnAppend")
+      if (entries == null) requireChecks(df, cur, "txnAppend")
       if (entries == null) entries = writeData(df, root, partitionCol)
       try {
         commit(spark, root, cur.version + 1, cur.schemaDdl,
-          cur.entries ++ entries, cur.txns + (txnId -> batchId))
+          cur.entries ++ entries, cur.txns + (txnId -> batchId),
+          cur.checks)
         return true
       } catch {
         case e: ConcurrentCommitException =>
@@ -507,7 +547,7 @@ object TxTable {
       schema.fields ++ newCols.map(_.copy(nullable = true)))
     commit(spark, root, cur.version + 1,
       nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns)
+      cur.txns, cur.checks)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -534,9 +574,23 @@ object TxTable {
         "of existing data — rewrite the table instead")
     val kept = schema.fields.filterNot(f => names.contains(f.name))
     require(kept.nonEmpty, "dropColumns: cannot drop every column")
+    // a CHECK referencing a dropped column would poison every later
+    // write — refuse the drop while the constraint stands
+    cur.checks.foreach { case (n, sql) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(kept))
+      val ok = Try {
+        probe.filter(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+      }.isSuccess
+      require(ok,
+        s"dropColumns: CHECK constraint $n [$sql] references a dropped " +
+          "column — dropCheck it first")
+    }
     commit(spark, root, cur.version + 1,
       nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
-      cur.entries, cur.txns)
+      cur.entries, cur.txns, cur.checks)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -548,6 +602,70 @@ object TxTable {
     * column reads back nullable) — requiring them to match would
     * refuse every reconcile-shaped commit.
     */
+  /** Enforce every CHECK constraint on the rows a commit is about to
+    * make visible, in ONE pass over the NEW data only (`take(1)` on
+    * the violation filter early-exits at the first bad row). ANSI
+    * CHECK semantics: a constraint is violated only when its
+    * expression evaluates to FALSE — NULL passes (use an explicit
+    * `IS NOT NULL` conjunct to refuse nulls).
+    */
+  private def requireChecks(df: DataFrame, cur: Snapshot, op: String): Unit = {
+    if (cur.checks.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, lit}
+    val flags = cur.checks.toSeq.sortBy(_._1)
+    val anyViolated = flags
+      .map { case (_, sql) => expr(sql) <=> lit(false) }
+      .reduce(_ || _)
+    df.filter(anyViolated)
+      .select(flags.map { case (n, sql) => (expr(sql) <=> lit(false)).as(n) }: _*)
+      .take(1).headOption.foreach { row =>
+        val failed = flags.zipWithIndex.collect {
+          case ((n, sql), i) if row.getBoolean(i) => s"$n [$sql]"
+        }
+        throw new IllegalArgumentException(
+          s"$op: CHECK constraint violated by incoming rows — " +
+            failed.mkString("; "))
+      }
+  }
+
+  /** Register a named CHECK constraint (a boolean SQL expression over
+    * the table's columns). The EXISTING data is validated first — a
+    * constraint the current rows violate is refused, so a committed
+    * check always holds over the whole table — then the constraint is
+    * committed metadata-only and enforced by every subsequent
+    * data-writing commit (append, txnAppend, overwritePartitions,
+    * rewriteAll, and the format writer on top of them).
+    */
+  def addCheck(
+      spark: SparkSession, root: String, name: String, sql: String): Long = {
+    require(name.nonEmpty, "addCheck: empty constraint name")
+    val cur = requireSnapshot(spark, root)
+    require(!cur.checks.contains(name),
+      s"addCheck: constraint $name already exists [${cur.checks(name)}]")
+    // resolve the expression against the schema NOW — an unresolvable
+    // or non-boolean expression must fail at ADD time, not at the
+    // next append
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved = probe.filter(org.apache.spark.sql.functions.expr(sql))
+    resolved.queryExecution.analyzed // force analysis
+    val widened = cur.copy(checks = cur.checks + (name -> sql))
+    requireChecks(readEntries(spark, root, cur, identity), widened, "addCheck")
+    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+      cur.txns, widened.checks)
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit). */
+  def dropCheck(spark: SparkSession, root: String, name: String): Long = {
+    val cur = requireSnapshot(spark, root)
+    require(cur.checks.contains(name),
+      s"dropCheck: no constraint named $name " +
+        s"(have: ${cur.checks.keys.toSeq.sorted.mkString(", ")})")
+    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+      cur.txns, cur.checks - name)
+  }
+
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
     // normalize BOTH sides: a manifest written before nullability
     // normalization stores NOT NULL markers in its schemaDdl, and
@@ -609,6 +727,7 @@ object TxTable {
       throw new ConcurrentCommitException(cur.version)
     }
     requireSchema(df, cur, "overwritePartitions")
+    requireChecks(df, cur, "overwritePartitions")
     val fresh = writeData(df, root, Some(partitionCol))
     // entry partition strings are Hive-escaped directory segments, so
     // explicit drop values go through the same writer escaping
@@ -617,7 +736,7 @@ object TxTable {
         org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v))
     val kept = cur.entries.filterNot(e => touched.contains(e.partition))
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
-      cur.txns)
+      cur.txns, cur.checks)
   }
 
   /** Bin-pack compaction — the housekeeping op every manifest table
@@ -666,7 +785,7 @@ object TxTable {
       writeData(df.coalesce(nOut), root, partitionCol)
     }
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
-      cur.txns)
+      cur.txns, cur.checks)
   }
 
   /** Whole-table rewrite under the same optimistic-concurrency
@@ -694,8 +813,10 @@ object TxTable {
       .map(_.split("=", 2)(0))
     val out = transform(readEntries(spark, root, cur, identity))
     requireSchema(out, cur, "rewriteAll")
+    requireChecks(out, cur, "rewriteAll")
     val entries = writeData(out, root, partitionCol)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, entries, cur.txns)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, entries, cur.txns,
+      cur.checks)
   }
 
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so

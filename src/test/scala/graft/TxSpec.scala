@@ -136,6 +136,77 @@ class TxSpec extends SparkSpec {
       TxTable.read(spark, root).as[(Long, String, Double)].collect().toSet)
   }
 
+  test("CHECK constraints: add validates existing data, writes enforce, drop guards") {
+    val root = freshRoot("check")
+    TxTable.create(seed, root, Some("p"))
+    // a constraint the current rows violate is refused at ADD time
+    val exAdd = intercept[IllegalArgumentException] {
+      TxTable.addCheck(spark, root, "v_big", "v > 15.0") // row (1,A,10.0)
+    }
+    assert(exAdd.getMessage.contains("v_big"))
+    assert(TxTable.currentSnapshot(spark, root).get.checks.isEmpty)
+
+    TxTable.addCheck(spark, root, "v_pos", "v > 0.0")
+    TxTable.addCheck(spark, root, "p_known", "p IN ('A','B','C','D')")
+    // a duplicate name is refused
+    intercept[IllegalArgumentException] {
+      TxTable.addCheck(spark, root, "v_pos", "v > 1.0")
+    }
+    // an unresolvable expression fails at ADD time, not at next append
+    intercept[Exception] {
+      TxTable.addCheck(spark, root, "broken", "no_such_col = 1")
+    }
+
+    // a good append passes; a violating append is refused atomically
+    TxTable.append(Seq((7L, "D", 70.0)).toDF("k", "p", "v"), root, Some("p"))
+    val vBefore = TxTable.currentVersion(spark, root).get
+    val exApp = intercept[IllegalArgumentException] {
+      TxTable.append(Seq((8L, "E", -1.0)).toDF("k", "p", "v"), root, Some("p"))
+    }
+    // ONE validation pass reports every violated constraint
+    assert(exApp.getMessage.contains("v_pos") &&
+      exApp.getMessage.contains("p_known"))
+    assert(TxTable.currentVersion(spark, root).get == vBefore,
+      "refused append must not commit")
+    assert(TxTable.read(spark, root).count() == 6)
+
+    // NULL passes (ANSI CHECK); explicit IS NOT NULL refuses it
+    TxTable.append(
+      Seq((9L, "D", null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "p", "v").selectExpr("k", "p", "CAST(v AS DOUBLE) AS v"),
+      root, Some("p"))
+    assert(TxTable.read(spark, root).count() == 7)
+
+    // dropping a column a check references is refused; dropCheck frees it
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumns(spark, root, Seq("v"))
+    }
+    TxTable.dropCheck(spark, root, "v_pos")
+    TxTable.dropColumns(spark, root, Seq("v"))
+    assert(TxTable.read(spark, root).columns.toSeq == Seq("k", "p"))
+    // the surviving check still holds on the narrowed table
+    assert(TxTable.currentSnapshot(spark, root).get.checks.keySet == Set("p_known"))
+  }
+
+  test("history: one row per version with file/byte deltas and metadata") {
+    val root = freshRoot("hist")
+    TxTable.create(seed, root, Some("p"))
+    TxTable.txnAppend(Seq((6L, "C", 60.0)).toDF("k", "p", "v"),
+      root, Some("p"), "job1", 0L)
+    TxTable.addCheck(spark, root, "v_pos", "v > 0.0")
+    val h = TxTable.history(spark, root)
+      .orderBy(col("version"))
+      .as[(Long, Long, Long, Long, Long, String, String)].collect()
+    assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(h(0)._2 == TxTable.snapshot(spark, root, 0L).entries.size.toLong)
+    assert(h(1)._4 == h(1)._2 - h(0)._2, "v1 added exactly the txnAppend files")
+    assert(h(1)._4 >= 1L)
+    assert(h.forall(_._3 > 0L), "live bytes from manifest sizes")
+    assert(h(1)._6 == "job1=0" && h(2)._6 == "job1=0")
+    assert(h(2)._7 == "v_pos=v > 0.0")
+    assert(h(2)._4 == 0L, "addCheck is metadata-only: no files added")
+  }
+
   test("addColumns: metadata-only widening, null backfill, stale writers refused") {
     import org.apache.spark.sql.types.{StringType, StructField}
     val root = freshRoot("evolve")
@@ -443,7 +514,7 @@ class TxSpec extends SparkSpec {
       m.setAccessible(true)
       try m.invoke(TxTable, spark, root,
         java.lang.Long.valueOf(stale.version + 1), stale.schemaDdl,
-        stale.entries, stale.txns)
+        stale.entries, stale.txns, stale.checks)
       catch {
         case e: java.lang.reflect.InvocationTargetException => throw e.getCause
       }
