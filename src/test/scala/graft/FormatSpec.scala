@@ -154,6 +154,22 @@ class FormatSpec extends SparkSpec {
       "SQL-text predicate must prune via the manifest too")
   }
 
+  test("CHECK constraints gate the format writer too") {
+    val root = freshRoot("chk")
+    Seq((1L, "A", 1.0)).toDF("k", "cat", "v")
+      .write.format("graft").mode("append").save(root)
+    TxTable.addCheck(spark, root, "v_pos", "v > 0.0")
+    intercept[IllegalArgumentException] {
+      Seq((2L, "B", -5.0)).toDF("k", "cat", "v")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(spark.read.format("graft").load(root).count() == 1,
+      "violating write must not become visible")
+    Seq((2L, "B", 5.0)).toDF("k", "cat", "v")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 2)
+  }
+
   test("manifest carries file sizes; planner sees the table size") {
     val root = freshRoot("sz")
     rangedTable(root)
