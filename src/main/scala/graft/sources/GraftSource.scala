@@ -121,10 +121,14 @@ final class GraftSource
       case Some(v) => v.toLong
       case None => -1L // full snapshot first
     }
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(n => require(n > 0,
+      s"maxVersionsPerTrigger must be positive, got $n"))
     new GraftStreamSource(spark, root, pinned, base,
       parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeedKeys =
-        if (cdfMode(parameters)) Some(cdfKeys(parameters)) else None)
+        if (cdfMode(parameters)) Some(cdfKeys(parameters)) else None,
+      maxVersionsPerTrigger = maxVersions)
   }
 
   /** `df.writeStream.format("graft")` — exactly-once streaming append.
@@ -252,19 +256,43 @@ final class GraftSink(
 final class GraftStreamSource(
     spark: SparkSession, root: String, pinned: StructType,
     baseVersion: Long, ignoreChanges: Boolean,
-    changeFeedKeys: Option[Seq[String]] = None) extends Source {
+    changeFeedKeys: Option[Seq[String]] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override def schema: StructType = pinned
 
-  override def getOffset: Option[Offset] =
-    TxTable.currentVersion(spark, root)
-      .filter(_ > baseVersion).map(LongOffset(_))
+  /** Highest version already handed out via [[getBatch]] — the lower
+    * bound the rate limiter advances from. Spark replays the last
+    * uncommitted range through getBatch on restart, which re-seeds
+    * this; until then the limiter counts from the tail base, which
+    * only makes the first batch smaller, never wrong.
+    *
+    * `maxVersionsPerTrigger` interplay with triggers: under a
+    * ProcessingTime trigger the backlog drains in bounded batches
+    * (one capped range per micro-batch). Trigger.AvailableNow latches
+    * the FIRST getOffset result as the run's end (the V1-source
+    * wrapper fetches it once), so each AvailableNow RUN drains at
+    * most that many versions and terminates — never wrong (offsets
+    * commit only what was processed; the next run continues), just
+    * bounded per run.
+    */
+  @volatile private var dealt: Long = baseVersion
+
+  override def getOffset: Option[Offset] = {
+    val cur = TxTable.currentVersion(spark, root).getOrElse(return None)
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(cur, math.max(dealt, baseVersion) + n)
+      case None => cur
+    }
+    Some(capped).filter(_ > baseVersion).map(LongOffset(_))
+  }
 
   // a restart hands back SerializedOffset(json), not LongOffset —
   // the json of both is the bare version number
   private def versionOf(o: Offset): Long = o.json.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    dealt = math.max(dealt, versionOf(end))
     val df = changeFeedKeys match {
       case Some(keys) => changeBatch(start, end, keys)
       case None => appendBatch(start, end)

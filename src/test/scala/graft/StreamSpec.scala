@@ -439,6 +439,36 @@ class StreamSpec extends SparkSpec {
       s"wanted the append-only refusal, got: ${ex2.getMessage.take(300)}")
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches on the graft source") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.TxTable
+
+    val src = s"target/tmp/ratesrc_${System.nanoTime()}/t"
+    TxTable.create(Seq((0L, "r0")).toDF("k", "s"), src)
+    (1 to 3).foreach(i =>
+      TxTable.append(Seq((i.toLong, s"r$i")).toDF("k", "s"), src))
+    // backlog: v0..v3; tail from v0 with one version per trigger
+    // (continuous trigger: AvailableNow latches the first capped
+    // offset as the run's end — see the source scaladoc)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(src)
+      .writeStream.format("memory").queryName("rate_q")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rate_q").as[(Long, String)].collect().map(_._1).sorted
+        .toSeq == Seq(1L, 2L, 3L), "tail from v0 = appends of v1..v3")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"3 backlog versions at 1/trigger must take 3 batches, " +
+          s"took ${batches.length}")
+    } finally q.stop()
+  }
+
   test("readStream change feed: row-level deltas per version; compaction nets to zero") {
     import graft.sources.TxTable
 
