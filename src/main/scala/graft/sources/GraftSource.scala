@@ -50,32 +50,6 @@ final class GraftSource
 
   override def shortName(): String = "graft"
 
-  /** `spark.readStream.format("graft")` — tail a graft table's commit
-    * history as a micro-batch stream. Manifest versions ARE the
-    * offsets: a batch is the set of data files version (start, end]
-    * ADDED, so replays of the same version range read identical
-    * immutable files — the deterministic-replay half of end-to-end
-    * exactly-once (the sink's txn watermark is the other half).
-    * Default behavior emits the full current snapshot as the first
-    * batch, then appends; `option("startingVersion", v)` skips the
-    * snapshot and tails changes committed after version v
-    * (`"latest"` = after the version current at stream start). The
-    * source tails APPEND-ONLY history: a version that removed files
-    * (overwrite/compact/z-order) fails loudly unless
-    * `option("ignoreChanges","true")` accepts added-files-only
-    * semantics (rewritten rows may re-emit — same contract Delta
-    * documents for its source).
-    */
-  /** With `option("readChangeFeed","true")` + `option("keys","k1,k2")`
-    * the stream emits row-level DELTAS instead of appended files: each
-    * micro-batch is [[ChangeFeed.between]] over the version range, so
-    * the output carries the table's columns plus `_op` ∈ {insert,
-    * update, delete}. Where the append tail must refuse rewrites, the
-    * change feed is exactly the right answer to them: an overwrite
-    * emits its net row changes, and a compaction (same rows, new
-    * files) nets to ZERO rows. The first batch emits the starting
-    * snapshot as inserts unless `startingVersion` skips it.
-    */
   private def cdfMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
@@ -107,6 +81,33 @@ final class GraftSource
     (shortName(), out)
   }
 
+  /** `spark.readStream.format("graft")` — tail a graft table's commit
+    * history as a micro-batch stream. Manifest versions ARE the
+    * offsets: a batch is the set of data files version (start, end]
+    * ADDED, so replays of the same version range read identical
+    * immutable files — the deterministic-replay half of end-to-end
+    * exactly-once (the sink's txn watermark is the other half).
+    * Default behavior emits the full current snapshot as the first
+    * batch, then appends; `option("startingVersion", v)` skips the
+    * snapshot and tails changes committed after version v
+    * (`"latest"` = after the version current at stream start). The
+    * source tails APPEND-ONLY history: a version that removed files
+    * (overwrite/compact/z-order) fails loudly unless
+    * `option("ignoreChanges","true")` accepts added-files-only
+    * semantics (rewritten rows may re-emit — same contract Delta
+    * documents for its source).
+    *
+    * With `option("readChangeFeed","true")` + `option("keys","k1,k2")`
+    * the stream emits row-level DELTAS instead of appended files: each
+    * micro-batch is [[ChangeFeed.between]] over the version range, so
+    * the output carries the table's columns plus `_op` ∈ {insert,
+    * update, delete}. Where the append tail must refuse rewrites, the
+    * change feed is exactly the right answer to them: an overwrite
+    * emits its net row changes, and a compaction (same rows, new
+    * files) nets to ZERO rows. The first batch emits the starting
+    * snapshot as inserts unless `startingVersion` skips it.
+    * `option("maxVersionsPerTrigger", n)` bounds catch-up batches.
+    */
   override def createSource(
       sqlContext: SQLContext,
       metadataPath: String,

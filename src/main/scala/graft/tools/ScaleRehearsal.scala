@@ -72,7 +72,11 @@ object ScaleRehearsal {
     // part-7: the format("graft") stack — commit-time stats collection
     // over 10× rows, then a planner-pruned SQL read whose file skipping
     // must hold the scan constant-ish while the table grows
-    "q_format_read")
+    "q_format_read",
+    // part-8: outbound CDC — the manifest diff must keep the delta
+    // proportional to changed data while the table and the change log
+    // both grow 10×
+    "q_table_changes")
 
   private val Copies = 10
   private val IdStride = 10000000L
