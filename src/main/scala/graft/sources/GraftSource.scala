@@ -159,7 +159,8 @@ final class GraftSource
         "graft streaming sink needs a stable transaction identity for " +
           "exactly-once: set option(\"checkpointLocation\", …) or " +
           "option(\"txnAppId\", …)"))
-    new GraftSink(root, parameters.get("partitionCol"), txnId)
+    new GraftSink(root, parameters.get("partitionCol"), txnId,
+      parameters.get("autoCompactFiles").map(_.toInt))
   }
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -227,7 +228,8 @@ final class GraftSource
   * same rows land twice (create carries no watermark).
   */
 final class GraftSink(
-    root: String, partitionCol: Option[String], txnId: String) extends Sink {
+    root: String, partitionCol: Option[String], txnId: String,
+    autoCompactFiles: Option[Int] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -241,6 +243,21 @@ final class GraftSink(
       TxTable.create(empty, root, partitionCol)
     }
     TxTable.txnAppend(batch, root, partitionCol, txnId, batchId)
+    // Micro-batch appends are THE many-small-files generator; with
+    // option("autoCompactFiles", n) the sink bin-packs once the live
+    // file count reaches n — AFTER the watermark commit, so a crash
+    // mid-compaction costs nothing (rows identical, replay dedups).
+    // A lost race against a concurrent writer skips; the next batch
+    // retries. (Downstream append-only tails see a non-append commit;
+    // pair auto-compaction with readChangeFeed consumers, which net
+    // compactions to zero rows.)
+    autoCompactFiles.foreach { n =>
+      val live = TxTable.currentSnapshot(spark, root)
+        .map(_.entries.size).getOrElse(0)
+      if (live >= n)
+        try TxTable.compact(spark, root)
+        catch { case _: TxTable.ConcurrentCommitException => () }
+    }
     GraftSink.afterBatchHook(batchId)
   }
 

@@ -761,8 +761,11 @@ object TxTable {
     val cur = requireSnapshot(spark, root)
     val f = fs(spark, root)
     val schema = StructType.fromDDL(cur.schemaDdl)
+    // manifest-carried sizes; only pre-size legacy entries (-1) cost a
+    // filesystem call
     val size = cur.entries.map(e =>
-      e -> f.getFileStatus(new Path(s"$root/${e.relPath}")).getLen).toMap
+      e -> (if (e.size >= 0) e.size
+            else f.getFileStatus(new Path(s"$root/${e.relPath}")).getLen)).toMap
     // partition column name is recoverable from the entries themselves
     // ("p=A" → "p"); empty partition strings = unpartitioned table
     val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)

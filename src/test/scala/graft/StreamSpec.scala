@@ -469,6 +469,39 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink auto-compaction bounds the file count of micro-batch ingest") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.TxTable
+
+    val base = s"target/tmp/autocmp_${System.nanoTime()}"
+    val dst = s"$base/table"; val ckpt = s"$base/ckpt"; val feedDir = s"$base/feed"
+    (0 until 5).foreach { i =>
+      (i * 10 until (i + 1) * 10).map(j => (j.toLong, s"r$j")).toDF("k", "s")
+        .coalesce(1).write.parquet(s"$feedDir/f=$i")
+      Thread.sleep(250)
+    }
+    val q = spark.readStream.schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("k", "long").add("s", "string"))
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(feedDir)
+      .writeStream.format("graft")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .option("autoCompactFiles", "3")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    val snap = TxTable.currentSnapshot(spark, dst).get
+    assert(snap.entries.size < 5,
+      s"5 micro-batches must compact below 5 files, have ${snap.entries.size}")
+    val rows = TxTable.read(spark, dst).as[(Long, String)].collect()
+    assert(rows.length == 50 && rows.map(_._1).distinct.length == 50,
+      "compaction keeps rows identical")
+    assert(snap.txns.values.toSeq == Seq(4L), "watermark survives compaction")
+  }
+
   test("readStream change feed: row-level deltas per version; compaction nets to zero") {
     import graft.sources.TxTable
 
