@@ -170,6 +170,28 @@ class FormatSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 2)
   }
 
+  test("z-ordered table prunes on BOTH dimensions through SQL via the format") {
+    import graft.sources.ZOrder
+    val root = freshRoot("zfmt")
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      col("id").as("payload"))
+    ZOrder.write(grid, root, Seq(col("x"), col("y")), numFiles = 16, bits = 6)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zfmt_t USING graft " +
+      s"OPTIONS (path '$root')")
+    for ((cond, expect) <- Seq(
+        ("x BETWEEN 3 AND 6", (4096 / 64) * 4L),
+        ("y BETWEEN 10 AND 13", 64L * 4L))) {
+      val q = spark.sql(s"SELECT count(*) AS n FROM zfmt_t WHERE $cond")
+      assert(q.as[Long].head() == expect, cond)
+      val idx = graftIndexOf(q)
+      assert(idx.lastListedCount < idx.snapshot.entries.size,
+        s"$cond did not prune: ${idx.lastListedCount}/" +
+          s"${idx.snapshot.entries.size} files")
+    }
+  }
+
   test("manifest carries file sizes; planner sees the table size") {
     val root = freshRoot("sz")
     rangedTable(root)
