@@ -42,6 +42,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ChangeFeed replay reconstructs any random mutation sequence") {
+    import graft.sources.{ChangeFeed, TxTable}
+    for (trial <- 1 to 3) {
+      val root = s"target/tmp/cfprop_${trial}_${System.nanoTime()}"
+      val nKeys = 20 + rnd.nextInt(20)
+      def part(k: Long) = s"P${k % 3}"
+      var state = (0L until nKeys)
+        .map(k => k -> rnd.nextInt(1000).toDouble).toMap
+      TxTable.create(
+        state.toSeq.map { case (k, v) => (k, part(k), v) }
+          .toDF("k", "p", "v"), root, Some("p"))
+
+      // random mutation batches: each picks keys to update/delete/insert,
+      // applied as partition overwrites of every TOUCHED partition
+      var fromV = 0L
+      for (_ <- 1 to 3) {
+        val updates = state.keys.filter(_ => rnd.nextBoolean()).toSeq
+          .map(k => k -> rnd.nextInt(1000).toDouble)
+        val deletes = (state.keySet -- updates.map(_._1))
+          .filter(_ => rnd.nextInt(4) == 0)
+        val inserts = List.fill(rnd.nextInt(5))(
+          (nKeys + rnd.nextInt(1000)).toLong)
+          .filterNot(state.contains).distinct.map(k => k -> rnd.nextInt(1000).toDouble)
+        val next = (state -- deletes) ++ updates ++ inserts
+        val touched = (updates.map(_._1) ++ deletes ++ inserts.map(_._1))
+          .map(part).toSet
+        if (touched.nonEmpty) {
+          val rows = next.toSeq.collect {
+            case (k, v) if touched(part(k)) => (k, part(k), v)
+          }
+          // a partition whose keys all vanished must be dropped explicitly
+          val emptied = touched -- rows.map(_._2).toSet
+          TxTable.overwritePartitions(
+            rows.toDF("k", "p", "v"), root, "p",
+            alsoDropValues = emptied.toSeq)
+          val toV = TxTable.currentVersion(spark, root).get
+          // the feed over the range replays v_from into v_to
+          val feed = ChangeFeed.between(spark, root, fromV, toV, Seq("k"))
+            .select("k", "v", ChangeFeed.OpCol)
+            .as[(Long, Double, String)].collect()
+          val replayed = feed.foldLeft(state) {
+            case (s, (k, _, "delete")) => s - k
+            case (s, (k, v, _)) => s.updated(k, v)
+          }
+          assert(replayed == next,
+            s"trial $trial: feed replay diverged from the applied state")
+          fromV = toV
+        }
+        state = next
+      }
+      // and the WHOLE history nets into one feed: replay(v0, feed(0, cur))
+      val cur = TxTable.currentVersion(spark, root).get
+      if (cur > 0) {
+        val v0 = TxTable.readVersion(spark, root, 0L)
+          .select("k", "v").as[(Long, Double)].collect().toMap
+        val netFeed = ChangeFeed.between(spark, root, 0L, cur, Seq("k"))
+          .select("k", "v", ChangeFeed.OpCol)
+          .as[(Long, Double, String)].collect()
+        val replayed = netFeed.foldLeft(v0) {
+          case (s, (k, _, "delete")) => s - k
+          case (s, (k, v, _)) => s.updated(k, v)
+        }
+        assert(replayed == state,
+          s"trial $trial: net feed over the whole history diverged")
+      }
+    }
+  }
+
   test("property: dsum is invariant under partitioning and ordering") {
     for (_ <- 1 to 5) {
       val xs = List.fill(30)(rnd.nextLong() % 100000L).map(_ / 100.0)
