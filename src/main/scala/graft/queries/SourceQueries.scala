@@ -16,7 +16,52 @@ import graft.sources.{CsvIngest, FixedWidth, Jdbc, JsonIngest, TypeMatrix}
 object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
-    xmlRoundtrip, jsonlRoundtrip, statsSkipping, zorderSkipping, formatRead)
+    xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
+    formatRead)
+
+  /** S6 Excel: customer exports as sharded .xlsx workbooks (one per
+    * partition — the parallel-export shape), reads back through the
+    * pure-JDK SpreadsheetML parser into the all-string staging, typed-
+    * promotes, then aggregates; the oracle aggregates the original
+    * parquet — equality proves the .xlsx round-trip lossless across
+    * native number cells, inline strings, and NULLs-as-omitted-cells
+    * (the `note` column NULLs every 7th key on BOTH sides, so the
+    * count only matches if omitted cells read back as NULL, not "").
+    */
+  val xlsxRoundtrip: Q = Q(
+    "q_xlsx_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n_c,
+      |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents,
+      |  COUNT(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END) AS n_notes
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val out = s"/root/repo/target/tmp/xlsxrt_${new java.io.File(dir).getName}"
+    val target = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("note", StringType)))
+    graft.sources.Xlsx.writeSharded(
+      Tables.customer(s, dir)
+        .withColumn("note",
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name")))
+        .select(target.fieldNames.map(col): _*)
+        // 1-row-group parquet scans as ONE partition; spread so the
+        // workbook serialization writes shards from all cores
+        .repartition(s.sparkContext.defaultParallelism),
+      out)
+    val (good, bad) = CsvIngest.splitCorrupt(
+      graft.sources.Xlsx.readStaging(s, out, target), runId = "xlsxrt")
+    CsvIngest.enforceBudget(good.count(), bad.count())
+    val (typed, _) = CsvIngest.promote(good, target, runId = "xlsxrt")
+    typed.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_c"),
+        sum(round(col("c_acctbal") * 100).cast("bigint")).as("bal_cents"),
+        count(col("note")).as("n_notes"))
+      .orderBy(col("c_mktsegment"))
+  }
 
   /** The `format("graft")` surface end-to-end ([[graft.sources.GraftSource]]):
     * lineitem lands range-clustered in a transactional table through
