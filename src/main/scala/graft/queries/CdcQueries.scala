@@ -12,7 +12,7 @@ import graft.streaming.Cdc
   */
 object CdcQueries {
 
-  def all: Seq[Q] = Seq(cdcApply, cdcTx, tableChanges)
+  def all: Seq[Q] = Seq(cdcApply, cdcTx, tableChanges, restoreQ)
 
   private[queries] def changeFeed(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -80,6 +80,49 @@ object CdcQueries {
       snapshot.withColumn("bucket", bucketOf(snapshot)), root, Some("bucket"))
     Cdc.applyTx(s, root, Cdc.range(feed, "lsn", mid, maxLsn),
       keys, data, "bucket", bucketOf)
+    TxTable.read(s, root)
+      .select(col("user_id"), col("amount"), col("last_lsn"))
+      .orderBy(col("user_id"))
+  }
+
+  /** RESTORE ([[graft.sources.TxTable.restore]]): the same two-version
+    * table as [[cdcTx]] (v0 = first-half snapshot, v1 = applyTx of the
+    * second half), then `restore(root, 0)` — one metadata-only commit,
+    * no data movement — and a read of the now-current state. The
+    * oracle rebuilds the FIRST-half latest-per-key state from the raw
+    * log, so equality proves the rollback surfaces exactly v0's rows
+    * while v1 stays in history (asserted via readVersion).
+    */
+  val restoreQ: Q = Q(
+    "q_restore",
+    """SELECT user_id, amount, last_lsn FROM (
+      |  SELECT user_id, value AS amount, event_id AS last_lsn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+      |    CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 2 ELSE 4 END AS op
+      |  FROM events
+      |  WHERE event_id <= (SELECT max(event_id)//2 FROM events)) t
+      |WHERE rn = 1 AND op <> 1
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import graft.sources.TxTable
+    val feed = changeFeed(s, dir)
+    val maxLsn = feed.agg(max(col("lsn"))).head.getLong(0)
+    val mid = maxLsn / 2
+    val keys = Seq("user_id")
+    val data = Seq("amount")
+    val bucketOf = (d: org.apache.spark.sql.DataFrame) =>
+      pmod(col("user_id"), lit(16L))
+    val snapshot = Cdc.apply(
+      Cdc.emptyTarget(feed, keys, data),
+      Cdc.range(feed, "lsn", Long.MinValue, mid), keys, data)
+    val root = s"target/tmp/cdc_restore_q_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    TxTable.create(
+      snapshot.withColumn("bucket", bucketOf(snapshot)), root, Some("bucket"))
+    val v1 = Cdc.applyTx(s, root, Cdc.range(feed, "lsn", mid, maxLsn),
+      keys, data, "bucket", bucketOf)
+    val v2 = TxTable.restore(s, root, 0L)
+    require(v2 == v1 + 1, s"restore must append to history (v1=$v1, got $v2)")
+    require(TxTable.readVersion(s, root, v1).count() > 0,
+      "the rolled-back version must stay time-travelable")
     TxTable.read(s, root)
       .select(col("user_id"), col("amount"), col("last_lsn"))
       .orderBy(col("user_id"))

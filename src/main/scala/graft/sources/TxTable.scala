@@ -822,6 +822,55 @@ object TxTable {
       cur.checks)
   }
 
+  /** RESTORE TABLE … VERSION AS OF: make `toVersion`'s state the
+    * CURRENT state by committing a NEW version whose file set, schema,
+    * and CHECK constraints are `toVersion`'s. History is never
+    * rewritten — every version between stays time-travelable, and the
+    * restore itself is one atomic manifest commit that concurrent
+    * readers see entirely or not at all (and a concurrent writer makes
+    * fail loudly, like every commit here). The accidental-overwrite
+    * remedy: `restore(root, v)` after a bad `rewriteAll`/apply is one
+    * metadata commit, no data movement.
+    *
+    * Streaming txn watermarks are deliberately NOT restored: a
+    * regressed watermark would let an exactly-once sink re-apply a
+    * batch that is already on disk, so the CURRENT watermarks carry
+    * forward unchanged.
+    *
+    * Refuses (nothing commits) when any of `toVersion`'s files was
+    * vacuumed away — verified against ONE recursive data-dir listing,
+    * not per-file RPCs. Restoring the current version is a no-op.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val cur = requireSnapshot(spark, root)
+    if (toVersion == cur.version) return cur.version
+    require(toVersion < cur.version,
+      s"restore: v$toVersion is not in $root's history (current: v${cur.version})")
+    val target = snapshot(spark, root, toVersion)
+    val f = fs(spark, root)
+    val rootPrefix = {
+      val p = f.makeQualified(new Path(root)).toUri.getPath
+      if (p.endsWith("/")) p else p + "/"
+    }
+    val have = scala.collection.mutable.HashSet.empty[String]
+    val dataDir = new Path(root, "data")
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile)
+          have += f.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootPrefix)
+      }
+    }
+    val missing = target.entries.map(_.relPath).filterNot(have)
+    require(missing.isEmpty,
+      s"restore: ${missing.size} of ${target.entries.size} files from " +
+        s"v$toVersion were vacuumed (first: ${missing.headOption.getOrElse("")}); " +
+        "that version is no longer restorable")
+    commit(spark, root, cur.version + 1, target.schemaDdl, target.entries,
+      cur.txns, target.checks)
+  }
+
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so
     * their version numbers become committable again. A torn manifest
     * is invisible to readers but holds its version number (the

@@ -335,6 +335,53 @@ class TxSpec extends SparkSpec {
       .filter($"k" === 3L).count() == 1, "old snapshot keeps replaced rows")
   }
 
+  test("restore: rollback is a new commit; history intact; watermarks and checks behave") {
+    val root = freshRoot("restore")
+    TxTable.create(seed, root, Some("p"))                            // v0
+    TxTable.addCheck(spark, root, "v_pos", "v > 0")                  // v1
+    assert(TxTable.txnAppend(Seq((6L, "C", 60.0)).toDF("k", "p", "v"),
+      root, Some("p"), "s1", 7L))                                    // v2
+    TxTable.rewriteAll(spark, root,
+      df => df.withColumn("v", col("v") * 0 + 1))                    // v3: the bad write
+    TxTable.dropCheck(spark, root, "v_pos")                          // v4
+    val restored = TxTable.restore(spark, root, 2L)                  // v5 = v2's state
+    assert(restored == 5L)
+    // data is v2's, bit-identical
+    assert(TxTable.read(spark, root).select("k", "p", "v")
+      .as[(Long, String, Double)].collect().toSet ==
+      TxTable.readVersion(spark, root, 2L).select("k", "p", "v")
+        .as[(Long, String, Double)].collect().toSet)
+    assert(TxTable.read(spark, root).agg(sum("v")).as[Double].head() == 210.0)
+    // intermediate history is still time-travelable (never rewritten)
+    assert(TxTable.readVersion(spark, root, 3L)
+      .agg(sum("v")).as[Double].head() == 6.0)
+    // v2's CHECK is live again: a violating append refuses
+    val e = intercept[IllegalArgumentException] {
+      TxTable.append(Seq((9L, "A", -1.0)).toDF("k", "p", "v"), root, Some("p"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    // the streaming watermark did NOT regress: batch 7's replay stays a no-op
+    assert(!TxTable.txnAppend(Seq((6L, "C", 60.0)).toDF("k", "p", "v"),
+      root, Some("p"), "s1", 7L), "restore must not regress exactly-once watermarks")
+    // restoring the current version is a no-op, not an empty commit
+    assert(TxTable.restore(spark, root, 5L) == 5L)
+    assert(TxTable.currentVersion(spark, root).contains(5L))
+  }
+
+  test("restore refuses when the target version's files were vacuumed") {
+    val root = freshRoot("restorevac")
+    TxTable.create(seed, root, Some("p"))                            // v0
+    TxTable.rewriteAll(spark, root, df => df.filter(col("k") =!= 1L)) // v1
+    TxTable.vacuum(spark, root, keepFromVersion = 1L)                // v0's files gone
+    val e = intercept[IllegalArgumentException] {
+      TxTable.restore(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    assert(TxTable.currentVersion(spark, root).contains(1L), "nothing committed")
+    // and a restorable target still works after the refusal
+    assert(TxTable.restore(spark, root, 1L) == 1L)
+  }
+
   test("vacuum reclaims orphans + dropped history, never live files") {
     val root = freshRoot("vac")
     TxTable.create(seed, root, Some("p"))
