@@ -17,7 +17,40 @@ object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
-    formatRead)
+    formatRead, sqlCatalog)
+
+  /** The DSv2 catalog surface end-to-end in SQL TEXT
+    * ([[graft.sources.GraftCatalog]]): lineitem lands in a graft table
+    * via `CREATE TABLE … AS SELECT` against the registered catalog,
+    * then the aggregate runs against `gq.mart.lineitem` — planning
+    * through the manifest-backed DSv2 parquet scan (predicate pushed,
+    * files stats-pruned, vectorized read). The oracle runs the SAME
+    * aggregate over the raw parquet in DuckDB, so equality proves the
+    * catalog's CTAS write path and SQL read path are both lossless.
+    */
+  val sqlCatalog: Q = Q(
+    "q_sql_catalog",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_q_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq.mart")
+    s.sql("DROP TABLE IF EXISTS gq.mart.lineitem")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_li_src")
+    s.sql("CREATE TABLE gq.mart.lineitem AS SELECT * FROM graft_li_src")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM gq.mart.lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
 
   /** S6 Excel: customer exports as sharded .xlsx workbooks (one per
     * partition — the parallel-export shape), reads back through the

@@ -445,6 +445,18 @@ object TxTable {
     next
   }
 
+  /** Initialize a table root with a SCHEMA and no data files — the
+    * SQL `CREATE TABLE` shape ([[GraftCatalog]] uses it; the first
+    * append/insert provides the rows). One metadata-only commit.
+    */
+  def createEmpty(
+      spark: SparkSession, root: String, schema: StructType): Long = {
+    val f = fs(spark, root)
+    f.delete(new Path(root), true)
+    commit(spark, root, 0L,
+      nullableType(schema).asInstanceOf[StructType].toDDL, Nil)
+  }
+
   /** Initialize (or reinitialize) a table root with `df` as version 0. */
   def create(
       df: DataFrame, root: String,

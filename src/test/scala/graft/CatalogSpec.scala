@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftPartitioningIndex, TxTable}
+
+/** The DSv2 SQL surface (GraftCatalog): DDL/DML lifecycle, time
+  * travel, metadata-only evolution, and planning-time file skipping —
+  * all through `spark.sql` text, no programmatic API in the loop.
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = s"target/tmp/graft_warehouse_${System.nanoTime()}"
+
+  private lazy val cat: Unit = {
+    spark.conf.set("spark.sql.catalog.gc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc.warehouse", wh)
+  }
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT / SELECT lifecycle in pure SQL") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.etl")
+    spark.sql(
+      "CREATE TABLE gc.etl.orders (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    assert(spark.sql("SHOW TABLES IN gc.etl").select("tableName")
+      .as[String].collect().toSeq == Seq("orders"))
+    assert(spark.sql("SELECT * FROM gc.etl.orders").count() == 0,
+      "CREATE TABLE commits an empty v0")
+    spark.sql(
+      "INSERT INTO gc.etl.orders VALUES (1, 'A', 10.0), (2, 'B', 20.0)")
+    spark.sql("INSERT INTO gc.etl.orders VALUES (3, 'A', 30.0)")
+    assert(spark.sql(
+      "SELECT p, sum(v) AS s FROM gc.etl.orders GROUP BY p ORDER BY p")
+      .collect().toSeq == Seq(Row("A", 40.0), Row("B", 20.0)))
+    // INSERTs are transactional appends: one version each
+    val root = s"$wh/etl/orders"
+    assert(TxTable.currentVersion(spark, root).contains(2L))
+    // layout partitioning from PARTITIONED BY reached the data files
+    assert(TxTable.currentSnapshot(spark, root).get.entries
+      .forall(_.partition.startsWith("p=")))
+  }
+
+  test("VERSION AS OF time travel; snapshots refuse writes") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.tt")
+    spark.sql("CREATE TABLE gc.tt.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gc.tt.t VALUES (1, 1.0)")              // v1
+    spark.sql("INSERT OVERWRITE gc.tt.t VALUES (1, 99.0), (2, 2.0)") // v2
+    assert(spark.sql("SELECT sum(v) FROM gc.tt.t").as[Double].head() == 101.0)
+    assert(spark.sql("SELECT sum(v) FROM gc.tt.t VERSION AS OF 1")
+      .as[Double].head() == 1.0, "the overwritten state stays queryable")
+    assert(spark.sql("SELECT count(*) FROM gc.tt.t VERSION AS OF 0")
+      .as[Long].head() == 0L)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gc.tt.t VERSION AS OF 1 VALUES (9, 9.0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("time travel") ||
+      e.getMessage.toLowerCase.contains("immutable") ||
+      e.getMessage.toLowerCase.contains("syntax"),
+      s"unexpected refusal shape: ${e.getMessage}")
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMNS is metadata-only; CHECKs and CTAS compose") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.ddl")
+    spark.sql("CREATE TABLE gc.ddl.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gc.ddl.t VALUES (1, 1.5)")
+    val root = s"$wh/ddl/t"
+    val filesBefore = TxTable.currentSnapshot(spark, root).get.entries.toSet
+    spark.sql("ALTER TABLE gc.ddl.t ADD COLUMNS (note STRING)")
+    assert(TxTable.currentSnapshot(spark, root).get.entries.toSet ==
+      filesBefore, "widening rewrote data files")
+    assert(spark.sql("SELECT note FROM gc.ddl.t").collect().toSeq ==
+      Seq(Row(null)), "existing rows backfill NULL")
+    spark.sql("INSERT INTO gc.ddl.t VALUES (2, 2.5, 'hi')")
+    spark.sql("ALTER TABLE gc.ddl.t DROP COLUMNS (note)")
+    assert(spark.sql("SELECT * FROM gc.ddl.t").columns.toSeq == Seq("k", "v"))
+    // CTAS through the catalog
+    spark.sql(
+      "CREATE TABLE gc.ddl.t2 AS SELECT k, v * 2 AS v2 FROM gc.ddl.t")
+    assert(spark.sql("SELECT sum(v2) FROM gc.ddl.t2").as[Double].head() == 8.0)
+    // DROP TABLE
+    spark.sql("DROP TABLE gc.ddl.t2")
+    assert(spark.sql("SHOW TABLES IN gc.ddl").count() == 1)
+  }
+
+  test("SQL reads plan through the manifest: stats skipping prunes files, filters push down") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.skip")
+    spark.sql("CREATE TABLE gc.skip.m (k BIGINT, v DOUBLE)")
+    // two single-file inserts with disjoint k ranges in manifest stats
+    spark.sql("INSERT INTO gc.skip.m SELECT /*+ REPARTITION(1) */ id, " +
+      "CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql("INSERT INTO gc.skip.m SELECT /*+ REPARTITION(1) */ id, " +
+      "CAST(id AS DOUBLE) FROM range(1000, 1100)")
+    assert(TxTable.currentSnapshot(spark, s"$wh/skip/m").get.entries.size == 2)
+    val df = spark.sql("SELECT sum(v) FROM gc.skip.m WHERE k >= 1000")
+    assert(df.as[Double].head() == (1000 until 1100).sum.toDouble)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan")
+    val pscan = scans.head.scan.asInstanceOf[ParquetScan]
+    assert(pscan.pushedFilters.nonEmpty, "filter did not reach the parquet scan")
+    val idx = pscan.fileIndex.asInstanceOf[GraftPartitioningIndex]
+    assert(idx.delegate.lastListedCount == 1,
+      s"stats skipping kept ${idx.delegate.lastListedCount} of 2 files")
+  }
+
+  test("catalog hygiene: exists/refusals, rename, namespace drop semantics, hostile names") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.hy")
+    spark.sql("CREATE TABLE gc.hy.a (k BIGINT)")
+    // duplicate create refuses; IF NOT EXISTS is quiet
+    assert(intercept[Exception](spark.sql("CREATE TABLE gc.hy.a (k BIGINT)"))
+      .getMessage.toUpperCase.contains("EXISTS"))
+    spark.sql("CREATE TABLE IF NOT EXISTS gc.hy.a (k BIGINT)")
+    // rename within the warehouse
+    spark.sql("INSERT INTO gc.hy.a VALUES (7)")
+    // the RENAME TO target is catalog-relative in Spark's v2 path
+    spark.sql("ALTER TABLE gc.hy.a RENAME TO hy.b")
+    assert(spark.sql("SELECT k FROM gc.hy.b").as[Long].head() == 7L)
+    assert(!spark.catalog.tableExists("gc.hy.a"))
+    // non-cascade namespace drop refuses while non-empty
+    assert(intercept[Exception](spark.sql("DROP NAMESPACE gc.hy"))
+      .getMessage.toUpperCase.contains("EMPTY"))
+    spark.sql("DROP NAMESPACE gc.hy CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gc").as[String].collect()
+      .contains("hy"))
+    // a path-traversal identifier can never escape the warehouse
+    val bad = intercept[Exception](
+      spark.sql(s"CREATE TABLE gc.`..`.`oops` (k BIGINT)"))
+    assert(bad.getMessage.contains("illegal identifier") ||
+      bad.getMessage.toUpperCase.contains("PARSE"),
+      s"hostile name not refused: ${bad.getMessage}")
+  }
+
+  test("SQL INSERT inherits CHECK constraints and schema refusal from the format") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.ck")
+    spark.sql("CREATE TABLE gc.ck.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gc.ck.t VALUES (1, 5.0)")
+    val root = s"$wh/ck/t"
+    TxTable.addCheck(spark, root, "v_pos", "v > 0")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gc.ck.t VALUES (2, -1.0)")
+    }
+    assert(e.getMessage.contains("v_pos"),
+      s"CHECK not enforced through SQL INSERT: ${e.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM gc.ck.t").as[Long].head() == 1L,
+      "refused INSERT must commit nothing")
+  }
+}
