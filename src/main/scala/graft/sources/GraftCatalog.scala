@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * atomic manifest commits, CHECK enforcement, and schema refusal for
   * free — one write path, two surfaces.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog
+  extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -199,6 +200,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"rename $src -> $dst failed (filesystem refused)")
   }
 
+  // --------------------------------------------------------- procedures
+
+  /** SQL `CALL` maintenance surface — `CALL gc.system.compact('ns.t')`
+    * etc.; see [[GraftProcedures]] for the inventory. The `table`
+    * argument is a catalog-relative dotted path (`ns.t`).
+    */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace, got " +
+        s"${ident.namespace.mkString(".")}")
+    GraftProcedures.byName.getOrElse(ident.name,
+      throw new UnsupportedOperationException(
+        s"no such graft procedure: ${ident.name} " +
+          s"(have: ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")})"))
+        .apply(this)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.byName.keys.toArray.sorted
+        .map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  /** Resolve a procedure's catalog-relative dotted table path. */
+  private[sources] def tableRoot(dotted: String): String = {
+    val parts = dotted.split('.').toSeq
+    checkSegments(parts)
+    val root = parts.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+    require(isTable(root), s"no graft table at '$dotted' under $warehouse")
+    root.toString
+  }
+
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
@@ -246,6 +280,129 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NonEmptyNamespaceException(namespace)
     fs.delete(dir, true)
   }
+}
+
+/** The `CALL`-able maintenance inventory — every table-format
+  * operation that is not a read or a write, exposed to SQL users:
+  *
+  * {{{
+  * CALL gc.system.history('ns.t');            -- DESCRIBE HISTORY rows
+  * CALL gc.system.restore('ns.t', 3);         -- rollback as a new commit
+  * CALL gc.system.compact('ns.t');            -- bin-pack small files
+  * CALL gc.system.zorder('ns.t', 'a,b', 16);  -- re-cluster in place
+  * CALL gc.system.vacuum('ns.t', 4);          -- reclaim pre-v4 files
+  * }}}
+  *
+  * Each returns its outcome as a result row (new version / file
+  * counts), so operators can script maintenance in SQL alone.
+  */
+private[sources] object GraftProcedures {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One self-describing procedure: binds to its declared parameters
+    * and runs `body` over the (coerced) argument row.
+    */
+  /** One self-describing procedure: binds to its declared parameters
+    * and runs `body` over the (coerced) argument row; `body` returns
+    * result ROWS as value sequences matching `resultType`.
+    */
+  private final class Proc(
+      procName: String, procDesc: String,
+      params: Array[ProcedureParameter], resultType: StructType,
+      body: (GraftCatalog, InternalRow) => Seq[Seq[Any]])
+    extends (GraftCatalog => UnboundProcedure) {
+    override def apply(cat: GraftCatalog): UnboundProcedure =
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def description(): String = procDesc
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = procName
+            override def description(): String = procDesc
+            override def parameters(): Array[ProcedureParameter] = params
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): util.Iterator[Scan] = {
+              val out = body(cat, input).map(toRow).toArray
+              val scan: Scan = new LocalScan {
+                override def readSchema(): StructType = resultType
+                override def rows(): Array[InternalRow] = out
+              }
+              util.List.of(scan).iterator()
+            }
+            private def toRow(vals: Seq[Any]): InternalRow =
+              InternalRow.fromSeq(vals.zip(resultType.fields).map {
+                case (v, f) =>
+                  org.apache.spark.sql.catalyst.CatalystTypeConverters
+                    .createToCatalystConverter(f.dataType)(v)
+              })
+          }
+      }
+  }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, d: String) =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  val byName: Map[String, GraftCatalog => UnboundProcedure] = Map(
+    "restore" -> new Proc(
+      "restore", "make a historical version current (one metadata commit)",
+      Array(in("table", StringType), in("version", LongType)),
+      StructType(Seq(StructField("restored_to_version", LongType, false))),
+      (cat, r) => Seq(Seq(
+        TxTable.restore(spark, cat.tableRoot(str(r, 0)), r.getLong(1))))),
+    "compact" -> new Proc(
+      "compact", "bin-pack small files per partition into one new version",
+      Array(in("table", StringType),
+        inDefault("target_file_bytes", LongType, (128L << 20).toString)),
+      StructType(Seq(StructField("version", LongType, false),
+        StructField("live_files", LongType, false))),
+      (cat, r) => {
+        val root = cat.tableRoot(str(r, 0))
+        val v = TxTable.compact(spark, root, r.getLong(1))
+        Seq(Seq(v,
+          TxTable.currentSnapshot(spark, root).get.entries.size.toLong))
+      }),
+    "vacuum" -> new Proc(
+      "vacuum", "delete files unreachable from versions >= keep_from_version",
+      Array(in("table", StringType), in("keep_from_version", LongType)),
+      StructType(Seq(StructField("files_deleted", LongType, false))),
+      (cat, r) => Seq(Seq(
+        TxTable.vacuum(spark, cat.tableRoot(str(r, 0)), r.getLong(1)).toLong))),
+    "zorder" -> new Proc(
+      "zorder", "re-cluster the table on the given columns (in place)",
+      Array(in("table", StringType), in("columns", StringType),
+        inDefault("num_files", LongType, "16")),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => {
+        val dims = str(r, 1).split(',').map(_.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.col).toSeq
+        require(dims.nonEmpty, "zorder: empty column list")
+        Seq(Seq(ZOrder.cluster(spark, cat.tableRoot(str(r, 0)), dims,
+          r.getLong(2).toInt)))
+      }),
+    "history" -> new Proc(
+      "history", "DESCRIBE HISTORY: one row per committed version",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, false),
+        StructField("files", LongType, false),
+        StructField("bytes", LongType, false),
+        StructField("files_added", LongType, false),
+        StructField("bytes_added", LongType, false),
+        StructField("txns", StringType, true),
+        StructField("checks", StringType, true))),
+      (cat, r) =>
+        TxTable.history(spark, cat.tableRoot(str(r, 0)))
+          .collect().toSeq.map(_.toSeq)))
 }
 
 object GraftCatalog {

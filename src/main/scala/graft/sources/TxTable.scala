@@ -906,14 +906,15 @@ object TxTable {
 
   /** Drop data files referenced by NO manifest ≥ `keepFromVersion`
     * (crash orphans and compacted-away history). Never touches files
-    * the retained snapshots can still read.
+    * the retained snapshots can still read. Returns the number of
+    * files deleted.
     */
-  def vacuum(spark: SparkSession, root: String, keepFromVersion: Long): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepFromVersion: Long): Int = {
     val f = fs(spark, root)
     val live = versions(spark, root).filter(_ >= keepFromVersion)
       .flatMap(v => snapshot(spark, root, v).entries.map(_.relPath)).toSet
     val dataDir = new Path(root, "data")
-    if (!f.exists(dataDir)) return
+    if (!f.exists(dataDir)) return 0
     // Relativize against the TABLE ROOT, never by substring: a root
     // that itself lives under a ".../data/..." path (e.g. a test dir)
     // would make a substring match pick the wrong prefix, mark every
@@ -935,5 +936,6 @@ object TxTable {
       }
     }
     doomed.foreach(p => f.delete(p, false))
+    doomed.size
   }
 }

@@ -141,6 +141,47 @@ class CatalogSpec extends SparkSpec {
       s"hostile name not refused: ${bad.getMessage}")
   }
 
+  test("CALL procedures: history, compact, zorder, restore, vacuum run from SQL text") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.proc")
+    spark.sql("CREATE TABLE gc.proc.t (k BIGINT, v DOUBLE)")
+    (1 to 4).foreach(i => spark.sql(
+      s"INSERT INTO gc.proc.t SELECT /*+ REPARTITION(1) */ id, " +
+        s"CAST(id AS DOUBLE) FROM range(${i * 100}, ${i * 100 + 50})"))
+    val root = s"$wh/proc/t"
+    // history: one row per version (create + 4 inserts)
+    val hist = spark.sql("CALL gc.system.history('proc.t')")
+    assert(hist.columns.take(2).toSeq == Seq("version", "files"))
+    assert(hist.count() == 5)
+    // compact: 4 small files bin-pack; rows identical
+    val Row(compactV: Long, liveFiles: Long) =
+      spark.sql("CALL gc.system.compact('proc.t')").head()
+    assert(compactV == 5L && liveFiles < 4,
+      s"expected a bin-packed commit, got v$compactV with $liveFiles files")
+    assert(spark.sql("SELECT count(*) FROM gc.proc.t").as[Long].head() == 200L)
+    // zorder in place: one more version, same rows
+    assert(spark.sql("CALL gc.system.zorder('proc.t', 'k', 2)")
+      .as[Long].head() == 6L)
+    assert(spark.sql("SELECT sum(k) FROM gc.proc.t").as[Long].head() ==
+      (100 until 150).sum + (200 until 250).sum + (300 until 350).sum +
+        (400 until 450).sum)
+    // restore to the pre-compaction state
+    assert(spark.sql("CALL gc.system.restore('proc.t', 4)")
+      .as[Long].head() == 7L)
+    assert(TxTable.currentSnapshot(spark, root).get.entries.size == 4,
+      "restored state must have the pre-compaction file layout")
+    // vacuum everything older than current: compacted/zordered files go
+    val deleted = spark.sql("CALL gc.system.vacuum('proc.t', 7)")
+      .as[Long].head()
+    assert(deleted > 0, "vacuum found nothing to delete")
+    assert(spark.sql("SELECT count(*) FROM gc.proc.t").as[Long].head() == 200L,
+      "vacuum deleted live files")
+    // unknown procedure refuses loudly (Spark wraps the catalog's error)
+    val nope = intercept[Exception](spark.sql("CALL gc.system.nope('x')"))
+    assert(nope.getMessage.contains("no such graft procedure") ||
+      nope.getMessage.contains("FAILED_TO_LOAD_ROUTINE"))
+  }
+
   test("SQL INSERT inherits CHECK constraints and schema refusal from the format") {
     cat
     spark.sql("CREATE NAMESPACE gc.ck")
