@@ -402,7 +402,28 @@ private[sources] object GraftProcedures {
         StructField("checks", StringType, true))),
       (cat, r) =>
         TxTable.history(spark, cat.tableRoot(str(r, 0)))
-          .collect().toSeq.map(_.toSeq)))
+          .collect().toSeq.map(_.toSeq)),
+    "add_check" -> new Proc(
+      "add_check", "ADD a CHECK constraint (validates existing rows, " +
+        "then every data-writing commit enforces it)",
+      Array(in("table", StringType), in("name", StringType),
+        in("expr", StringType)),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => Seq(Seq(TxTable.addCheck(
+        spark, cat.tableRoot(str(r, 0)), str(r, 1), str(r, 2))))),
+    "drop_check" -> new Proc(
+      "drop_check", "DROP a CHECK constraint by name",
+      Array(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => Seq(Seq(TxTable.dropCheck(
+        spark, cat.tableRoot(str(r, 0)), str(r, 1))))),
+    "recover" -> new Proc(
+      "recover", "free version numbers held by torn (crashed-writer) " +
+        "manifests — only call with no writer in flight",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("freed_version", LongType, false))),
+      (cat, r) => TxTable.recover(spark, cat.tableRoot(str(r, 0)))
+        .map(v => Seq(v))))
 }
 
 object GraftCatalog {

@@ -469,18 +469,40 @@ object TxTable {
   }
 
   /** Append-only commit: new files become visible atomically alongside
-    * every existing file.
+    * every existing file. A lost optimistic race (a concurrent writer
+    * took the version) is RETRIED on the fresh snapshot, bounded:
+    * appends commute, the data files are written AT MOST once, and
+    * schema/CHECK validation re-runs against each fresh snapshot (so
+    * an append racing a schema evolution or an ADD CONSTRAINT still
+    * refuses correctly — CHECK data passes re-run only when the
+    * constraint set actually changed). This is what makes concurrent
+    * SQL `INSERT INTO` through [[GraftCatalog]] robust: N racing
+    * inserts all land, in N versions.
     */
   def append(
       df: DataFrame, root: String,
-      partitionCol: Option[String] = None): Long = {
+      partitionCol: Option[String] = None, maxRetries: Int = 10): Long = {
     val spark = df.sparkSession
-    val cur = requireSnapshot(spark, root)
-    requireSchema(df, cur, "append")
-    requireChecks(df, cur, "append")
-    val entries = writeData(df, root, partitionCol)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries ++ entries,
-      cur.txns, cur.checks)
+    var attempt = 0
+    var entries: Seq[Entry] = null       // write data files AT MOST once
+    var checkedFor: Map[String, String] = null
+    while (true) {
+      val cur = requireSnapshot(spark, root)
+      requireSchema(df, cur, "append")
+      if (checkedFor == null || checkedFor != cur.checks)
+        requireChecks(df, cur, "append")
+      checkedFor = cur.checks
+      if (entries == null) entries = writeData(df, root, partitionCol)
+      try {
+        return commit(spark, root, cur.version + 1, cur.schemaDdl,
+          cur.entries ++ entries, cur.txns, cur.checks)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** IDEMPOTENT append for streaming writers: apply `df` as `txnId`'s
@@ -822,16 +844,31 @@ object TxTable {
     */
   def rewriteAll(
       spark: SparkSession, root: String,
-      transform: DataFrame => DataFrame): Long = {
-    val cur = requireSnapshot(spark, root)
-    val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)
-      .map(_.split("=", 2)(0))
-    val out = transform(readEntries(spark, root, cur, identity))
-    requireSchema(out, cur, "rewriteAll")
-    requireChecks(out, cur, "rewriteAll")
-    val entries = writeData(out, root, partitionCol)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, entries, cur.txns,
-      cur.checks)
+      transform: DataFrame => DataFrame, maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = requireSnapshot(spark, root)
+      val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)
+        .map(_.split("=", 2)(0))
+      val out = transform(readEntries(spark, root, cur, identity))
+      requireSchema(out, cur, "rewriteAll")
+      requireChecks(out, cur, "rewriteAll")
+      val entries = writeData(out, root, partitionCol)
+      try {
+        return commit(spark, root, cur.version + 1, cur.schemaDdl, entries,
+          cur.txns, cur.checks)
+      } catch {
+        // A rewrite's output may depend on the content it replaced, so
+        // a lost race re-runs the WHOLE transform on the fresh snapshot
+        // (unlike append, whose rows commute and are written once).
+        // Bounded low: each retry re-writes data; the lost attempt's
+        // files orphan until vacuum.
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** RESTORE TABLE … VERSION AS OF: make `toVersion`'s state the

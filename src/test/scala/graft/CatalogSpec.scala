@@ -182,13 +182,31 @@ class CatalogSpec extends SparkSpec {
       nope.getMessage.contains("FAILED_TO_LOAD_ROUTINE"))
   }
 
+  test("concurrent SQL INSERTs all land (optimistic retry behind the catalog)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    cat
+    spark.sql("CREATE NAMESPACE gc.race")
+    spark.sql("CREATE TABLE gc.race.t (k BIGINT)")
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((0 until 4).map(i => Future {
+        spark.sql(s"INSERT INTO gc.race.t VALUES ($i)")
+      })), 120.seconds)
+      assert(spark.sql("SELECT count(*) FROM gc.race.t").as[Long].head() == 4L)
+      assert(TxTable.currentVersion(spark, s"$wh/race/t").contains(4L))
+    } finally pool.shutdown()
+  }
+
   test("SQL INSERT inherits CHECK constraints and schema refusal from the format") {
     cat
     spark.sql("CREATE NAMESPACE gc.ck")
     spark.sql("CREATE TABLE gc.ck.t (k BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO gc.ck.t VALUES (1, 5.0)")
-    val root = s"$wh/ck/t"
-    TxTable.addCheck(spark, root, "v_pos", "v > 0")
+    assert(spark.sql("CALL gc.system.add_check('ck.t', 'v_pos', 'v > 0')")
+      .as[Long].head() == 2L)
     val e = intercept[Exception] {
       spark.sql("INSERT INTO gc.ck.t VALUES (2, -1.0)")
     }
@@ -196,5 +214,9 @@ class CatalogSpec extends SparkSpec {
       s"CHECK not enforced through SQL INSERT: ${e.getMessage}")
     assert(spark.sql("SELECT count(*) FROM gc.ck.t").as[Long].head() == 1L,
       "refused INSERT must commit nothing")
+    // dropping the constraint (from SQL) lets the same row in
+    spark.sql("CALL gc.system.drop_check('ck.t', 'v_pos')")
+    spark.sql("INSERT INTO gc.ck.t VALUES (2, -1.0)")
+    assert(spark.sql("SELECT count(*) FROM gc.ck.t").as[Long].head() == 2L)
   }
 }

@@ -547,6 +547,26 @@ class TxSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 6)
   }
 
+  test("append under contention: racing appenders ALL land via bounded optimistic retry") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("apprace")
+    TxTable.create(seed, root, Some("p"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val versions = Await.result(Future.sequence((0 until 8).map(i => Future {
+        TxTable.append(Seq((100L + i, "R", i.toDouble)).toDF("k", "p", "v"),
+          root, Some("p"))
+      })), 120.seconds)
+      assert(versions.toSet.size == 8, s"appends shared a version: $versions")
+      assert(versions.toSet == (1L to 8L).toSet)
+      assert(TxTable.read(spark, root).count() == 5 + 8,
+        "a racing append lost rows")
+    } finally pool.shutdown()
+  }
+
   test("concurrent commit to the same version: one wins, one aborts cleanly") {
     val root = freshRoot("cc")
     TxTable.create(seed, root, Some("p"))
