@@ -116,6 +116,18 @@ final class GraftCatalog
       GraftCatalog.readPartitionCol(spark, root.toString), timeTravel = false)
   }
 
+  /** SQL `TIMESTAMP AS OF` time travel: Spark hands the instant as
+    * epoch MICROseconds; [[TxTable.versionAt]] resolves it against the
+    * monotone-adjusted commit times.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident)
+    if (TxTable.currentVersion(spark, root.toString).isEmpty)
+      throw new NoSuchTableException(ident)
+    loadTable(ident,
+      TxTable.versionAt(spark, root.toString, timestampMicros / 1000L).toString)
+  }
+
   /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF 3`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
@@ -399,7 +411,8 @@ private[sources] object GraftProcedures {
         StructField("files_added", LongType, false),
         StructField("bytes_added", LongType, false),
         StructField("txns", StringType, true),
-        StructField("checks", StringType, true))),
+        StructField("checks", StringType, true),
+        StructField("ts_millis", LongType, false))),
       (cat, r) =>
         TxTable.history(spark, cat.tableRoot(str(r, 0)))
           .collect().toSeq.map(_.toSeq)),

@@ -172,14 +172,29 @@ final class GraftSource
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    require(
+      !(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "set versionAsOf OR timestampAsOf, not both")
     val snap = parameters.get("versionAsOf") match {
       case Some(v) => TxTable.snapshot(spark, root, v.toLong)
-      case None => TxTable.currentSnapshot(spark, root).getOrElse(
-        throw new IllegalStateException(
-          s"no committed graft table under $root"))
+      case None => parameters.get("timestampAsOf") match {
+        case Some(t) => TxTable.snapshot(spark, root,
+          TxTable.versionAt(spark, root, parseTsMillis(t)))
+        case None => TxTable.currentSnapshot(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"no committed graft table under $root"))
+      }
     }
     relationFor(spark, root, snap)
   }
+
+  /** `timestampAsOf` accepts epoch millis or a local-zone
+    * `yyyy-MM-dd HH:mm:ss[.fff]` (ISO 'T' separator tolerated).
+    */
+  private def parseTsMillis(s: String): Long =
+    scala.util.Try(s.toLong).getOrElse(
+      java.sql.Timestamp.valueOf(s.replace('T', ' ')).getTime)
 
   private def relationFor(
       spark: SparkSession, root: String, snap: TxTable.Snapshot): BaseRelation =

@@ -69,7 +69,8 @@ object TxTable {
   final case class Snapshot(
       version: Long, schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      ts: Long = -1L)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -157,6 +158,32 @@ object TxTable {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     currentSnapshot(spark, root).map(_.version)
 
+  /** TIMESTAMP AS OF resolution: the latest version whose commit time
+    * is ≤ `tsMillis`. Commit times are made MONOTONE over the version
+    * walk before comparing (each adjusted to at least its
+    * predecessor's + 1ms — the Delta history convention), so writer
+    * clock skew can reorder nothing: answers degrade to version
+    * granularity, never to wrong order. Pre-timestamp manifests
+    * (`ts = -1`) inherit their predecessor's adjusted time (the
+    * oldest default to 0 — i.e. "before any queryable instant").
+    * O(history) driver work, like every history-enumerating op here.
+    */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val snaps = versions(spark, root).map(v => snapshot(spark, root, v))
+    require(snaps.nonEmpty, s"no committed manifest under $root")
+    var prevAdj = 0L
+    val adjusted = snaps.map { s =>
+      val adj = if (s.ts < 0) prevAdj else math.max(s.ts, prevAdj + 1)
+      prevAdj = adj
+      (s.version, adj)
+    }
+    val hit = adjusted.filter(_._2 <= tsMillis)
+    require(hit.nonEmpty,
+      s"no version at or before timestamp $tsMillis under $root " +
+        s"(earliest commit: ${adjusted.head._2})")
+    hit.last._1
+  }
+
   /** DESCRIBE HISTORY: one row per committed version — version,
     * live-file count, live bytes (-1 sizes counted as 0), files/bytes
     * added vs the previous version, streaming watermarks and CHECK
@@ -173,10 +200,11 @@ object TxTable {
         s.entries.map(e => math.max(e.size, 0L)).sum,
         added.size.toLong, added.map(e => math.max(e.size, 0L)).sum,
         s.txns.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
-        s.checks.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+        s.checks.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+        s.ts)
     }
     rows.toDF("version", "files", "bytes", "files_added", "bytes_added",
-      "txns", "checks")
+      "txns", "checks", "ts_millis")
   }
 
   private def parseManifest(version: Long, text: String, root: String): Snapshot = {
@@ -212,7 +240,10 @@ object TxTable {
         case Array(rel, part) => Entry(rel, part)
       }
     }
-    Snapshot(version, ddl, entries, txns, checks)
+    val ts = meta.collectFirst {
+      case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong
+    }.getOrElse(-1L)
+    Snapshot(version, ddl, entries, txns, checks, ts)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -430,6 +461,11 @@ object TxTable {
       }
     try os.write(
       (s"#schema=$schemaDdl\n" +
+        // commit wall-clock (millis) — read-side TIMESTAMP AS OF
+        // resolution makes these monotone (see versionAt), so writer
+        // clock skew degrades to version granularity, never to a
+        // wrong-order answer
+        s"#ts=${System.currentTimeMillis()}\n" +
         txns.toSeq.sortBy(_._1).map { case (id, bid) =>
           s"#txn=${java.net.URLEncoder.encode(id, "UTF-8")}:$bid\n"
         }.mkString +

@@ -55,6 +55,13 @@ class CatalogSpec extends SparkSpec {
       .as[Double].head() == 1.0, "the overwritten state stays queryable")
     assert(spark.sql("SELECT count(*) FROM gc.tt.t VERSION AS OF 0")
       .as[Long].head() == 0L)
+    // TIMESTAMP AS OF through SQL: v1's commit instant sees v1's state
+    // (ISO-8601 with Z — zone-explicit, independent of the JVM default)
+    val t1 = java.time.Instant
+      .ofEpochMilli(TxTable.snapshot(spark, s"$wh/tt/t", 1L).ts).toString
+    assert(spark.sql(
+      s"SELECT sum(v) FROM gc.tt.t TIMESTAMP AS OF '$t1'")
+      .as[Double].head() == 1.0)
     val e = intercept[Exception] {
       spark.sql("INSERT INTO gc.tt.t VERSION AS OF 1 VALUES (9, 9.0)")
     }

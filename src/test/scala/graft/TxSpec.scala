@@ -194,8 +194,12 @@ class TxSpec extends SparkSpec {
     TxTable.txnAppend(Seq((6L, "C", 60.0)).toDF("k", "p", "v"),
       root, Some("p"), "job1", 0L)
     TxTable.addCheck(spark, root, "v_pos", "v > 0.0")
-    val h = TxTable.history(spark, root)
-      .orderBy(col("version"))
+    val hdf = TxTable.history(spark, root).orderBy(col("version"))
+    val ts = hdf.select("ts_millis").as[Long].collect()
+    assert(ts.forall(_ > 0L), "every commit carries its wall-clock")
+    val h = hdf
+      .select("version", "files", "bytes", "files_added", "bytes_added",
+        "txns", "checks")
       .as[(Long, Long, Long, Long, Long, String, String)].collect()
     assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L))
     assert(h(0)._2 == TxTable.snapshot(spark, root, 0L).entries.size.toLong)
@@ -322,6 +326,28 @@ class TxSpec extends SparkSpec {
       .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
     assert(after == before, "uncommitted data files must be invisible")
     assert(TxTable.currentVersion(spark, root).contains(0L))
+  }
+
+  test("TIMESTAMP AS OF: versionAt resolves against monotone-adjusted commit times") {
+    val root = freshRoot("tsv")
+    TxTable.create(seed, root, Some("p"))                            // v0
+    Thread.sleep(5)
+    TxTable.append(Seq((6L, "C", 60.0)).toDF("k", "p", "v"), root, Some("p")) // v1
+    Thread.sleep(5)
+    TxTable.append(Seq((7L, "C", 70.0)).toDF("k", "p", "v"), root, Some("p")) // v2
+    val t = (0L to 2L).map(v => TxTable.snapshot(spark, root, v).ts)
+    assert(t.sorted == t && t.forall(_ > 0), s"commit times not ascending: $t")
+    assert(TxTable.versionAt(spark, root, t(0)) == 0L)
+    assert(TxTable.versionAt(spark, root, t(1)) == 1L)
+    assert(TxTable.versionAt(spark, root, (t(1) + t(2)) / 2) == 1L,
+      "an instant between commits resolves to the earlier version")
+    assert(TxTable.versionAt(spark, root, System.currentTimeMillis() + 1000) == 2L)
+    intercept[IllegalArgumentException] {
+      TxTable.versionAt(spark, root, t(0) - 1000)
+    }
+    // the option surface: read the table as of v1's instant
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", t(1).toString).load(root).count() == 6)
   }
 
   test("time travel: every committed version stays readable") {
