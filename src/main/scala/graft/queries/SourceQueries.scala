@@ -17,7 +17,107 @@ object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
-    formatRead, sqlCatalog)
+    formatRead, sqlCatalog, sqlDelete, sqlMerge)
+
+  /** SQL row-level operations end-to-end ([[graft.sources.GraftRowLevelOperation]]):
+    * orders lands partitioned by priority, then three mutations run as
+    * SQL text — a partition-predicate DELETE (metadata-only commit,
+    * zero data movement), a row-predicate DELETE (partition-granularity
+    * copy-on-write, runtime group filter picks the touched partitions),
+    * and a partition-scoped UPDATE (static partition conjunct prunes
+    * the rewrite to one partition). The oracle replays the same
+    * mutations as a WHERE + CASE over the raw parquet, so equality
+    * proves the whole DELETE/UPDATE pipeline — rewrite plan, group
+    * pruning, executor parquet write, manifest swap — is lossless.
+    */
+  val sqlDelete: Q = Q(
+    "q_sql_delete",
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(CASE WHEN o_orderstatus = 'F'
+      |      AND o_orderpriority = '5-LOW' THEN 0.0
+      |    ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE o_orderpriority <> '1-URGENT' AND o_custkey % 10 <> 0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_rl_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gr", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gr.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gr.mart")
+    s.sql("DROP TABLE IF EXISTS gr.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ord_src")
+    s.sql(
+      """CREATE TABLE gr.mart.orders PARTITIONED BY (o_orderpriority)
+        |AS SELECT * FROM graft_ord_src""".stripMargin)
+    s.sql("DELETE FROM gr.mart.orders WHERE o_orderpriority = '1-URGENT'")
+    s.sql("DELETE FROM gr.mart.orders WHERE o_custkey % 10 = 0")
+    s.sql(
+      """UPDATE gr.mart.orders SET o_totalprice = 0.0
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '5-LOW'"""
+        .stripMargin)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gr.mart.orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL MERGE INTO with all three clause kinds in one statement —
+    * the reference's staged-CDC MERGE pattern as a single transactional
+    * commit: matched+guard → DELETE, matched → UPDATE, not-matched →
+    * INSERT. The oracle reconstructs the post-MERGE table from the raw
+    * parquet with WHERE/CASE/UNION, so equality proves clause routing,
+    * the copy-on-write union plan, and the atomic partition swap all
+    * preserve row-level semantics.
+    */
+  val sqlMerge: Q = Q(
+    "q_sql_merge",
+    """SELECT n_nationkey, n_name, n_regionkey FROM (
+      |  SELECT n_nationkey,
+      |         CASE WHEN n_nationkey < 10 THEN lower(n_name)
+      |              ELSE n_name END AS n_name,
+      |         n_regionkey
+      |  FROM nation WHERE n_nationkey < 20
+      |  UNION ALL
+      |  SELECT n_nationkey + 100 AS n_nationkey,
+      |         'new_' || n_name AS n_name,
+      |         CAST(-1 AS INTEGER) AS n_regionkey
+      |  FROM nation WHERE n_nationkey < 5
+      |) ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_mg_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gm", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gm.mart")
+    s.sql("DROP TABLE IF EXISTS gm.mart.nation")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_nat_src")
+    s.sql(
+      """CREATE TABLE gm.mart.nation
+        |AS SELECT n_nationkey, n_name, n_regionkey FROM graft_nat_src"""
+        .stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW graft_merge_src AS
+        |SELECT n_nationkey AS k, lower(n_name) AS nm
+        |FROM graft_nat_src WHERE n_nationkey < 10
+        |UNION ALL
+        |SELECT n_nationkey, CAST(NULL AS STRING)
+        |FROM graft_nat_src WHERE n_nationkey >= 20
+        |UNION ALL
+        |SELECT n_nationkey + 100, concat('new_', n_name)
+        |FROM graft_nat_src WHERE n_nationkey < 5""".stripMargin)
+    s.sql(
+      """MERGE INTO gm.mart.nation t USING graft_merge_src s
+        |ON t.n_nationkey = s.k
+        |WHEN MATCHED AND s.k >= 20 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_name = s.nm
+        |WHEN NOT MATCHED THEN
+        |  INSERT (n_nationkey, n_name, n_regionkey) VALUES (s.k, s.nm, -1)"""
+        .stripMargin)
+    s.sql(
+      """SELECT n_nationkey, n_name, n_regionkey FROM gm.mart.nation
+        |ORDER BY n_nationkey""".stripMargin)
+  }
 
   /** The DSv2 catalog surface end-to-end in SQL TEXT
     * ([[graft.sources.GraftCatalog]]): lineitem lands in a graft table

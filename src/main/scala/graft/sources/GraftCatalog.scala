@@ -479,7 +479,8 @@ object GraftCatalog {
 final class GraftV2Table(
     root: String, snap: TxTable.Snapshot, partitionCol: Option[String],
     timeTravel: Boolean)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -527,6 +528,72 @@ final class GraftV2Table(
           }
       }
     }
+  }
+
+  private def refuseTimeTravel(op: String): Unit =
+    if (timeTravel) throw new UnsupportedOperationException(
+      s"cannot $op a time-travel snapshot of $root — versions are " +
+        "immutable (TxTable.restore makes one current)")
+
+  /** SQL DELETE / UPDATE / MERGE: Spark rewrites the command to a
+    * group-based copy-on-write over this operation (see
+    * [[GraftRowLevelOperation]]); the pinned `snap` gives the whole
+    * statement snapshot isolation, and the commit is refused if the
+    * table moved past it.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseTimeTravel(info.command().toString)
+    () => new GraftRowLevelOperation(spark, root, snap, partitionCol,
+      info.command())
+  }
+
+  /** Metadata-only DELETE: accepted iff every conjunct is provably
+    * partition-uniform (interpretable against the partition column
+    * alone) — then whole partitions drop in ONE metadata commit with
+    * zero data movement. Anything else falls back to the copy-on-write
+    * rewrite above. `TRUNCATE TABLE` arrives here as ALWAYS_TRUE.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Boolean =
+    !timeTravel && (partitionCol match {
+      case Some(c) =>
+        val dt = schema()(c).dataType
+        predicates.forall(p =>
+          PartitionPredicates.interpret(c, dt, p).isDefined)
+      case None => predicates.forall(_.name() == "ALWAYS_TRUE")
+    })
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Unit = {
+    refuseTimeTravel("DELETE from")
+    // metadata delete executes against the CURRENT table (unlike the
+    // rewrite path there is no scanned data to go stale against); the
+    // fresh resolve still pins the commit via expectedVersion
+    val cur = TxTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed graft table at $root"))
+    val drop: Set[String] = partitionCol match {
+      case Some(c) =>
+        val dt = schema()(c).dataType
+        val fs = predicates.toSeq.map(p =>
+          PartitionPredicates.interpret(c, dt, p).getOrElse(
+            throw new UnsupportedOperationException(
+              s"metadata DELETE got an uninterpretable predicate: $p")))
+        cur.entries.map(_.partition).distinct.filter { part =>
+          PartitionPredicates.dropForDelete(fs,
+            PartitionPredicates.partitionValue(part, dt))
+        }.toSet
+      case None =>
+        require(predicates.forall(_.name() == "ALWAYS_TRUE"),
+          "metadata DELETE on an unpartitioned graft table supports " +
+            "only TRUNCATE (unconditional)")
+        cur.entries.map(_.partition).toSet
+    }
+    TxTable.commitReplace(spark, root, cur.version, drop, Nil,
+      "DELETE (metadata-only)")
   }
 
   override def toString: String = name()

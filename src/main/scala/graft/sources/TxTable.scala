@@ -809,6 +809,41 @@ object TxTable {
       cur.txns, cur.checks)
   }
 
+  /** The commit half of a partition-granularity copy-on-write (SQL
+    * DELETE / UPDATE / MERGE through [[GraftRowLevelOperation]], and
+    * the metadata-only DELETE fast path): atomically replace
+    * `dropPartitions`' file sets with `fresh` in ONE manifest commit,
+    * pinned to `expectedVersion` — the caller scanned exactly that
+    * snapshot's files, so a table that moved past it means the rewrite
+    * read stale rows and must fail loudly (ConcurrentCommitException,
+    * nothing visible), never half-apply. `fresh` entries may land in
+    * partitions OUTSIDE `dropPartitions` (a MERGE insert, an UPDATE
+    * that moves a row across partitions) — those add alongside the
+    * kept files. CHECK constraints run over the fresh rows only
+    * (untouched rows already passed at their own commit). A no-op
+    * (nothing dropped, nothing added) commits nothing.
+    */
+  private[sources] def commitReplace(
+      spark: SparkSession, root: String, expectedVersion: Long,
+      dropPartitions: Set[String], fresh: Seq[Entry], op: String): Long = {
+    val cur = requireSnapshot(spark, root)
+    if (cur.version != expectedVersion)
+      throw new ConcurrentCommitException(cur.version)
+    if (dropPartitions.isEmpty && fresh.isEmpty) return cur.version
+    if (cur.checks.nonEmpty && fresh.nonEmpty)
+      requireChecks(readEntries(spark, root, cur.copy(entries = fresh),
+        identity), cur, op)
+    val kept = cur.entries.filterNot(e => dropPartitions.contains(e.partition))
+    commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
+      cur.txns, cur.checks)
+  }
+
+  /** Nullability-normalized DDL — the schema-equality form every
+    * write-path validation uses (see [[requireSchema]]).
+    */
+  private[sources] def normalizedDdl(schema: StructType): String =
+    nullableType(schema).asInstanceOf[StructType].toDDL
+
   /** Bin-pack compaction — the housekeeping op every manifest table
     * needs at scale: CDC upserts and small appends accumulate
     * many-small-files partitions whose open/footer overhead dominates

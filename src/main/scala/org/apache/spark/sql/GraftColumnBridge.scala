@@ -45,4 +45,11 @@ object GraftColumnBridge {
     */
   def escapePartitionValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Inverse of [[escapePartitionValue]] — partition-predicate
+    * evaluation over manifest entries decodes directory segments back
+    * to raw values with the same table Spark's scanners use.
+    */
+  def unescapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 }

@@ -44,6 +44,178 @@ class CatalogSpec extends SparkSpec {
       .forall(_.partition.startsWith("p=")))
   }
 
+  /** Every live data file under the root (layout-level — proves a
+    * metadata-only op wrote nothing).
+    */
+  private def dataFiles(root: String): Set[String] = {
+    val dir = java.nio.file.Paths.get(root, "data")
+    if (!java.nio.file.Files.exists(dir)) return Set.empty
+    val s = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    } finally s.close()
+  }
+
+  test("DELETE: partition predicates go metadata-only; row predicates copy-on-write") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.rl")
+    spark.sql(
+      "CREATE TABLE gc.rl.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql(
+      """INSERT INTO gc.rl.t VALUES
+        |(1,'A',1.0),(2,'A',2.0),(3,'B',3.0),(4,'B',4.0),(5,'C',5.0)"""
+        .stripMargin)
+    val root = s"$wh/rl/t"
+    // partition-only predicate: ONE metadata commit, zero data movement
+    val before = dataFiles(root)
+    spark.sql("DELETE FROM gc.rl.t WHERE p = 'C'")
+    val s2 = TxTable.currentSnapshot(spark, root).get
+    assert(s2.version == 2L, "metadata delete is one commit")
+    assert(dataFiles(root) == before, "metadata delete writes no data file")
+    assert(!s2.entries.exists(_.partition == "p=C"))
+    assert(spark.sql("SELECT count(*) FROM gc.rl.t").as[Long].head() == 4L)
+    // row-level predicate with a partition conjunct: copy-on-write
+    // rewrites ONLY partition A — B keeps its exact files
+    val bFiles = s2.entries.filter(_.partition == "p=B").map(_.relPath).toSet
+    spark.sql("DELETE FROM gc.rl.t WHERE p = 'A' AND k = 1")
+    val s3 = TxTable.currentSnapshot(spark, root).get
+    assert(s3.version == 3L)
+    assert(s3.entries.filter(_.partition == "p=B").map(_.relPath).toSet
+      == bFiles, "untouched partition keeps its exact files")
+    assert(spark.sql("SELECT k FROM gc.rl.t ORDER BY k").as[Long]
+      .collect().toSeq == Seq(2L, 3L, 4L))
+    // the whole history stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM gc.rl.t VERSION AS OF 1")
+      .as[Long].head() == 5L)
+    assert(spark.sql("SELECT count(*) FROM gc.rl.t VERSION AS OF 2")
+      .as[Long].head() == 4L)
+  }
+
+  test("DELETE: the runtime group filter rewrites only partitions with matches") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.rgf")
+    spark.sql(
+      "CREATE TABLE gc.rgf.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql(
+      """INSERT INTO gc.rgf.t VALUES
+        |(1,'A',1.0),(2,'A',2.0),(3,'B',3.0),(4,'B',4.0)""".stripMargin)
+    val root = s"$wh/rgf/t"
+    val s1 = TxTable.currentSnapshot(spark, root).get
+    val aFiles = s1.entries.filter(_.partition == "p=A").map(_.relPath).toSet
+    // the condition never mentions p — group selection must come from
+    // Spark's runtime row-level-operation filter (SELECT DISTINCT p
+    // WHERE k = 3 → only B is scanned and replaced)
+    spark.sql("DELETE FROM gc.rgf.t WHERE k = 3")
+    val s2 = TxTable.currentSnapshot(spark, root).get
+    assert(s2.entries.filter(_.partition == "p=A").map(_.relPath).toSet
+      == aFiles,
+      "a partition with no matching rows must keep its exact files " +
+        "(runtime group filtering)")
+    assert(spark.sql("SELECT k FROM gc.rgf.t ORDER BY k").as[Long]
+      .collect().toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("DELETE / TRUNCATE handle the null partition exactly") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.np")
+    spark.sql(
+      "CREATE TABLE gc.np.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql(
+      "INSERT INTO gc.np.t VALUES (1,'A',1.0),(2,NULL,2.0),(3,NULL,3.0)")
+    val root = s"$wh/np/t"
+    val before = dataFiles(root)
+    // p = 'A' must NOT touch the null partition (= is never true on null)
+    spark.sql("DELETE FROM gc.np.t WHERE p = 'A'")
+    assert(dataFiles(root) == before)
+    assert(spark.sql("SELECT k FROM gc.np.t ORDER BY k").as[Long]
+      .collect().toSeq == Seq(2L, 3L))
+    // IS NULL is partition-uniform too: still metadata-only
+    spark.sql("DELETE FROM gc.np.t WHERE p IS NULL")
+    assert(dataFiles(root) == before, "IS NULL delete is metadata-only")
+    assert(spark.sql("SELECT count(*) FROM gc.np.t").as[Long].head() == 0L)
+    // and the table is still appendable + history intact
+    spark.sql("INSERT INTO gc.np.t VALUES (9,'Z',9.0)")
+    assert(spark.sql("SELECT count(*) FROM gc.np.t VERSION AS OF 1")
+      .as[Long].head() == 3L)
+  }
+
+  test("UPDATE rewrites matching partitions in place, CHECKs enforced") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.up")
+    spark.sql(
+      "CREATE TABLE gc.up.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql(
+      "INSERT INTO gc.up.t VALUES (1,'A',1.0),(2,'A',2.0),(3,'B',3.0)")
+    val root = s"$wh/up/t"
+    spark.sql("CALL gc.system.add_check('up.t', 'v_pos', 'v > 0.0')")
+    val s2 = TxTable.currentSnapshot(spark, root).get
+    val bFiles = s2.entries.filter(_.partition == "p=B").map(_.relPath).toSet
+    spark.sql("UPDATE gc.up.t SET v = v * 10 WHERE p = 'A' AND k = 2")
+    val s3 = TxTable.currentSnapshot(spark, root).get
+    assert(s3.entries.filter(_.partition == "p=B").map(_.relPath).toSet
+      == bFiles, "UPDATE of partition A leaves B's files untouched")
+    assert(spark.sql("SELECT sum(v) FROM gc.up.t").as[Double].head() == 24.0)
+    // an UPDATE that violates a CHECK is refused atomically — nothing
+    // committed, table state unchanged
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gc.up.t SET v = -5.0 WHERE k = 1")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("v_pos"),
+      s"CHECK name surfaces in the refusal: ${e.getMessage}")
+    assert(TxTable.currentSnapshot(spark, root).get.version == s3.version)
+    assert(spark.sql("SELECT sum(v) FROM gc.up.t").as[Double].head() == 24.0)
+    // an UPDATE may move rows ACROSS partitions: source partition is
+    // replaced, destination gains the row additively
+    spark.sql("UPDATE gc.up.t SET p = 'B' WHERE k = 1")
+    assert(spark.sql(
+      "SELECT p, count(*) AS n FROM gc.up.t GROUP BY p ORDER BY p")
+      .as[(String, Long)].collect().toSeq == Seq(("A", 1L), ("B", 2L)))
+  }
+
+  test("MERGE INTO: update + delete + insert land as ONE commit") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.mg")
+    spark.sql(
+      "CREATE TABLE gc.mg.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql(
+      "INSERT INTO gc.mg.t VALUES (1,'A',1.0),(2,'A',2.0),(3,'B',3.0)")
+    val root = s"$wh/mg/t"
+    val v1 = TxTable.currentSnapshot(spark, root).get.version
+    Seq((1L, "A", 10.0, "U"), (3L, "B", 0.0, "D"), (7L, "C", 7.0, "I"))
+      .toDF("k", "p", "v", "op").createOrReplaceTempView("mg_src")
+    spark.sql(
+      """MERGE INTO gc.mg.t t USING mg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)"""
+        .stripMargin)
+    val s2 = TxTable.currentSnapshot(spark, root).get
+    assert(s2.version == v1 + 1, "the whole MERGE is one manifest commit")
+    assert(spark.sql("SELECT k, p, v FROM gc.mg.t ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+      == Seq((1L, "A", 10.0), (2L, "A", 2.0), (7L, "C", 7.0)))
+    assert(spark.sql("SELECT count(*) FROM gc.mg.t VERSION AS OF 1")
+      .as[Long].head() == 3L, "pre-MERGE state stays time-travelable")
+  }
+
+  test("TRUNCATE TABLE is a metadata-only commit; history survives") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.trc")
+    spark.sql(
+      "CREATE TABLE gc.trc.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gc.trc.t VALUES (1,'A',1.0),(2,'B',2.0)")
+    val root = s"$wh/trc/t"
+    val before = dataFiles(root)
+    spark.sql("TRUNCATE TABLE gc.trc.t")
+    assert(dataFiles(root) == before, "truncate moves no data")
+    assert(spark.sql("SELECT count(*) FROM gc.trc.t").as[Long].head() == 0L)
+    assert(TxTable.currentSnapshot(spark, root).get.entries.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gc.trc.t VERSION AS OF 1")
+      .as[Long].head() == 2L)
+  }
+
   test("VERSION AS OF time travel; snapshots refuse writes") {
     cat
     spark.sql("CREATE NAMESPACE gc.tt")
