@@ -17,7 +17,7 @@ object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
-    formatRead, sqlCatalog, sqlDelete, sqlMerge)
+    formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin)
 
   /** SQL row-level operations end-to-end ([[graft.sources.GraftRowLevelOperation]]):
     * orders lands partitioned by priority, then three mutations run as
@@ -117,6 +117,137 @@ object SourceQueries {
     s.sql(
       """SELECT n_nationkey, n_name, n_regionkey FROM gm.mart.nation
         |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Manifest-stats aggregate pushdown end-to-end
+    * ([[graft.sources.StatsAgg]]): orders lands partitioned by
+    * priority via CTAS, then an unfiltered
+    * COUNT/MIN/MAX-grouped-by-partition aggregate runs in SQL — and
+    * the query REQUIREs that it planned as a LocalTableScan (manifest
+    * metadata only, zero parquet files opened; the 100 TB shape for
+    * the profiling aggregates a pipeline runs constantly). The oracle
+    * computes the same aggregate from the raw parquet in DuckDB, so
+    * equality proves the stats-only answers — long/double/timestamp/
+    * short-string bounds, null-aware counts, per-partition grouping —
+    * are EXACT, not approximations.
+    */
+  val statsAgg: Q = Q(
+    "q_stats_agg",
+    """SELECT o_orderpriority, COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+      |  MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+      |  MIN(o_totalprice) AS mn_price, MAX(o_totalprice) AS mx_price,
+      |  MIN(o_orderdate) AS mn_date, MAX(o_orderdate) AS mx_date,
+      |  MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_sa_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.ga", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.ga.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS ga.mart")
+    s.sql("DROP TABLE IF EXISTS ga.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ord_src")
+    // INT64-micros timestamps: INT96 (the legacy default) has no
+    // footer bounds, and this engine's layout wants stats everywhere
+    val prev = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try s.sql(
+      """CREATE TABLE ga.mart.orders PARTITIONED BY (o_orderpriority)
+        |AS SELECT * FROM graft_ord_src""".stripMargin)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val out = s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+        |  MIN(o_totalprice) AS mn_price, MAX(o_totalprice) AS mx_price,
+        |  MIN(o_orderdate) AS mn_date, MAX(o_orderdate) AS mx_date,
+        |  MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st
+        |FROM ga.mart.orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+    // the point of the query: it must have planned METADATA-ONLY
+    val leaves = out.queryExecution.executedPlan.collectLeaves().flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectLeaves()
+      case l => Seq(l)
+    }
+    require(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"q_stats_agg did not plan as a manifest-stats LocalTableScan:\n" +
+        out.queryExecution.executedPlan)
+    out
+  }
+
+  /** Storage-partitioned join end-to-end ([[graft.sources.KeyedLayout]]
+    * + the keyed scan): orders splits into even/odd-orderkey halves,
+    * both CTAS'd partitioned by priority, then the halves join on
+    * (priority, custkey) under `spark.sql.sources.v2.bucketing.enabled`
+    * — and the query REQUIREs the join planned with ZERO shuffle
+    * exchanges (each side scans one split per partition value and
+    * Spark zips matching key groups; at 100 TB this is the difference
+    * between a cluster-wide exchange of both fact tables and a local
+    * per-partition join). The oracle replays the same self-join in
+    * DuckDB over the raw parquet, so equality proves the shuffle-free
+    * plan computes the exact join.
+    */
+  val spjJoin: Q = Q(
+    "q_spj_join",
+    """SELECT a.o_orderpriority, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(round((a.o_totalprice + b.o_totalprice) * 100)
+      |    AS BIGINT)) AS BIGINT) AS pair_cents
+      |FROM orders a JOIN orders b
+      |  ON a.o_orderpriority = b.o_orderpriority
+      |  AND a.o_custkey = b.o_custkey
+      |WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1
+      |GROUP BY a.o_orderpriority
+      |ORDER BY a.o_orderpriority""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_sj_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gs", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gs.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gs.mart")
+    s.sql("DROP TABLE IF EXISTS gs.mart.even")
+    s.sql("DROP TABLE IF EXISTS gs.mart.odd")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_spj_src")
+    s.sql(
+      """CREATE TABLE gs.mart.even PARTITIONED BY (o_orderpriority)
+        |AS SELECT * FROM graft_spj_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(
+      """CREATE TABLE gs.mart.odd PARTITIONED BY (o_orderpriority)
+        |AS SELECT * FROM graft_spj_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = s.sql(
+        """SELECT a.o_orderpriority, COUNT(*) AS n_pairs,
+          |  CAST(SUM(CAST(round((a.o_totalprice + b.o_totalprice) * 100)
+          |    AS BIGINT)) AS BIGINT) AS pair_cents
+          |FROM gs.mart.even a JOIN gs.mart.odd b
+          |  ON a.o_orderpriority = b.o_orderpriority
+          |  AND a.o_custkey = b.o_custkey
+          |GROUP BY a.o_orderpriority
+          |ORDER BY a.o_orderpriority""".stripMargin)
+      // the point of the query: the JOIN must plan shuffle-free (the
+      // final ORDER BY's range exchange above the 5-row aggregate is
+      // the only one allowed)
+      val ex = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      require(ex.size <= 1,
+        s"q_spj_join expected a storage-partitioned join, got:\n" +
+          out.queryExecution.executedPlan)
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   /** The DSv2 catalog surface end-to-end in SQL TEXT

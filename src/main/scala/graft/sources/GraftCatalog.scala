@@ -504,11 +504,24 @@ final class GraftV2Table(
       partitionCol.map("partitionCol" -> _) ++
       snap.checks.map { case (n, sql) => s"check.$n" -> sql }).asJava
 
+  /** Stock parquet scan, shimmed with the two manifest-powered scan
+    * shapes: an unfiltered COUNT/MIN/MAX (optionally grouped by the
+    * partition column) the manifest can answer exactly never opens a
+    * data file ([[StatsAgg]]), and under the v2-bucketing flag a
+    * partitioned table plans one split per partition value for
+    * storage-partitioned joins ([[KeyedLayout]]); everything else is
+    * the unmodified ParquetScanBuilder path.
+    */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark,
-      new GraftPartitioningIndex(spark, root, snap),
-      schema(), schema(), options)
+    new org.apache.spark.sql.graft.GraftAggScanBuilder(
+      ParquetScanBuilder(spark,
+        new GraftPartitioningIndex(spark, root, snap),
+        schema(), schema(), options),
+      agg => StatsAgg.answer(snap, schema(), partitionCol, agg),
+      filters => partitionCol.flatMap(c =>
+        KeyedLayout.groups(spark, root, snap, c, filters)),
+      partitionCol)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (timeTravel) throw new UnsupportedOperationException(

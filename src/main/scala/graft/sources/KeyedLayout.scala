@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, GenericInternalRow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.types.StructType
+
+/** Plan a snapshot's files as ONE input split per partition value —
+  * the layout contract behind storage-partitioned joins: every split
+  * holds exactly the rows of one partition-key value, so a join of two
+  * graft tables partitioned on the same key needs NO shuffle (Spark
+  * matches split keys at planning time instead of exchanging 100 TB).
+  *
+  * File skipping is preserved: `dataFilters` prune entries through the
+  * same [[FileStats.provesEmpty]] evaluation the planner's file index
+  * uses, and a partition whose files all prune vanishes from the plan
+  * (Spark's partition-value alignment handles a key missing on one
+  * side). Returns None when the table layout can't guarantee the
+  * grouping — unpartitioned tables or a legacy entry without a
+  * `col=value` partition string — in which case the caller keeps the
+  * stock scan.
+  */
+private[graft] object KeyedLayout {
+
+  def groups(
+      spark: SparkSession, root: String, snap: TxTable.Snapshot,
+      partitionCol: String, dataFilters: Seq[Expression])
+    : Option[Seq[(InternalRow, Array[PartitionedFile])]] = {
+
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(partitionCol))
+      .getOrElse(return None)
+    if (snap.entries.exists(!_.partition.contains("="))) return None
+
+    val survivors =
+      if (dataFilters.isEmpty) snap.entries
+      else {
+        val cond = dataFilters.reduce(And)
+        snap.entries.filterNot(e => FileStats.provesEmpty(cond, schema, e.stats))
+      }
+
+    val qualifiedRoot = {
+      val p = new Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+    }
+    val fs = qualifiedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
+
+    Some(survivors.groupBy(_.partition).toSeq.map { case (part, es) =>
+      val key = new GenericInternalRow(Array[Any](
+        conv(PartitionPredicates.partitionValue(part, field.dataType))))
+      val files = es.map { e =>
+        val p = new Path(qualifiedRoot, e.relPath)
+        val len = if (e.size >= 0) e.size else fs.getFileStatus(p).getLen
+        PartitionedFile(InternalRow.empty, SparkPath.fromPath(p), 0, len,
+          Array.empty[String], 0L, len)
+      }.toArray
+      key -> files
+    })
+  }
+}

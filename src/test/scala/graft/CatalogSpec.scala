@@ -398,4 +398,46 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gc.ck.t VALUES (2, -1.0)")
     assert(spark.sql("SELECT count(*) FROM gc.ck.t").as[Long].head() == 2L)
   }
+
+  test("the outbound change feed captures SQL DELETE/UPDATE/MERGE commits") {
+    import graft.sources.ChangeFeed
+    cat
+    spark.sql("CREATE NAMESPACE gc.cf")
+    spark.sql(
+      "CREATE TABLE gc.cf.t (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    spark.sql(
+      "INSERT INTO gc.cf.t VALUES (1,'A',1.0),(2,'A',2.0),(3,'B',3.0),(4,'B',4.0)")
+    val root = s"$wh/cf/t"
+    def feed(from: Long, to: Long): Set[(Long, String, Double, String)] =
+      ChangeFeed.between(spark, root, from, to, Seq("k"))
+        .select("k", "p", "v", ChangeFeed.OpCol)
+        .as[(Long, String, Double, String)].collect().toSet
+
+    spark.sql("DELETE FROM gc.cf.t WHERE k = 2") // copy-on-write rewrite
+    assert(feed(1L, 2L) == Set((2L, "A", 2.0, "delete")),
+      "partition co-residents of the rewrite must not appear as changes")
+    spark.sql("UPDATE gc.cf.t SET v = 40.0 WHERE k = 4")
+    assert(feed(2L, 3L) == Set((4L, "B", 40.0, "update")))
+    // an UPDATE that moves a row across partitions is ONE update op
+    // with the post-image partition, not a delete+insert pair
+    spark.sql("UPDATE gc.cf.t SET p = 'C' WHERE k = 3")
+    assert(feed(3L, 4L) == Set((3L, "C", 3.0, "update")))
+    spark.sql(
+      """MERGE INTO gc.cf.t t
+        |USING (SELECT 1L AS k, true AS del, 0.0 AS nv UNION ALL
+        |       SELECT 4L, false, 400.0 UNION ALL
+        |       SELECT 9L, false, 9.0) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, 'A', s.nv)"""
+        .stripMargin)
+    assert(feed(4L, 5L) == Set(
+      (1L, "A", 1.0, "delete"), (4L, "B", 400.0, "update"),
+      (9L, "A", 9.0, "insert")))
+    // the net feed across the whole DML history is the final state
+    assert(feed(0L, 5L) == Set(
+      (3L, "C", 3.0, "insert"), (4L, "B", 400.0, "insert"),
+      (9L, "A", 9.0, "insert")))
+  }
 }
