@@ -17,7 +17,8 @@ object SourceQueries {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
-    formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin)
+    formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
+    bucketJoin)
 
   /** SQL row-level operations end-to-end ([[graft.sources.GraftRowLevelOperation]]):
     * orders lands partitioned by priority, then three mutations run as
@@ -218,6 +219,7 @@ object SourceQueries {
         |AS SELECT * FROM graft_spj_src WHERE o_orderkey % 2 = 1""".stripMargin)
     val keys = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -242,6 +244,75 @@ object SourceQueries {
       }
       require(ex.size <= 1,
         s"q_spj_join expected a storage-partitioned join, got:\n" +
+          out.queryExecution.executedPlan)
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Bucket-layout storage-partitioned join end-to-end
+    * ([[graft.sources.Layout]] bucket spec + [[graft.sources.GraftBucketFunction]]):
+    * customer and orders land co-bucketed with `PARTITIONED BY
+    * (bucket(8, custkey))` — the layout for join keys too
+    * high-cardinality to partition by value — then join on the raw
+    * custkey. The query REQUIREs that NO shuffle exchange sits below
+    * the join (both sides scan one split per bucket and Spark zips
+    * equal bucket ids; the only exchanges allowed are the post-join
+    * aggregation's). The oracle replays the join+aggregate over the
+    * raw parquet in DuckDB, so equality proves the write-side bucket
+    * function and the planner's bucket matching agree row-for-row.
+    */
+  val bucketJoin: Q = Q(
+    "q_bucket_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_bk_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gb", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gb.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.mart")
+    s.sql("DROP TABLE IF EXISTS gb.mart.customer")
+    s.sql("DROP TABLE IF EXISTS gb.mart.orders")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_bk_cust")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_bk_ord")
+    s.sql(
+      """CREATE TABLE gb.mart.customer PARTITIONED BY (bucket(8, c_custkey))
+        |AS SELECT * FROM graft_bk_cust""".stripMargin)
+    s.sql(
+      """CREATE TABLE gb.mart.orders PARTITIONED BY (bucket(8, o_custkey))
+        |AS SELECT * FROM graft_bk_ord""".stripMargin)
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS rev_cents
+          |FROM gb.mart.customer JOIN gb.mart.orders
+          |  ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+      // the point of the query: the JOIN subtree must be shuffle-free
+      // (the aggregation above it may exchange)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledJoin}
+      val joins = out.queryExecution.executedPlan.collect {
+        case j: BaseJoinExec => j
+      }
+      require(joins.nonEmpty &&
+        joins.forall(_.collect { case e: ShuffleExchangeLike => e }.isEmpty),
+        s"q_bucket_join expected a shuffle-free co-bucketed join:\n" +
           out.queryExecution.executedPlan)
       out
     } finally prev.foreach {

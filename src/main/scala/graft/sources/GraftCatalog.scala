@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.write.{
 import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 `TableCatalog` over [[TxTable]] roots — the piece that turns
@@ -56,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * free — one write path, two surfaces.
   */
 final class GraftCatalog
-  extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+  extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -154,9 +155,28 @@ final class GraftCatalog
         require(schema.fieldNames.contains(c),
           s"PARTITIONED BY ($c): no such column")
         Some(c)
+      case Seq(t) if t.name == "bucket" && t.references.length == 1 =>
+        val c = t.references.head.fieldNames.mkString(".")
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform without a bucket count: $t"))
+        require(n > 0, s"PARTITIONED BY (bucket($n, $c)): need N > 0")
+        require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY (bucket($n, $c)): no such column")
+        // hash-stable types only: the bucket function must agree
+        // across writes forever
+        schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType |
+               DateType | TimestampType | TimestampNTZType | BooleanType => ()
+          case dt => throw new UnsupportedOperationException(
+            s"bucket($n, $c): unsupported bucket column type $dt")
+        }
+        Some(s"bucket($n,$c)")
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY (one identity column); " +
-          s"got: ${other.mkString(", ")}")
+        s"graft tables support PARTITIONED BY (one identity column or " +
+          s"one bucket(N, column)); got: ${other.mkString(", ")}")
     }
     TxTable.createEmpty(spark, root.toString, schema)
     partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root.toString, _))
@@ -229,6 +249,23 @@ final class GraftCatalog
           s"(have: ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")})"))
         .apply(this)
   }
+
+  // --------------------------------------------------------- functions
+
+  /** The one catalog function: the bucket layout transform. Spark's
+    * key-grouped planning resolves a reported `bucket(N, col)`
+    * partitioning through the relation's FunctionCatalog; binding the
+    * SAME function the write path uses ([[Layout.dirColumn]] —
+    * `pmod(murmur3(col), N)`, seed 42) is what makes two bucketed
+    * tables' partitionings provably compatible.
+    */
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -484,6 +521,14 @@ final class GraftV2Table(
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Parsed layout spec ([[Layout]]); `partitionCol` carries either a
+    * plain identity column name or `bucket(N,col)`.
+    */
+  private val layout: Option[Layout.Kind] = partitionCol.map(Layout.parse)
+
+  private def identityCol: Option[String] =
+    layout.collect { case Layout.Identity(c) => c }
+
   override def name(): String = s"graft.`$root`" +
     (if (timeTravel) s"@v${snap.version}" else "")
 
@@ -495,8 +540,10 @@ final class GraftV2Table(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def partitioning(): Array[Transform] =
-    partitionCol.map(c => Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = layout.map {
+    case Layout.Identity(c) => Expressions.identity(c)
+    case Layout.Bucket(n, c) => Expressions.bucket(n, c)
+  }.toArray
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> root,
@@ -518,10 +565,12 @@ final class GraftV2Table(
       ParquetScanBuilder(spark,
         new GraftPartitioningIndex(spark, root, snap),
         schema(), schema(), options),
-      agg => StatsAgg.answer(snap, schema(), partitionCol, agg),
-      filters => partitionCol.flatMap(c =>
-        KeyedLayout.groups(spark, root, snap, c, filters)),
-      partitionCol)
+      // group-by pushdown needs a partition VALUE = column value, so
+      // it is identity-only; ungrouped aggregates work for any layout
+      agg => StatsAgg.answer(snap, schema(), identityCol, agg),
+      filters => partitionCol.flatMap(spec =>
+        KeyedLayout.groups(spark, root, snap, spec, filters)),
+      layout.map(l => (l.col, partitioning().head)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (timeTravel) throw new UnsupportedOperationException(
@@ -558,6 +607,14 @@ final class GraftV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseTimeTravel(info.command().toString)
+    layout.foreach {
+      case _: Layout.Bucket => throw new UnsupportedOperationException(
+        s"${info.command()} on a bucket-partitioned graft table is not " +
+          "supported yet — the copy-on-write group is a partition and " +
+          "bucket groups cannot be pruned by row predicates; " +
+          "rewrite via INSERT OVERWRITE or TRUNCATE + reload")
+      case _ => ()
+    }
     () => new GraftRowLevelOperation(spark, root, snap, partitionCol,
       info.command())
   }
@@ -571,11 +628,13 @@ final class GraftV2Table(
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
     : Boolean =
-    !timeTravel && (partitionCol match {
+    !timeTravel && (identityCol match {
       case Some(c) =>
         val dt = schema()(c).dataType
         predicates.forall(p =>
           PartitionPredicates.interpret(c, dt, p).isDefined)
+      // unpartitioned AND bucket layouts: only TRUNCATE is
+      // metadata-expressible (a bucket id is opaque to row predicates)
       case None => predicates.forall(_.name() == "ALWAYS_TRUE")
     })
 
@@ -588,7 +647,7 @@ final class GraftV2Table(
     // fresh resolve still pins the commit via expectedVersion
     val cur = TxTable.currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed graft table at $root"))
-    val drop: Set[String] = partitionCol match {
+    val drop: Set[String] = identityCol match {
       case Some(c) =>
         val dt = schema()(c).dataType
         val fs = predicates.toSeq.map(p =>
@@ -601,8 +660,8 @@ final class GraftV2Table(
         }.toSet
       case None =>
         require(predicates.forall(_.name() == "ALWAYS_TRUE"),
-          "metadata DELETE on an unpartitioned graft table supports " +
-            "only TRUNCATE (unconditional)")
+          "metadata DELETE on an unpartitioned or bucket-partitioned " +
+            "graft table supports only TRUNCATE (unconditional)")
         cur.entries.map(_.partition).toSet
     }
     TxTable.commitReplace(spark, root, cur.version, drop, Nil,
@@ -653,4 +712,42 @@ private[graft] final class GraftPartitioningIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = delegate.sizeInBytes
+}
+
+/** `bucket(N, col)` as a DSv2 scalar function — byte-identical to the
+  * write path's [[Layout.dirColumn]]: Spark's Murmur3 (`functions
+  * .hash`, seed 42) pmod N. Registered through [[GraftCatalog]]'s
+  * FunctionCatalog so Spark's storage-partitioned-join planning can
+  * bind the reported bucket transform; two scans bound to this
+  * function (same `canonicalName`) compare as compatible
+  * partitionings.
+  */
+private[sources] object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(N, col): pmod(murmur3(col), N) — the graft bucket layout"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, col), got ${inputType.catalogString}")
+    val dt = inputType.fields(1).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val h = Murmur3HashFunction.hash(input.get(1, dt), dt, 42L).toInt
+        ((h % n) + n) % n
+      }
+    }
+  }
 }

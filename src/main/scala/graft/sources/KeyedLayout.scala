@@ -27,12 +27,17 @@ private[graft] object KeyedLayout {
 
   def groups(
       spark: SparkSession, root: String, snap: TxTable.Snapshot,
-      partitionCol: String, dataFilters: Seq[Expression])
+      layoutSpec: String, dataFilters: Seq[Expression])
     : Option[Seq[(InternalRow, Array[PartitionedFile])]] = {
 
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val field = schema.fields.find(_.name.equalsIgnoreCase(partitionCol))
-      .getOrElse(return None)
+    val kind = Layout.parse(layoutSpec)
+    // partition value type: the column's for identity, the bucket id
+    // (int) for buckets — in both cases what the reported transform
+    // produces, which is what Spark's key grouping compares
+    if (!schema.fields.exists(_.name.equalsIgnoreCase(kind.col)))
+      return None
+    val partType = kind.partType(schema)
     if (snap.entries.exists(!_.partition.contains("="))) return None
 
     val survivors =
@@ -47,11 +52,11 @@ private[graft] object KeyedLayout {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
     }
     val fs = qualifiedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
+    val conv = CatalystTypeConverters.createToCatalystConverter(partType)
 
     Some(survivors.groupBy(_.partition).toSeq.map { case (part, es) =>
       val key = new GenericInternalRow(Array[Any](
-        conv(PartitionPredicates.partitionValue(part, field.dataType))))
+        conv(PartitionPredicates.partitionValue(part, partType))))
       val files = es.map { e =>
         val p = new Path(qualifiedRoot, e.relPath)
         val len = if (e.size >= 0) e.size else fs.getFileStatus(p).getLen

@@ -355,9 +355,11 @@ object TxTable {
     // manifest-listed reads skip directory discovery — the real column
     // must stay inside the parquet. The duplicate exists only as the
     // directory name.
+    // `partitionCol` is a layout SPEC ([[Layout]]): a plain column
+    // name (identity) or bucket(N,col) (hash buckets)
     partitionCol match {
-      case Some(c) =>
-        df.withColumn("__gtx_part", df(c))
+      case Some(spec) =>
+        df.withColumn("__gtx_part", Layout.dirColumn(df, spec))
           .write.partitionBy("__gtx_part").parquet(dir)
       case None => df.write.parquet(dir)
     }
@@ -377,9 +379,10 @@ object TxTable {
       if (st.isFile && name.endsWith(".parquet")) {
         val full = f.makeQualified(st.getPath).toUri.getPath
         val relPath = full.stripPrefix(rootPrefix)
-        val part = partitionCol.map { c =>
+        val part = partitionCol.map { spec =>
+          val name = Layout.parse(spec).partName
           relPath.split("/").find(_.startsWith("__gtx_part="))
-            .map(seg => c + seg.stripPrefix("__gtx_part"))
+            .map(seg => name + seg.stripPrefix("__gtx_part"))
             .getOrElse("")
         }.getOrElse("")
         out += Entry(relPath, part, size = st.getLen)
@@ -871,10 +874,6 @@ object TxTable {
     val size = cur.entries.map(e =>
       e -> (if (e.size >= 0) e.size
             else f.getFileStatus(new Path(s"$root/${e.relPath}")).getLen)).toMap
-    // partition column name is recoverable from the entries themselves
-    // ("p=A" → "p"); empty partition strings = unpartitioned table
-    val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)
-      .map(_.split("=", 2)(0))
     val (rewrite, keep) = cur.entries.groupBy(_.partition).toSeq
       .flatMap { case (_, es) =>
         val small = es.filter(size(_) < targetFileBytes)
@@ -884,13 +883,19 @@ object TxTable {
       }.partition(_._2) match { case (r, k) => (r.map(_._1), k.map(_._1)) }
     if (rewrite.isEmpty) return cur.version
     // one writeData per rewritten partition group (driver loop bounded
-    // by partition count — metadata-scale), one commit for all of them
-    val fresh = rewrite.groupBy(_.partition).toSeq.flatMap { case (_, es) =>
+    // by partition count — metadata-scale), one commit for all of them.
+    // Compaction is partition-string-PRESERVING: every input file of a
+    // group shares one partition value, so the fresh files are written
+    // flat and relabeled with the group's string — no layout knowledge
+    // needed, which also keeps it correct for bucket layouts (the
+    // bucket id is not a data column and could not be re-derived from
+    // a recovered column name).
+    val fresh = rewrite.groupBy(_.partition).toSeq.flatMap { case (part, es) =>
       val df = spark.read.schema(schema)
         .parquet(es.map(e => s"$root/${e.relPath}"): _*)
       val nOut = math.max(1L,
         (es.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
-      writeData(df.coalesce(nOut), root, partitionCol)
+      writeData(df.coalesce(nOut), root, None).map(_.copy(partition = part))
     }
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
       cur.txns, cur.checks)
@@ -919,8 +924,14 @@ object TxTable {
     var attempt = 0
     while (true) {
       val cur = requireSnapshot(spark, root)
-      val partitionCol = cur.entries.map(_.partition).find(_.nonEmpty)
-        .map(_.split("=", 2)(0))
+      // layout resolution: the catalog's layout file is authoritative
+      // (it alone can say bucket(N,col)); tables written outside the
+      // catalog fall back to recovering an identity column from the
+      // entry strings, as before
+      val partitionCol = GraftCatalog.readPartitionCol(spark, root)
+        .orElse(cur.entries.map(_.partition).find(_.nonEmpty)
+          .map(_.split("=", 2)(0))
+          .filterNot(_ == Layout.BucketPartName))
       val out = transform(readEntries(spark, root, cur, identity))
       requireSchema(out, cur, "rewriteAll")
       requireChecks(out, cur, "rewriteAll")

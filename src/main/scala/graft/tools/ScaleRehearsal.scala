@@ -76,7 +76,16 @@ object ScaleRehearsal {
     // part-8: outbound CDC — the manifest diff must keep the delta
     // proportional to changed data while the table and the change log
     // both grow 10×
-    "q_table_changes")
+    "q_table_changes",
+    // part-15: manifest-stats aggregate pushdown — the aggregate
+    // answers from metadata, so its cost at 10× data is the CTAS
+    // build (linear write), with the answered query itself ~constant.
+    // (q_spj_join is deliberately absent: its even⋈odd pair count is
+    // quadratic in per-custkey duplication, so a 10× input yields
+    // ~100× output by SEMANTICS — the zero-exchange claim is
+    // structural, pinned by KeyedScanSpec and the query's own plan
+    // REQUIRE at any size.)
+    "q_stats_agg")
 
   private val Copies = 10
   private val IdStride = 10000000L

@@ -28,12 +28,17 @@ import org.apache.spark.sql.types.StructType
   *     already blocks aggregate pushdown — `seenFilters` is belt and
   *     braces), any inexact bound, or any unsupported function
   *     refuses, and the scan falls back to parquet.
-  *  2. Storage-partitioned scan ([[GraftKeyedScan]]): under
-  *     `spark.sql.sources.v2.bucketing.enabled`, a partitioned
+  *  2. Storage-partitioned scan ([[GraftKeyedScan]]): when BOTH
+  *     `spark.sql.sources.v2.bucketing.enabled` (Spark's recognition
+  *     flag — default true in Spark 4) and graft's own opt-in
+  *     `spark.graft.preserveDataGrouping=true` are set, a partitioned
   *     table's scan re-plans as one split per partition value
   *     (`graft.sources.KeyedLayout`) and reports
   *     KeyGroupedPartitioning — a join of two tables partitioned on
-  *     the same key then needs no Exchange.
+  *     the same key then needs no Exchange. The second flag exists
+  *     because the shape bounds scan parallelism at the partition
+  *     count; a default table scan must keep split-level parallelism
+  *     (the same two-flag design as Iceberg's preserve-data-grouping).
   *
   * Lives in the `org.apache.spark.sql` namespace because file-source
   * filter pushdown flows through the `private[sql]`
@@ -45,7 +50,7 @@ final class GraftAggScanBuilder(
     statsAnswer: Aggregation => Option[(StructType, Array[InternalRow])],
     keyedLayout: Seq[Expression] =>
       Option[Seq[(InternalRow, Array[PartitionedFile])]],
-    partitionCol: Option[String])
+    keyed: Option[(String, org.apache.spark.sql.connector.expressions.Expression)])
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -56,6 +61,10 @@ final class GraftAggScanBuilder(
       delegate: ParquetScanBuilder,
       statsAnswer: Aggregation => Option[(StructType, Array[InternalRow])]) =
     this(delegate, statsAnswer, _ => None, None)
+
+  // keyed = (layout source column, reported V2 transform): the column
+  // gates on read-schema survival; the transform is what the keyed
+  // scan reports (identity(col) or bucket(n, col))
 
   private var seenFilters: Seq[Expression] = Nil
   private var answer: Option[(StructType, Array[InternalRow])] = None
@@ -87,13 +96,15 @@ final class GraftAggScanBuilder(
       // (it trades split parallelism for co-partitioned plans) and
       // only when the key column survives into the read schema —
       // Spark cannot bind the reported partitioning otherwise
-      val bucketing = delegate.sparkSession.sessionState.conf
-        .getConf(SQLConf.V2_BUCKETING_ENABLED)
-      partitionCol match {
-        case Some(k) if bucketing &&
-          scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(k)) =>
+      val conf = delegate.sparkSession.sessionState.conf
+      val bucketing = conf.getConf(SQLConf.V2_BUCKETING_ENABLED) &&
+        delegate.sparkSession.conf
+          .get("spark.graft.preserveDataGrouping", "false") == "true"
+      keyed match {
+        case Some((srcCol, transform)) if bucketing &&
+          scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(srcCol)) =>
           keyedLayout(seenFilters) match {
-            case Some(groups) => new GraftKeyedScan(scan, k, groups)
+            case Some(groups) => new GraftKeyedScan(scan, transform, groups)
             case None => scan
           }
         case _ => scan

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -29,14 +29,14 @@ import org.apache.spark.sql.types.StructType
   * split-level parallelism.
   */
 final class GraftKeyedScan(
-    delegate: Scan, keyCol: String,
+    delegate: Scan, keyExpr: V2Expression,
     groups: Seq[(InternalRow, Array[PartitionedFile])])
   extends Scan with SupportsReportPartitioning {
 
   override def readSchema(): StructType = delegate.readSchema()
 
   override def description(): String =
-    s"GraftKeyedScan(key=$keyCol, ${groups.size} key groups) " +
+    s"GraftKeyedScan(key=${keyExpr.describe()}, ${groups.size} key groups) " +
       delegate.description()
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -49,8 +49,7 @@ final class GraftKeyedScan(
     delegate.columnarSupportMode()
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.identity(keyCol)), groups.size)
+    new KeyGroupedPartitioning(Array(keyExpr), groups.size)
 
   override def toBatch: Batch = new Batch {
     private val inner = delegate.toBatch

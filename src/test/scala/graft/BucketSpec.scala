@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** Bucket-partitioned tables (`PARTITIONED BY (bucket(N, col))`):
+  * hash-bucket layout for HIGH-cardinality keys — the keys that could
+  * never partition by value — feeding the same storage-partitioned
+  * join machinery as identity layouts, via the catalog's bucket
+  * function (write path and Spark's key-grouped planning bind the
+  * identical murmur3-pmod).
+  */
+class BucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = s"target/tmp/graft_bucket_${System.nanoTime()}"
+
+  private lazy val cat: Unit = {
+    spark.conf.set("spark.sql.catalog.bk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.bk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE bk.t")
+  }
+
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case s: ShuffleExchangeLike => s
+    case a: AdaptiveSparkPlanExec => return shuffles(a.executedPlan)
+  }
+
+  private def withSpj[T](f: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed CREATE/INSERT round-trips; layout writes _bucket partitions") {
+    cat
+    spark.sql(
+      "CREATE TABLE bk.t.f1 (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "INSERT INTO bk.t.f1 SELECT id AS k, id * 1.5 AS v FROM range(0, 100)")
+    assert(spark.sql("SELECT count(*) FROM bk.t.f1").as[Long].head() == 100L)
+    assert(spark.sql("SELECT sum(k) FROM bk.t.f1").as[Long].head() == 4950L)
+    val snap = TxTable.currentSnapshot(spark, s"$wh/t/f1").get
+    val parts = snap.entries.map(_.partition).toSet
+    assert(parts.forall(_.startsWith("_bucket=")), s"got $parts")
+    assert(parts.size == 4, s"100 sequential keys must hit all 4 buckets: $parts")
+    // the manifest bucket ids agree with the engine's hash definition
+    val expected = spark.range(0, 100)
+      .select(pmod(hash(col("id")), lit(4)).cast("string")).distinct()
+      .as[String].collect().toSet.map("_bucket=" + (_: String))
+    assert(parts == expected)
+  }
+
+  test("co-bucketed join on the raw key plans with zero shuffles and exact rows") {
+    cat
+    spark.sql(
+      "CREATE TABLE bk.t.f2 (k BIGINT, w DOUBLE) PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "INSERT INTO bk.t.f2 SELECT id AS k, id * 10.0 AS w FROM range(50, 150)")
+    val joinSql =
+      """SELECT a.k, a.v, b.w FROM bk.t.f1 a JOIN bk.t.f2 b ON a.k = b.k"""
+    val spjRows = withSpj {
+      val q = spark.sql(joinSql)
+      assert(shuffles(q.queryExecution.executedPlan).isEmpty,
+        s"expected a bucket storage-partitioned join, got:\n${q.queryExecution.executedPlan}")
+      q.collect().toSeq
+    }
+    // overlap is k in [50, 100): 50 rows, exact values
+    assert(spjRows.size == 50)
+    assert(spjRows.sortBy(_.getLong(0)) ==
+      (50L until 100L).map(k => Row(k, k * 1.5, k * 10.0)))
+    // flag off (broadcast also disabled so the comparison plan is the
+    // exchange join, not a broadcast): same rows, shuffles present
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = spark.sql(joinSql)
+      assert(shuffles(q2.queryExecution.executedPlan).nonEmpty)
+      assert(q2.collect().toSeq.sortBy(_.getLong(0)) ==
+        (50L until 100L).map(k => Row(k, k * 1.5, k * 10.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("row-level DML refuses on bucket layout; TRUNCATE and overwrite work") {
+    cat
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM bk.t.f2 WHERE k = 55")
+    }
+    assert(e.getMessage.contains("bucket"),
+      s"DELETE must refuse with the bucket explanation: ${e.getMessage}")
+    // INSERT OVERWRITE re-buckets through the layout file
+    spark.sql(
+      "INSERT OVERWRITE bk.t.f2 SELECT id AS k, 1.0 AS w FROM range(0, 8)")
+    val snap = TxTable.currentSnapshot(spark, s"$wh/t/f2").get
+    assert(snap.entries.forall(_.partition.startsWith("_bucket=")),
+      "overwrite must preserve the bucket layout")
+    assert(spark.sql("SELECT count(*) FROM bk.t.f2").as[Long].head() == 8L)
+    spark.sql("TRUNCATE TABLE bk.t.f2")
+    assert(spark.sql("SELECT count(*) FROM bk.t.f2").as[Long].head() == 0L)
+  }
+
+  test("compact preserves bucket partition strings and the joinable layout") {
+    cat
+    spark.sql(
+      "CREATE TABLE bk.t.c (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(2, k))")
+    // several small commits -> many small files per bucket
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO bk.t.c SELECT id AS k, id * 1.0 AS v " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val root = s"$wh/t/c"
+    val before = TxTable.currentSnapshot(spark, root).get
+    assert(before.entries.size > 2)
+    TxTable.compact(spark, root)
+    val after = TxTable.currentSnapshot(spark, root).get
+    assert(after.entries.size == 2, s"one file per bucket: ${after.entries}")
+    assert(after.entries.map(_.partition).toSet ==
+      Set("_bucket=0", "_bucket=1"))
+    assert(spark.sql("SELECT sum(k) FROM bk.t.c").as[Long].head() ==
+      (0 until 30).map(_.toLong).sum)
+    // still joinable shuffle-free after compaction
+    withSpj {
+      val q = spark.sql(
+        "SELECT a.k FROM bk.t.c a JOIN bk.t.c b ON a.k = b.k")
+      assert(shuffles(q.queryExecution.executedPlan).isEmpty)
+      assert(q.count() == 30L)
+    }
+  }
+
+  test("unsupported bucket column types refuse at CREATE") {
+    cat
+    val e = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE bk.t.bad (k DOUBLE, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e.getMessage.contains("unsupported bucket column type"))
+  }
+}

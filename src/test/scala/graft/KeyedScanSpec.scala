@@ -39,6 +39,7 @@ class KeyedScanSpec extends SparkSpec {
   private def withSpj[T](f: => T): T = {
     val keys = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
       // join keys (p, k) are a SUPERSET of the partition key (p) —
       // allow co-partitioning on the subset, Spark's documented knob
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
@@ -74,11 +75,19 @@ class KeyedScanSpec extends SparkSpec {
       q.collect().toSeq
     }
     assert(sorted(spjRows) == expected)
-    // flag off: same result through the ordinary exchange plan
-    val q2 = spark.sql(joinSql)
-    assert(shuffles(q2.queryExecution.executedPlan).nonEmpty,
-      "without the flag the stock scan shuffles as before")
-    assert(sorted(q2.collect().toSeq) == expected)
+    // flag off (broadcast also disabled so the comparison plan is the
+    // exchange join, not a broadcast): same result, shuffles present
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = spark.sql(joinSql)
+      assert(shuffles(q2.queryExecution.executedPlan).nonEmpty,
+        "without the flag the stock scan shuffles as before")
+      assert(sorted(q2.collect().toSeq) == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("partition values missing on one side still join correctly without a shuffle") {
