@@ -59,7 +59,7 @@ object ChangeFeed {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
-        .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+        .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
     // immutable files ⇒ only the manifest diff can carry changes
     val oldRows = readEntries(from.entries.filterNot(e => toPaths(e.relPath)))
       .withColumn("__cf_old", lit(true)).as("o")

@@ -282,6 +282,19 @@ final class GraftCatalog
     root.toString
   }
 
+  /** [[tableRoot]] for a table being CREATED (clone target): the name
+    * resolves inside an existing namespace but must not already be a
+    * committed table.
+    */
+  private[sources] def newTableRoot(dotted: String): String = {
+    val parts = dotted.split('.').toSeq
+    checkSegments(parts)
+    val ns = parts.init.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+    require(fs.exists(ns), s"no namespace '${parts.init.mkString(".")}' " +
+      s"under $warehouse")
+    new Path(ns, parts.last).toString
+  }
+
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
@@ -473,7 +486,23 @@ private[sources] object GraftProcedures {
       Array(in("table", StringType)),
       StructType(Seq(StructField("freed_version", LongType, false))),
       (cat, r) => TxTable.recover(spark, cat.tableRoot(str(r, 0)))
-        .map(v => Seq(v))))
+        .map(v => Seq(v))),
+    "clone" -> new Proc(
+      "clone", "zero-copy SHALLOW CLONE: dst's v0 references src's " +
+        "current files in place — one metadata commit, no data " +
+        "movement; vacuum on the clone never touches the source " +
+        "(but vacuum on the SOURCE can break clones — retain history)",
+      Array(in("src", StringType), in("dst", StringType)),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => {
+        val srcRoot = cat.tableRoot(str(r, 0))
+        val dstRoot = cat.newTableRoot(str(r, 1))
+        val v = TxTable.cloneTable(spark, srcRoot, dstRoot)
+        // the clone keeps the source's partition layout
+        GraftCatalog.readPartitionCol(spark, srcRoot).foreach(
+          GraftCatalog.writePartitionCol(spark, dstRoot, _))
+        Seq(Seq(v))
+      }))
 }
 
 object GraftCatalog {

@@ -359,7 +359,7 @@ final class GraftStreamSource(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
     else
       spark.read.schema(pinned)
-        .parquet(added.map(e => s"$root/${e.relPath}"): _*)
+        .parquet(added.map(e => TxTable.entryPath(root, e.relPath)): _*)
   }
 
   /** Row-level delta mode: [[ChangeFeed.between]] over the version
@@ -381,7 +381,7 @@ final class GraftStreamSource(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table)
         else
           spark.read.schema(table)
-            .parquet(endSnap.entries.map(e => s"$root/${e.relPath}"): _*)
+            .parquet(endSnap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
       full.withColumn(ChangeFeed.OpCol, lit("insert"))
     } else ChangeFeed.between(spark, root, startV, endV, keys)
   }

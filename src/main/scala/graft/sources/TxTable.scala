@@ -77,6 +77,17 @@ object TxTable {
       s"manifest v$v already committed by a concurrent writer; " +
         "re-read the table and retry the transaction")
 
+  /** Resolve a manifest entry's path: relative to the table root
+    * normally, ABSOLUTE for external entries — a shallow clone
+    * ([[cloneTable]]) references the source table's immutable files in
+    * place. Every reader resolves through here; every physical
+    * mutation (vacuum's delete candidates, writeData's fresh files) is
+    * root-scoped by construction, so external files can never be
+    * touched through the clone.
+    */
+  def entryPath(root: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$root/$rel"
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -336,7 +347,7 @@ object TxTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+        .parquet(entries.map(e => entryPath(root, e.relPath)): _*)
   }
 
   /** Write `df`'s rows as immutable data files (NOT yet visible — no
@@ -873,7 +884,7 @@ object TxTable {
     // filesystem call
     val size = cur.entries.map(e =>
       e -> (if (e.size >= 0) e.size
-            else f.getFileStatus(new Path(s"$root/${e.relPath}")).getLen)).toMap
+            else f.getFileStatus(new Path(entryPath(root, e.relPath))).getLen)).toMap
     val (rewrite, keep) = cur.entries.groupBy(_.partition).toSeq
       .flatMap { case (_, es) =>
         val small = es.filter(size(_) < targetFileBytes)
@@ -892,7 +903,7 @@ object TxTable {
     // a recovered column name).
     val fresh = rewrite.groupBy(_.partition).toSeq.flatMap { case (part, es) =>
       val df = spark.read.schema(schema)
-        .parquet(es.map(e => s"$root/${e.relPath}"): _*)
+        .parquet(es.map(e => entryPath(root, e.relPath)): _*)
       val nOut = math.max(1L,
         (es.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       writeData(df.coalesce(nOut), root, None).map(_.copy(partition = part))
@@ -993,7 +1004,8 @@ object TxTable {
           have += f.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootPrefix)
       }
     }
-    val missing = target.entries.map(_.relPath).filterNot(have)
+    val missing = target.entries.map(_.relPath).filterNot(rel =>
+      if (rel.startsWith("/")) f.exists(new Path(rel)) else have(rel))
     require(missing.isEmpty,
       s"restore: ${missing.size} of ${target.entries.size} files from " +
         s"v$toVersion were vacuumed (first: ${missing.headOption.getOrElse("")}); " +
@@ -1021,6 +1033,36 @@ object TxTable {
         .endsWith("#eof\n"))
     torn.foreach(v => f.delete(new Path(manifestDir(root), s"v$v.manifest"), false))
     torn.sorted
+  }
+
+  /** Zero-copy SHALLOW CLONE: initialize `dstRoot` as a new table
+    * whose v0 references `srcRoot`'s CURRENT files in place (absolute
+    * [[entryPath]] entries) — one metadata commit, no data movement,
+    * regardless of table size. The testing-against-production pattern
+    * at 100 TB: clone, mutate, measure, drop.
+    *
+    * The clone is immediately a full read-write table with its OWN
+    * history: writes land under the clone's root, DML/compact swap
+    * external entries for clone-local files (gradual localization),
+    * and `vacuum` on the clone only ever deletes under the clone's
+    * `data/` — it cannot touch the source (deletion candidates come
+    * from LISTING the clone's data dir). CHECK constraints copy;
+    * streaming txn watermarks copy too, so pointing an exactly-once
+    * sink's existing checkpoint at the clone cannot double-apply.
+    *
+    * Caveat (the standard shallow-clone contract): `vacuum` on the
+    * SOURCE can delete files a clone still references — retain source
+    * history for as long as clones of it live.
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val src = requireSnapshot(spark, srcRoot)
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already holds a committed table")
+    val f = fs(spark, srcRoot)
+    val qualifiedSrc = f.makeQualified(new Path(srcRoot)).toUri.getPath
+    val entries = src.entries.map(e =>
+      e.copy(relPath = entryPath(qualifiedSrc, e.relPath)))
+    commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns, src.checks)
   }
 
   /** Drop data files referenced by NO manifest ≥ `keepFromVersion`

@@ -85,7 +85,11 @@ object ScaleRehearsal {
     // ~100× output by SEMANTICS — the zero-exchange claim is
     // structural, pinned by KeyedScanSpec and the query's own plan
     // REQUIRE at any size.)
-    "q_stats_agg")
+    "q_stats_agg",
+    // part-17: co-bucketed fact⋈dim join — 10× orders against the
+    // FIXED customer dimension; the shuffle-free join's cost must
+    // track the fact side (CTAS build + per-bucket local join)
+    "q_bucket_join")
 
   private val Copies = 10
   private val IdStride = 10000000L
@@ -163,6 +167,13 @@ object ScaleRehearsal {
           li.columns.filter(_ != "l_orderkey").map(col): _*)
       .repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+
+    // customer: the dimension stays FIXED while facts grow 10× — the
+    // realistic fact/dim scale shape; every order keeps exactly one
+    // matching customer, so join output scales with the fact side
+    spark.read.parquet(s"$srcDir/customer.parquet")
+      .repartition(4).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
 
     fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"), true).close()
   }
