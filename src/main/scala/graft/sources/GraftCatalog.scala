@@ -215,12 +215,21 @@ final class GraftCatalog
     loadTable(ident)
   }
 
+  /** DROP TABLE. Clone caveat: shallow clones of this table hold
+    * absolute-path entries into it and will break on their next read —
+    * SQL DROP follows standard semantics and does not refuse (same as
+    * every shallow-clone implementing format); drop or localize
+    * (compact) the clones first. [[TxTable.vacuum]] IS guarded.
+    */
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
     if (!isTable(root)) return false
     fs.delete(root, true)
   }
 
+  /** RENAME. Same clone caveat as [[dropTable]]: clones reference the
+    * OLD absolute path and dangle after a rename of their source.
+    */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val src = rootOf(oldIdent)
     val dst = rootOf(newIdent)
@@ -434,11 +443,15 @@ private[sources] object GraftProcedures {
           TxTable.currentSnapshot(spark, root).get.entries.size.toLong))
       }),
     "vacuum" -> new Proc(
-      "vacuum", "delete files unreachable from versions >= keep_from_version",
-      Array(in("table", StringType), in("keep_from_version", LongType)),
+      "vacuum", "delete files unreachable from versions >= " +
+        "keep_from_version; refuses while live shallow clones reference " +
+        "this table unless force",
+      Array(in("table", StringType), in("keep_from_version", LongType),
+        inDefault("force", BooleanType, "false")),
       StructType(Seq(StructField("files_deleted", LongType, false))),
       (cat, r) => Seq(Seq(
-        TxTable.vacuum(spark, cat.tableRoot(str(r, 0)), r.getLong(1)).toLong))),
+        TxTable.vacuum(spark, cat.tableRoot(str(r, 0)), r.getLong(1),
+          force = r.getBoolean(2)).toLong))),
     "zorder" -> new Proc(
       "zorder", "re-cluster the table on the given columns (in place)",
       Array(in("table", StringType), in("columns", StringType),
@@ -490,8 +503,9 @@ private[sources] object GraftProcedures {
     "clone" -> new Proc(
       "clone", "zero-copy SHALLOW CLONE: dst's v0 references src's " +
         "current files in place — one metadata commit, no data " +
-        "movement; vacuum on the clone never touches the source " +
-        "(but vacuum on the SOURCE can break clones — retain history)",
+        "movement; vacuum on the clone never touches the source, and " +
+        "vacuum on the SOURCE refuses while live clones exist (force " +
+        "overrides); DROP/RENAME of the source still dangles clones",
       Array(in("src", StringType), in("dst", StringType)),
       StructType(Seq(StructField("version", LongType, false))),
       (cat, r) => {

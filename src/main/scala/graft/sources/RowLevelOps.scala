@@ -12,7 +12,7 @@ import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, EvalMode, GenericInternalRow, Literal}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortOrder, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -378,7 +378,8 @@ private[sources] final class GraftCowBatchWrite(
         case other => other
       })).getOrElse(CompressionCodecName.SNAPPY)
     new GraftCowWriterFactory(new SerializableWritable(conf),
-      root, relDir, snap.schemaDdl, partitionCol, codec.name())
+      root, relDir, snap.schemaDdl, partitionCol, codec.name(),
+      sc.sessionLocalTimeZone)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -411,14 +412,15 @@ private[sources] final class GraftCowBatchWrite(
 
 private[sources] final class GraftCowWriterFactory(
     conf: SerializableWritable[Configuration], root: String, relDir: String,
-    schemaDdl: String, partitionCol: Option[String], codecName: String)
+    schemaDdl: String, partitionCol: Option[String], codecName: String,
+    timeZoneId: String)
   extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(conf.value, root, relDir,
       StructType.fromDDL(schemaDdl), partitionCol, codecName,
-      s"$partitionId-$taskId")
+      s"$partitionId-$taskId", timeZoneId)
 }
 
 /** Executor-side parquet writer: one open file per partition value
@@ -430,7 +432,8 @@ private[sources] final class GraftCowWriterFactory(
   */
 private[sources] final class GraftCowDataWriter(
     conf: Configuration, root: String, relDir: String, schema: StructType,
-    partitionCol: Option[String], codecName: String, uid: String)
+    partitionCol: Option[String], codecName: String, uid: String,
+    timeZoneId: String)
   extends DataWriter[InternalRow] {
 
   private val partIdx = partitionCol.map(schema.fieldIndex).getOrElse(-1)
@@ -441,6 +444,17 @@ private[sources] final class GraftCowDataWriter(
   private val writers =
     mutable.LinkedHashMap.empty[String, (Path, ParquetWriter[InternalRow], String)]
   private var done = false
+
+  // date/timestamp/decimal/... partition values render EXACTLY as the
+  // append path's partitionBy renders directory names — Cast to string
+  // in the session time zone (Spark's own dynamic-partition rule) — so
+  // CoW-written entries group with append-written entries of the same
+  // logical partition, and the read side's partitionValue Cast
+  // round-trips them
+  private lazy val renderCast =
+    Cast(BoundReference(0, partDt, nullable = false), StringType,
+      Option(timeZoneId), EvalMode.LEGACY)
+  private lazy val renderRow = new GenericInternalRow(1)
 
   private def partOf(row: InternalRow): (String, String) = {
     if (partIdx < 0) return ("", "")
@@ -453,9 +467,9 @@ private[sources] final class GraftCowDataWriter(
         case ShortType => row.getShort(partIdx).toString
         case ByteType => row.getByte(partIdx).toString
         case BooleanType => row.getBoolean(partIdx).toString
-        case dt => throw new UnsupportedOperationException(
-          s"graft row-level writes support string/integral/boolean " +
-            s"partition columns; ${partitionCol.get} is $dt")
+        case _ =>
+          renderRow.update(0, row.get(partIdx, partDt))
+          renderCast.eval(renderRow).toString
       }
     val seg =
       if (raw == null) "__HIVE_DEFAULT_PARTITION__"

@@ -92,6 +92,16 @@ private[graft] object StatsAgg {
       case _ => return None
     }
 
+    // the grouped fold trusts every entry's partition string to be
+    // `<partitionCol>=<value>`; files appended through the programmatic
+    // API with partitionCol=None carry an EMPTY partition string and
+    // would silently land in the NULL group — refuse instead (the same
+    // guard KeyedLayout applies before reporting a partitioning)
+    groupField.foreach { gf =>
+      val prefix = gf.name + "="
+      if (!snap.entries.forall(_.partition.startsWith(prefix))) return None
+    }
+
     def exactType(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | BooleanType | DateType | TimestampType |

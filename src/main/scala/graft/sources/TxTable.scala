@@ -498,13 +498,35 @@ object TxTable {
   /** Initialize a table root with a SCHEMA and no data files — the
     * SQL `CREATE TABLE` shape ([[GraftCatalog]] uses it; the first
     * append/insert provides the rows). One metadata-only commit.
+    *
+    * NEVER destructive: a CREATE TABLE whose name collides with a
+    * pre-existing directory (a namespace full of tables, stray data)
+    * must refuse, not erase the subtree. Destructive reinit is
+    * reserved for the explicit programmatic [[create]](df, root) API.
     */
   def createEmpty(
       spark: SparkSession, root: String, schema: StructType): Long = {
-    val f = fs(spark, root)
-    f.delete(new Path(root), true)
+    requireAbsentOrEmpty(spark, root, "createEmpty")
     commit(spark, root, 0L,
       nullableType(schema).asInstanceOf[StructType].toDDL, Nil)
+  }
+
+  /** Refuse to initialize `root` when the path already exists with any
+    * content — the shared guard for the non-destructive create shapes
+    * (SQL CREATE TABLE, CALL clone). An empty directory is fine.
+    */
+  private def requireAbsentOrEmpty(
+      spark: SparkSession, root: String, op: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (f.exists(p)) {
+      require(f.getFileStatus(p).isDirectory,
+        s"$op: target $root exists and is a file")
+      require(f.listStatus(p).isEmpty,
+        s"$op: target $root already exists and is non-empty — refusing " +
+          "to overwrite (drop or clear it first; programmatic " +
+          "TxTable.create(df, root) is the explicit destructive reinit)")
+    }
   }
 
   /** Initialize (or reinitialize) a table root with `df` as version 0. */
@@ -1050,27 +1072,85 @@ object TxTable {
     * streaming txn watermarks copy too, so pointing an exactly-once
     * sink's existing checkpoint at the clone cannot double-apply.
     *
-    * Caveat (the standard shallow-clone contract): `vacuum` on the
-    * SOURCE can delete files a clone still references — retain source
-    * history for as long as clones of it live.
+    * Caveats (the standard shallow-clone contract): `vacuum` on the
+    * SOURCE could delete files a clone still references — so cloning
+    * registers the clone at the source ([[liveClones]]) and source
+    * vacuum REFUSES while clones live (force overrides). DROP or
+    * RENAME of the source is not guarded: clones hold absolute-path
+    * entries and break on their next read — drop or localize
+    * (compact) clones before destroying their source.
     */
   def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
     val src = requireSnapshot(spark, srcRoot)
-    require(currentVersion(spark, dstRoot).isEmpty,
-      s"clone target $dstRoot already holds a committed table")
+    // absent-or-empty, not just "no committed manifest": committing a
+    // _manifest inside a populated namespace directory would convert
+    // the namespace into a table and hide its child tables
+    requireAbsentOrEmpty(spark, dstRoot, "cloneTable")
     val f = fs(spark, srcRoot)
     val qualifiedSrc = f.makeQualified(new Path(srcRoot)).toUri.getPath
     val entries = src.entries.map(e =>
       e.copy(relPath = entryPath(qualifiedSrc, e.relPath)))
-    commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns, src.checks)
+    val v = commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns,
+      src.checks)
+    registerClone(spark, srcRoot, dstRoot)
+    v
+  }
+
+  /** Record at the SOURCE that a shallow clone references its files —
+    * [[vacuum]] consults this registry before deleting anything a
+    * live clone could still need. Best-effort metadata (a marker file
+    * per clone); failure to register never fails the clone commit.
+    */
+  private def registerClone(
+      spark: SparkSession, srcRoot: String, dstRoot: String): Unit =
+    scala.util.Try {
+      val f = fs(spark, srcRoot)
+      val dir = new Path(srcRoot, "_clones")
+      f.mkdirs(dir)
+      val enc = java.net.URLEncoder.encode(
+        f.makeQualified(new Path(dstRoot)).toUri.getPath, "UTF-8")
+      val os = f.create(new Path(dir, enc), true)
+      try os.write(Array.emptyByteArray) finally os.close()
+    }
+
+  /** The clone destinations registered against `root` that still hold
+    * a committed table. Stale markers (the clone was dropped) are
+    * pruned as a side effect — a dropped clone never blocks vacuum.
+    */
+  def liveClones(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(root, "_clones")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+      val dst = java.net.URLDecoder.decode(st.getPath.getName, "UTF-8")
+      if (currentVersion(spark, dst).isDefined) Some(dst)
+      else { scala.util.Try(f.delete(st.getPath, false)); None }
+    }
   }
 
   /** Drop data files referenced by NO manifest ≥ `keepFromVersion`
     * (crash orphans and compacted-away history). Never touches files
     * the retained snapshots can still read. Returns the number of
     * files deleted.
+    *
+    * Clone safety: when shallow clones of this table are LIVE (the
+    * [[liveClones]] registry), vacuum refuses — a clone's v0 pins
+    * source files that this table's retained history may no longer
+    * reference, and deleting them breaks the clone silently. Pass
+    * `force = true` to override after dropping (or localizing) the
+    * clones; dropped clones never block (stale markers self-prune).
     */
-  def vacuum(spark: SparkSession, root: String, keepFromVersion: Long): Int = {
+  def vacuum(
+      spark: SparkSession, root: String, keepFromVersion: Long,
+      force: Boolean = false): Int = {
+    if (!force) {
+      val clones = liveClones(spark, root)
+      require(clones.isEmpty,
+        s"vacuum: ${clones.size} live shallow clone(s) reference this " +
+          s"table's files (${clones.mkString(", ")}) — vacuum would break " +
+          "them. Drop the clones (or compact them to localize their data), " +
+          "or pass force = true to override.")
+    }
     val f = fs(spark, root)
     val live = versions(spark, root).filter(_ >= keepFromVersion)
       .flatMap(v => snapshot(spark, root, v).entries.map(_.relPath)).toSet

@@ -89,7 +89,76 @@ object ScaleRehearsal {
     // part-17: co-bucketed fact⋈dim join — 10× orders against the
     // FIXED customer dimension; the shuffle-free join's cost must
     // track the fact side (CTAS build + per-bucket local join)
-    "q_bucket_join")
+    "q_bucket_join",
+    // round-7 (VERDICT r6 items 1+7): the SQL DML family — CTAS build,
+    // metadata DELETE, runtime-group-filtered CoW DELETE, and a
+    // partition-scoped UPDATE, all over 10× orders; rewrite cost must
+    // track the TOUCHED partitions, not the table
+    "q_sql_delete",
+    // broadcast lookup cascade: three fixed dim builds, 10× lineitem
+    // probe — certifies the J2 full-cache posture under fact growth
+    "q_lookup_cascade",
+    // rehearsal-only shapes (not oracle queries — their catalog
+    // versions probe 25-row dims by oracle design, which a 10× ratio
+    // cannot measure): the same MERGE and dictGet machinery pointed at
+    // the scaling fact side
+    "x_sql_merge", "x_dict_probe")
+
+  /** Rehearsal-only queries: same operators as their q_* siblings, but
+    * with the SCALING side as the probe/target so the 10× ratio
+    * measures engine cost, not a fixed dimension.
+    */
+  private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO at scale: orders lands partitioned by priority, then
+    // one MERGE carries UPDATE (10% of keys), DELETE (2%), and INSERT
+    // (5% new keys) — the copy-on-write group machinery q_sql_merge
+    // proves correct, here cost-certified at 10× rows
+    "x_sql_merge" -> { (s, dir) =>
+      val wh = s"target/tmp/graft_wh_xmg_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      s.conf.set("spark.sql.catalog.xm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.xm.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS xm.mart")
+      s.sql("DROP TABLE IF EXISTS xm.mart.orders")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("x_ord_src")
+      s.sql(
+        """CREATE TABLE xm.mart.orders PARTITIONED BY (o_orderpriority)
+          |AS SELECT * FROM x_ord_src""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMP VIEW x_merge_src AS
+          |SELECT o_orderkey AS k, o_totalprice * 1.1 AS np,
+          |       o_orderkey % 50 = 1 AS del
+          |FROM x_ord_src WHERE o_orderkey % 10 < 2
+          |UNION ALL
+          |SELECT -o_orderkey AS k, o_totalprice AS np, false AS del
+          |FROM x_ord_src WHERE o_orderkey % 20 = 3""".stripMargin)
+      s.sql(
+        """MERGE INTO xm.mart.orders t USING x_merge_src s
+          |ON t.o_orderkey = s.k
+          |WHEN MATCHED AND s.del THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+          |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+          |  VALUES (s.k, 0, 'X', s.np, TIMESTAMP'2099-01-01 00:00:00',
+          |    '9-NEW')"""
+          .stripMargin)
+      s.sql("SELECT count(*) AS n FROM xm.mart.orders")
+    },
+    // literal-map dictGet probed by the scaling fact side: the J6
+    // in-projection lookup must cost O(rows), broadcast-shipped once
+    "x_dict_probe" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val prio = graft.Tables.orders(s, dir)
+        .select(col("o_orderpriority")).distinct()
+        .withColumn("rank", substring(col("o_orderpriority"), 1, 1))
+      val dict = graft.operators.Dict.asMap(prio, "o_orderpriority", "rank")
+      graft.Tables.orders(s, dir)
+        .select(graft.operators.Dict
+          .dictGet(dict, col("o_orderpriority"), lit("?")).as("rank"))
+        .groupBy(col("rank")).count().orderBy(col("rank"))
+    })
+
+  private def queryOf(name: String): (SparkSession, String) => DataFrame =
+    Extra.getOrElse(name, SparkEntry.queries(name))
 
   private val Copies = 10
   private val IdStride = 10000000L
@@ -97,7 +166,9 @@ object ScaleRehearsal {
   def scaleUp(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"))) return
+    // marker versioned: v2 added the fixed dim tables (part/supplier/
+    // nation/region) — an sf1 dir built by an older round rebuilds
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE_v2"))) return
     val copies = spark.range(0, Copies).select(col("id").as("__copy"))
 
     // documents: token-suffix rewrite keeps each copy's shingle
@@ -168,14 +239,18 @@ object ScaleRehearsal {
       .repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
 
-    // customer: the dimension stays FIXED while facts grow 10× — the
-    // realistic fact/dim scale shape; every order keeps exactly one
-    // matching customer, so join output scales with the fact side
-    spark.read.parquet(s"$srcDir/customer.parquet")
-      .repartition(4).write.mode("overwrite")
-      .parquet(s"$outDir/customer.parquet")
+    // dimensions stay FIXED while facts grow 10× — the realistic
+    // fact/dim scale shape; every order keeps exactly one matching
+    // customer, so join output scales with the fact side. part/
+    // supplier/nation/region feed the lookup-cascade rehearsal the
+    // same way: fixed broadcast builds, 10× probe.
+    Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .repartition(4).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+    }
 
-    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE_v2"), true).close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -195,7 +270,7 @@ object ScaleRehearsal {
 
     // JVM/codegen warm-up on the small dir, like Bench
     Family.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      try queryOf(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       CacheScope.release(); spark.catalog.clearCache()
     }
@@ -206,7 +281,7 @@ object ScaleRehearsal {
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
     for (pass <- 1 to 2; (tag, dir) <- dirs; name <- Family) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      val n = queryOf(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       CacheScope.release(); spark.catalog.clearCache()
       val k = (name, tag)
@@ -222,7 +297,7 @@ object ScaleRehearsal {
     val json =
       s"""{"metric":"scale_rehearsal","scale_factor":10,"passes":2,"note":"sf1 = deterministic 10x scale-up of sf0.1 (disjoint-shingle doc copies, dimension-rotated embedding copies, offset-key event copies); ratio ~10 = linear","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r06.json"), json + "\n")
+      java.nio.file.Paths.get("SCALE_r07.json"), json + "\n")
     println(json)
     spark.stop()
   }

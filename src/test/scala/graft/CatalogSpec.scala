@@ -320,6 +320,64 @@ class CatalogSpec extends SparkSpec {
       s"hostile name not refused: ${bad.getMessage}")
   }
 
+  test("CREATE TABLE never erases a colliding directory: namespaces and stray dirs survive") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.safe")
+    spark.sql("CREATE TABLE gc.safe.keepme (k BIGINT)")
+    spark.sql("INSERT INTO gc.safe.keepme VALUES (42)")
+    // 'gc.safe' is a namespace directory full of tables; a CREATE TABLE
+    // whose name collides with it must refuse, not delete the subtree
+    val e = intercept[Exception](spark.sql("CREATE TABLE gc.safe (k BIGINT)"))
+    assert(e.getMessage.contains("non-empty"), s"got: ${e.getMessage}")
+    assert(spark.sql("SELECT k FROM gc.safe.keepme").as[Long].head() == 42L)
+    // same for any pre-existing non-table directory under the warehouse
+    val stray = new java.io.File(s"$wh/safe/straydir/inside")
+    assert(stray.mkdirs())
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE gc.safe.straydir (k BIGINT)"))
+    assert(e2.getMessage.contains("non-empty"), s"got: ${e2.getMessage}")
+    assert(stray.exists(), "the colliding directory must be untouched")
+    // an EMPTY leftover directory is fine to claim
+    assert(new java.io.File(s"$wh/safe/emptydir").mkdirs())
+    spark.sql("CREATE TABLE gc.safe.emptydir (k BIGINT)")
+    spark.sql("INSERT INTO gc.safe.emptydir VALUES (1)")
+    assert(spark.sql("SELECT k FROM gc.safe.emptydir").as[Long].head() == 1L)
+  }
+
+  test("DML on a DATE-partitioned table: metadata delete, CoW update, mixed-writer grouping") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.dt")
+    spark.sql(
+      "CREATE TABLE gc.dt.ev (k BIGINT, d DATE, v DOUBLE) PARTITIONED BY (d)")
+    spark.sql("INSERT INTO gc.dt.ev VALUES " +
+      "(1, DATE'2024-01-01', 1.0), (2, DATE'2024-01-01', 2.0), " +
+      "(3, DATE'2024-01-02', 3.0), (4, DATE'2024-01-03', 4.0)")
+    // row-predicate UPDATE: copy-on-write must render the date
+    // partition value (previously threw mid-execution)
+    spark.sql("UPDATE gc.dt.ev SET v = 20.0 WHERE k = 2")
+    assert(spark.sql("SELECT sum(v) FROM gc.dt.ev").as[Double].head() == 28.0)
+    // the rewritten entries carry the SAME d=yyyy-MM-dd partition
+    // strings the append path writes — one partition group per date
+    val snap = TxTable.currentSnapshot(spark, s"$wh/dt/ev").get
+    assert(snap.entries.forall(_.partition.matches("d=\\d{4}-\\d{2}-\\d{2}")),
+      s"partition strings: ${snap.entries.map(_.partition)}")
+    // partition-uniform DELETE stays metadata-only on dates
+    val before = snap.version
+    spark.sql("DELETE FROM gc.dt.ev WHERE d = DATE'2024-01-03'")
+    assert(spark.sql("SELECT count(*) FROM gc.dt.ev").as[Long].head() == 3L)
+    // and MERGE touches only the matched date partitions
+    spark.sql("CREATE TABLE gc.dt.upd (k BIGINT, d DATE, v DOUBLE)")
+    spark.sql("INSERT INTO gc.dt.upd VALUES (3, DATE'2024-01-02', 30.0), " +
+      "(9, DATE'2024-01-09', 9.0)")
+    spark.sql(
+      """MERGE INTO gc.dt.ev t USING gc.dt.upd s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT k, v FROM gc.dt.ev ORDER BY k").collect().toSeq ==
+      Seq(Row(1L, 1.0), Row(2L, 20.0), Row(3L, 30.0), Row(9L, 9.0)))
+    assert(before >= 0)
+  }
+
   test("CALL procedures: history, compact, zorder, restore, vacuum run from SQL text") {
     cat
     spark.sql("CREATE NAMESPACE gc.proc")

@@ -96,7 +96,55 @@ class CloneSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql("CALL cl.system.clone('t.src', 't.bdst')")
     }
-    assert(e.getMessage.contains("already holds a committed table"))
+    assert(e.getMessage.contains("already exists and is non-empty"))
+  }
+
+  test("source vacuum refuses while a clone lives; force overrides; dropped clone unblocks") {
+    cat
+    spark.sql("CREATE TABLE cl.t.vsrc (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO cl.t.vsrc VALUES (1,'A'),(2,'B')")
+    spark.sql("CALL cl.system.clone('t.vsrc', 't.vclone')")
+    val srcRoot = s"$wh/t/vsrc"
+    // compact the SOURCE so pre-compaction files become vacuum
+    // candidates — exactly the files the clone's v0 still references
+    TxTable.compact(spark, srcRoot)
+    val v = TxTable.currentSnapshot(spark, srcRoot).get.version
+    val e = intercept[IllegalArgumentException] {
+      TxTable.vacuum(spark, srcRoot, v)
+    }
+    assert(e.getMessage.contains("live shallow clone"))
+    // the guard runs on the SQL CALL surface too
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL cl.system.vacuum('t.vsrc', $v)").collect()
+    }
+    assert(e2.getMessage.contains("live shallow clone"))
+    // the clone still reads its full v0 through external entries
+    assert(spark.sql("SELECT count(*) FROM cl.t.vclone").as[Long].head() == 2L)
+    // force overrides (the documented escape hatch) — but first prove
+    // a DROPPED clone stops blocking: stale markers self-prune
+    spark.sql("DROP TABLE cl.t.vclone")
+    assert(TxTable.liveClones(spark, srcRoot).isEmpty)
+    assert(TxTable.vacuum(spark, srcRoot, v) >= 0) // no clone, no refusal
+    // and force is accepted on the SQL surface
+    spark.sql(s"CALL cl.system.vacuum('t.vsrc', $v, true)").collect()
+    assert(spark.sql("SELECT count(*) FROM cl.t.vsrc").as[Long].head() == 2L)
+  }
+
+  test("clone refuses a populated namespace directory as destination") {
+    cat
+    spark.sql("CREATE NAMESPACE cl.t.sub")
+    spark.sql("CREATE TABLE cl.t.sub.inner (k BIGINT)")
+    spark.sql("INSERT INTO cl.t.sub.inner VALUES (7)")
+    // dst 't.sub' resolves to the namespace directory holding 'inner':
+    // committing a _manifest there would convert the namespace into a
+    // table and hide its children — must refuse, leaving it intact
+    val e = intercept[Exception] {
+      spark.sql("CALL cl.system.clone('t.src', 't.sub')")
+    }
+    assert(e.getMessage.contains("non-empty"))
+    assert(spark.sql("SELECT k FROM cl.t.sub.inner").as[Long].head() == 7L)
+    assert(spark.sql("SHOW NAMESPACES IN cl.t").collect()
+      .exists(_.getString(0).endsWith("sub")))
   }
 
   test("time travel on the clone: v0 is the clone point, its own history after") {

@@ -70,6 +70,26 @@ class StatsAggSpec extends SparkSpec {
       Row("A", 2L, 1L, 1.5), Row("B", 2L, 2L, 8.0), Row("C", 1L, 0L, null)))
   }
 
+  test("grouped pushdown refuses entries without the partition prefix — no NULL-group lie") {
+    cat
+    spark.sql("CREATE TABLE sa.t.mix (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO sa.t.mix VALUES (1,'A'),(2,'B')")
+    // a programmatic append WITHOUT the layout spec: its entries carry
+    // an EMPTY partition string on a catalog-partitioned table
+    graft.sources.TxTable.append(
+      Seq((3L, "A")).toDF("k", "p"), s"$wh/t/mix", partitionCol = None)
+    // the grouped fold can no longer attribute every file — it must
+    // fall back to a real scan and still answer exactly
+    val g = spark.sql(
+      "SELECT p, count(*) AS n FROM sa.t.mix GROUP BY p ORDER BY p")
+    assertScans(g)
+    assert(g.collect().toSeq == Seq(Row("A", 2L), Row("B", 1L)))
+    // UNGROUPED aggregates don't depend on attribution and stay local
+    val c = spark.sql("SELECT count(*) AS n FROM sa.t.mix")
+    assertLocal(c)
+    assert(c.as[Long].head() == 3L)
+  }
+
   test("any filter, SUM, or DISTINCT falls back to the real scan — and agrees") {
     cat
     val filtered = spark.sql("SELECT count(*) AS n FROM sa.t.m WHERE k > 2")
