@@ -15,12 +15,66 @@ object StreamQueries {
     sketchMv, sketchOverlap)
 
   /** Audio descriptor extraction over the media table's audio rows
-    * (P12's audio leg — PCM-interpretation stub, real batched
+    * (P12's audio leg — PCM-interpretation kernel, real batched
     * plumbing; see [[graft.operators.Multimodal.audioFeatures]]).
-    * Spec-gated by nature (the PCM kernel is tested sample-exactly in
-    * StreamSpec); rows-only here.
+    *
+    * FULLY oracle-checked: the kernel is deterministic arithmetic over
+    * the payload bytes, so the oracle replays it in SQL — bytes via
+    * `hex(encode(text))` + 2-char slices, 16-bit LE samples, per-256-
+    * sample-window RMS/ZCR. Bit-exactness argument: s² terms are
+    * multiples of 2⁻³⁰ summing below 2⁸, so Σs² is EXACTLY
+    * representable in double regardless of summation order; /n, sqrt,
+    * and the float cast are correctly rounded and order-free; ZCR is
+    * a small-integer ratio whose double→float double-rounding cannot
+    * straddle a float boundary (quotient distance ≥ 1/(n·2²⁵) ≫
+    * 2⁻⁵³). The float-valued window stats are exact in double, span
+    * < 53 bits, so the masses are order-independent too.
     */
-  val audioFeatures: Q = Q.noOracle("q_audio_features") { (s, dir) =>
+  val audioFeatures: Q = Q(
+    "q_audio_features",
+    """WITH au AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents WHERE doc_id % 3 = 1
+      |),
+      |idx AS (
+      |  SELECT media_id, hx, CAST(t.x AS BIGINT) AS i
+      |  FROM au, unnest(range(nb // 2)) AS t(x)
+      |),
+      |samp AS (
+      |  SELECT media_id, i, i // 256 AS w,
+      |    CASE WHEN hi >= 128 THEN hi*256 + lo - 65536
+      |         ELSE hi*256 + lo END / 32768.0 AS s
+      |  FROM (
+      |    SELECT media_id, i,
+      |      CAST(concat('0x', substring(hx, CAST(4*i+1 AS INT), 2)) AS INT) AS lo,
+      |      CAST(concat('0x', substring(hx, CAST(4*i+3 AS INT), 2)) AS INT) AS hi
+      |    FROM idx)
+      |),
+      |winsamp AS (
+      |  SELECT media_id, w, i, s,
+      |    lag(s) OVER (PARTITION BY media_id, w ORDER BY i) AS prev
+      |  FROM samp
+      |),
+      |win AS (
+      |  SELECT media_id, w,
+      |    CAST(sqrt(sum(s*s) / count(*)) AS REAL) AS rms,
+      |    CAST(CAST(count(*) FILTER (WHERE prev IS NOT NULL
+      |                                 AND (s < 0) != (prev < 0)) AS DOUBLE)
+      |         / greatest(count(*) - 1, 1) AS REAL) AS zcr
+      |  FROM winsamp GROUP BY media_id, w
+      |),
+      |agg AS (
+      |  SELECT media_id, CAST(count(*) AS INT) AS n_windows,
+      |    round(sum(CAST(rms AS DOUBLE)), 6) AS rms_mass,
+      |    round(sum(CAST(zcr AS DOUBLE)), 6) AS zcr_mass
+      |  FROM win GROUP BY media_id
+      |)
+      |SELECT a.media_id AS media_id, coalesce(g.n_windows, 0) AS n_windows,
+      |  coalesce(g.rms_mass, 0.0) AS rms_mass,
+      |  coalesce(g.zcr_mass, 0.0) AS zcr_mass
+      |FROM au a LEFT JOIN agg g ON a.media_id = g.media_id
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
       .filter(col("kind") === "audio")
     Multimodal.audioFeatures(media, windowSamples = 256)
@@ -277,19 +331,65 @@ object StreamQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
-  val multimodalFeatures: Q = Q.noOracle("q_multimodal_features") { (s, dir) =>
+  /** Oracle-checked on the generator-determined projection: decoded
+    * geometry (the renderer pins width = 8 + id%8, height 8, format
+    * png), payload size and 16-bin byte-histogram mass for the
+    * non-image rows (text-byte payloads — the bin of a byte is its
+    * first hex digit, so the oracle replays the histogram from
+    * `hex(encode(text))`), and the fixed feature dimensionality. The
+    * image rows' PNG byte size and luminance-histogram mass depend on
+    * the encoder's output bytes — engine-internal, pinned
+    * pixel-exactly in StreamSpec/DedupSpec instead (NULL here to keep
+    * the catalog row hash-checkable).
+    */
+  val multimodalFeatures: Q = Q(
+    "q_multimodal_features",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+      |    length(text) AS nc
+      |  FROM documents
+      |),
+      |by AS (
+      |  SELECT doc_id, nb, substring(hx, CAST(2*t.x+1 AS INT), 1) AS hi
+      |  FROM d, unnest(range(nb)) AS t(x) WHERE doc_id % 3 != 0
+      |),
+      |bins AS (
+      |  SELECT doc_id, nb, hi, count(*) AS cnt FROM by GROUP BY doc_id, nb, hi
+      |),
+      |mass AS (
+      |  SELECT doc_id,
+      |    round(CAST(sum(CAST(CAST(cnt AS DOUBLE)/nb AS REAL)) AS DOUBLE), 6)
+      |      AS fm
+      |  FROM bins GROUP BY doc_id
+      |)
+      |SELECT d.doc_id AS media_id, d.kind AS kind,
+      |  CASE WHEN kind != 'image' THEN CAST(nb AS INT) END AS n_bytes,
+      |  CAST(CASE WHEN kind = 'image' THEN 8 + d.doc_id % 8 ELSE nc END AS INT)
+      |    AS meta_width,
+      |  CASE WHEN kind = 'image' THEN CAST(8 + d.doc_id % 8 AS INT) END
+      |    AS dec_width,
+      |  CASE WHEN kind = 'image' THEN 8 END AS dec_height,
+      |  CASE WHEN kind = 'image' THEN 'png' END AS dec_format,
+      |  16 AS feat_dim,
+      |  CASE WHEN kind != 'image' THEN coalesce(m.fm, 0.0) END AS feat_mass
+      |FROM d LEFT JOIN mass m ON d.doc_id = m.doc_id
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
     val media = Multimodal.syntheticMediaWithImages(Tables.documents(s, dir))
     Multimodal.extractFeatures(media)
       .select(
         col("media_id"), col("kind"),
-        length(col("bytes")).as("n_bytes"),
-        col("meta.width").as("width"),
+        when(col("kind") =!= "image", length(col("bytes"))).as("n_bytes"),
+        col("meta.width").as("meta_width"),
         col("decoded.width").as("dec_width"),
         col("decoded.height").as("dec_height"),
         col("decoded.format").as("dec_format"),
         size(col("features")).as("feat_dim"),
-        aggregate(col("features"), lit(0.0),
-          (acc, x) => acc + x.cast("double")).as("feat_mass"))
+        when(col("kind") =!= "image",
+          round(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6)).as("feat_mass"))
       .orderBy(col("media_id"))
   }
 }
