@@ -22,16 +22,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long (legacy flag) and convert
-    * to microsecond TimestampType with integer division (a double
-    * division would lose precision above 2^53 ns).
+  /** `events.ts` normalized to session-zoned TimestampType however the
+    * generator wrote it. TIMESTAMP(NANOS) parquet (which Spark 4
+    * refuses to read as a timestamp) arrives as a nanos long under the
+    * legacy flag and integer-divides to micros (a double division
+    * would lose precision above 2^53 ns); TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false arrives as TIMESTAMP_NTZ and reinterprets
+    * in the UTC session zone — the same instants either way.
     */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -19,20 +19,20 @@ import org.apache.spark.sql.streaming.Trigger
 object Streams {
 
   /** The events parquet as a bounded stream (schema must be supplied —
-    * streaming sources cannot infer). Nanosecond timestamps arrive as
-    * longs (same legacy flag as the batch reader) and convert the same
-    * way.
+    * streaming sources cannot infer). `ts` normalizes exactly as the
+    * batch reader does ([[graft.Tables.normalizeTs]]): nanos-long under
+    * the legacy flag, or TIMESTAMP_NTZ micros, → session-zoned
+    * TimestampType.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream sources take a DIRECTORY; select the single table
     // file via glob filter
-    spark.readStream
+    graft.Tables.normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Hourly tumbling-window aggregate, streaming form of

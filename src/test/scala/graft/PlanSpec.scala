@@ -120,6 +120,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed join (q_bucket_join) carries zero exchanges below the join") {
+    // VERDICT r6 item 3: the zero-shuffle claim pinned in the spec
+    // layer, not only in the query's own runtime REQUIRE — both sides
+    // scan one split per bucket id and the join zips them locally.
+    val df = Catalog.queries("q_bucket_join")(spark, sf)
+    val joins = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+    val below = joins.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    })
+    assert(below.isEmpty,
+      s"bucket join must be shuffle-free below the join:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("storage-partitioned join (q_spj_join) plans with at most the final sort exchange") {
+    // Same pin for the value-partitioned layout: each side reads one
+    // split per (o_orderpriority) partition and Spark zips matching
+    // groups; only the 5-row ORDER BY range exchange may remain.
+    val df = Catalog.queries("q_spj_join")(spark, sf)
+    val ex = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(ex.size <= 1, df.queryExecution.executedPlan.toString)
+    val joins = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty &&
+      joins.forall(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty),
+      s"SPJ must be shuffle-free below the join:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("pre-aggregation sits below the join in the flagship mart (J5)") {
     val df = Catalog.queries("q_datamart_customer")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {
