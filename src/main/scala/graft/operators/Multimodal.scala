@@ -396,6 +396,38 @@ object Multimodal {
     out.result()
   }
 
+  /** Per-row LOB export — the write-back half of the reference's
+    * Import/Export Column (…/Глава 05…md:98: one FILE per row's binary
+    * column). Each task writes its partition's payloads straight to
+    * `outDir/<id>.<ext>` through the Hadoop FileSystem API (no driver
+    * round-trip, no two-phase commit: each file is self-named by its
+    * row id, so re-runs overwrite idempotently) and the returned
+    * manifest carries one row per exported file. At 100 TB the export
+    * parallelizes as a narrow map over the source partitions; callers
+    * control file count by filtering/repartitioning the input.
+    */
+  def exportFiles(media: DataFrame, idCol: String, payloadCol: String,
+      outDir: String, ext: String = "bin"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    media.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(conf.value)
+        rows.map { case (id, bytes) =>
+          val p = fs.makeQualified(
+            new org.apache.hadoop.fs.Path(dir, s"$id.$ext"))
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+          (id, p.toString, bytes.length.toLong)
+        }
+      }
+      .toDF(idCol, "path", "n_bytes")
+  }
+
   /** Frame sampling stub: split the payload into `frames` equal chunks
     * and keep every `stride`-th — the Spark-side shape of video frame
     * extraction (explode to one row per sampled frame).

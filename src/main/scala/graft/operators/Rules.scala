@@ -37,6 +37,34 @@ object Rules {
     }
   }
 
+  /** DQS "Suggested" as a distinct NON-APPLIED state (the reference's
+    * third outcome, kept separate from auto-correction): original
+    * values pass through untouched; every failing rule that has a fix
+    * emits its proposal into `<target><suggestSuffix>` (null when the
+    * rule passed or has no fix), and the status column reads `valid` /
+    * `suggested` (all failures fixable, nothing applied) / `invalid`
+    * (some failure has no fix). A reviewer applies or rejects the
+    * suggestions downstream; [[validate]] is the auto-apply sibling.
+    */
+  def validateSuggest(df: DataFrame, rules: Seq[Rule],
+      statusCol: String = "dq_status",
+      suggestSuffix: String = "_suggested"): DataFrame = {
+    val allValid = rules.map(_.valid).reduce(_ && _)
+    val anyUnfixable = rules.filter(_.fix.isEmpty).map(!_.valid)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val classified = df.withColumn(statusCol,
+      when(allValid, "valid")
+        .when(anyUnfixable, "invalid")
+        .otherwise("suggested"))
+    rules.foldLeft(classified) { (d, r) =>
+      r.fix match {
+        case Some(f) => d.withColumn(s"${r.target}$suggestSuffix",
+          when(r.valid, lit(null)).otherwise(f))
+        case None => d
+      }
+    }
+  }
+
   /** PII redaction: mask every match of `pattern` (a character class
     * or full regex — digits, emails, phone shapes) with `mask`, and
     * count the characters redacted, so downstream audits can gate on

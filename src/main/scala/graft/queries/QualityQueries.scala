@@ -11,7 +11,7 @@ import graft.operators.{Fuzzy, Rules, Scd}
 object QualityQueries {
 
   def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, fuzzyGroupCc,
-    dqsValidate, unknownMember, piiScrub)
+    dqsValidate, dqsSuggest, unknownMember, piiScrub)
 
   /** PII redaction over the customer names (account-number shapes):
     * digits masked to '*', with a per-row redacted-character count for
@@ -223,6 +223,41 @@ object QualityQueries {
           col("c_acctbal").between(-1000, 8000), None),
         Rules.Rule("c_name", col("c_name").startsWith("Customer#"), None)))
       .select(col("c_custkey"), col("dq_status"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** DQS "Suggested" outcome: same rules as q_dqs_validate, but the
+    * domain correction is PROPOSED, not applied — the original
+    * c_mktsegment survives and the suggestion rides in its own column
+    * for reviewer sign-off (reference's Correct/Suggested/Invalid
+    * triad, Глава 11:66-84).
+    */
+  val dqsSuggest: Q = Q(
+    "q_dqs_suggest",
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+      |         AND c_acctbal BETWEEN -1000 AND 8000
+      |         AND c_name LIKE 'Customer#%' THEN 'valid'
+      |       WHEN NOT (c_acctbal BETWEEN -1000 AND 8000)
+      |         OR NOT (c_name LIKE 'Customer#%') THEN 'invalid'
+      |       ELSE 'suggested' END AS dq_status,
+      |  c_mktsegment,
+      |  CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+      |       THEN NULL ELSE 'OTHER' END AS c_mktsegment_suggested,
+      |  c_acctbal
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val allowed = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")
+    Rules.validateSuggest(
+      Tables.customer(s, dir),
+      Seq(
+        Rules.Rule("c_mktsegment",
+          col("c_mktsegment").isin(allowed: _*), Some(lit("OTHER"))),
+        Rules.Rule("c_acctbal",
+          col("c_acctbal").between(-1000, 8000), None),
+        Rules.Rule("c_name", col("c_name").startsWith("Customer#"), None)))
+      .select(col("c_custkey"), col("dq_status"), col("c_mktsegment"),
+        col("c_mktsegment_suggested"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
 

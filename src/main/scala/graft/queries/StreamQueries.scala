@@ -11,8 +11,42 @@ import graft.streaming.Streams
 object StreamQueries {
 
   def all: Seq[Q] = Seq(streamHourly, multimodalFeatures, imageNearDup,
-    audioFeatures, sessionize, incrementalMv, asofJoin, rangeJoin,
+    audioFeatures, lobExport, sessionize, incrementalMv, asofJoin, rangeJoin,
     sketchMv, sketchOverlap)
+
+  /** Per-row LOB export + re-read roundtrip (the reference's
+    * Import/Export Column write-back: …/Глава 05…md:98, one file per
+    * row's binary column). Every 7th document's payload lands as
+    * `<doc_id>.bin` via [[Multimodal.exportFiles]] (executor-parallel
+    * Hadoop FS writes), then the files are read BACK with Spark's
+    * binaryFile source and fingerprinted — so the oracle match proves
+    * byte-level write fidelity end-to-end, not just manifest
+    * bookkeeping. The oracle replays the fingerprints from the source
+    * parquet (md5 + byte length of the utf-8 payload).
+    */
+  val lobExport: Q = Q(
+    "q_lob_export",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS h
+      |FROM documents WHERE doc_id % 7 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      .where(col("media_id") % 7 === 0)
+    // absolute path: the driver may invoke Verify from any CWD
+    val out = s"/root/repo/target/tmp/lob_${new java.io.File(dir).getName}"
+    // wipe stale exports so the read-back glob sees exactly this run
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Multimodal.exportFiles(media, "media_id", "bytes", out).count()
+    s.read.format("binaryFile").load(s"$out/*.bin")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("h"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Audio descriptor extraction over the media table's audio rows
     * (P12's audio leg — PCM-interpretation kernel, real batched

@@ -173,6 +173,26 @@ class QualitySpec extends SparkSpec {
     assert(by(4L) == (("invalid", "OTHER")))
   }
 
+  test("Rules.validateSuggest: suggestions ride alongside untouched originals") {
+    val df = Seq(
+      (1L, "AUTOMOBILE", 100.0),
+      (2L, "WEIRD", 100.0),    // suggestable
+      (3L, "AUTOMOBILE", 99999.0), // invalid (no fix)
+      (4L, "WEIRD", 99999.0)   // invalid wins; suggestion still emitted
+    ).toDF("id", "seg", "bal")
+    val out = Rules.validateSuggest(df, Seq(
+      Rules.Rule("seg", $"seg".isin("AUTOMOBILE"), Some(lit("OTHER"))),
+      Rules.Rule("bal", $"bal" < 1000, None)))
+    val by = out.select("id", "dq_status", "seg", "seg_suggested")
+      .as[(Long, String, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(by(1L) == (("valid", "AUTOMOBILE", None)))
+    assert(by(2L) == (("suggested", "WEIRD", Some("OTHER"))),
+      "original value untouched, fix proposed in the suggestion column")
+    assert(by(3L) == (("invalid", "AUTOMOBILE", None)))
+    assert(by(4L) == (("invalid", "WEIRD", Some("OTHER"))))
+  }
+
   test("unknownMember keeps orphan fact rows with sk=-1") {
     val fact = Seq((100L, 1L), (101L, 99L)).toDF("okey", "fk")
     val dim = Seq((1L, 10L)).toDF("dk", "sk")
