@@ -416,7 +416,13 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         val dir = new org.apache.hadoop.fs.Path(outDir)
-        val fs = dir.getFileSystem(conf.value)
+        // raw FS: skip ChecksumFileSystem's per-file .crc sibling —
+        // it doubles small-file create cost and the payload integrity
+        // is the manifest/roundtrip's job, not the transport's
+        val fs = dir.getFileSystem(conf.value) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
         rows.map { case (id, bytes) =>
           val p = fs.makeQualified(
             new org.apache.hadoop.fs.Path(dir, s"$id.$ext"))

@@ -30,8 +30,12 @@ object StreamQueries {
       |  md5(text) AS h
       |FROM documents WHERE doc_id % 7 = 0
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // repartition: the single-file documents scan would otherwise
+    // export serially from one task; file-per-row writes parallelize
+    // per input partition
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
       .where(col("media_id") % 7 === 0)
+      .repartition(16)
     // absolute path: the driver may invoke Verify from any CWD
     val out = s"/root/repo/target/tmp/lob_${new java.io.File(dir).getName}"
     // wipe stale exports so the read-back glob sees exactly this run
@@ -39,7 +43,10 @@ object StreamQueries {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     Multimodal.exportFiles(media, "media_id", "bytes", out).count()
-    s.read.format("binaryFile").load(s"$out/*.bin")
+    // single root path + glob OPTION: a `/*.bin` glob path would
+    // expand to one listing target per file and spawn a distributed
+    // file-listing job; this way the index is one directory listStatus
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
       .select(
         regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
           .cast("long").as("doc_id"),

@@ -500,6 +500,23 @@ private[sources] object GraftProcedures {
       StructType(Seq(StructField("freed_version", LongType, false))),
       (cat, r) => TxTable.recover(spark, cat.tableRoot(str(r, 0)))
         .map(v => Seq(v))),
+    "export_files" -> new Proc(
+      "export_files", "file-per-row LOB export (Import/Export Column " +
+        "write-back): payload_col of every row lands as " +
+        "dir/<id_col>.<ext> via executor-parallel raw-FS writes",
+      Array(in("table", StringType), in("id_col", StringType),
+        in("payload_col", StringType), in("dir", StringType),
+        inDefault("ext", StringType, "'bin'")),
+      StructType(Seq(StructField("files", LongType, false),
+        StructField("bytes", LongType, false))),
+      (cat, r) => {
+        import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+        val df = spark.read.format("graft").load(cat.tableRoot(str(r, 0)))
+        val agg = graft.operators.Multimodal
+          .exportFiles(df, str(r, 1), str(r, 2), str(r, 3), str(r, 4))
+          .agg(count(lit(1)), coalesce(sum("n_bytes"), lit(0L))).head()
+        Seq(Seq(agg.getLong(0), agg.getLong(1)))
+      }),
     "clone" -> new Proc(
       "clone", "zero-copy SHALLOW CLONE: dst's v0 references src's " +
         "current files in place — one metadata commit, no data " +

@@ -98,6 +98,10 @@ object ScaleRehearsal {
     // broadcast lookup cascade: three fixed dim builds, 10× lineitem
     // probe — certifies the J2 full-cache posture under fact growth
     "q_lookup_cascade",
+    // round-7: file-per-row LOB export roundtrip — 10× documents ⇒
+    // 10× files written and re-read; cost must track file count
+    // (executor-parallel raw-FS writes, one-listStatus read-back)
+    "q_lob_export",
     // rehearsal-only shapes (not oracle queries — their catalog
     // versions probe 25-row dims by oracle design, which a 10× ratio
     // cannot measure): the same MERGE and dictGet machinery pointed at

@@ -14,7 +14,11 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    for (i <- 1 to 3; (name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // optional args: query names to profile (default: the full catalog)
+    val picked =
+      if (args.nonEmpty) graft.SparkEntry.queries.view.filterKeys(args.contains).toMap
+      else graft.SparkEntry.queries
+    for (i <- 1 to 3; (name, fn) <- picked.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       println(f"iter$i $name ${(System.nanoTime() - t0) / 1e9}%.2f s")

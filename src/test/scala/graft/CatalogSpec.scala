@@ -378,6 +378,26 @@ class CatalogSpec extends SparkSpec {
     assert(before >= 0)
   }
 
+  test("CALL export_files writes one file per row from SQL text") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.lob")
+    spark.sql("CREATE TABLE gc.lob.docs (id BIGINT, payload BINARY)")
+    spark.sql("INSERT INTO gc.lob.docs SELECT id, encode(" +
+      "concat('payload-', id), 'UTF-8') FROM range(0, 5)")
+    val out = s"target/tmp/lob_call_${System.nanoTime()}"
+    val Row(files: Long, bytes: Long) = spark.sql(
+      s"CALL gc.system.export_files('lob.docs', 'id', 'payload', '$out')")
+      .head()
+    assert(files == 5L)
+    val onDisk = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+    assert(onDisk.length == 5)
+    assert(bytes == onDisk.map(_.length()).sum)
+    val got = new String(java.nio.file.Files.readAllBytes(
+      onDisk.find(_.getName == "3.bin").get.toPath), "UTF-8")
+    assert(got == "payload-3")
+  }
+
   test("CALL procedures: history, compact, zorder, restore, vacuum run from SQL text") {
     cat
     spark.sql("CREATE NAMESPACE gc.proc")
