@@ -18,7 +18,7 @@ object SourceQueries {
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
-    bucketJoin)
+    bucketJoin, bucketDml)
 
   /** SQL row-level operations end-to-end ([[graft.sources.GraftRowLevelOperation]]):
     * orders lands partitioned by priority, then three mutations run as
@@ -118,6 +118,49 @@ object SourceQueries {
     s.sql(
       """SELECT n_nationkey, n_name, n_regionkey FROM gm.mart.nation
         |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Row-level DML on a BUCKET-layout table (round 7 — previously an
+    * honest refusal): orders lands as bucket(8, o_orderkey) via CTAS,
+    * then a modulo DELETE (copy-on-write across the touched buckets,
+    * runtime group filter maps matching keys → bucket ids), a
+    * key-equality DELETE (candidate enumeration prunes the rewrite to
+    * ONE bucket statically), and a modulo UPDATE run as SQL text. The
+    * oracle replays all three over the raw parquet, so equality proves
+    * bucket-group pruning, the murmur3 placement parity between
+    * rewrite and append, and the manifest swap are lossless.
+    */
+  val bucketDml: Q = Q(
+    "q_bucket_dml",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(CASE WHEN o_orderkey % 1000 = 1
+      |      THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT))
+      |    AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE o_orderkey % 100 <> 7 AND o_orderkey <> 32
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_bd_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gb", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gb.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.mart")
+    s.sql("DROP TABLE IF EXISTS gb.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_bord_src")
+    s.sql(
+      """CREATE TABLE gb.mart.orders PARTITIONED BY (bucket(8, o_orderkey))
+        |AS SELECT * FROM graft_bord_src""".stripMargin)
+    s.sql("DELETE FROM gb.mart.orders WHERE o_orderkey % 100 = 7")
+    s.sql("DELETE FROM gb.mart.orders WHERE o_orderkey = 32")
+    s.sql(
+      """UPDATE gb.mart.orders SET o_totalprice = o_totalprice * 2
+        |WHERE o_orderkey % 1000 = 1""".stripMargin)
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gb.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
   }
 
   /** Manifest-stats aggregate pushdown end-to-end

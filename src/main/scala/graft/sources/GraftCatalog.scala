@@ -667,14 +667,9 @@ final class GraftV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseTimeTravel(info.command().toString)
-    layout.foreach {
-      case _: Layout.Bucket => throw new UnsupportedOperationException(
-        s"${info.command()} on a bucket-partitioned graft table is not " +
-          "supported yet — the copy-on-write group is a partition and " +
-          "bucket groups cannot be pruned by row predicates; " +
-          "rewrite via INSERT OVERWRITE or TRUNCATE + reload")
-      case _ => ()
-    }
+    // bucket layouts are first-class here since round 7: the replaced
+    // group is a bucket directory, pruned via the source column
+    // (candidate enumeration + Spark's runtime group filter)
     () => new GraftRowLevelOperation(spark, root, snap, partitionCol,
       info.command())
   }

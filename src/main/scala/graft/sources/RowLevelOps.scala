@@ -12,7 +12,7 @@ import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, EvalMode, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, EvalMode, GenericInternalRow, Literal, Murmur3Hash}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortOrder, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -208,6 +208,93 @@ private[sources] object PartitionPredicates {
     */
   def dropForDelete(fs: Seq[Any => Option[Boolean]], v: Any): Boolean =
     fs.forall(f => f(v).contains(true))
+
+  /** The EXACT candidate set of `col` values a predicate's matching
+    * rows can take, when it is enumerable: `c = lit`, `c <=> lit`,
+    * `c IN (lits)`, AND (either enumerable side — matching rows are a
+    * subset of it), OR (both sides). None = not enumerable (imposes no
+    * constraint). Soundness contract for bucket-group pruning: the
+    * returned set may OVER-approximate (keeps extra groups — wasted
+    * rewrite, never wrong) but never under-approximates — a matching
+    * row outside the returned candidates would make the caller drop a
+    * group that still holds live rows. A `None` element is the SQL
+    * NULL value (only `<=>` can produce it; `=`/`IN` against NULL
+    * match nothing).
+    */
+  def candidateValues(
+      col: String, dt: DataType,
+      p: V2Predicate): Option[Seq[Option[Any]]] = {
+    def asPred(e: V2Expression): Option[V2Predicate] = e match {
+      case q: V2Predicate => Some(q)
+      case _ => None
+    }
+    def refIs(e: V2Expression): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase(col)
+      case _ => false
+    }
+    def litOf(e: V2Expression): Option[Option[Any]] = e match {
+      case l: V2Literal[_] if l.value == null => Some(None)
+      case l: V2Literal[_] if l.dataType == dt =>
+        Some(Option(CatalystTypeConverters.createToScalaConverter(dt)(l.value)))
+      case _ => None
+    }
+    def sideLit: Option[Option[Any]] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else if (refIs(c(0))) litOf(c(1))
+      else if (refIs(c(1))) litOf(c(0))
+      else None
+    }
+    p.name() match {
+      case "ALWAYS_FALSE" => Some(Seq.empty)
+      case "=" => sideLit.map {
+        case None => Seq.empty // c = NULL matches no row
+        case some => Seq(some)
+      }
+      case "<=>" => sideLit.map(Seq(_))
+      case "IN" =>
+        val c = p.children()
+        if (c.length < 2 || !refIs(c(0))) return None
+        val lits = c.drop(1).map(litOf)
+        if (lits.exists(_.isEmpty)) return None
+        // a NULL element can only yield NULL, never TRUE — matching
+        // rows take values from the non-null literals alone
+        Some(lits.flatten.filter(_.isDefined).toSeq)
+      case "AND" =>
+        val l = asPred(p.children()(0)).flatMap(candidateValues(col, dt, _))
+        val r = asPred(p.children()(1)).flatMap(candidateValues(col, dt, _))
+        (l, r) match {
+          case (Some(a), Some(b)) => Some(a.toSet.intersect(b.toSet).toSeq)
+          case (a, b) => a.orElse(b)
+        }
+      case "OR" =>
+        for {
+          a <- asPred(p.children()(0)).flatMap(candidateValues(col, dt, _))
+          b <- asPred(p.children()(1)).flatMap(candidateValues(col, dt, _))
+        } yield (a.toSet ++ b.toSet).toSeq
+      case _ => None
+    }
+  }
+}
+
+/** Driver-side bucket-id evaluation for group pruning — the SAME
+  * Murmur3 expression (seed 42) and pmod the write path and
+  * `Layout.dirColumn` use, so pruning and placement can never
+  * disagree.
+  */
+private[sources] object BucketIds {
+  /** Bucket id of one EXTERNAL value (None = SQL NULL — hashes to the
+    * seed, exactly as `functions.hash(null)` does).
+    */
+  def idOf(value: Option[Any], dt: DataType, n: Int): Int = {
+    val cat = value
+      .map(CatalystTypeConverters.createToCatalystConverter(dt))
+      .orNull
+    val h = new Murmur3Hash(Seq(Literal(cat, dt))).eval(null)
+      .asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
 }
 
 /** Scan half of the copy-on-write pair. Built over the PINNED snapshot
@@ -229,19 +316,25 @@ private[sources] final class GraftCowScanBuilder(
   private var pushed: Array[V2Predicate] = Array.empty
 
   /** Group selection only: interpretable partition-column conjuncts
-    * prune which partitions the operation scans AND REPLACES. Every
-    * predicate is reported back as not-handled so the full condition
-    * stays in the plan — pruning here is at partition granularity,
-    * and row-level work belongs above the scan (dropping rows here
-    * would silently delete the unmatched rows of a replaced group).
+    * (identity layout) or candidate-enumerable source-column conjuncts
+    * (bucket layout) prune which groups the operation scans AND
+    * REPLACES. Every predicate is reported back as not-handled so the
+    * full condition stays in the plan — pruning here is at group
+    * granularity, and row-level work belongs above the scan (dropping
+    * rows here would silently delete the unmatched rows of a replaced
+    * group).
     */
   override def pushPredicates(
       predicates: Array[V2Predicate]): Array[V2Predicate] = {
-    pushed = partitionCol match {
-      case Some(c) =>
+    pushed = partitionCol.map(Layout.parse) match {
+      case Some(Layout.Identity(c)) =>
         val dt = schema(c).dataType
         predicates.filter(p =>
           PartitionPredicates.interpret(c, dt, p).isDefined)
+      case Some(Layout.Bucket(_, c)) =>
+        val dt = schema(c).dataType
+        predicates.filter(p =>
+          PartitionPredicates.candidateValues(c, dt, p).isDefined)
       case None => Array.empty
     }
     predicates
@@ -262,7 +355,10 @@ private[sources] final class GraftCowScan(
     staticPreds: Array[V2Predicate])
   extends Scan with SupportsRuntimeV2Filtering {
 
-  private val partDt = partitionCol.map(c => schema(c).dataType)
+  private val layout = partitionCol.map(Layout.parse)
+  // group-key type as it appears in entry partition strings: the
+  // column's own type for identity, the bucket id (int) for buckets
+  private val partDt = layout.map(_.partType(schema))
 
   // memoized per distinct partition string — entry counts are
   // manifest-scale, distinct partitions far fewer
@@ -273,11 +369,26 @@ private[sources] final class GraftCowScan(
 
   private def prune(
       es: Seq[TxTable.Entry], preds: Array[V2Predicate]): Seq[TxTable.Entry] =
-    partitionCol match {
-      case Some(c) if preds.nonEmpty =>
+    layout match {
+      case Some(Layout.Identity(c)) if preds.nonEmpty =>
         val fs = preds.toSeq.flatMap(p =>
           PartitionPredicates.interpret(c, partDt.get, p))
         es.filter(e => PartitionPredicates.keepForScan(fs, valueOf(e.partition)))
+      case Some(Layout.Bucket(n, c)) if preds.nonEmpty =>
+        // each enumerable conjunct bounds the live bucket set; an
+        // entry survives only if its id is allowed by EVERY bound
+        val dt = schema(c).dataType
+        val bounds = preds.toSeq.flatMap(p =>
+          PartitionPredicates.candidateValues(c, dt, p)
+            .map(_.map(v => BucketIds.idOf(v, dt, n)).toSet))
+        if (bounds.isEmpty) es
+        else {
+          val allowed = bounds.reduce(_ intersect _)
+          es.filter(e => valueOf(e.partition) match {
+            case i: Int => allowed.contains(i)
+            case _ => true // unparseable id: keep (never wrong)
+          })
+        }
       case _ => es
     }
 
@@ -291,8 +402,13 @@ private[sources] final class GraftCowScan(
 
   override def readSchema(): StructType = schema
 
+  /** Runtime group filtering keys on the layout's SOURCE column in
+    * both layouts: Spark collects the distinct values among matching
+    * rows and [[filter]] maps them to groups (identity: the value IS
+    * the group; bucket: value → bucket id).
+    */
   override def filterAttributes(): Array[NamedReference] =
-    partitionCol.map(c => Expressions.column(c)).toArray
+    layout.map(l => Expressions.column(l.col)).toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit =
     entries = prune(entries, predicates)
@@ -328,11 +444,16 @@ private[sources] final class GraftCowWrite(
     writeSchema: StructType, command: String)
   extends Write with RequiresDistributionAndOrdering {
 
-  override def requiredDistribution(): Distribution = partitionCol match {
-    case Some(c) =>
-      Distributions.clustered(Array[V2Expression](Expressions.column(c)))
-    case None => Distributions.unspecified()
-  }
+  override def requiredDistribution(): Distribution =
+    partitionCol.map(Layout.parse) match {
+      // clustering on the SOURCE column co-locates each group's rows
+      // for both layouts (equal values share a bucket by definition);
+      // bucket tables just get finer-than-necessary clustering, which
+      // AQE coalesces
+      case Some(l) =>
+        Distributions.clustered(Array[V2Expression](Expressions.column(l.col)))
+      case None => Distributions.unspecified()
+    }
 
   override def distributionStrictlyRequired(): Boolean = false
 
@@ -436,9 +557,27 @@ private[sources] final class GraftCowDataWriter(
     timeZoneId: String)
   extends DataWriter[InternalRow] {
 
-  private val partIdx = partitionCol.map(schema.fieldIndex).getOrElse(-1)
+  private val layout = partitionCol.map(Layout.parse)
+  private val partIdx =
+    layout.collect { case Layout.Identity(c) => schema.fieldIndex(c) }
+      .getOrElse(-1)
   private val partDt: DataType =
-    partitionCol.map(c => schema(c).dataType).getOrElse(NullType)
+    layout.collect { case Layout.Identity(c) => schema(c).dataType }
+      .getOrElse(NullType)
+
+  // bucket layout: the SAME Murmur3(seed 42) ∘ pmod the append path's
+  // Layout.dirColumn evaluates, bound to the source column — placement
+  // by the rewrite and by ordinary INSERTs can never disagree
+  private val bucketOf: Option[InternalRow => Int] =
+    layout.collect { case Layout.Bucket(n, c) =>
+      val i = schema.fieldIndex(c)
+      val h = new Murmur3Hash(
+        Seq(BoundReference(i, schema(i).dataType, schema(i).nullable)))
+      (row: InternalRow) => {
+        val v = h.eval(row).asInstanceOf[Int]
+        ((v % n) + n) % n
+      }
+    }
 
   // dir segment -> (path, writer, manifest partition string)
   private val writers =
@@ -457,6 +596,10 @@ private[sources] final class GraftCowDataWriter(
   private lazy val renderRow = new GenericInternalRow(1)
 
   private def partOf(row: InternalRow): (String, String) = {
+    bucketOf.foreach { f =>
+      val id = f(row)
+      return (s"__gtx_part=$id", s"${Layout.BucketPartName}=$id")
+    }
     if (partIdx < 0) return ("", "")
     val raw =
       if (row.isNullAt(partIdx)) null

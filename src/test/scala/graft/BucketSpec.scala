@@ -97,14 +97,64 @@ class BucketSpec extends SparkSpec {
     }
   }
 
-  test("row-level DML refuses on bucket layout; TRUNCATE and overwrite work") {
+  test("row-level DML on bucket layout: bucket-group CoW, untouched buckets keep their files") {
     cat
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM bk.t.f2 WHERE k = 55")
+    spark.sql(
+      "CREATE TABLE bk.t.dml (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    spark.sql(
+      "INSERT INTO bk.t.dml SELECT id AS k, id * 1.0 AS v FROM range(0, 200)")
+    val root = s"$wh/t/dml"
+    val before = TxTable.currentSnapshot(spark, root).get
+    // key-equality DELETE rewrites ONLY the key's bucket group
+    spark.sql("DELETE FROM bk.t.dml WHERE k = 55")
+    val afterDel = TxTable.currentSnapshot(spark, root).get
+    assert(spark.sql("SELECT count(*) FROM bk.t.dml").as[Long].head() == 199L)
+    assert(spark.sql("SELECT count(*) FROM bk.t.dml WHERE k = 55")
+      .as[Long].head() == 0L)
+    val changed = afterDel.entries.map(_.partition).toSet --
+      afterDel.entries.toSet.intersect(before.entries.toSet).map(_.partition)
+    assert(changed.size == 1,
+      s"a one-key DELETE must rewrite exactly one bucket group, got $changed")
+    // rewritten rows stay in their hash bucket: every entry's rows
+    // must agree with the catalog's own bucket function
+    afterDel.entries.foreach { e =>
+      val id = e.partition.stripPrefix("_bucket=").toInt
+      val off = spark.read.parquet(s"$root/${e.relPath}")
+        .where(pmod(hash($"k"), lit(8)) =!= id).count()
+      assert(off == 0L, s"${e.relPath} holds rows outside ${e.partition}")
     }
-    assert(e.getMessage.contains("bucket"),
-      s"DELETE must refuse with the bucket explanation: ${e.getMessage}")
-    // INSERT OVERWRITE re-buckets through the layout file
+    // row-predicate UPDATE (no key conjunct): all buckets eligible,
+    // values land correctly
+    spark.sql("UPDATE bk.t.dml SET v = -1.0 WHERE k % 50 = 1")
+    assert(spark.sql("SELECT count(*) FROM bk.t.dml WHERE v = -1.0")
+      .as[Long].head() == 4L) // k = 1, 51, 101, 151
+    // MERGE: update one key, insert a new one
+    spark.sql("CREATE TABLE bk.t.dml_src (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO bk.t.dml_src VALUES (60, 600.0), (1000, 1.0)")
+    spark.sql(
+      """MERGE INTO bk.t.dml t USING bk.t.dml_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT v FROM bk.t.dml WHERE k = 60").as[Double].head()
+      == 600.0)
+    assert(spark.sql("SELECT v FROM bk.t.dml WHERE k = 1000").as[Double].head()
+      == 1.0)
+    assert(spark.sql("SELECT count(*) FROM bk.t.dml").as[Long].head() == 200L)
+    // the table stays SPJ-joinable shuffle-free after all three ops
+    withSpj {
+      val q = spark.sql(
+        "SELECT a.k FROM bk.t.dml a JOIN bk.t.dml b ON a.k = b.k")
+      assert(shuffles(q.queryExecution.executedPlan).isEmpty,
+        "bucket layout must survive row-level DML")
+      assert(q.count() == 200L)
+    }
+    // TRUNCATE still rides the metadata path
+    spark.sql("TRUNCATE TABLE bk.t.dml")
+    assert(spark.sql("SELECT count(*) FROM bk.t.dml").as[Long].head() == 0L)
+  }
+
+  test("INSERT OVERWRITE re-buckets through the layout file") {
+    cat
     spark.sql(
       "INSERT OVERWRITE bk.t.f2 SELECT id AS k, 1.0 AS w FROM range(0, 8)")
     val snap = TxTable.currentSnapshot(spark, s"$wh/t/f2").get
