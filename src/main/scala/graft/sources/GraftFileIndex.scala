@@ -45,6 +45,15 @@ final class GraftFileIndex(
 
   private val schema = StructType.fromDDL(snapshot.schemaDdl)
 
+  // layout spec (catalog tables persist it next to the manifest):
+  // bucket layouts get manifest-level GROUP pruning for key-equality
+  // predicates — min/max stats are useless on a hash-distributed key,
+  // but `k = 5` can only live in bucket pmod(murmur3(5), N), so a
+  // point lookup on a 100 TB table scans 1/N of it before stats even
+  // apply
+  private val layout: Option[Layout.Kind] =
+    GraftCatalog.readPartitionCol(spark, root).map(Layout.parse)
+
   private val qualifiedRoot: Path = {
     val p = new Path(root)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,11 +77,25 @@ final class GraftFileIndex(
     // evaluates. Files it cannot decide about are kept; Spark re-applies
     // the full predicate row-by-row on survivors (pruning only ever
     // REMOVES work, never decides correctness).
+    val afterBuckets = layout match {
+      case Some(Layout.Bucket(n, c)) if dataFilters.nonEmpty =>
+        BucketIds.allowedByFilters(c, n, dataFilters) match {
+          case Some(allowed) =>
+            val prefix = s"${Layout.BucketPartName}="
+            snapshot.entries.filter { e =>
+              !e.partition.startsWith(prefix) ||
+                scala.util.Try(e.partition.stripPrefix(prefix).toInt)
+                  .toOption.forall(allowed.contains)
+            }
+          case None => snapshot.entries
+        }
+      case _ => snapshot.entries
+    }
     val survivors =
-      if (dataFilters.isEmpty) snapshot.entries
+      if (dataFilters.isEmpty) afterBuckets
       else {
         val cond = dataFilters.reduce(And)
-        snapshot.entries.filterNot(e =>
+        afterBuckets.filterNot(e =>
           FileStats.provesEmpty(cond, schema, e.stats))
       }
     lastListedCount = survivors.size

@@ -295,6 +295,60 @@ private[sources] object BucketIds {
       .asInstanceOf[Int]
     ((h % n) + n) % n
   }
+
+  /** The ordinary-read twin of `candidateValues`: bound the live
+    * bucket-id set from the OPTIMIZER's pushed dataFilters (catalyst
+    * shapes — resolved attributes, folded literals, `In`→`InSet`
+    * conversion already applied). None = the filters cannot bound the
+    * set. Same soundness contract: over-approximate is safe,
+    * under-approximate impossible — only exact value enumeration
+    * (equality, IN/INSET, null-safe equality, AND/OR closure)
+    * produces a bound.
+    */
+  def allowedByFilters(
+      col: String, n: Int,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Murmur3HashFunction, Or}
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(col)
+      case _ => false
+    }
+    def hashId(v: Any, dt: DataType): Int = {
+      val h = Murmur3HashFunction.hash(v, dt, 42L).toInt
+      ((h % n) + n) % n
+    }
+    // candidate CATALYST values matching rows can take, per conjunct;
+    // `= NULL` matches nothing (empty), `<=> NULL` matches null rows
+    def cands(e: Expression): Option[Seq[(Any, DataType)]] = e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if isCol(a) =>
+        Some(if (v == null) Nil else Seq((v, a.dataType)))
+      case EqualTo(Literal(v, _), a: AttributeReference) if isCol(a) =>
+        Some(if (v == null) Nil else Seq((v, a.dataType)))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if isCol(a) =>
+        Some(Seq((v, a.dataType)))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if isCol(a) =>
+        Some(Seq((v, a.dataType)))
+      case In(a: AttributeReference, list)
+          if isCol(a) && list.forall(_.isInstanceOf[Literal]) =>
+        Some(list.collect {
+          case Literal(v, _) if v != null => (v, a.dataType)
+        })
+      case InSet(a: AttributeReference, hset) if isCol(a) =>
+        Some(hset.filter(_ != null).toSeq.map(v => (v, a.dataType)))
+      case And(l, r) =>
+        (cands(l), cands(r)) match {
+          case (Some(a), Some(b)) => Some(a.toSet.intersect(b.toSet).toSeq)
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for { a <- cands(l); b <- cands(r) } yield (a.toSet ++ b.toSet).toSeq
+      case _ => None
+    }
+    val bounds = filters.flatMap(f =>
+      cands(f).map(_.map { case (v, dt) => hashId(v, dt) }.toSet))
+    if (bounds.isEmpty) None else Some(bounds.reduce(_ intersect _))
+  }
 }
 
 /** Scan half of the copy-on-write pair. Built over the PINNED snapshot

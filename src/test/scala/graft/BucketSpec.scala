@@ -153,6 +153,73 @@ class BucketSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM bk.t.dml").as[Long].head() == 0L)
   }
 
+  test("point lookup on a bucket table scans only the key's bucket group") {
+    cat
+    spark.sql(
+      "CREATE TABLE bk.t.pt (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO bk.t.pt SELECT id AS k, id * 1.0 AS v " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val root = s"$wh/t/pt"
+    val snap = TxTable.currentSnapshot(spark, root).get
+    def listedOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // execute so the scan lists
+      def deep(p: SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+        val here = p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        here ++ p.collect {
+          case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            deep(q.plan)
+        }.flatten
+      }
+      val scans = deep(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+      scans.head.scan
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        .fileIndex.asInstanceOf[graft.sources.GraftPartitioningIndex]
+        .delegate.lastListedCount
+    }
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal => CLit}
+    import graft.sources.{FileStats, Layout}
+    val kAttr = spark.sql("SELECT * FROM bk.t.pt").queryExecution
+      .analyzed.output.find(_.name == "k").get
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    def statsSurvivors(key: Long): Seq[graft.sources.TxTable.Entry] =
+      snap.entries.filterNot(e =>
+        FileStats.provesEmpty(EqualTo(kAttr, CLit(key)), ddl, e.stats))
+    def idOf(key: Long): Int = spark.range(1).select(
+      pmod(hash(lit(key)), lit(8)).cast("int")).as[Int].head()
+    // equality: listed = the key's bucket group ∩ stats survivors, and
+    // STRICTLY fewer than stats alone would keep (group pruning earns
+    // its keep where min/max on a hash-distributed key cannot)
+    val expect1 = statsSurvivors(5L)
+      .count(_.partition == s"_bucket=${idOf(5L)}")
+    val q1 = spark.sql("SELECT v FROM bk.t.pt WHERE k = 5")
+    assert(q1.collect().map(_.getDouble(0)).toSeq == Seq(5.0))
+    assert(listedOf(q1) == expect1,
+      s"k=5 must list bucket ${idOf(5L)}'s stats-surviving $expect1 files")
+    assert(expect1 < statsSurvivors(5L).size,
+      "group pruning must beat stats-only pruning on this layout")
+    // IN-list: union of the members' bucket groups (∩ per-key stats)
+    val inIds = Seq(5L, 105L, 205L).map(idOf).toSet
+    val expectIn = Seq(5L, 105L, 205L).flatMap(k => statsSurvivors(k)
+      .filter(_.partition == s"_bucket=${idOf(k)}")).distinct.size
+    val q2 = spark.sql("SELECT sum(v) FROM bk.t.pt WHERE k IN (5, 105, 205)")
+    assert(q2.as[Double].head() == 315.0)
+    assert(listedOf(q2) <= snap.entries.count(e =>
+      inIds.contains(e.partition.stripPrefix("_bucket=").toInt)),
+      "IN-list must stay within the member buckets' groups")
+    assert(listedOf(q2) >= expectIn,
+      "IN-list pruning must keep every possibly-matching file")
+    // a non-enumerable predicate scans everything (no wrong pruning)
+    val q3 = spark.sql("SELECT count(*) FROM bk.t.pt WHERE k % 2 = 0")
+    assert(q3.as[Long].head() == 150L)
+  }
+
   test("INSERT OVERWRITE re-buckets through the layout file") {
     cat
     spark.sql(
