@@ -40,11 +40,29 @@ private[graft] object KeyedLayout {
     val partType = kind.partType(schema)
     if (snap.entries.exists(!_.partition.contains("="))) return None
 
+    // bucket layouts: bound the live group set from enumerable key
+    // filters first (same manifest-level pruning as the ordinary
+    // read path — min/max stats cannot skip on a hash-distributed
+    // key, the group bound can)
+    val afterBuckets = kind match {
+      case Layout.Bucket(n, c) if dataFilters.nonEmpty =>
+        BucketIds.allowedByFilters(c, n, dataFilters) match {
+          case Some(allowed) =>
+            val prefix = s"${Layout.BucketPartName}="
+            snap.entries.filter { e =>
+              !e.partition.startsWith(prefix) ||
+                scala.util.Try(e.partition.stripPrefix(prefix).toInt)
+                  .toOption.forall(allowed.contains)
+            }
+          case None => snap.entries
+        }
+      case _ => snap.entries
+    }
     val survivors =
-      if (dataFilters.isEmpty) snap.entries
+      if (dataFilters.isEmpty) afterBuckets
       else {
         val cond = dataFilters.reduce(And)
-        snap.entries.filterNot(e => FileStats.provesEmpty(cond, schema, e.stats))
+        afterBuckets.filterNot(e => FileStats.provesEmpty(cond, schema, e.stats))
       }
 
     val qualifiedRoot = {

@@ -283,7 +283,7 @@ private[sources] object PartitionPredicates {
   * `Layout.dirColumn` use, so pruning and placement can never
   * disagree.
   */
-private[sources] object BucketIds {
+private[graft] object BucketIds {
   /** Bucket id of one EXTERNAL value (None = SQL NULL — hashes to the
     * seed, exactly as `functions.hash(null)` does).
     */

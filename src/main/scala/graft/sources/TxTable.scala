@@ -370,8 +370,22 @@ object TxTable {
     // name (identity) or bucket(N,col) (hash buckets)
     partitionCol match {
       case Some(spec) =>
-        df.withColumn("__gtx_part", Layout.dirColumn(df, spec))
-          .write.partitionBy("__gtx_part").parquet(dir)
+        val withPart = df.withColumn("__gtx_part", Layout.dirColumn(df, spec))
+        // bucket layouts pre-place rows by bucket id before the write:
+        // without it every task writes a file for every bucket it sees
+        // (tasks × N small files per append — the classic bulk-load
+        // small-files failure at scale); with it each bucket lands in
+        // exactly one task → one file per bucket per append, the shape
+        // compact would otherwise have to repair. One extra shuffle of
+        // the appended rows — the Iceberg hash-distribution-mode
+        // trade, correct for bulk loads. Identity layouts keep the
+        // unshuffled path: value skew would collapse parallelism.
+        val placed = Layout.parse(spec) match {
+          case _: Layout.Bucket =>
+            withPart.repartition(org.apache.spark.sql.functions.col("__gtx_part"))
+          case _ => withPart
+        }
+        placed.write.partitionBy("__gtx_part").parquet(dir)
       case None => df.write.parquet(dir)
     }
     val f = fs(spark, root)

@@ -98,6 +98,11 @@ object ScaleRehearsal {
     // broadcast lookup cascade: three fixed dim builds, 10× lineitem
     // probe — certifies the J2 full-cache posture under fact growth
     "q_lookup_cascade",
+    // round-7: bucket-table DML — CTAS into bucket(8, o_orderkey)
+    // over 10× orders, then modulo DELETE + key DELETE + modulo
+    // UPDATE; CoW cost must track the touched bucket groups and the
+    // pre-placed build must not small-file
+    "q_bucket_dml",
     // round-7: file-per-row LOB export roundtrip — 10× documents ⇒
     // 10× files written and re-read; cost must track file count
     // (executor-parallel raw-FS writes, one-listStatus read-back)

@@ -220,6 +220,39 @@ class BucketSpec extends SparkSpec {
     assert(q3.as[Long].head() == 150L)
   }
 
+  test("allowedByFilters: enumerable shapes bound the bucket set, everything else declines") {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, GreaterThan, In, InSet, Literal => CL, Or}
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.BucketIds
+    val n = 16
+    val k = AttributeReference("k", LongType)()
+    val other = AttributeReference("x", LongType)()
+    def id(v: java.lang.Long): Int = spark.range(1).select(
+      pmod(hash(lit(v).cast("bigint")), lit(n)).cast("int")).as[Int].head()
+    def run(es: org.apache.spark.sql.catalyst.expressions.Expression*) =
+      BucketIds.allowedByFilters("k", n, es.toSeq)
+    assert(run(EqualTo(k, CL(7L))) == Some(Set(id(7L))))
+    assert(run(EqualTo(CL(7L), k)) == Some(Set(id(7L))))
+    // k = NULL matches nothing; k <=> NULL pins null's bucket
+    assert(run(EqualTo(k, CL(null, LongType))) == Some(Set.empty[Int]))
+    assert(run(EqualNullSafe(k, CL(null, LongType))) == Some(Set(id(null))))
+    assert(run(In(k, Seq(CL(1L), CL(2L), CL(null, LongType)))) ==
+      Some(Set(id(1L), id(2L))))
+    assert(run(InSet(k, Set[Any](1L, 2L))) == Some(Set(id(1L), id(2L))))
+    // AND: an enumerable side bounds the conjunction; OR needs both
+    assert(run(And(EqualTo(k, CL(7L)), GreaterThan(other, CL(0L)))) ==
+      Some(Set(id(7L))))
+    assert(run(Or(EqualTo(k, CL(1L)), EqualTo(k, CL(2L)))) ==
+      Some(Set(id(1L), id(2L))))
+    assert(run(Or(EqualTo(k, CL(1L)), GreaterThan(k, CL(0L)))).isEmpty)
+    // separate conjuncts intersect: k=1 AND k IN (1,2) -> {id(1)}
+    assert(run(EqualTo(k, CL(1L)), In(k, Seq(CL(1L), CL(2L)))) ==
+      Some(Set(id(1L))))
+    // non-enumerable or other-column-only filters impose no bound
+    assert(run(GreaterThan(k, CL(5L))).isEmpty)
+    assert(run(EqualTo(other, CL(5L))).isEmpty)
+  }
+
   test("INSERT OVERWRITE re-buckets through the layout file") {
     cat
     spark.sql(
@@ -230,6 +263,22 @@ class BucketSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM bk.t.f2").as[Long].head() == 8L)
     spark.sql("TRUNCATE TABLE bk.t.f2")
     assert(spark.sql("SELECT count(*) FROM bk.t.f2").as[Long].head() == 0L)
+  }
+
+  test("bucket append pre-places rows: one file per occupied bucket per INSERT") {
+    cat
+    spark.sql(
+      "CREATE TABLE bk.t.opt (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    // range() plans many input partitions; without pre-placement every
+    // task would write a file per bucket it sees (tasks × 4 files)
+    spark.sql("INSERT INTO bk.t.opt SELECT id AS k, id * 1.0 AS v " +
+      "FROM range(0, 1000)")
+    val snap = TxTable.currentSnapshot(spark, s"$wh/t/opt").get
+    assert(snap.entries.size == 4,
+      s"one file per bucket, got ${snap.entries.map(_.relPath)}")
+    assert(snap.entries.map(_.partition).toSet.size == 4)
+    assert(spark.sql("SELECT sum(k) FROM bk.t.opt").as[Long].head() ==
+      (0L until 1000L).sum)
   }
 
   test("compact preserves bucket partition strings and the joinable layout") {
