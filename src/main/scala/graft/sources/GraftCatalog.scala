@@ -452,6 +452,17 @@ private[sources] object GraftProcedures {
       (cat, r) => Seq(Seq(
         TxTable.vacuum(spark, cat.tableRoot(str(r, 0)), r.getLong(1),
           force = r.getBoolean(2)).toLong))),
+    "vacuum_retain" -> new Proc(
+      "vacuum_retain", "time-based retention vacuum: keep every " +
+        "version committed in the last retain_hours (and the current " +
+        "one), reclaim files only reachable from older versions; same " +
+        "live-clone guard as vacuum",
+      Array(in("table", StringType), in("retain_hours", LongType),
+        inDefault("force", BooleanType, "false")),
+      StructType(Seq(StructField("files_deleted", LongType, false))),
+      (cat, r) => Seq(Seq(
+        TxTable.vacuumRetain(spark, cat.tableRoot(str(r, 0)),
+          r.getLong(1) * 3600L * 1000L, force = r.getBoolean(2)).toLong))),
     "zorder" -> new Proc(
       "zorder", "re-cluster the table on the given columns (in place)",
       Array(in("table", StringType), in("columns", StringType),

@@ -500,10 +500,13 @@ private[sources] final class GraftCowWrite(
 
   override def requiredDistribution(): Distribution =
     partitionCol.map(Layout.parse) match {
-      // clustering on the SOURCE column co-locates each group's rows
-      // for both layouts (equal values share a bucket by definition);
-      // bucket tables just get finer-than-necessary clustering, which
-      // AQE coalesces
+      // bucket layouts cluster on the bucket TRANSFORM (resolved
+      // through the catalog's own bucket function): each touched
+      // bucket's surviving rows land in ONE task → one rewritten file
+      // per group, not one per task that saw the group
+      case Some(Layout.Bucket(n, c)) =>
+        Distributions.clustered(Array[V2Expression](Expressions.bucket(n, c)))
+      // identity layouts cluster on the partition column itself
       case Some(l) =>
         Distributions.clustered(Array[V2Expression](Expressions.column(l.col)))
       case None => Distributions.unspecified()

@@ -1154,6 +1154,26 @@ object TxTable {
     * `force = true` to override after dropping (or localizing) the
     * clones; dropped clones never block (stale markers self-prune).
     */
+  /** Time-based retention vacuum — the "retain N hours of history"
+    * operational shape, expressed over graft's version-granularity
+    * reclaim: every version committed inside the retention window
+    * survives (plus the current version, always), and [[vacuum]]
+    * reclaims files reachable only from older ones. Version
+    * timestamps come from the manifests, so the decision costs one
+    * metadata listing, no data reads.
+    */
+  def vacuumRetain(
+      spark: SparkSession, root: String, retainMillis: Long,
+      force: Boolean = false): Int = {
+    require(retainMillis >= 0, s"vacuumRetain: negative retention")
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"vacuumRetain: no committed versions under $root")
+    val keepFrom = vs.filter(v => snapshot(spark, root, v).ts >= cutoff)
+      .minOption.getOrElse(vs.max)
+    vacuum(spark, root, keepFrom, force)
+  }
+
   def vacuum(
       spark: SparkSession, root: String, keepFromVersion: Long,
       force: Boolean = false): Int = {

@@ -111,10 +111,13 @@ class BucketSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM bk.t.dml").as[Long].head() == 199L)
     assert(spark.sql("SELECT count(*) FROM bk.t.dml WHERE k = 55")
       .as[Long].head() == 0L)
-    val changed = afterDel.entries.map(_.partition).toSet --
-      afterDel.entries.toSet.intersect(before.entries.toSet).map(_.partition)
+    val freshFiles = afterDel.entries.filterNot(before.entries.toSet)
+    val changed = freshFiles.map(_.partition).toSet
     assert(changed.size == 1,
       s"a one-key DELETE must rewrite exactly one bucket group, got $changed")
+    assert(freshFiles.size == 1,
+      s"the rewritten group must land as ONE file (bucket-transform " +
+        s"clustering), got ${freshFiles.map(_.relPath)}")
     // rewritten rows stay in their hash bucket: every entry's rows
     // must agree with the catalog's own bucket function
     afterDel.entries.foreach { e =>

@@ -378,6 +378,29 @@ class CatalogSpec extends SparkSpec {
     assert(before >= 0)
   }
 
+  test("CALL vacuum_retain keeps windowed history, reclaims beyond it") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.vr")
+    spark.sql("CREATE TABLE gc.vr.t (k BIGINT)")
+    spark.sql("INSERT INTO gc.vr.t VALUES (1)")          // v1
+    spark.sql("INSERT OVERWRITE gc.vr.t VALUES (2)")     // v2: v1's file orphans
+    // generous retention: every version is inside the window, nothing
+    // to reclaim
+    assert(spark.sql("CALL gc.system.vacuum_retain('vr.t', 1000)")
+      .as[Long].head() == 0L)
+    // zero retention: only the current version survives; v1's
+    // overwritten file goes
+    assert(spark.sql("CALL gc.system.vacuum_retain('vr.t', 0)")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT k FROM gc.vr.t").as[Long].head() == 2L)
+    // time travel to the vacuumed version now fails loudly (the file
+    // is gone; RESTORE additionally pre-checks and names the vacuum)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gc.vr.t VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("vacuum") ||
+      e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
   test("CALL export_files writes one file per row from SQL text") {
     cat
     spark.sql("CREATE NAMESPACE gc.lob")
