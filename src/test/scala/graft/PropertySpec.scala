@@ -217,6 +217,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bucket-group pruning never changes query results") {
+    // the soundness contract behind BucketIds.allowedByFilters: pruning
+    // may only REMOVE provably-empty groups — every predicate shape,
+    // enumerable or not, must return exactly what an unbucketed copy of
+    // the same rows returns (wrong pruning = silent row loss)
+    val wh = s"target/tmp/graft_prune_prop_${System.nanoTime()}"
+    spark.conf.set("spark.sql.catalog.pb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE pb.t")
+    spark.sql(
+      "CREATE TABLE pb.t.p (k BIGINT, s STRING, v DOUBLE) " +
+        "PARTITIONED BY (bucket(8, k))")
+    spark.sql(
+      """INSERT INTO pb.t.p
+        |SELECT CASE WHEN id % 97 = 0 THEN NULL ELSE id % 211 END AS k,
+        |       concat('x', id % 13) AS s, id * 1.0 AS v
+        |FROM range(0, 500)""".stripMargin)
+    spark.sql(
+      """SELECT CASE WHEN id % 97 = 0 THEN NULL ELSE id % 211 END AS k,
+        |       concat('x', id % 13) AS s, id * 1.0 AS v
+        |FROM range(0, 500)""".stripMargin).createOrReplaceTempView("pb_plain")
+    val predicates = Seq(
+      "k = 5", "k = 5000", "5 = k", "k IN (1, 2, 3)", "k IN (5, NULL)",
+      "k <=> NULL", "k IS NULL", "k = NULL", "k = 5 OR k = 700",
+      "(k = 5 AND v > 0) OR k = 9", "k % 7 = 0", "k > 450",
+      "s = 'x3' AND k IN (3, 33)", "NOT (k = 5)",
+      "k IN (1,2,3,4,5,6,7,8,9,10,11,12,13,14)") // InSet conversion
+    predicates.foreach { p =>
+      val got = spark.sql(s"SELECT k, s, v FROM pb.t.p WHERE $p")
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.sql(s"SELECT k, s, v FROM pb_plain WHERE $p")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"WHERE $p: pruned scan returned ${got.size} rows, expected ${want.size}")
+    }
+  }
+
   test("repetitionRatio: 0 for empty/all-distinct, (n-1)/n for constant text") {
     val df = Seq(
       (1L, ""), (2L, "   "), (3L, "a b c"), (4L, "x x x x"),
