@@ -431,14 +431,18 @@ private[sources] object GraftProcedures {
       (cat, r) => Seq(Seq(
         TxTable.restore(spark, cat.tableRoot(str(r, 0)), r.getLong(1))))),
     "compact" -> new Proc(
-      "compact", "bin-pack small files per partition into one new version",
+      "compact", "bin-pack small files per partition into one new " +
+        "version; optional partition scope ('col=value' / '_bucket=id') " +
+        "compacts one hot group of a huge table",
       Array(in("table", StringType),
-        inDefault("target_file_bytes", LongType, (128L << 20).toString)),
+        inDefault("target_file_bytes", LongType, (128L << 20).toString),
+        inDefault("partition", StringType, "''")),
       StructType(Seq(StructField("version", LongType, false),
         StructField("live_files", LongType, false))),
       (cat, r) => {
         val root = cat.tableRoot(str(r, 0))
-        val v = TxTable.compact(spark, root, r.getLong(1))
+        val scope = Option(str(r, 2)).filter(_.nonEmpty)
+        val v = TxTable.compact(spark, root, r.getLong(1), scope)
         Seq(Seq(v,
           TxTable.currentSnapshot(spark, root).get.entries.size.toLong))
       }),

@@ -89,6 +89,39 @@ final class GraftFileIndex(
             }
           case None => snapshot.entries
         }
+      // identity layouts: a conjunct referencing ONLY the partition
+      // column evaluates identically for every row of a group — bind
+      // the column to the entry's partition value and drop
+      // provably-false groups. Subsumes nothing stats do (min == max
+      // entries prune there too) but works where interpretation
+      // cannot: stats-less legacy entries, and arbitrary expressions
+      // (LIKE, substr, modulo) over the partition column.
+      case Some(Layout.Identity(c)) if dataFilters.nonEmpty =>
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, GenericInternalRow}
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType)
+        val perCol = dataFilters.filter(f =>
+          f.references.nonEmpty &&
+            f.references.forall(_.name.equalsIgnoreCase(c)) &&
+            f.deterministic)
+        if (dt.isEmpty || perCol.isEmpty) snapshot.entries
+        else {
+          val bound = perCol.map(_.transform {
+            case a: AttributeReference if a.name.equalsIgnoreCase(c) =>
+              BoundReference(0, dt.get, nullable = true)
+          })
+          val prefix = s"$c="
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(dt.get)
+          snapshot.entries.filter { e =>
+            !e.partition.startsWith(prefix) || scala.util.Try {
+              val row = new GenericInternalRow(Array[Any](
+                conv(PartitionPredicates.partitionValue(e.partition, dt.get))))
+              // false = provably no matching rows; null/true/error keep
+              bound.forall(b => b.eval(row) != false)
+            }.getOrElse(true)
+          }
+        }
       case _ => snapshot.entries
     }
     val survivors =

@@ -912,7 +912,8 @@ object TxTable {
     */
   def compact(
       spark: SparkSession, root: String,
-      targetFileBytes: Long = 128L << 20): Long = {
+      targetFileBytes: Long = 128L << 20,
+      partitionScope: Option[String] = None): Long = {
     val cur = requireSnapshot(spark, root)
     val f = fs(spark, root)
     val schema = StructType.fromDDL(cur.schemaDdl)
@@ -921,9 +922,20 @@ object TxTable {
     val size = cur.entries.map(e =>
       e -> (if (e.size >= 0) e.size
             else f.getFileStatus(new Path(entryPath(root, e.relPath))).getLen)).toMap
+    // optional scope: bin-pack only the named partition group (the
+    // hot-partition maintenance shape — CDC upserts fragment a few
+    // partitions of a 100 TB table; scoping skips sizing and
+    // rewriting decisions for everything else)
+    val inScope: TxTable.Entry => Boolean =
+      partitionScope match {
+        case Some(p) => e => e.partition == p
+        case None => _ => true
+      }
     val (rewrite, keep) = cur.entries.groupBy(_.partition).toSeq
       .flatMap { case (_, es) =>
-        val small = es.filter(size(_) < targetFileBytes)
+        val small =
+          if (inScope(es.head)) es.filter(size(_) < targetFileBytes)
+          else Seq.empty
         if (small.size >= 2) small.map(e => (e, true)) ++
           es.filterNot(small.contains).map(e => (e, false))
         else es.map(e => (e, false))

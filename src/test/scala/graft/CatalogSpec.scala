@@ -378,6 +378,47 @@ class CatalogSpec extends SparkSpec {
     assert(before >= 0)
   }
 
+  test("CALL compact with a partition scope bin-packs only that group") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.hot")
+    spark.sql("CREATE TABLE gc.hot.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO gc.hot.t SELECT /*+ REPARTITION(1) */ id, 'a' " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+      spark.sql(s"INSERT INTO gc.hot.t SELECT /*+ REPARTITION(1) */ id, 'b' " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val root = s"$wh/hot/t"
+    val before = TxTable.currentSnapshot(spark, root).get
+    assert(before.entries.count(_.partition == "p=a") == 3)
+    spark.sql("CALL gc.system.compact('hot.t', 134217728, 'p=a')")
+    val after = TxTable.currentSnapshot(spark, root).get
+    assert(after.entries.count(_.partition == "p=a") == 1,
+      s"scoped group must bin-pack: ${after.entries.map(_.partition)}")
+    assert(after.entries.filter(_.partition == "p=b").toSet ==
+      before.entries.filter(_.partition == "p=b").toSet,
+      "out-of-scope group must be byte-untouched")
+    assert(spark.sql("SELECT count(*) FROM gc.hot.t").as[Long].head() == 60L)
+  }
+
+  test("identity partition groups prune on expressions stats cannot interpret") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.idp")
+    spark.sql("CREATE TABLE gc.idp.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gc.idp.t VALUES (1, 'aa'), (2, 'ab'), (3, 'bb')")
+    val df = spark.sql("SELECT k FROM gc.idp.t WHERE p LIKE 'a%'")
+    assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val idx = plan.collect { case b: BatchScanExec => b }.head
+      .scan.asInstanceOf[ParquetScan]
+      .fileIndex.asInstanceOf[GraftPartitioningIndex]
+    assert(idx.delegate.lastListedCount == 2,
+      s"LIKE 'a%' must list the two a-groups, got ${idx.delegate.lastListedCount}")
+  }
+
   test("CALL vacuum_retain keeps windowed history, reclaims beyond it") {
     cat
     spark.sql("CREATE NAMESPACE gc.vr")
