@@ -405,6 +405,9 @@ object Multimodal {
     * manifest carries one row per exported file. At 100 TB the export
     * parallelizes as a narrow map over the source partitions; callers
     * control file count by filtering/repartitioning the input.
+    * Duplicate ids collapse to one file (last writer wins) while the
+    * manifest keeps one row per INPUT row — dedupe upstream when ids
+    * are not unique.
     */
   def exportFiles(media: DataFrame, idCol: String, payloadCol: String,
       outDir: String, ext: String = "bin"): DataFrame = {

@@ -374,15 +374,20 @@ object TxTable {
         // bucket layouts pre-place rows by bucket id before the write:
         // without it every task writes a file for every bucket it sees
         // (tasks × N small files per append — the classic bulk-load
-        // small-files failure at scale); with it each bucket lands in
-        // exactly one task → one file per bucket per append, the shape
-        // compact would otherwise have to repair. One extra shuffle of
-        // the appended rows — the Iceberg hash-distribution-mode
-        // trade, correct for bulk loads. Identity layouts keep the
-        // unshuffled path: value skew would collapse parallelism.
+        // small-files failure at scale). REBALANCE (not a plain
+        // repartition) is the scale-correct placement: AQE coalesces a
+        // small append into few tasks (one file per occupied bucket)
+        // but SPLITS an oversized bucket across tasks, so a 100 TB
+        // CTAS into 256 buckets is not throttled to 256 giant
+        // single-file tasks — files stay advisory-sized, possibly
+        // several per bucket, which is exactly what compact would
+        // produce anyway. One extra shuffle of the appended rows (the
+        // Iceberg hash-distribution-mode trade). Identity layouts keep
+        // the unshuffled path: value skew would collapse parallelism.
         val placed = Layout.parse(spec) match {
           case _: Layout.Bucket =>
-            withPart.repartition(org.apache.spark.sql.functions.col("__gtx_part"))
+            withPart.hint("rebalance",
+              org.apache.spark.sql.functions.col("__gtx_part"))
           case _ => withPart
         }
         placed.write.partitionBy("__gtx_part").parquet(dir)
