@@ -301,7 +301,19 @@ final class GraftCatalog
     val ns = parts.init.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
     require(fs.exists(ns), s"no namespace '${parts.init.mkString(".")}' " +
       s"under $warehouse")
-    new Path(ns, parts.last).toString
+    val target = new Path(ns, parts.last)
+    // clone-destination twin of the CREATE TABLE guard: committing a
+    // manifest into a populated directory would CONVERT a namespace
+    // into a table and hide its child tables from listings — refuse
+    // unless the path is absent or an empty leftover directory
+    if (fs.exists(target)) {
+      require(fs.getFileStatus(target).isDirectory,
+        s"clone target '$dotted' exists and is a file")
+      require(fs.listStatus(target).isEmpty,
+        s"clone target '$dotted' already exists and is non-empty — " +
+          "refusing to claim it")
+    }
+    target.toString
   }
 
   // --------------------------------------------------------- namespaces
