@@ -54,4 +54,36 @@ class RebaseSpec extends SparkSpec {
       TxTable.commitReplace(spark, root, pin3.version,
         Set("p=c"), Nil, "test-schema-move"))
   }
+
+  test("concurrent partition-disjoint SQL DELETEs both land (thread race)") {
+    spark.conf.set("spark.sql.catalog.rb2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rb2.warehouse", s"${wh}_race")
+    spark.sql("CREATE NAMESPACE rb2.t")
+    spark.sql("CREATE TABLE rb2.t.y (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(
+      """INSERT INTO rb2.t.y
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END
+        |FROM range(0, 100)""".stripMargin)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // row-predicate DELETEs scoped to DISJOINT partitions: whichever
+      // commits second is pinned to the pre-race snapshot and must
+      // rebase, not throw — both statements land, in either order
+      val fs = Seq(
+        Future(spark.sql("DELETE FROM rb2.t.y WHERE p = 'even' AND k < 50")),
+        Future(spark.sql("DELETE FROM rb2.t.y WHERE p = 'odd' AND k >= 50")))
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    assert(spark.sql("SELECT count(*) FROM rb2.t.y").as[Long].head() == 50L)
+    assert(spark.sql(
+      "SELECT count(*) FROM rb2.t.y WHERE p = 'even' AND k < 50")
+      .as[Long].head() == 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM rb2.t.y WHERE p = 'odd' AND k >= 50")
+      .as[Long].head() == 0L)
+  }
 }
