@@ -491,6 +491,26 @@ private[sources] object GraftProcedures {
         Seq(Seq(ZOrder.cluster(spark, cat.tableRoot(str(r, 0)), dims,
           r.getLong(2).toInt)))
       }),
+    "detail" -> new Proc(
+      "detail", "DESCRIBE DETAIL: one row with the table's current " +
+        "version, file/byte totals, layout spec, and CHECK count",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, false),
+        StructField("files", LongType, false),
+        StructField("bytes", LongType, false),
+        StructField("layout", StringType, true),
+        StructField("num_checks", LongType, false),
+        StructField("location", StringType, false))),
+      (cat, r) => {
+        val root = cat.tableRoot(str(r, 0))
+        val s = TxTable.currentSnapshot(spark, root).getOrElse(
+          throw new IllegalArgumentException(s"not a graft table: $root"))
+        Seq(Seq(s.version, s.entries.size.toLong,
+          s.entries.map(e => math.max(e.size, 0L)).sum,
+          GraftCatalog.readPartitionCol(spark, root).orNull,
+          s.checks.size.toLong, root))
+      }),
     "history" -> new Proc(
       "history", "DESCRIBE HISTORY: one row per committed version",
       Array(in("table", StringType)),

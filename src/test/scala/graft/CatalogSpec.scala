@@ -419,6 +419,21 @@ class CatalogSpec extends SparkSpec {
       s"LIKE 'a%' must list the two a-groups, got ${idx.delegate.lastListedCount}")
   }
 
+  test("CALL detail reports version, totals, layout, and check count") {
+    cat
+    spark.sql("CREATE NAMESPACE gc.det")
+    spark.sql(
+      "CREATE TABLE gc.det.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gc.det.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gc.system.add_check('det.t', 'k_pos', 'k > 0')")
+    val row = spark.sql("CALL gc.system.detail('det.t')").head()
+    assert(row.getLong(0) == 2L, s"create + insert + check = v2: $row")
+    assert(row.getLong(1) >= 1L && row.getLong(2) > 0L)
+    assert(row.getString(3) == "p")
+    assert(row.getLong(4) == 1L)
+    assert(row.getString(5).endsWith("det/t"))
+  }
+
   test("CALL vacuum_retain keeps windowed history, reclaims beyond it") {
     cat
     spark.sql("CREATE NAMESPACE gc.vr")
