@@ -427,6 +427,14 @@ object Multimodal {
           case f => f
         }
         rows.map { case (id, bytes) =>
+          // fail BEFORE any byte is written: a null id would collapse
+          // every null-id row onto one "null.<ext>" file and a null
+          // payload would NPE mid-partition, leaving earlier files on
+          // disk with no complete manifest — refuse the whole task
+          if (id == null || bytes == null) throw new IllegalArgumentException(
+            s"exportFiles: null ${if (id == null) "id" else "payload"} row " +
+              "— filter nulls upstream (WHERE id IS NOT NULL AND " +
+              "payload IS NOT NULL) or fix the source")
           val p = fs.makeQualified(
             new org.apache.hadoop.fs.Path(dir, s"$id.$ext"))
           val out = fs.create(p, true)

@@ -36,8 +36,12 @@ object StreamQueries {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
       .where(col("media_id") % 7 === 0)
       .repartition(16)
-    // absolute path: the driver may invoke Verify from any CWD
-    val out = s"/root/repo/target/tmp/lob_${new java.io.File(dir).getName}"
+    // absolute path derived from the JVM's working dir (sbt runs in
+    // the project root), overridable via -Dgraft.tmp.dir — not a
+    // hard-coded checkout location
+    val tmpRoot = sys.props.getOrElse("graft.tmp.dir",
+      new java.io.File("target/tmp").getAbsolutePath)
+    val out = s"$tmpRoot/lob_${new java.io.File(dir).getName}"
     // wipe stale exports so the read-back glob sees exactly this run
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -506,8 +506,16 @@ private[sources] object GraftProcedures {
         val root = cat.tableRoot(str(r, 0))
         val s = TxTable.currentSnapshot(spark, root).getOrElse(
           throw new IllegalArgumentException(s"not a graft table: $root"))
-        Seq(Seq(s.version, s.entries.size.toLong,
-          s.entries.map(e => math.max(e.size, 0L)).sum,
+        // unknown sizes (-1, pre-size manifests) resolve through one
+        // FileStatus each instead of silently counting as 0 — same
+        // rule compact applies; bounded by legacy entries only
+        val fsys = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val bytes = s.entries.map(e =>
+          if (e.size >= 0) e.size
+          else fsys.getFileStatus(
+            new Path(TxTable.entryPath(root, e.relPath))).getLen).sum
+        Seq(Seq(s.version, s.entries.size.toLong, bytes,
           GraftCatalog.readPartitionCol(spark, root).orNull,
           s.checks.size.toLong, root))
       }),

@@ -456,13 +456,30 @@ private[sources] final class GraftCowScan(
 
   override def readSchema(): StructType = schema
 
-  /** Runtime group filtering keys on the layout's SOURCE column in
-    * both layouts: Spark collects the distinct values among matching
-    * rows and [[filter]] maps them to groups (identity: the value IS
-    * the group; bucket: value → bucket id).
+  /** Runtime group filtering keys on the layout's SOURCE column:
+    * Spark collects the distinct values among matching rows and
+    * [[filter]] maps them to groups (identity: the value IS the
+    * group; bucket: value → bucket id).
+    *
+    * Scale posture: for IDENTITY layouts the collected set is bounded
+    * by the partition count (the filter attribute is the partition
+    * column). For BUCKET layouts the attribute is the raw key, so the
+    * distinct set is bounded only by the matching keys — fine for
+    * selective conditions, a driver-memory risk for broad ones
+    * (`SupportsRuntimeV2Filtering` cannot name a derived bucket-id
+    * column). Two mitigations: (a) when static candidate enumeration
+    * already bounded the bucket set ([[GraftCowScanBuilder
+    * .pushPredicates]] matched), runtime filtering is SKIPPED — the
+    * static bound is tight for equality/IN shapes and this saves the
+    * whole distinct-subquery job; (b) for broad scattered predicates
+    * the scale answer is the merge-on-read leg ([[MergeOnRead
+    * .deleteWhere]]), which plans no group filter at all.
     */
   override def filterAttributes(): Array[NamedReference] =
-    layout.map(l => Expressions.column(l.col)).toArray
+    layout match {
+      case Some(b: Layout.Bucket) if staticPreds.nonEmpty => Array.empty
+      case other => other.map(l => Expressions.column(l.col)).toArray
+    }
 
   override def filter(predicates: Array[V2Predicate]): Unit =
     entries = prune(entries, predicates)
