@@ -18,7 +18,124 @@ object SourceQueries {
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
-    bucketJoin, bucketDml)
+    bucketJoin, bucketDml, morDelete, morChanges, nullSkipping)
+
+  /** MERGE-ON-READ DELETE ([[graft.sources.MergeOnRead]]): orders
+    * lands as bucket(8, o_orderkey), then a DELETE whose keys scatter
+    * across EVERY bucket (a customer-key modulo — uncorrelated with
+    * the bucket key) runs as `CALL delete_where`. Copy-on-write would
+    * rewrite the whole table here; the merge-on-read leg commits one
+    * position-delete file instead, and the query REQUIREs exactly
+    * that: the data file set is byte-identical after the DELETE (write
+    * bytes ∝ deleted rows — the 100 TB scattered-DML shape). The
+    * oracle replays the delete as a WHERE over the raw parquet, so
+    * equality proves the position capture, the manifest DV commit, and
+    * the read-side anti-join are lossless.
+    */
+  val morDelete: Q = Q(
+    "q_mor_delete",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders
+      |WHERE o_custkey % 13 <> 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_mor_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gv", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gv.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gv.mart")
+    s.sql("DROP TABLE IF EXISTS gv.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_mor_src")
+    s.sql(
+      """CREATE TABLE gv.mart.orders PARTITIONED BY (bucket(8, o_orderkey))
+        |AS SELECT * FROM graft_mor_src""".stripMargin)
+    val root = s"$wh/mart/orders"
+    val before = graft.sources.TxTable.currentSnapshot(s, root).get
+      .entries.map(e => (e.relPath, e.size)).toSet
+    s.sql(
+      "CALL gv.system.delete_where('mart.orders', 'o_custkey % 13 = 0')")
+    val after = graft.sources.TxTable.currentSnapshot(s, root).get
+    // the point of the query: scattered-key DELETE, ZERO data rewrite
+    require(after.entries.map(e => (e.relPath, e.size)).toSet == before,
+      "q_mor_delete: merge-on-read DELETE must leave every data file " +
+        "byte-identical")
+    require(after.dvs.nonEmpty && after.dvs.map(_.rows).sum > 0,
+      "q_mor_delete: expected a committed position-delete file")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gv.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Outbound CDC across a merge-on-read version
+    * ([[graft.sources.ChangeFeed]] + [[graft.sources.MergeOnRead]]):
+    * customer snapshots as a transactional table, a scattered DELETE
+    * commits as a position-delete file (no data file changes), and the
+    * change feed between the two versions must surface exactly the
+    * deleted rows as `_op = 'delete'` — derived from the DV DELTA, not
+    * a manifest file diff (there is none). The oracle selects the same
+    * rows from the raw parquet, so equality proves the position→row
+    * reconstruction is lossless.
+    */
+  val morChanges: Q = Q(
+    "q_mor_changes",
+    """SELECT c_custkey, c_acctbal, 'delete' AS _op
+      |FROM customer WHERE c_custkey % 10 = 3
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    import graft.sources.{ChangeFeed, MergeOnRead, TxTable}
+    val root = s"target/tmp/mor_cf_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val base = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+    TxTable.create(base, root, None)                        // v0
+    MergeOnRead.deleteWhere(s, root, col("c_custkey") % 10 === 3) // v1
+    ChangeFeed.between(s, root, 0L, 1L, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Null-count file skipping ([[graft.sources.FileStats]] `IS NULL`
+    * pruning): orders lands clustered so that one slice carries every
+    * null-comment row (a synthetic nullable column: comment nulled for
+    * high keys), then an `IS NULL` aggregate runs — and the query
+    * REQUIREs that the scan listed FEWER files than the table holds
+    * (per-column null counts prove all-null/no-null files skip). The
+    * oracle computes the same aggregate in DuckDB, so equality proves
+    * null-aware pruning never drops a matching row.
+    */
+  val nullSkipping: Q = Q(
+    "q_null_skipping",
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+    import graft.sources.TxTable
+    val root = s"target/tmp/null_skip_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // even keys: provably non-null column; odd keys: all-null — two
+    // appends, so every file is uniformly one or the other
+    val orders = Tables.orders(s, dir)
+    val nonNull = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        concat(lit("c"), col("o_orderkey")).as("maybe_comment"))
+    val allNull = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), lit(null).cast("string").as("maybe_comment"))
+    TxTable.create(nonNull, root, None)
+    TxTable.append(allNull, root, None)
+    val snap = TxTable.currentSnapshot(s, root).get
+    // per-file null counts prove skipping in BOTH directions
+    val isNullFiles = TxTable.statsPrune(s, snap, col("maybe_comment").isNull)
+    require(isNullFiles.size < snap.entries.size,
+      s"q_null_skipping: IS NULL must skip the zero-null files " +
+        s"(${isNullFiles.size}/${snap.entries.size} listed)")
+    val notNullFiles =
+      TxTable.statsPrune(s, snap, col("maybe_comment").isNotNull)
+    require(notNullFiles.size < snap.entries.size,
+      s"q_null_skipping: IS NOT NULL must skip the all-null files " +
+        s"(${notNullFiles.size}/${snap.entries.size} listed)")
+    TxTable.readWhere(s, root, col("maybe_comment").isNull)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"))
+  }
 
   /** SQL row-level operations end-to-end ([[graft.sources.GraftRowLevelOperation]]):
     * orders lands partitioned by priority, then three mutations run as

@@ -54,17 +54,50 @@ object ChangeFeed {
 
     val fromPaths = from.entries.map(_.relPath).toSet
     val toPaths = to.entries.map(_.relPath).toSet
+    def emptyDf: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     def readEntries(entries: Seq[TxTable.Entry]): DataFrame =
-      if (entries.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (entries.isEmpty) emptyDf
       else spark.read.schema(schema)
         .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
-    // immutable files ⇒ only the manifest diff can carry changes
-    val oldRows = readEntries(from.entries.filterNot(e => toPaths(e.relPath)))
-      .withColumn("__cf_old", lit(true)).as("o")
-    val newRows = readEntries(to.entries.filterNot(e => fromPaths(e.relPath)))
-      .withColumn("__cf_new", lit(true)).as("n")
+    // each side's files read with its OWN snapshot's position deletes
+    // applied: a row a merge-on-read DELETE had already removed at
+    // `fromVersion` is not an old image, and one removed at
+    // `toVersion` is not a new image
+    def visible(entries: Seq[TxTable.Entry], dvs: Seq[TxTable.DvEntry]) =
+      if (entries.isEmpty) emptyDf
+      else MergeOnRead.applyDvList(spark, root, dvs, readEntries(entries))
+    // immutable files ⇒ the manifest diff carries all FILE-level
+    // change; the DV diff below carries the row-level remainder
+    var oldSide = visible(from.entries.filterNot(e => toPaths(e.relPath)),
+      from.dvs)
+    var newSide = visible(to.entries.filterNot(e => fromPaths(e.relPath)),
+      to.dvs)
+
+    // files present in BOTH versions change rows only through the
+    // position-delete delta: positions deleted in `to` but not `from`
+    // are old images (deletes); positions deleted in `from` but not
+    // `to` are new images (resurrections — RESTORE across a DV
+    // version). Only the files the delta actually names are read —
+    // O(changed data), like the file diff.
+    if (from.dvs != to.dvs) {
+      val dvF = MergeOnRead.dvFrame(spark, root, from.dvs)
+      val dvT = MergeOnRead.dvFrame(spark, root, to.dvs)
+      val addedDel = dvT.except(dvF)
+      val removedDel = dvF.except(dvT)
+      val touchedKeys = addedDel.union(removedDel)
+        .select("file_key").distinct().collect().map(_.getString(0)).toSet
+      val touched = from.entries.filter(e => toPaths(e.relPath) &&
+        touchedKeys.contains(
+          MergeOnRead.fileKey(TxTable.entryPath(root, e.relPath))))
+      if (touched.nonEmpty) {
+        val touchedRows = readEntries(touched)
+        oldSide = oldSide.union(MergeOnRead.rowsAt(touchedRows, addedDel))
+        newSide = newSide.union(MergeOnRead.rowsAt(touchedRows, removedDel))
+      }
+    }
+    val oldRows = oldSide.withColumn("__cf_old", lit(true)).as("o")
+    val newRows = newSide.withColumn("__cf_new", lit(true)).as("n")
 
     val dataCols = schema.fieldNames.toSeq.filterNot(keys.contains)
     val joinCond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)

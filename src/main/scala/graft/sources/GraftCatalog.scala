@@ -491,9 +491,35 @@ private[sources] object GraftProcedures {
         Seq(Seq(ZOrder.cluster(spark, cat.tableRoot(str(r, 0)), dims,
           r.getLong(2).toInt)))
       }),
+    "delete_where" -> new Proc(
+      "delete_where", "MERGE-ON-READ DELETE: commit a position-delete " +
+        "file for every row matching the predicate — data files " +
+        "untouched, write bytes proportional to deleted rows (the " +
+        "scattered-key complement of copy-on-write DELETE FROM); " +
+        "reads anti-join the delete set until compact/rewrite_deletes " +
+        "localizes it",
+      Array(in("table", StringType), in("predicate", StringType)),
+      StructType(Seq(StructField("version", LongType, false),
+        StructField("rows_deleted", LongType, false))),
+      (cat, r) => {
+        val (v, n) = MergeOnRead.deleteWhere(spark,
+          cat.tableRoot(str(r, 0)),
+          org.apache.spark.sql.functions.expr(str(r, 1)))
+        Seq(Seq(v, n))
+      }),
+    "rewrite_deletes" -> new Proc(
+      "rewrite_deletes", "materialize the merge-on-read delete set: " +
+        "rewrite exactly the DV-affected data files with their " +
+        "deletes applied and drop every position-delete file, in one " +
+        "commit (cost proportional to the affected files' live rows)",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => Seq(Seq(
+        MergeOnRead.materialize(spark, cat.tableRoot(str(r, 0)))))),
     "detail" -> new Proc(
       "detail", "DESCRIBE DETAIL: one row with the table's current " +
-        "version, file/byte totals, layout spec, and CHECK count",
+        "version, file/byte totals, layout spec, CHECK count, and " +
+        "outstanding merge-on-read delete files/rows",
       Array(in("table", StringType)),
       StructType(Seq(
         StructField("version", LongType, false),
@@ -501,7 +527,9 @@ private[sources] object GraftProcedures {
         StructField("bytes", LongType, false),
         StructField("layout", StringType, true),
         StructField("num_checks", LongType, false),
-        StructField("location", StringType, false))),
+        StructField("location", StringType, false),
+        StructField("dv_files", LongType, false),
+        StructField("dv_rows", LongType, false))),
       (cat, r) => {
         val root = cat.tableRoot(str(r, 0))
         val s = TxTable.currentSnapshot(spark, root).getOrElse(
@@ -517,7 +545,8 @@ private[sources] object GraftProcedures {
             new Path(TxTable.entryPath(root, e.relPath))).getLen).sum
         Seq(Seq(s.version, s.entries.size.toLong, bytes,
           GraftCatalog.readPartitionCol(spark, root).orNull,
-          s.checks.size.toLong, root))
+          s.checks.size.toLong, root,
+          s.dvs.size.toLong, s.dvs.map(d => math.max(d.rows, 0L)).sum))
       }),
     "history" -> new Proc(
       "history", "DESCRIBE HISTORY: one row per committed version",
@@ -636,6 +665,12 @@ final class GraftV2Table(
 
   private def spark: SparkSession = SparkSession.active
 
+  /** The [[ApplyDeletionVectors]] rule reads these to rewrite
+    * DV-bearing relations into their merged plans.
+    */
+  private[graft] def tableRoot: String = root
+  private[graft] def tableSnapshot: TxTable.Snapshot = snap
+
   /** Parsed layout spec ([[Layout]]); `partitionCol` carries either a
     * plain identity column name or `bucket(N,col)`.
     */
@@ -722,10 +757,21 @@ final class GraftV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseTimeTravel(info.command().toString)
+    // copy-on-write reads raw parquet, so a merge-on-read snapshot's
+    // position deletes are MATERIALIZED first (rewrites only the
+    // DV-affected files) and the operation pins the post-materialize
+    // snapshot; a concurrent DV landing between the two fails the
+    // statement loudly (commitReplace's dv-equality disjointness)
+    val opSnap =
+      if (snap.dvs.isEmpty) snap
+      else {
+        MergeOnRead.materialize(spark, root)
+        TxTable.requireSnapshot(spark, root)
+      }
     // bucket layouts are first-class here since round 7: the replaced
     // group is a bucket directory, pruned via the source column
     // (candidate enumeration + Spark's runtime group filter)
-    () => new GraftRowLevelOperation(spark, root, snap, partitionCol,
+    () => new GraftRowLevelOperation(spark, root, opSnap, partitionCol,
       info.command())
   }
 

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.StructType
   * parsing. All filters arrive as `dataFilters`.
   */
 final class GraftFileIndex(
-    spark: SparkSession, root: String, val snapshot: TxTable.Snapshot)
+    spark: SparkSession, val root: String, val snapshot: TxTable.Snapshot)
     extends FileIndex {
 
   private val schema = StructType.fromDDL(snapshot.schemaDdl)
@@ -72,6 +72,15 @@ final class GraftFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // a raw scan of a merge-on-read snapshot would RESURRECT deleted
+    // rows — only the merged plan may read it. With the extension rule
+    // registered this is unreachable (the relation is rewritten before
+    // scan planning); without it, fail loudly rather than lie.
+    require(snapshot.dvs.isEmpty,
+      s"table $root@v${snapshot.version} carries " +
+        s"${snapshot.dvs.size} position-delete file(s) — register " +
+        "spark.sql.extensions=graft.GraftExtensions so reads merge " +
+        "them, or CALL rewrite_deletes to materialize first")
     // dataFilters come from the optimizer: resolved AttributeReferences
     // with folded literals — exactly the shape FileStats.provesEmpty
     // evaluates. Files it cannot decide about are kept; Spark re-applies

@@ -340,14 +340,20 @@ final class GraftStreamSource(
     val added =
       if (startV < 0) endSnap.entries
       else {
-        val before =
-          TxTable.snapshot(spark, root, startV).entries.map(_.relPath).toSet
+        val beforeSnap = TxTable.snapshot(spark, root, startV)
+        val before = beforeSnap.entries.map(_.relPath).toSet
         val removed = before -- endSnap.entries.map(_.relPath).toSet
-        if (removed.nonEmpty && !ignoreChanges)
+        // a merge-on-read DELETE removes ROWS without removing files —
+        // the same non-append shape as an overwrite, caught the same
+        // way (the change feed is the right consumer for both)
+        val dvChanged = beforeSnap.dvs != endSnap.dvs
+        if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
           throw new IllegalStateException(
             s"graft streaming source: non-append change between " +
               s"v$startV and v${endSnap.version} under $root " +
-              s"(${removed.size} file(s) removed by overwrite/compact) — " +
+              s"(${removed.size} file(s) removed by overwrite/compact" +
+              (if (dvChanged) "; position-delete set changed by " +
+                "merge-on-read DELETE" else "") + ") — " +
               "tail an append-only table, accept added-files-only " +
               "semantics with option(\"ignoreChanges\",\"true\"), or " +
               "stream row-level deltas with option(\"readChangeFeed\"," +
@@ -380,8 +386,11 @@ final class GraftStreamSource(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table)
         else
-          spark.read.schema(table)
-            .parquet(endSnap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+          // DV-merged: the bootstrap snapshot must not emit rows a
+          // merge-on-read DELETE already removed
+          MergeOnRead.applyDvs(spark, root, endSnap,
+            spark.read.schema(table)
+              .parquet(endSnap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*))
       full.withColumn(ChangeFeed.OpCol, lit("insert"))
     } else ChangeFeed.between(spark, root, startV, endV, keys)
   }

@@ -30,6 +30,11 @@ private[graft] object KeyedLayout {
       layoutSpec: String, dataFilters: Seq[Expression])
     : Option[Seq[(InternalRow, Array[PartitionedFile])]] = {
 
+    // merge-on-read snapshots refuse the keyed (raw-file) scan: its
+    // groups would include deleted rows (the extension rule serves
+    // such tables through the merged plan instead)
+    if (snap.dvs.nonEmpty) return None
+
     val schema = StructType.fromDDL(snap.schemaDdl)
     val kind = Layout.parse(layoutSpec)
     // partition value type: the column's for identity, the bucket id

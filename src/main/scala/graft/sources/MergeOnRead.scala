@@ -1,0 +1,388 @@
+package graft.sources
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MERGE-ON-READ row-level deletes for [[TxTable]] — the structural
+  * complement of the partition-granularity copy-on-write leg
+  * ([[GraftRowLevelOperation]]). Copy-on-write rewrites every touched
+  * layout group, so a DELETE whose keys scatter across all N buckets
+  * rewrites the whole table; here the DELETE writes a POSITION-DELETE
+  * file instead — `(file_key, pos)` rows naming the doomed rows by
+  * data file and physical row position (`_metadata.row_index`) — and
+  * commits it as manifest metadata ([[TxTable.DvEntry]], `#dv=`
+  * lines). Write cost is ∝ DELETED ROWS, never table size; every read
+  * path then anti-joins the snapshot's delete set back out.
+  * (The deletion-vector design of the published Delta/Iceberg v2
+  * formats, re-expressed over Spark's own `_metadata` columns and a
+  * plain anti-join instead of a custom reader.)
+  *
+  * Read integration — one rule, three surfaces:
+  *   - the programmatic paths ([[TxTable.read]]/readVersion/readWhere/
+  *     readPartitions, compact, rewriteAll, ChangeFeed) merge through
+  *     [[applyDvs]] directly;
+  *   - SQL/DataFrame reads (the `gc` catalog's V2 relations and
+  *     `spark.read.format("graft")`'s V1 relations) are rewritten by
+  *     [[ApplyDeletionVectors]] — an injected resolution rule
+  *     (`spark.sql.extensions=graft.GraftExtensions`) that swaps a
+  *     DV-bearing relation for the merged plan. A session WITHOUT the
+  *     extension fails loudly ([[GraftFileIndex.listFiles]] refuses
+  *     DV-bearing snapshots) instead of silently resurrecting rows;
+  *   - copy-on-write DML on a DV-bearing snapshot MATERIALIZES the
+  *     deletes first ([[materialize]] — rewrites only the DV-affected
+  *     files) so the CoW scan's raw parquet read stays exact.
+  *
+  * At 100 TB: the anti-join's build side is the delete set (∝ deletes
+  * since the last materialize), broadcast by AQE while small, shuffled
+  * when genuinely huge — never a driver collect. `compact()` and
+  * [[materialize]] localize deletes back into data files; the
+  * `delete_where`/`rewrite_deletes` CALLs expose both to SQL.
+  */
+object MergeOnRead {
+
+  /** Schema of a position-delete parquet file. */
+  val DvSchema: StructType = StructType(Seq(
+    StructField("file_key", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Canonical key of a data file: the path suffix from its LAST
+    * `data/` segment (`data/<uuid>/…parquet`). Write-once UUID dirs
+    * make the suffix unique per table, and it is invariant under the
+    * forms a path takes across readers — manifest-relative
+    * (`data/…`), absolute after a shallow clone, and the
+    * `file:/…`-qualified URI `_metadata.file_path` reports — so
+    * delete rows written against one form match every other.
+    */
+  def fileKey(path: String): String = {
+    if (path.startsWith("data/")) return path
+    val i = path.lastIndexOf("/data/")
+    if (i >= 0) path.substring(i + 1) else path
+  }
+
+  /** [[fileKey]] as a codegen'd column (no UDF): the LAST
+    * segment-anchored `data/…` suffix of the metadata file path.
+    */
+  private def fileKeyCol(c: Column): Column =
+    regexp_extract(c, "^(?:.*/)?(data/.*)$", 1)
+
+  /** The union of a snapshot's delete files as a DataFrame. */
+  private[sources] def dvFrame(
+      spark: SparkSession, root: String,
+      dvs: Seq[TxTable.DvEntry]): DataFrame =
+    if (dvs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DvSchema)
+    else
+      spark.read.schema(DvSchema)
+        .parquet(dvs.map(d => TxTable.entryPath(root, d.relPath)): _*)
+
+  private def withPos(base: DataFrame): DataFrame = base
+    .withColumn("__g_key", fileKeyCol(col("_metadata.file_path")))
+    .withColumn("__g_pos", col("_metadata.row_index"))
+
+  private def antiJoin(base: DataFrame, dv: DataFrame): DataFrame = {
+    val keyed = withPos(base)
+    keyed.join(dv,
+        keyed("__g_key") === dv("file_key") && keyed("__g_pos") === dv("pos"),
+        "left_anti")
+      .drop("__g_key", "__g_pos")
+  }
+
+  /** Apply `snap`'s position deletes to a raw parquet read of (a
+    * subset of) its entries. No-op without DVs; otherwise one
+    * anti-join on (file key, row position) — the build side is the
+    * delete set, so cost scales with deletes, not data.
+    */
+  def applyDvs(
+      spark: SparkSession, root: String, snap: TxTable.Snapshot,
+      base: DataFrame): DataFrame =
+    applyDvList(spark, root, snap.dvs, base)
+
+  private[sources] def applyDvList(
+      spark: SparkSession, root: String, dvs: Seq[TxTable.DvEntry],
+      base: DataFrame): DataFrame =
+    if (dvs.isEmpty) base
+    else antiJoin(base, dvFrame(spark, root, dvs))
+
+  /** The rows of `base` AT the positions in `posDf` (semi-join on
+    * (file key, row position)) — ChangeFeed uses this to turn a
+    * position-delete delta back into row images.
+    */
+  private[sources] def rowsAt(base: DataFrame, posDf: DataFrame): DataFrame = {
+    val keyed = withPos(base)
+    keyed.join(posDf,
+        keyed("__g_key") === posDf("file_key") &&
+          keyed("__g_pos") === posDf("pos"), "left_semi")
+      .drop("__g_key", "__g_pos")
+  }
+
+  /** The merged logical read of one snapshot — what the resolution
+    * rule splices in place of a DV-bearing relation.
+    */
+  private[sources] def readMerged(
+      spark: SparkSession, root: String, snap: TxTable.Snapshot): DataFrame = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    if (snap.entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      applyDvs(spark, root, snap,
+        spark.read.schema(schema)
+          .parquet(snap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*))
+  }
+
+  /** MERGE-ON-READ DELETE: commit a position-delete file for every
+    * currently-visible row matching `cond` — data files untouched,
+    * write bytes ∝ deleted rows. Returns (new version, rows deleted);
+    * a no-match delete commits nothing. Lost optimistic races retry
+    * with a fresh position scan (positions are only valid against the
+    * snapshot they were computed from).
+    */
+  def deleteWhere(
+      spark: SparkSession, root: String, cond: Column,
+      maxRetries: Int = 10): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempt = 0
+    while (true) {
+      val cur = TxTable.requireSnapshot(spark, root)
+      if (cur.entries.isEmpty) return (cur.version, 0L)
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val base = spark.read.schema(schema)
+        .parquet(cur.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+      // anti-join FIRST: already-deleted rows must not re-enter the
+      // delete set (their positions would double-count)
+      val visible = withPos(base)
+      val dv = dvFrame(spark, root, cur.dvs)
+      val doomed = visible
+        .join(dv,
+          visible("__g_key") === dv("file_key") &&
+            visible("__g_pos") === dv("pos"), "left_anti")
+        .filter(cond)
+        .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
+      val rel = s"deletes/${java.util.UUID.randomUUID()}"
+      val dir = s"$root/$rel"
+      doomed.write.parquet(dir)
+      val f = new Path(root).getFileSystem(conf)
+      val newDvs = {
+        val it = f.listFiles(new Path(dir), true)
+        val out = scala.collection.mutable.Buffer.empty[TxTable.DvEntry]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+            val rows = Try(
+              FileStats.forFile(conf, st.getPath).rows).getOrElse(-1L)
+            out += TxTable.DvEntry(s"$rel/${st.getPath.getName}",
+              st.getLen, rows)
+          }
+        }
+        // drop empty shards (a partitioned write can emit them)
+        out.toSeq.filter(_.rows != 0L)
+      }
+      val total = newDvs.map(d => math.max(d.rows, 0L)).sum
+      if (newDvs.isEmpty || total == 0L) {
+        f.delete(new Path(dir), true)
+        return (cur.version, 0L)
+      }
+      try return (TxTable.commitDvAppend(spark, root, cur.version, newDvs),
+        total)
+      catch {
+        case e: TxTable.ConcurrentCommitException =>
+          f.delete(new Path(dir), true) // this attempt's positions are stale
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MATERIALIZE the delete set: rewrite exactly the DV-affected data
+    * files with their deletes applied, drop every delete file from the
+    * manifest, ONE commit. Cost ∝ the affected files' live rows — the
+    * localization half of the merge-on-read trade (run it when the
+    * delete set has grown past the anti-join's comfort, or before
+    * copy-on-write DML, which [[GraftV2Table]] does automatically).
+    * Returns the new version (current one when there is nothing to do).
+    */
+  def materialize(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L << 20, maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = TxTable.requireSnapshot(spark, root)
+      if (cur.dvs.isEmpty) return cur.version
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      // distinct file keys in the delete set — bounded by live file
+      // count (manifest scale), not by deleted rows
+      val keys = dvFrame(spark, root, cur.dvs)
+        .select("file_key").distinct().collect().map(_.getString(0)).toSet
+      val affected = cur.entries.filter(e =>
+        keys.contains(fileKey(TxTable.entryPath(root, e.relPath))))
+      val fresh =
+        if (affected.isEmpty) Seq.empty[TxTable.Entry]
+        else affected.groupBy(_.partition).toSeq.flatMap { case (part, es) =>
+          val merged = applyDvs(spark, root, cur,
+            spark.read.schema(schema)
+              .parquet(es.map(e => TxTable.entryPath(root, e.relPath)): _*))
+          val bytes = es.map(e => math.max(e.size, 0L)).sum
+          val nOut = math.max(1L,
+            (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          TxTable.writeData(merged.coalesce(nOut), root, None)
+            .map(_.copy(partition = part))
+            // a fully-deleted group leaves an empty shard — drop it
+            .filterNot(e => FileStats.decode(e.stats).rows == 0L)
+        }
+      try return TxTable.commitDvMaterialize(spark, root, cur.version,
+        affected.map(_.relPath).toSet, fresh)
+      catch {
+        case e: TxTable.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Injected resolution rule (`spark.sql.extensions =
+  * graft.GraftExtensions`): rewrite every READ of a DV-bearing graft
+  * relation — the `gc` catalog's V2 tables and `format("graft")`'s V1
+  * relations — into the merged plan ([[MergeOnRead.readMerged]]),
+  * aliased back onto the relation's own output attributes so
+  * references above stay bound.
+  *
+  * Write/DML positions are left untouched: INSERT targets keep their
+  * relation shape for write resolution, and row-level command targets
+  * (DELETE/UPDATE/MERGE) keep theirs for Spark's rewrites — those go
+  * through [[GraftRowLevelOperation]], which materializes the delete
+  * set first, so their raw scans are exact by construction.
+  */
+final class ApplyDeletionVectors(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  private def dvTableOf(p: LogicalPlan): Option[(String, TxTable.Snapshot)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftV2Table if t.tableSnapshot.dvs.nonEmpty =>
+          Some((t.tableRoot, t.tableSnapshot))
+        case _ => None
+      }
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: GraftFileIndex if g.snapshot.dvs.nonEmpty =>
+            Some((g.root, g.snapshot))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Relations in WRITE position — never rewritten here. */
+  private def protectedRels(plan: LogicalPlan): Set[LogicalPlan] = {
+    val out = scala.collection.mutable.HashSet.empty[LogicalPlan]
+    def protect(t: LogicalPlan): Unit = t.foreach {
+      case r: DataSourceV2Relation => out += r
+      case l: LogicalRelation => out += l
+      case _ => ()
+    }
+    plan.foreach {
+      case i: InsertIntoStatement => protect(i.table)
+      case w: V2WriteCommand => protect(w.table)
+      case d: DeleteFromTable => protect(d.table)
+      case u: UpdateTable => protect(u.table)
+      case m: MergeIntoTable => protect(m.targetTable)
+      case _ => ()
+    }
+    out.toSet
+  }
+
+  /** Swap a stale DV-bearing relation for one over the CURRENT
+    * snapshot, keeping its output attributes. Used on the relation
+    * fields of a rewritten row-level command: the operation itself
+    * ([[GraftRowLevelOperation]]) already materialized the delete set,
+    * but `ReplaceData.originalTable` still pins the pre-materialize
+    * snapshot — and Spark's runtime group-filtering plans its
+    * matching-rows subquery as a fresh scan of exactly that relation,
+    * which the raw-scan guard would (rightly) refuse.
+    */
+  private def freshTable(t: GraftV2Table): GraftV2Table =
+    new GraftV2Table(t.tableRoot,
+      TxTable.requireSnapshot(spark, t.tableRoot),
+      GraftCatalog.readPartitionCol(spark, t.tableRoot),
+      timeTravel = false)
+
+  /** True when a row-level command's table field still pins a
+    * pre-materialize (DV-bearing) snapshot — directly, or through the
+    * RowLevelOperationTable wrapper Spark's rewrites interpose (the
+    * runtime group filter unwraps `.table` from it and scans THAT).
+    */
+  private def staleDml(rel: LogicalPlan): Boolean = rel match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftV2Table => t.tableSnapshot.dvs.nonEmpty
+      case w => org.apache.spark.sql.GraftColumnBridge
+        .rowLevelOperationInner(w).exists {
+          case t: GraftV2Table => t.tableSnapshot.dvs.nonEmpty
+          case _ => false
+        }
+    }
+    case other => other.children.exists(staleDml)
+  }
+
+  private def refreshed(rel: LogicalPlan): LogicalPlan = rel match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftV2Table if t.tableSnapshot.dvs.nonEmpty =>
+        r.copy(table = freshTable(t))
+      case w =>
+        org.apache.spark.sql.GraftColumnBridge.rowLevelOperationInner(w) match {
+          case Some(t: GraftV2Table) if t.tableSnapshot.dvs.nonEmpty =>
+            r.copy(table = org.apache.spark.sql.GraftColumnBridge
+              .withRowLevelOperationInner(w, freshTable(t)))
+          case _ => rel
+        }
+    }
+    case other => other.mapChildren(refreshed)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // cheap bail-out: the overwhelmingly common DV-free plan pays one
+    // tree scan and no rewrite machinery. ReplaceData's table fields
+    // are NOT children, so they are probed explicitly.
+    val needs = plan.exists {
+      case rd: ReplaceData =>
+        Seq(rd.table, rd.originalTable).exists(staleDml)
+      case p => dvTableOf(p).isDefined
+    }
+    if (!needs) return plan
+    val prot = protectedRels(plan)
+    plan.transformDownWithSubqueries {
+      // a rewritten row-level command: the CoW operation materialized
+      // the delete set, so re-pin its relation fields to the clean
+      // current snapshot (the group-filter subquery scans them raw)
+      case rd: ReplaceData
+          if Seq(rd.table, rd.originalTable).exists(staleDml) =>
+        rd.copy(
+          table = refreshed(rd.table)
+            .asInstanceOf[org.apache.spark.sql.catalyst.analysis.NamedRelation],
+          originalTable = refreshed(rd.originalTable)
+            .asInstanceOf[org.apache.spark.sql.catalyst.analysis.NamedRelation])
+      case rel if !prot.contains(rel) && dvTableOf(rel).isDefined =>
+        val (root, snap) = dvTableOf(rel).get
+        val child = MergeOnRead.readMerged(spark, root, snap)
+          .queryExecution.analyzed
+        // rebind the merged plan onto the relation's attribute ids so
+        // every reference above resolves unchanged
+        Project(rel.output.zip(child.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }, child)
+    }
+  }
+}

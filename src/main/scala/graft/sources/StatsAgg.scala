@@ -72,6 +72,10 @@ private[graft] object StatsAgg {
       partitionCol: Option[String], agg: Aggregation)
     : Option[(StructType, Array[InternalRow])] = {
 
+    // merge-on-read snapshots refuse: file stats ignore position
+    // deletes, so COUNT/MIN/MAX could answer over deleted rows
+    if (snap.dvs.nonEmpty) return None
+
     val decoded: Seq[(TxTable.Entry, Stats)] =
       snap.entries.map(e => e -> FileStats.decode(e.stats))
     if (decoded.exists(_._2.rows < 0)) return None

@@ -57,6 +57,20 @@ object TxTable {
       relPath: String, partition: String, stats: String = "",
       size: Long = -1L)
 
+  /** One POSITION-DELETE file (the merge-on-read leg): a parquet of
+    * `(file_key STRING, pos BIGINT)` rows naming data-file rows that
+    * are DELETED in this snapshot without their files being rewritten.
+    * `file_key` is the data file's canonical key ([[MergeOnRead
+    * .fileKey]] — the `data/…` suffix of its path, stable across
+    * clones and root moves); `pos` is the row's physical position in
+    * the file (parquet `_metadata.row_index`). Every read path
+    * anti-joins the union of a snapshot's delete files, so a DELETE
+    * whose keys scatter across all buckets writes bytes ∝ DELETED
+    * rows, not table size — the copy-on-write complement.
+    * `rows`/`size` are carried for accounting (-1 = unknown).
+    */
+  final case class DvEntry(relPath: String, size: Long = -1L, rows: Long = -1L)
+
   /** `txns` is the cumulative streaming-transaction watermark map
     * (txnId → highest applied batchId), carried forward by every
     * commit — the Delta `txn` action pattern that gives
@@ -70,7 +84,8 @@ object TxTable {
       version: Long, schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      ts: Long = -1L)
+      ts: Long = -1L,
+      dvs: Seq[DvEntry] = Nil)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -145,7 +160,7 @@ object TxTable {
       }
   }
 
-  private def requireSnapshot(spark: SparkSession, root: String): Snapshot =
+  private[sources] def requireSnapshot(spark: SparkSession, root: String): Snapshot =
     currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $root"))
 
@@ -254,7 +269,15 @@ object TxTable {
     val ts = meta.collectFirst {
       case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong
     }.getOrElse(-1L)
-    Snapshot(version, ddl, entries, txns, checks, ts)
+    // `#dv=<urlenc relPath>:<size>:<rows>` — the merge-on-read
+    // position-delete files of this snapshot (absent pre-DV: empty)
+    val dvs = meta.collect {
+      case l if l.startsWith("#dv=") =>
+        val Array(rel, size, rows) = l.stripPrefix("#dv=").split(":", 3)
+        DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
+          Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L))
+    }
+    Snapshot(version, ddl, entries, txns, checks, ts, dvs)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -345,9 +368,13 @@ object TxTable {
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
+    else {
+      val base = spark.read.schema(schema)
         .parquet(entries.map(e => entryPath(root, e.relPath)): _*)
+      // merge-on-read: anti-join away the snapshot's position deletes
+      // (no-op when the snapshot carries none)
+      MergeOnRead.applyDvs(spark, root, s, base)
+    }
   }
 
   /** Write `df`'s rows as immutable data files (NOT yet visible — no
@@ -355,7 +382,7 @@ object TxTable {
     * by `partitionCol` when given, so [[overwritePartitions]] can swap
     * file sets partition-by-partition.
     */
-  private def writeData(
+  private[sources] def writeData(
       df: DataFrame, root: String, partitionCol: Option[String]): Seq[Entry] = {
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString
@@ -458,7 +485,8 @@ object TxTable {
       spark: SparkSession, root: String, next: Long,
       schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
-      checks: Map[String, String] = Map.empty): Long = {
+      checks: Map[String, String] = Map.empty,
+      dvs: Seq[DvEntry] = Nil): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -506,6 +534,9 @@ object TxTable {
           s"#check=${java.net.URLEncoder.encode(n, "UTF-8")}:" +
             s"${java.net.URLEncoder.encode(sql, "UTF-8")}\n"
         }.mkString +
+        dvs.map(d =>
+          s"#dv=${java.net.URLEncoder.encode(d.relPath, "UTF-8")}:" +
+            s"${d.size}:${d.rows}\n").mkString +
         entries.map(e =>
           s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
@@ -586,7 +617,7 @@ object TxTable {
       if (entries == null) entries = writeData(df, root, partitionCol)
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
-          cur.entries ++ entries, cur.txns, cur.checks)
+          cur.entries ++ entries, cur.txns, cur.checks, cur.dvs)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -627,7 +658,7 @@ object TxTable {
       try {
         commit(spark, root, cur.version + 1, cur.schemaDdl,
           cur.entries ++ entries, cur.txns + (txnId -> batchId),
-          cur.checks)
+          cur.checks, cur.dvs)
         return true
       } catch {
         case e: ConcurrentCommitException =>
@@ -672,7 +703,7 @@ object TxTable {
       schema.fields ++ newCols.map(_.copy(nullable = true)))
     commit(spark, root, cur.version + 1,
       nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks)
+      cur.txns, cur.checks, cur.dvs)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -715,7 +746,7 @@ object TxTable {
     }
     commit(spark, root, cur.version + 1,
       nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
-      cur.entries, cur.txns, cur.checks)
+      cur.entries, cur.txns, cur.checks, cur.dvs)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -778,7 +809,7 @@ object TxTable {
     val widened = cur.copy(checks = cur.checks + (name -> sql))
     requireChecks(readEntries(spark, root, cur, identity), widened, "addCheck")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, widened.checks)
+      cur.txns, widened.checks, cur.dvs)
   }
 
   /** Remove a CHECK constraint (metadata-only commit). */
@@ -788,7 +819,7 @@ object TxTable {
       s"dropCheck: no constraint named $name " +
         s"(have: ${cur.checks.keys.toSeq.sorted.mkString(", ")})")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks - name)
+      cur.txns, cur.checks - name, cur.dvs)
   }
 
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
@@ -860,8 +891,11 @@ object TxTable {
       alsoDropValues.map(v => s"$partitionCol=" +
         org.apache.spark.sql.GraftColumnBridge.escapePartitionValue(v))
     val kept = cur.entries.filterNot(e => touched.contains(e.partition))
+    // position deletes carry forward: rows for replaced files become
+    // inert (their file keys no longer match any live entry), rows
+    // for untouched partitions' files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
-      cur.txns, cur.checks)
+      cur.txns, cur.checks, cur.dvs)
   }
 
   /** The commit half of a partition-granularity copy-on-write (SQL
@@ -898,13 +932,31 @@ object TxTable {
     while (true) {
       val cur = requireSnapshot(spark, root)
       if (cur.version != expectedVersion) {
-        val pinned = snapshot(spark, root, expectedVersion)
+        // the pinned manifest may have been vacuumed concurrently —
+        // that is a concurrency conflict (re-read and retry), not an
+        // unrelated missing-file error
+        val pinned =
+          try snapshot(spark, root, expectedVersion)
+          catch {
+            case e: Exception =>
+              val c = new ConcurrentCommitException(cur.version)
+              c.addSuppressed(e)
+              throw c
+          }
         def replacedOf(s: Snapshot): Set[Entry] =
           s.entries.filter(e => dropPartitions.contains(e.partition)).toSet
+        // schemas compare nullability-normalized (the documented
+        // equality form) — a raw string compare would spuriously
+        // refuse a disjoint rebase across cosmetic DDL differences
+        // dvs must match too: a concurrent merge-on-read delete may
+        // target rows of the groups this commit rewrites — rebasing
+        // over it would silently drop those deletes
         val disjoint =
           replacedOf(pinned) == replacedOf(cur) &&
-            pinned.schemaDdl == cur.schemaDdl &&
-            pinned.checks == cur.checks
+            normalizedDdl(StructType.fromDDL(pinned.schemaDdl)) ==
+              normalizedDdl(StructType.fromDDL(cur.schemaDdl)) &&
+            pinned.checks == cur.checks &&
+            pinned.dvs == cur.dvs
         if (!disjoint || attempt >= 3)
           throw new ConcurrentCommitException(cur.version)
       }
@@ -915,7 +967,7 @@ object TxTable {
       val kept = cur.entries.filterNot(e => dropPartitions.contains(e.partition))
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
-          kept ++ fresh, cur.txns, cur.checks)
+          kept ++ fresh, cur.txns, cur.checks, cur.dvs)
       } catch {
         // lost the version race itself — loop; the disjointness check
         // re-runs against the new current snapshot
@@ -930,6 +982,38 @@ object TxTable {
     */
   private[sources] def normalizedDdl(schema: StructType): String =
     nullableType(schema).asInstanceOf[StructType].toDDL
+
+  /** Commit a merge-on-read DELETE: data entries unchanged, `addDvs`
+    * position-delete files appended — metadata plus bytes ∝ deleted
+    * rows, pinned to `expectedVersion` (the delete positions were
+    * computed against exactly that snapshot's visible rows; a moved
+    * table means recompute, same contract as every pinned commit).
+    */
+  private[sources] def commitDvAppend(
+      spark: SparkSession, root: String, expectedVersion: Long,
+      addDvs: Seq[DvEntry]): Long = {
+    val cur = requireSnapshot(spark, root)
+    if (cur.version != expectedVersion)
+      throw new ConcurrentCommitException(cur.version)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+      cur.txns, cur.checks, cur.dvs ++ addDvs)
+  }
+
+  /** Commit a DV materialization: swap the DV-affected data files for
+    * their merged rewrites and drop EVERY position-delete file (the
+    * rewrite applied them; rows for untouched files cannot exist once
+    * `dropRelPaths` covers all affected files). Pinned like above.
+    */
+  private[sources] def commitDvMaterialize(
+      spark: SparkSession, root: String, expectedVersion: Long,
+      dropRelPaths: Set[String], fresh: Seq[Entry]): Long = {
+    val cur = requireSnapshot(spark, root)
+    if (cur.version != expectedVersion)
+      throw new ConcurrentCommitException(cur.version)
+    commit(spark, root, cur.version + 1, cur.schemaDdl,
+      cur.entries.filterNot(e => dropRelPaths.contains(e.relPath)) ++ fresh,
+      cur.txns, cur.checks, Nil)
+  }
 
   /** Bin-pack compaction — the housekeeping op every manifest table
     * needs at scale: CDC upserts and small appends accumulate
@@ -987,14 +1071,21 @@ object TxTable {
     // bucket id is not a data column and could not be re-derived from
     // a recovered column name).
     val fresh = rewrite.groupBy(_.partition).toSeq.flatMap { case (part, es) =>
-      val df = spark.read.schema(schema)
-        .parquet(es.map(e => entryPath(root, e.relPath)): _*)
+      // DV-merged read: compaction MATERIALIZES any position deletes
+      // on the files it rewrites (the localization half of the
+      // merge-on-read contract)
+      val df = MergeOnRead.applyDvs(spark, root, cur,
+        spark.read.schema(schema)
+          .parquet(es.map(e => entryPath(root, e.relPath)): _*))
       val nOut = math.max(1L,
         (es.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       writeData(df.coalesce(nOut), root, None).map(_.copy(partition = part))
     }
+    // rewritten (compacted) files had their position deletes APPLIED
+    // by the merged read above; their old DV rows go inert with the
+    // replaced files, rows for kept files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
-      cur.txns, cur.checks)
+      cur.txns, cur.checks, cur.dvs)
   }
 
   /** Whole-table rewrite under the same optimistic-concurrency
@@ -1080,23 +1171,30 @@ object TxTable {
       if (p.endsWith("/")) p else p + "/"
     }
     val have = scala.collection.mutable.HashSet.empty[String]
-    val dataDir = new Path(root, "data")
-    if (f.exists(dataDir)) {
-      val it = f.listFiles(dataDir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile)
-          have += f.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootPrefix)
+    Seq("data", "deletes").foreach { sub =>
+      val dir = new Path(root, sub)
+      if (f.exists(dir)) {
+        val it = f.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile)
+            have += f.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootPrefix)
+        }
       }
     }
-    val missing = target.entries.map(_.relPath).filterNot(rel =>
-      if (rel.startsWith("/")) f.exists(new Path(rel)) else have(rel))
+    val missing =
+      (target.entries.map(_.relPath) ++ target.dvs.map(_.relPath))
+        .filterNot(rel =>
+          if (rel.startsWith("/")) f.exists(new Path(rel)) else have(rel))
     require(missing.isEmpty,
       s"restore: ${missing.size} of ${target.entries.size} files from " +
         s"v$toVersion were vacuumed (first: ${missing.headOption.getOrElse("")}); " +
         "that version is no longer restorable")
+    // the target's delete set is restored WITH its file set — a
+    // restore across a merge-on-read delete resurrects exactly the
+    // rows that version could see
     commit(spark, root, cur.version + 1, target.schemaDdl, target.entries,
-      cur.txns, target.checks)
+      cur.txns, target.checks, target.dvs)
   }
 
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so
@@ -1153,8 +1251,13 @@ object TxTable {
     val qualifiedSrc = f.makeQualified(new Path(srcRoot)).toUri.getPath
     val entries = src.entries.map(e =>
       e.copy(relPath = entryPath(qualifiedSrc, e.relPath)))
+    // delete files absolutize like data entries; their CONTENT still
+    // matches (DV rows key on the canonical data/… suffix, which a
+    // clone's absolute entry paths preserve — MergeOnRead.fileKey)
+    val dvs = src.dvs.map(d =>
+      d.copy(relPath = entryPath(qualifiedSrc, d.relPath)))
     val v = commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns,
-      src.checks)
+      src.checks, dvs)
     registerClone(spark, srcRoot, dstRoot)
     v
   }
@@ -1235,10 +1338,13 @@ object TxTable {
           "or pass force = true to override.")
     }
     val f = fs(spark, root)
+    // live set spans data files AND position-delete files of every
+    // retained version — a DV an old snapshot still needs must survive
     val live = versions(spark, root).filter(_ >= keepFromVersion)
-      .flatMap(v => snapshot(spark, root, v).entries.map(_.relPath)).toSet
-    val dataDir = new Path(root, "data")
-    if (!f.exists(dataDir)) return 0
+      .flatMap { v =>
+        val s = snapshot(spark, root, v)
+        s.entries.map(_.relPath) ++ s.dvs.map(_.relPath)
+      }.toSet
     // Relativize against the TABLE ROOT, never by substring: a root
     // that itself lives under a ".../data/..." path (e.g. a test dir)
     // would make a substring match pick the wrong prefix, mark every
@@ -1247,16 +1353,21 @@ object TxTable {
       val p = f.makeQualified(new Path(root)).toUri.getPath
       if (p.endsWith("/")) p else p + "/"
     }
-    val it = f.listFiles(dataDir, true)
     val doomed = scala.collection.mutable.Buffer.empty[Path]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val full = f.makeQualified(st.getPath).toUri.getPath
-        require(full.startsWith(rootPrefix),
-          s"vacuum: data file $full escapes table root $rootPrefix")
-        val rel = full.stripPrefix(rootPrefix)
-        if (!live.contains(rel)) doomed += st.getPath
+    Seq("data", "deletes").foreach { sub =>
+      val dir = new Path(root, sub)
+      if (f.exists(dir)) {
+        val it = f.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+            val full = f.makeQualified(st.getPath).toUri.getPath
+            require(full.startsWith(rootPrefix),
+              s"vacuum: data file $full escapes table root $rootPrefix")
+            val rel = full.stripPrefix(rootPrefix)
+            if (!live.contains(rel)) doomed += st.getPath
+          }
+        }
       }
     }
     doomed.foreach(p => f.delete(p, false))

@@ -52,4 +52,28 @@ object GraftColumnBridge {
     */
   def unescapePartitionValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
+  /** `RowLevelOperationTable` is private[sql]; the merge-on-read
+    * refresh rule needs to see THROUGH the wrapper Spark's row-level
+    * rewrites interpose (its runtime group filter unwraps `.table`
+    * and scans that raw) and to rebuild it around a re-pinned table.
+    */
+  def rowLevelOperationInner(
+      t: org.apache.spark.sql.connector.catalog.Table)
+    : Option[org.apache.spark.sql.connector.catalog.Table] = t match {
+    case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      Some(rt.table)
+    case _ => None
+  }
+
+  def withRowLevelOperationInner(
+      t: org.apache.spark.sql.connector.catalog.Table,
+      inner: org.apache.spark.sql.connector.catalog.Table)
+    : org.apache.spark.sql.connector.catalog.Table = t match {
+    case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      rt.copy(table = inner.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.Table
+          with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations])
+    case other => other
+  }
 }

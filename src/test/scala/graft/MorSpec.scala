@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{ChangeFeed, GraftFileIndex, MergeOnRead, TxTable}
+
+/** Merge-on-read position deletes: DELETE writes bytes ∝ deleted rows
+  * (no data-file rewrite), every read surface merges the delete set,
+  * copy-on-write DML materializes first, compact/materialize localize,
+  * CDF/restore/vacuum/clone stay correct across DV-bearing versions.
+  */
+class MorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String) =
+    s"target/tmp/mor_${tag}_${System.nanoTime()}"
+
+  private def seed = (1L to 100L).map(k =>
+    (k, if (k % 2 == 0) "even" else "odd", k * 1.5)).toDF("k", "p", "v")
+
+  private def dataPaths(root: String): Set[String] =
+    TxTable.currentSnapshot(spark, root).get.entries.map(_.relPath).toSet
+
+  test("deleteWhere removes scattered rows WITHOUT rewriting any data file") {
+    val root = freshRoot("basic")
+    TxTable.create(seed, root, Some("p"))
+    val before = dataPaths(root)
+    val (v, n) = MergeOnRead.deleteWhere(spark, root, expr("k % 7 = 0"))
+    assert(v == 1L)
+    assert(n == 14L, s"100/7 = 14 doomed rows, got $n")
+    // THE merge-on-read contract: the data file set is byte-identical
+    assert(dataPaths(root) == before,
+      "merge-on-read DELETE must not rewrite data files")
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.nonEmpty && snap.dvs.map(_.rows).sum == 14L)
+    // reads merge
+    val back = TxTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(back == (1L to 100L).filterNot(_ % 7 == 0).toSet)
+    // time travel to the pre-delete version still sees everything
+    assert(TxTable.readVersion(spark, root, 0L).count() == 100L)
+    // readWhere composes stats pruning with the merge
+    assert(TxTable.readWhere(spark, root, col("k") <= 10)
+      .select("k").as[Long].collect().toSet ==
+      (1L to 10L).filterNot(_ % 7 == 0).toSet)
+  }
+
+  test("deletes compose; re-deleting already-deleted rows is a no-op") {
+    val root = freshRoot("compose")
+    TxTable.create(seed, root, None)
+    val (_, n1) = MergeOnRead.deleteWhere(spark, root, expr("k <= 10"))
+    assert(n1 == 10L)
+    // overlap: k <= 20 re-matches the 10 already-deleted rows
+    val (_, n2) = MergeOnRead.deleteWhere(spark, root, expr("k <= 20"))
+    assert(n2 == 10L, s"only the 10 still-visible rows delete, got $n2")
+    assert(TxTable.read(spark, root).count() == 80L)
+    // nothing matches → no commit
+    val vBefore = TxTable.currentVersion(spark, root).get
+    val (v3, n3) = MergeOnRead.deleteWhere(spark, root, expr("k < 0"))
+    assert(n3 == 0L && v3 == vBefore)
+  }
+
+  test("SQL reads through the catalog merge the delete set (extension rule)") {
+    val wh = freshRoot("sqlwh")
+    spark.conf.set("spark.sql.catalog.gmor", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gmor.m")
+    seed.createOrReplaceTempView("mor_seed")
+    spark.sql(
+      """CREATE TABLE gmor.m.t PARTITIONED BY (bucket(4, k))
+        |AS SELECT * FROM mor_seed""".stripMargin)
+    val res = spark.sql(
+      "CALL gmor.system.delete_where('m.t', 'k % 7 = 0')").head()
+    assert(res.getLong(1) == 14L)
+    // aggregate, filter, and join shapes all read merged
+    assert(spark.sql("SELECT count(*) FROM gmor.m.t").as[Long].head() == 86L)
+    assert(spark.sql("SELECT sum(k) FROM gmor.m.t").as[Long].head() ==
+      (1L to 100L).filterNot(_ % 7 == 0).sum)
+    assert(spark.sql("SELECT count(*) FROM gmor.m.t WHERE k <= 14")
+      .as[Long].head() == 12L)
+    // time travel: the pre-delete version (CTAS = empty v0 + insert
+    // v1) is whole
+    assert(spark.sql("SELECT count(*) FROM gmor.m.t VERSION AS OF 1")
+      .as[Long].head() == 100L)
+    // CALL detail surfaces the outstanding delete set
+    val det = spark.sql("CALL gmor.system.detail('m.t')").head()
+    assert(det.getLong(6) >= 1L && det.getLong(7) == 14L,
+      s"detail must report dv files/rows: $det")
+    // the V1 format surface merges too
+    assert(spark.read.format("graft").load(s"$wh/m/t").count() == 86L)
+  }
+
+  test("copy-on-write DML on a DV-bearing table materializes first, stays exact") {
+    val wh = freshRoot("cowwh")
+    spark.conf.set("spark.sql.catalog.gmw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gmw.m")
+    seed.createOrReplaceTempView("mor_cow_seed")
+    spark.sql(
+      """CREATE TABLE gmw.m.t PARTITIONED BY (p)
+        |AS SELECT * FROM mor_cow_seed""".stripMargin)
+    spark.sql("CALL gmw.system.delete_where('m.t', 'k % 7 = 0')")
+    // UPDATE must not resurrect the 14 deleted rows
+    spark.sql("UPDATE gmw.m.t SET v = 0.0 WHERE k % 10 = 0")
+    val root = s"$wh/m/t"
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.isEmpty, "CoW DML must materialize the delete set")
+    val rows = TxTable.read(spark, root)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(rows.keySet == (1L to 100L).filterNot(_ % 7 == 0).toSet)
+    assert(rows.filter(_._1 % 10 == 0).values.forall(_ == 0.0))
+    assert(rows.filter(k => k._1 % 10 != 0).forall { case (k, v) => v == k * 1.5 })
+  }
+
+  test("materialize rewrites ONLY DV-affected files; vacuum then reclaims the DV") {
+    val root = freshRoot("mat")
+    TxTable.create(seed, root, Some("p"))
+    val before = TxTable.currentSnapshot(spark, root).get.entries
+    // delete only odd keys → only the odd partition's files are affected
+    MergeOnRead.deleteWhere(spark, root, expr("k % 5 = 0 AND p = 'odd'"))
+    val dvRel = TxTable.currentSnapshot(spark, root).get.dvs.head.relPath
+    val v = MergeOnRead.materialize(spark, root)
+    val after = TxTable.currentSnapshot(spark, root).get
+    assert(after.version == v && after.dvs.isEmpty)
+    // even-partition files are byte-identical (not rewritten)
+    val evenBefore = before.filter(_.partition == "p=even").map(_.relPath).toSet
+    val evenAfter = after.entries.filter(_.partition == "p=even")
+      .map(_.relPath).toSet
+    assert(evenAfter == evenBefore,
+      "materialize must not touch files without deletes")
+    assert(TxTable.read(spark, root).select("k").as[Long].collect().toSet ==
+      (1L to 100L).filterNot(k => k % 5 == 0 && k % 2 == 1).toSet)
+    // pre-materialize versions still read the DV — vacuum refuses…
+    assert(TxTable.readVersion(spark, root, 1L).count() == 90L)
+    // …then reclaiming history drops the now-unreferenced delete file
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/$dvRel")))
+    TxTable.vacuum(spark, root, keepFromVersion = after.version)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/$dvRel")),
+      "vacuum must reclaim delete files no retained version references")
+  }
+
+  test("compact localizes deletes on the files it rewrites") {
+    val root = freshRoot("cpt")
+    TxTable.create(seed.repartition(4), root, None)
+    MergeOnRead.deleteWhere(spark, root, expr("k % 3 = 0"))
+    val v = TxTable.compact(spark, root)
+    assert(v > 1L, "small files should have compacted")
+    val snap = TxTable.currentSnapshot(spark, root).get
+    // rows are exact post-compaction (deletes were applied in the
+    // rewrite; carried DV rows are inert against the fresh files)
+    assert(TxTable.read(spark, root).select("k").as[Long].collect().toSet ==
+      (1L to 100L).filterNot(_ % 3 == 0).toSet)
+    assert(TxTable.read(spark, root).count() ==
+      spark.read.schema(seed.schema)
+        .parquet(snap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+        .count(), "compacted files must physically shed deleted rows")
+  }
+
+  test("ChangeFeed emits row-level deletes for a DV-only commit; restore resurrects") {
+    val root = freshRoot("cdf")
+    TxTable.create(seed, root, Some("p"))
+    MergeOnRead.deleteWhere(spark, root, expr("k <= 5"))           // v1
+    val changes = ChangeFeed.between(spark, root, 0L, 1L, Seq("k"))
+    val dels = changes.filter(col(ChangeFeed.OpCol) === "delete")
+      .select("k").as[Long].collect().toSet
+    assert(dels == (1L to 5L).toSet, s"expected 5 deletes, got $dels")
+    assert(changes.count() == 5L, "a DV commit changes nothing else")
+    // restore to v0: the delete set rolls back in one metadata commit
+    TxTable.restore(spark, root, 0L)                               // v2
+    assert(TxTable.read(spark, root).count() == 100L)
+    val resurrect = ChangeFeed.between(spark, root, 1L, 2L, Seq("k"))
+    val ins = resurrect.filter(col(ChangeFeed.OpCol) === "insert")
+      .select("k").as[Long].collect().toSet
+    assert(ins == (1L to 5L).toSet,
+      s"restore across a DV version must surface resurrections: $ins")
+  }
+
+  test("shallow clone of a DV-bearing table reads merged; its deletes localize under the clone") {
+    val root = freshRoot("clsrc")
+    val dst = freshRoot("cldst")
+    TxTable.create(seed, root, Some("p"))
+    MergeOnRead.deleteWhere(spark, root, expr("k > 90"))
+    TxTable.cloneTable(spark, root, dst)
+    assert(TxTable.read(spark, dst).count() == 90L,
+      "clone must apply the source's position deletes")
+    // clone-local delete stacks on the cloned set
+    MergeOnRead.deleteWhere(spark, dst, expr("k <= 10"))
+    assert(TxTable.read(spark, dst).count() == 80L)
+    assert(TxTable.read(spark, root).count() == 90L, "source untouched")
+    // localizing the clone rewrites ONLY the DV-affected files, and
+    // the rewrites land under the CLONE root (never the source's)
+    val extBefore = TxTable.currentSnapshot(spark, dst).get.entries
+      .count(_.relPath.startsWith("/"))
+    MergeOnRead.materialize(spark, dst)
+    val after = TxTable.currentSnapshot(spark, dst).get
+    assert(after.dvs.isEmpty)
+    assert(after.entries.count(_.relPath.startsWith("/")) < extBefore,
+      "affected external entries must localize under the clone")
+    assert(TxTable.read(spark, dst).count() == 80L)
+    assert(TxTable.read(spark, root).count() == 90L, "source untouched")
+  }
+
+  test("raw scans refuse DV-bearing snapshots (no silent resurrection)") {
+    val root = freshRoot("guard")
+    TxTable.create(seed, root, None)
+    MergeOnRead.deleteWhere(spark, root, expr("k = 1"))
+    val snap = TxTable.currentSnapshot(spark, root).get
+    val e = intercept[IllegalArgumentException] {
+      new GraftFileIndex(spark, root, snap).listFiles(Nil, Nil)
+    }
+    assert(e.getMessage.contains("GraftExtensions"))
+  }
+
+  test("streaming append tail fails loudly on a DV change; change feed nets it to deletes") {
+    val root = freshRoot("stream")
+    TxTable.create(seed, root, Some("p"))
+    MergeOnRead.deleteWhere(spark, root, expr("k = 42"))
+    // the append tail must refuse the rows-removed-without-files shape
+    val src = new graft.sources.GraftStreamSource(spark, root,
+      seed.schema, baseVersion = 0L, ignoreChanges = false)
+    val err = intercept[IllegalStateException] {
+      src.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(0L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L))
+        .count()
+    }
+    assert(err.getMessage.contains("position-delete"))
+    // the change-feed consumer is the documented answer
+    val cdf = ChangeFeed.between(spark, root, 0L, 1L, Seq("k"))
+    assert(cdf.select("k").as[Long].collect().toSeq == Seq(42L))
+  }
+}
