@@ -18,7 +18,67 @@ object SourceQueries {
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
-    bucketJoin, bucketDml, morDelete, morChanges, nullSkipping)
+    bucketJoin, bucketDml, bucketMc, morDelete, morChanges, nullSkipping)
+
+  /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
+    * the multi-column PK shape of the reference's migration scripts):
+    * orders lands hashed on BOTH columns, then a full-key equality
+    * DELETE runs — and the query REQUIREs that static candidate
+    * enumeration pruned the rewrite to ONE bucket group (the
+    * cross-product hash bound) — followed by a scattered modulo
+    * UPDATE across all buckets. The oracle replays both over the raw
+    * parquet, so equality proves multi-column placement parity
+    * (write path, CoW rewrite, and pruning all fold the same
+    * murmur3(c1, c2)) end to end. The storage-partitioned JOIN
+    * contract stays single-column (Spark 4.1's KeyGroupedPartitioning
+    * accepts only single-argument transforms); composite layouts buy
+    * placement, pruning, and clustered DML.
+    */
+  val bucketMc: Q = Q(
+    "q_bucket_mc",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(CASE WHEN o_custkey % 10 = 1
+      |      THEN o_totalprice + 1 ELSE o_totalprice END * 100) AS BIGINT))
+      |    AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE NOT (o_custkey = 371 AND o_orderstatus = 'O')
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_mc_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gk", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gk.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gk.mart")
+    s.sql("DROP TABLE IF EXISTS gk.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_mc_src")
+    s.sql(
+      """CREATE TABLE gk.mart.orders
+        |PARTITIONED BY (bucket(8, o_custkey, o_orderstatus))
+        |AS SELECT * FROM graft_mc_src""".stripMargin)
+    val root = s"$wh/mart/orders"
+    val before = graft.sources.TxTable.currentSnapshot(s, root).get
+    s.sql(
+      """DELETE FROM gk.mart.orders
+        |WHERE o_custkey = 371 AND o_orderstatus = 'O'""".stripMargin)
+    val afterDel = graft.sources.TxTable.currentSnapshot(s, root).get
+    // the point: a full-key DELETE rewrites exactly one bucket group
+    val replaced = before.entries.map(_.relPath).toSet --
+      afterDel.entries.map(_.relPath).toSet
+    val replacedParts = before.entries
+      .filter(e => replaced.contains(e.relPath)).map(_.partition).toSet
+    require(replacedParts.size <= 1,
+      s"q_bucket_mc: composite-key DELETE must prune the rewrite to " +
+        s"one bucket group, replaced: $replacedParts")
+    s.sql(
+      """UPDATE gk.mart.orders SET o_totalprice = o_totalprice + 1
+        |WHERE o_custkey % 10 = 1""".stripMargin)
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gk.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
 
   /** MERGE-ON-READ DELETE ([[graft.sources.MergeOnRead]]): orders
     * lands as bucket(8, o_orderkey), then a DELETE whose keys scatter

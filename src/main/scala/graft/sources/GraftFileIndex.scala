@@ -87,8 +87,8 @@ final class GraftFileIndex(
     // the full predicate row-by-row on survivors (pruning only ever
     // REMOVES work, never decides correctness).
     val afterBuckets = layout match {
-      case Some(Layout.Bucket(n, c)) if dataFilters.nonEmpty =>
-        BucketIds.allowedByFilters(c, n, dataFilters) match {
+      case Some(Layout.Bucket(n, cs)) if dataFilters.nonEmpty =>
+        BucketIds.allowedByFilters(cs, n, dataFilters) match {
           case Some(allowed) =>
             val prefix = s"${Layout.BucketPartName}="
             snapshot.entries.filter { e =>

@@ -35,12 +35,27 @@ private[graft] object KeyedLayout {
     // such tables through the merged plan instead)
     if (snap.dvs.nonEmpty) return None
 
+    // COMPOSITE bucket keys refuse the keyed scan: Spark's
+    // KeyGroupedPartitioning.supportsExpressions accepts only
+    // single-argument transforms (verified against 4.1 —
+    // isSupportedTransform requires children.size == 1), so reporting
+    // bucket(n, c1, c2) yields UnknownPartitioning: the split-per-group
+    // plan would bound parallelism with NO zero-shuffle payoff.
+    // Composite layouts keep placement parity, manifest group pruning,
+    // and clustered DML; the storage-partitioned JOIN path is
+    // single-column until Spark's planner accepts multi-arg transforms.
+    Layout.parse(layoutSpec) match {
+      case b: Layout.Bucket if b.cols.length > 1 => return None
+      case _ => ()
+    }
+
     val schema = StructType.fromDDL(snap.schemaDdl)
     val kind = Layout.parse(layoutSpec)
     // partition value type: the column's for identity, the bucket id
     // (int) for buckets — in both cases what the reported transform
     // produces, which is what Spark's key grouping compares
-    if (!schema.fields.exists(_.name.equalsIgnoreCase(kind.col)))
+    if (!kind.cols.forall(c =>
+      schema.fields.exists(_.name.equalsIgnoreCase(c))))
       return None
     val partType = kind.partType(schema)
     if (snap.entries.exists(!_.partition.contains("="))) return None
@@ -50,8 +65,8 @@ private[graft] object KeyedLayout {
     // read path — min/max stats cannot skip on a hash-distributed
     // key, the group bound can)
     val afterBuckets = kind match {
-      case Layout.Bucket(n, c) if dataFilters.nonEmpty =>
-        BucketIds.allowedByFilters(c, n, dataFilters) match {
+      case Layout.Bucket(n, cs) if dataFilters.nonEmpty =>
+        BucketIds.allowedByFilters(cs, n, dataFilters) match {
           case Some(allowed) =>
             val prefix = s"${Layout.BucketPartName}="
             snap.entries.filter { e =>

@@ -284,17 +284,31 @@ private[sources] object PartitionPredicates {
   * disagree.
   */
 private[graft] object BucketIds {
-  /** Bucket id of one EXTERNAL value (None = SQL NULL — hashes to the
-    * seed, exactly as `functions.hash(null)` does).
+
+  /** Cross-product ceiling for composite candidate enumeration: a
+    * bound bigger than this stops pruning (keep everything) rather
+    * than materializing a huge id set.
     */
-  def idOf(value: Option[Any], dt: DataType, n: Int): Int = {
-    val cat = value
-      .map(CatalystTypeConverters.createToCatalystConverter(dt))
-      .orNull
-    val h = new Murmur3Hash(Seq(Literal(cat, dt))).eval(null)
-      .asInstanceOf[Int]
+  val MaxCandidates = 4096
+
+  /** Bucket id of one EXTERNAL value tuple, one element per layout
+    * column IN SPEC ORDER (None = SQL NULL — hashes to the running
+    * seed, exactly as `functions.hash(null, …)` does). The Murmur3
+    * fold over multiple children is Spark's own: each column's hash
+    * seeds the next.
+    */
+  def idOf(values: Seq[(Option[Any], DataType)], n: Int): Int = {
+    val lits = values.map { case (v, dt) =>
+      Literal(v.map(CatalystTypeConverters.createToCatalystConverter(dt))
+        .orNull, dt)
+    }
+    val h = new Murmur3Hash(lits).eval(null).asInstanceOf[Int]
     ((h % n) + n) % n
   }
+
+  /** Single-column convenience (the pre-composite call shape). */
+  def idOf(value: Option[Any], dt: DataType, n: Int): Int =
+    idOf(Seq((value, dt)), n)
 
   /** The ordinary-read twin of `candidateValues`: bound the live
     * bucket-id set from the OPTIMIZER's pushed dataFilters (catalyst
@@ -304,50 +318,70 @@ private[graft] object BucketIds {
     * under-approximate impossible — only exact value enumeration
     * (equality, IN/INSET, null-safe equality, AND/OR closure)
     * produces a bound.
+    *
+    * COMPOSITE keys: every layout column must be enumerable (the hash
+    * folds over all of them, so one unbounded column makes every
+    * bucket reachable); the id set is the hash of the per-column
+    * candidate CROSS PRODUCT, refused past [[MaxCandidates]]. The
+    * per-column sets come from independent conjuncts, so the product
+    * over-approximates correlated predicates — safe by contract.
     */
   def allowedByFilters(
-      col: String, n: Int,
+      cols: Seq[String], n: Int,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
     : Option[Set[Int]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Murmur3HashFunction, Or}
-    def isCol(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name.equalsIgnoreCase(col)
-      case _ => false
-    }
-    def hashId(v: Any, dt: DataType): Int = {
-      val h = Murmur3HashFunction.hash(v, dt, 42L).toInt
-      ((h % n) + n) % n
-    }
     // candidate CATALYST values matching rows can take, per conjunct;
     // `= NULL` matches nothing (empty), `<=> NULL` matches null rows
-    def cands(e: Expression): Option[Seq[(Any, DataType)]] = e match {
-      case EqualTo(a: AttributeReference, Literal(v, _)) if isCol(a) =>
-        Some(if (v == null) Nil else Seq((v, a.dataType)))
-      case EqualTo(Literal(v, _), a: AttributeReference) if isCol(a) =>
-        Some(if (v == null) Nil else Seq((v, a.dataType)))
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if isCol(a) =>
-        Some(Seq((v, a.dataType)))
-      case EqualNullSafe(Literal(v, _), a: AttributeReference) if isCol(a) =>
-        Some(Seq((v, a.dataType)))
-      case In(a: AttributeReference, list)
-          if isCol(a) && list.forall(_.isInstanceOf[Literal]) =>
-        Some(list.collect {
-          case Literal(v, _) if v != null => (v, a.dataType)
-        })
-      case InSet(a: AttributeReference, hset) if isCol(a) =>
-        Some(hset.filter(_ != null).toSeq.map(v => (v, a.dataType)))
-      case And(l, r) =>
-        (cands(l), cands(r)) match {
-          case (Some(a), Some(b)) => Some(a.toSet.intersect(b.toSet).toSeq)
-          case (a, b) => a.orElse(b)
-        }
-      case Or(l, r) =>
-        for { a <- cands(l); b <- cands(r) } yield (a.toSet ++ b.toSet).toSeq
-      case _ => None
+    def cands(col: String)(e: Expression): Option[Seq[(Any, DataType)]] = {
+      def isCol(x: Expression): Boolean = x match {
+        case a: AttributeReference => a.name.equalsIgnoreCase(col)
+        case _ => false
+      }
+      e match {
+        case EqualTo(a: AttributeReference, Literal(v, _)) if isCol(a) =>
+          Some(if (v == null) Nil else Seq((v, a.dataType)))
+        case EqualTo(Literal(v, _), a: AttributeReference) if isCol(a) =>
+          Some(if (v == null) Nil else Seq((v, a.dataType)))
+        case EqualNullSafe(a: AttributeReference, Literal(v, _)) if isCol(a) =>
+          Some(Seq((v, a.dataType)))
+        case EqualNullSafe(Literal(v, _), a: AttributeReference) if isCol(a) =>
+          Some(Seq((v, a.dataType)))
+        case In(a: AttributeReference, list)
+            if isCol(a) && list.forall(_.isInstanceOf[Literal]) =>
+          Some(list.collect {
+            case Literal(v, _) if v != null => (v, a.dataType)
+          })
+        case InSet(a: AttributeReference, hset) if isCol(a) =>
+          Some(hset.filter(_ != null).toSeq.map(v => (v, a.dataType)))
+        case And(l, r) =>
+          (cands(col)(l), cands(col)(r)) match {
+            case (Some(a), Some(b)) => Some(a.toSet.intersect(b.toSet).toSeq)
+            case (a, b) => a.orElse(b)
+          }
+        case Or(l, r) =>
+          for { a <- cands(col)(l); b <- cands(col)(r) }
+            yield (a.toSet ++ b.toSet).toSeq
+        case _ => None
+      }
     }
-    val bounds = filters.flatMap(f =>
-      cands(f).map(_.map { case (v, dt) => hashId(v, dt) }.toSet))
-    if (bounds.isEmpty) None else Some(bounds.reduce(_ intersect _))
+    // per-column bound = intersection over all conjuncts that bound it
+    val perCol: Seq[Seq[(Any, DataType)]] = cols.map { c =>
+      val bounds = filters.flatMap(f => cands(c)(f).map(_.toSet))
+      if (bounds.isEmpty) return None // this column is unbounded
+      bounds.reduce(_ intersect _).toSeq
+    }
+    if (perCol.map(_.size.toLong).product > MaxCandidates) return None
+    // hash fold over the cross product, seed-chained like Murmur3Hash
+    def ids(prefix: Long, rest: Seq[Seq[(Any, DataType)]]): Seq[Long] =
+      rest match {
+        case Nil => Seq(prefix)
+        case head +: tail =>
+          head.flatMap { case (v, dt) =>
+            ids(Murmur3HashFunction.hash(v, dt, prefix), tail)
+          }
+      }
+    Some(ids(42L, perCol).map(h => ((h.toInt % n) + n) % n).toSet)
   }
 }
 
@@ -385,10 +419,13 @@ private[sources] final class GraftCowScanBuilder(
         val dt = schema(c).dataType
         predicates.filter(p =>
           PartitionPredicates.interpret(c, dt, p).isDefined)
-      case Some(Layout.Bucket(_, c)) =>
-        val dt = schema(c).dataType
-        predicates.filter(p =>
-          PartitionPredicates.candidateValues(c, dt, p).isDefined)
+      case Some(Layout.Bucket(_, cs)) =>
+        // composite keys: a predicate helps when it enumerates ANY
+        // layout column (full pruning needs all of them — decided in
+        // the scan's prune, which sees every pushed predicate at once)
+        predicates.filter(p => cs.exists(c =>
+          PartitionPredicates.candidateValues(c, schema(c).dataType, p)
+            .isDefined))
       case None => Array.empty
     }
     predicates
@@ -428,20 +465,36 @@ private[sources] final class GraftCowScan(
         val fs = preds.toSeq.flatMap(p =>
           PartitionPredicates.interpret(c, partDt.get, p))
         es.filter(e => PartitionPredicates.keepForScan(fs, valueOf(e.partition)))
-      case Some(Layout.Bucket(n, c)) if preds.nonEmpty =>
-        // each enumerable conjunct bounds the live bucket set; an
-        // entry survives only if its id is allowed by EVERY bound
-        val dt = schema(c).dataType
-        val bounds = preds.toSeq.flatMap(p =>
-          PartitionPredicates.candidateValues(c, dt, p)
-            .map(_.map(v => BucketIds.idOf(v, dt, n)).toSet))
-        if (bounds.isEmpty) es
-        else {
-          val allowed = bounds.reduce(_ intersect _)
-          es.filter(e => valueOf(e.partition) match {
-            case i: Int => allowed.contains(i)
-            case _ => true // unparseable id: keep (never wrong)
-          })
+      case Some(Layout.Bucket(n, cs)) if preds.nonEmpty =>
+        // every layout column needs a candidate bound (per column:
+        // intersection across the conjuncts that enumerate it); the
+        // allowed ids are the hash of the bounded CROSS PRODUCT —
+        // over-approximate for correlated predicates, never under
+        val perCol: Option[Seq[(Seq[Option[Any]], DataType)]] = {
+          val all = cs.map { c =>
+            val dt = schema(c).dataType
+            val bounds = preds.toSeq.flatMap(p =>
+              PartitionPredicates.candidateValues(c, dt, p).map(_.toSet))
+            if (bounds.isEmpty) None
+            else Some((bounds.reduce(_ intersect _).toSeq, dt))
+          }
+          if (all.exists(_.isEmpty)) None else Some(all.map(_.get))
+        }
+        perCol match {
+          case Some(sets)
+              if sets.map(_._1.size.toLong).product <=
+                BucketIds.MaxCandidates =>
+            val combos = sets.foldLeft(
+              Seq(Seq.empty[(Option[Any], DataType)])) {
+              case (acc, (vals, dt)) =>
+                acc.flatMap(pre => vals.map(v => pre :+ ((v, dt))))
+            }
+            val allowed = combos.map(t => BucketIds.idOf(t, n)).toSet
+            es.filter(e => valueOf(e.partition) match {
+              case i: Int => allowed.contains(i)
+              case _ => true // unparseable id: keep (never wrong)
+            })
+          case _ => es
         }
       case _ => es
     }
@@ -478,6 +531,9 @@ private[sources] final class GraftCowScan(
   override def filterAttributes(): Array[NamedReference] =
     layout match {
       case Some(b: Layout.Bucket) if staticPreds.nonEmpty => Array.empty
+      // composite bucket keys: a single column's distinct values can
+      // never bound the folded hash, so the subquery would be wasted
+      case Some(b: Layout.Bucket) if b.cols.length > 1 => Array.empty
       case other => other.map(l => Expressions.column(l.col)).toArray
     }
 
@@ -521,8 +577,9 @@ private[sources] final class GraftCowWrite(
       // through the catalog's own bucket function): each touched
       // bucket's surviving rows land in ONE task → one rewritten file
       // per group, not one per task that saw the group
-      case Some(Layout.Bucket(n, c)) =>
-        Distributions.clustered(Array[V2Expression](Expressions.bucket(n, c)))
+      case Some(Layout.Bucket(n, cs)) =>
+        Distributions.clustered(
+          Array[V2Expression](Expressions.bucket(n, cs: _*)))
       // identity layouts cluster on the partition column itself
       case Some(l) =>
         Distributions.clustered(Array[V2Expression](Expressions.column(l.col)))
@@ -643,10 +700,11 @@ private[sources] final class GraftCowDataWriter(
   // Layout.dirColumn evaluates, bound to the source column — placement
   // by the rewrite and by ordinary INSERTs can never disagree
   private val bucketOf: Option[InternalRow => Int] =
-    layout.collect { case Layout.Bucket(n, c) =>
-      val i = schema.fieldIndex(c)
-      val h = new Murmur3Hash(
-        Seq(BoundReference(i, schema(i).dataType, schema(i).nullable)))
+    layout.collect { case Layout.Bucket(n, cs) =>
+      val h = new Murmur3Hash(cs.map { c =>
+        val i = schema.fieldIndex(c)
+        BoundReference(i, schema(i).dataType, schema(i).nullable)
+      })
       (row: InternalRow) => {
         val v = h.eval(row).asInstanceOf[Int]
         ((v % n) + n) % n

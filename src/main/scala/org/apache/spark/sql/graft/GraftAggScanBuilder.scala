@@ -50,7 +50,7 @@ final class GraftAggScanBuilder(
     statsAnswer: Aggregation => Option[(StructType, Array[InternalRow])],
     keyedLayout: Seq[Expression] =>
       Option[Seq[(InternalRow, Array[PartitionedFile])]],
-    keyed: Option[(String, org.apache.spark.sql.connector.expressions.Expression)])
+    keyed: Option[(Seq[String], org.apache.spark.sql.connector.expressions.Expression)])
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -62,9 +62,9 @@ final class GraftAggScanBuilder(
       statsAnswer: Aggregation => Option[(StructType, Array[InternalRow])]) =
     this(delegate, statsAnswer, _ => None, None)
 
-  // keyed = (layout source column, reported V2 transform): the column
-  // gates on read-schema survival; the transform is what the keyed
-  // scan reports (identity(col) or bucket(n, col))
+  // keyed = (layout source columns, reported V2 transform): the
+  // columns gate on read-schema survival; the transform is what the
+  // keyed scan reports (identity(col) or bucket(n, col...))
 
   private var seenFilters: Seq[Expression] = Nil
   private var answer: Option[(StructType, Array[InternalRow])] = None
@@ -101,8 +101,9 @@ final class GraftAggScanBuilder(
         delegate.sparkSession.conf
           .get("spark.graft.preserveDataGrouping", "false") == "true"
       keyed match {
-        case Some((srcCol, transform)) if bucketing &&
-          scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(srcCol)) =>
+        case Some((srcCols, transform)) if bucketing &&
+          srcCols.forall(c =>
+            scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(c))) =>
           keyedLayout(seenFilters) match {
             case Some(groups) => new GraftKeyedScan(scan, transform, groups)
             case None => scan

@@ -233,7 +233,7 @@ class BucketSpec extends SparkSpec {
     def id(v: java.lang.Long): Int = spark.range(1).select(
       pmod(hash(lit(v).cast("bigint")), lit(n)).cast("int")).as[Int].head()
     def run(es: org.apache.spark.sql.catalyst.expressions.Expression*) =
-      BucketIds.allowedByFilters("k", n, es.toSeq)
+      BucketIds.allowedByFilters(Seq("k"), n, es.toSeq)
     assert(run(EqualTo(k, CL(7L))) == Some(Set(id(7L))))
     assert(run(EqualTo(CL(7L), k)) == Some(Set(id(7L))))
     // k = NULL matches nothing; k <=> NULL pins null's bucket
@@ -319,5 +319,106 @@ class BucketSpec extends SparkSpec {
         "CREATE TABLE bk.t.bad (k DOUBLE, v DOUBLE) PARTITIONED BY (bucket(4, k))")
     }
     assert(e.getMessage.contains("unsupported bucket column type"))
+  }
+
+  test("composite bucket keys: placement parity, SPJ zero-shuffle, DML group pruning") {
+    cat
+    spark.sql(
+      """CREATE TABLE bk.t.m1 (k1 BIGINT, k2 STRING, v DOUBLE)
+        |PARTITIONED BY (bucket(4, k1, k2))""".stripMargin)
+    spark.sql(
+      """INSERT INTO bk.t.m1
+        |SELECT id AS k1, concat('g', id % 3) AS k2, id * 1.5 AS v
+        |FROM range(0, 120)""".stripMargin)
+    val root = s"$wh/t/m1"
+    val snap = TxTable.currentSnapshot(spark, root).get
+    val parts = snap.entries.map(_.partition).toSet
+    assert(parts.forall(_.startsWith("_bucket=")), s"got $parts")
+    // placement parity: manifest bucket ids = pmod(hash(k1, k2), 4)
+    // (the SAME multi-column murmur3 fold everywhere)
+    val expected = spark.range(0, 120)
+      .select(pmod(hash(col("id"), concat(lit("g"), col("id") % 3)), lit(4))
+        .cast("string")).distinct()
+      .as[String].collect().toSet.map("_bucket=" + (_: String))
+    assert(parts == expected, s"parts=$parts expected=$expected")
+    snap.entries.foreach { e =>
+      val id = e.partition.stripPrefix("_bucket=").toInt
+      val off = spark.read.parquet(s"$root/${e.relPath}")
+        .where(pmod(hash($"k1", $"k2"), lit(4)) =!= id).count()
+      assert(off == 0L, s"${e.relPath} holds rows outside ${e.partition}")
+    }
+
+    // co-bucketed two-column join: exact rows. NOTE the zero-shuffle
+    // SPJ contract stays SINGLE-column: Spark 4.1's
+    // KeyGroupedPartitioning accepts only single-argument transforms
+    // (isSupportedTransform requires children.size == 1), so the
+    // keyed-scan shape deliberately declines composite layouts
+    // (KeyedLayout.groups) rather than bound parallelism for nothing.
+    spark.sql(
+      """CREATE TABLE bk.t.m2 (k1 BIGINT, k2 STRING, w DOUBLE)
+        |PARTITIONED BY (bucket(4, k1, k2))""".stripMargin)
+    spark.sql(
+      """INSERT INTO bk.t.m2
+        |SELECT id AS k1, concat('g', id % 3) AS k2, id * 10.0 AS w
+        |FROM range(60, 180)""".stripMargin)
+    withSpj {
+      val q = spark.sql(
+        """SELECT a.k1, a.v, b.w FROM bk.t.m1 a JOIN bk.t.m2 b
+          |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin)
+      val rows = q.collect().toSeq
+      assert(rows.size == 60)
+      assert(rows.sortBy(_.getLong(0)) ==
+        (60L until 120L).map(k => Row(k, k * 1.5, k * 10.0)))
+    }
+
+    // composite-key equality DELETE: static candidate enumeration
+    // prunes the rewrite to ONE bucket group
+    val before = TxTable.currentSnapshot(spark, root).get
+    spark.sql("DELETE FROM bk.t.m1 WHERE k1 = 55 AND k2 = 'g1'")
+    val afterDel = TxTable.currentSnapshot(spark, root).get
+    assert(spark.sql("SELECT count(*) FROM bk.t.m1").as[Long].head() == 119L)
+    val fresh = afterDel.entries.filterNot(before.entries.toSet)
+    assert(fresh.map(_.partition).toSet.size == 1,
+      s"composite-key DELETE must rewrite one bucket group, got " +
+        s"${fresh.map(_.partition)}")
+    val dropped = before.entries.map(_.relPath).toSet --
+      afterDel.entries.map(_.relPath).toSet
+    val droppedParts = before.entries
+      .filter(e => dropped.contains(e.relPath)).map(_.partition).toSet
+    assert(droppedParts.size == 1,
+      s"only the matching bucket's files may be replaced: $droppedParts")
+
+    // point lookup on the FULL key prunes the ordinary read to one
+    // bucket group (manifest-level pruning via the composite hash)
+    val idx = new graft.sources.GraftFileIndex(spark, root, afterDel)
+    idx.listFiles(Nil, Nil)
+    val listedAll = idx.lastListedCount
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Literal => CLit}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val k1a = AttributeReference("k1", LongType)()
+    val k2a = AttributeReference("k2", StringType)()
+    idx.listFiles(Nil, Seq(
+      EqualTo(k1a, CLit(77L)),
+      EqualTo(k2a, CLit(UTF8String.fromString("g2"), StringType))))
+    assert(idx.lastListedCount < listedAll,
+      s"full-key point lookup must prune bucket groups " +
+        s"(${idx.lastListedCount}/$listedAll listed)")
+    val q = spark.sql(
+      "SELECT v FROM bk.t.m1 WHERE k1 = 77 AND k2 = 'g2'")
+    assert(q.as[Double].collect().toSeq == Seq(77 * 1.5))
+    // a single-column predicate cannot bound the composite hash:
+    // nothing prunes, nothing is lost
+    idx.listFiles(Nil, Seq(EqualTo(k1a, CLit(77L))))
+    assert(idx.lastListedCount == listedAll)
+    // DML kept rows exact: the deleted (55, g1) sits outside the
+    // [60, 120) overlap, so the join is unchanged — and a second
+    // composite DELETE inside the overlap shrinks it by exactly one
+    def joinCount() = spark.sql(
+      """SELECT a.k1 FROM bk.t.m1 a JOIN bk.t.m2 b
+        |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin).count()
+    assert(joinCount() == 60L)
+    spark.sql("DELETE FROM bk.t.m1 WHERE k1 = 77 AND k2 = 'g2'")
+    assert(joinCount() == 59L)
   }
 }
