@@ -155,28 +155,33 @@ final class GraftCatalog
         require(schema.fieldNames.contains(c),
           s"PARTITIONED BY ($c): no such column")
         Some(c)
-      case Seq(t) if t.name == "bucket" && t.references.length == 1 =>
-        val c = t.references.head.fieldNames.mkString(".")
+      case Seq(t) if t.name == "bucket" && t.references.nonEmpty =>
+        // one or more bucket columns (composite keys hash in the
+        // declared order — the order is part of the layout contract)
+        val cs = t.references.toSeq.map(_.fieldNames.mkString("."))
         val n = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
             l.value.asInstanceOf[Number].intValue()
         }.getOrElse(throw new UnsupportedOperationException(
           s"bucket transform without a bucket count: $t"))
-        require(n > 0, s"PARTITIONED BY (bucket($n, $c)): need N > 0")
-        require(schema.fieldNames.contains(c),
-          s"PARTITIONED BY (bucket($n, $c)): no such column")
-        // hash-stable types only: the bucket function must agree
-        // across writes forever
-        schema(c).dataType match {
-          case ByteType | ShortType | IntegerType | LongType | StringType |
-               DateType | TimestampType | TimestampNTZType | BooleanType => ()
-          case dt => throw new UnsupportedOperationException(
-            s"bucket($n, $c): unsupported bucket column type $dt")
+        require(n > 0,
+          s"PARTITIONED BY (bucket($n, ${cs.mkString(", ")})): need N > 0")
+        cs.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"PARTITIONED BY (bucket($n, $c)): no such column")
+          // hash-stable types only: the bucket function must agree
+          // across writes forever
+          schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType | StringType |
+                 DateType | TimestampType | TimestampNTZType | BooleanType => ()
+            case dt => throw new UnsupportedOperationException(
+              s"bucket($n, $c): unsupported bucket column type $dt")
+          }
         }
-        Some(s"bucket($n,$c)")
+        Some(Layout.bucketSpec(n, cs))
       case other => throw new UnsupportedOperationException(
         s"graft tables support PARTITIONED BY (one identity column or " +
-          s"one bucket(N, column)); got: ${other.mkString(", ")}")
+          s"one bucket(N, column...)); got: ${other.mkString(", ")}")
     }
     TxTable.createEmpty(spark, root.toString, schema)
     partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root.toString, _))
@@ -491,6 +496,39 @@ private[sources] object GraftProcedures {
         Seq(Seq(ZOrder.cluster(spark, cat.tableRoot(str(r, 0)), dims,
           r.getLong(2).toInt)))
       }),
+    "cdc_lag" -> new Proc(
+      "cdc_lag", "CDC lag monitor over a Cdc.StateStore parquet: one " +
+        "row per pipeline state with hours since its watermark last " +
+        "advanced, headroom against the change-log retention window, " +
+        "and an alert flag when headroom dips under alert_hours " +
+        "(default 24 — raise the consumer cadence or the retention " +
+        "before the guard starts refusing ranges)",
+      Array(in("state_path", StringType),
+        inDefault("retain_hours", LongType, "72"),
+        inDefault("alert_hours", LongType, "24")),
+      StructType(Seq(
+        StructField("state_name", StringType, false),
+        StructField("state", LongType, false),
+        StructField("lag_hours", DoubleType, false),
+        StructField("headroom_hours", DoubleType, false),
+        StructField("alert", BooleanType, false))),
+      (cat, r) => {
+        val path = str(r, 0)
+        val retainH = r.getLong(1).toDouble
+        val alertH = r.getLong(2).toDouble
+        val now = System.currentTimeMillis()
+        // the state store is one tiny parquet (a row per pipeline) —
+        // driver-collect is the right scale
+        spark.read.parquet(path)
+          .select("state_name", "state", "last_update")
+          .collect().toSeq.map { row =>
+            val lagH = (now -
+              row.getTimestamp(2).getTime).toDouble / 3600000.0
+            val headroom = retainH - lagH
+            Seq(row.getString(0), row.getLong(1), lagH, headroom,
+              headroom < alertH)
+          }
+      }),
     "delete_where" -> new Proc(
       "delete_where", "MERGE-ON-READ DELETE: commit a position-delete " +
         "file for every row matching the predicate — data files " +
@@ -692,7 +730,7 @@ final class GraftV2Table(
 
   override def partitioning(): Array[Transform] = layout.map {
     case Layout.Identity(c) => Expressions.identity(c)
-    case Layout.Bucket(n, c) => Expressions.bucket(n, c)
+    case Layout.Bucket(n, cs) => Expressions.bucket(n, cs: _*)
   }.toArray
 
   override def properties(): util.Map[String, String] =
@@ -720,7 +758,7 @@ final class GraftV2Table(
       agg => StatsAgg.answer(snap, schema(), identityCol, agg),
       filters => partitionCol.flatMap(spec =>
         KeyedLayout.groups(spark, root, snap, spec, filters)),
-      layout.map(l => (l.col, partitioning().head)))
+      layout.map(l => (l.cols, partitioning().head)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (timeTravel) throw new UnsupportedOperationException(
@@ -890,19 +928,28 @@ private[sources] object GraftBucketFunction
     "bucket(N, col): pmod(murmur3(col), N) — the graft bucket layout"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket takes (numBuckets, col), got ${inputType.catalogString}")
-    val dt = inputType.fields(1).dataType
+    require(inputType.fields.length >= 2,
+      s"bucket takes (numBuckets, col...), got ${inputType.catalogString}")
+    val dts = inputType.fields.drop(1).map(_.dataType)
     new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def inputTypes(): Array[DataType] =
+        IntegerType +: dts
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
       override def canonicalName(): String = "graft.bucket"
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
-        val h = Murmur3HashFunction.hash(input.get(1, dt), dt, 42L).toInt
-        ((h % n) + n) % n
+        // seed-chained Murmur3 fold over the columns, exactly the
+        // Murmur3Hash expression's multi-child evaluation (and so
+        // Layout.dirColumn's functions.hash(c1, c2, …))
+        var h = 42L
+        var i = 0
+        while (i < dts.length) {
+          h = Murmur3HashFunction.hash(input.get(i + 1, dts(i)), dts(i), h)
+          i += 1
+        }
+        ((h.toInt % n) + n) % n
       }
     }
   }

@@ -597,4 +597,27 @@ class CatalogSpec extends SparkSpec {
       (3L, "C", 3.0, "insert"), (4L, "B", 400.0, "insert"),
       (9L, "A", 9.0, "insert")))
   }
+
+  test("CALL cdc_lag reports hours-behind and retention headroom per pipeline") {
+    cat
+    val path = s"target/tmp/cdc_lag_states_${System.nanoTime()}"
+    val now = System.currentTimeMillis()
+    // one fresh pipeline, one 60h-stale pipeline (72h retention,
+    // 24h alert threshold ⇒ 12h headroom ⇒ alert)
+    Seq(
+      ("orders_pipeline", 1000L, new java.sql.Timestamp(now - 60L * 3600000)),
+      ("events_pipeline", 2000L, new java.sql.Timestamp(now)))
+      .toDF("state_name", "state", "last_update")
+      .coalesce(1).write.parquet(path)
+    val rows = spark.sql(s"CALL gc.system.cdc_lag('$path', 72, 24)")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (lagO, headO, alertO) = rows("orders_pipeline")
+    assert(lagO >= 59.9 && lagO <= 61.0, s"stale lag: $lagO")
+    assert(headO <= 12.1 && alertO,
+      s"12h headroom must alert under the 24h threshold: $headO")
+    val (lagE, headE, alertE) = rows("events_pipeline")
+    assert(lagE < 1.0 && headE > 70.0 && !alertE,
+      s"fresh pipeline must not alert: $lagE/$headE")
+  }
 }
