@@ -54,25 +54,26 @@ object ChangeFeed {
 
     val fromPaths = from.entries.map(_.relPath).toSet
     val toPaths = to.entries.map(_.relPath).toSet
-    def emptyDf: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    def readEntries(entries: Seq[TxTable.Entry]): DataFrame =
-      if (entries.isEmpty) emptyDf
-      else spark.read.schema(schema)
-        .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+    // both sides read under the NEWER schema; the OLD side's files may
+    // predate renames the newer side's alias map no longer carries
+    // (a rewrite between the versions localizes and clears it), so the
+    // old side reads under the UNION of both alias maps
+    val toNames = schema.fieldNames.toSet
+    val oldAliases = (from.aliases.filter(kv => toNames(kv._1)).toSeq ++
+      to.aliases.toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.flatMap(_._2).distinct }
+    val oldView = to.copy(aliases = oldAliases)
     // each side's files read with its OWN snapshot's position deletes
     // applied: a row a merge-on-read DELETE had already removed at
     // `fromVersion` is not an old image, and one removed at
-    // `toVersion` is not a new image
-    def visible(entries: Seq[TxTable.Entry], dvs: Seq[TxTable.DvEntry]) =
-      if (entries.isEmpty) emptyDf
-      else MergeOnRead.applyDvList(spark, root, dvs, readEntries(entries))
+    // `toVersion` is not a new image.
     // immutable files ⇒ the manifest diff carries all FILE-level
     // change; the DV diff below carries the row-level remainder
-    var oldSide = visible(from.entries.filterNot(e => toPaths(e.relPath)),
-      from.dvs)
-    var newSide = visible(to.entries.filterNot(e => fromPaths(e.relPath)),
-      to.dvs)
+    var oldSide = MergeOnRead.mergedRead(spark, root,
+      oldView.copy(dvs = from.dvs),
+      from.entries.filterNot(e => toPaths(e.relPath)))
+    var newSide = MergeOnRead.mergedRead(spark, root, to,
+      to.entries.filterNot(e => fromPaths(e.relPath)))
 
     // files present in BOTH versions change rows only through the
     // position-delete delta: positions deleted in `to` but not `from`
@@ -91,9 +92,10 @@ object ChangeFeed {
         touchedKeys.contains(
           MergeOnRead.fileKey(TxTable.entryPath(root, e.relPath))))
       if (touched.nonEmpty) {
-        val touchedRows = readEntries(touched)
-        oldSide = oldSide.union(MergeOnRead.rowsAt(touchedRows, addedDel))
-        newSide = newSide.union(MergeOnRead.rowsAt(touchedRows, removedDel))
+        oldSide = oldSide.union(
+          MergeOnRead.mergedRowsAt(spark, root, oldView, touched, addedDel))
+        newSide = newSide.union(
+          MergeOnRead.mergedRowsAt(spark, root, oldView, touched, removedDel))
       }
     }
     val oldRows = oldSide.withColumn("__cf_old", lit(true)).as("o")

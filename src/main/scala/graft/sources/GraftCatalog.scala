@@ -196,12 +196,17 @@ final class GraftCatalog
       throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      "graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS (both " +
-        s"metadata-only); got: ${other.mkString(", ")}")
+      "graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS / RENAME " +
+        "COLUMN / ALTER COLUMN TYPE (all metadata-only); got: " +
+        other.mkString(", "))
     adds.foreach { a =>
       require(a.fieldNames.length == 1,
         s"graft ADD COLUMNS is top-level only: ${a.fieldNames.mkString(".")}")
@@ -211,12 +216,22 @@ final class GraftCatalog
     }
     drops.foreach(d => require(d.fieldNames.length == 1,
       s"graft DROP COLUMNS is top-level only: ${d.fieldNames.mkString(".")}"))
+    (renames ++ widens).foreach(c => require(
+      (c match {
+        case r: TableChange.RenameColumn => r.fieldNames
+        case u: TableChange.UpdateColumnType => u.fieldNames
+      }).length == 1,
+      s"graft ALTER COLUMN is top-level only"))
     if (adds.nonEmpty)
       TxTable.addColumns(spark, root, adds.map(a =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)))
     if (drops.nonEmpty)
       TxTable.dropColumns(spark, root, drops.map(_.fieldNames.head))
+    renames.foreach(r =>
+      TxTable.renameColumn(spark, root, r.fieldNames.head, r.newName))
+    widens.foreach(u =>
+      TxTable.widenColumn(spark, root, u.fieldNames.head, u.newDataType))
     loadTable(ident)
   }
 
@@ -545,6 +560,16 @@ private[sources] object GraftProcedures {
           org.apache.spark.sql.functions.expr(str(r, 1)))
         Seq(Seq(v, n))
       }),
+    "rewrite_table" -> new Proc(
+      "rewrite_table", "full same-schema rewrite of the current " +
+        "snapshot: localizes metadata-only RENAMEs (old files still " +
+        "carry historical column names) and materializes any " +
+        "merge-on-read deletes, clearing both alias and delete " +
+        "metadata in one commit; history stays time-travelable",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => Seq(Seq(
+        TxTable.rewriteAll(spark, cat.tableRoot(str(r, 0)), identity)))),
     "rewrite_deletes" -> new Proc(
       "rewrite_deletes", "materialize the merge-on-read delete set: " +
         "rewrite exactly the DV-affected data files with their " +
@@ -800,6 +825,14 @@ final class GraftV2Table(
     // DV-affected files) and the operation pins the post-materialize
     // snapshot; a concurrent DV landing between the two fails the
     // statement loudly (commitReplace's dv-equality disjointness)
+    // renamed columns refuse copy-on-write DML outright: the rewrite
+    // scan reads raw parquet, which would null the renamed column in
+    // pre-rename files — localize first (full rewrite, explicit cost)
+    if (snap.aliases.nonEmpty) throw new UnsupportedOperationException(
+      s"row-level ${info.command()} on $root: column(s) " +
+        s"${snap.aliases.keys.mkString(", ")} were renamed metadata-only " +
+        "and old data files still carry the historical name — run " +
+        "CALL rewrite_table to localize the rename first")
     val opSnap =
       if (snap.dvs.isEmpty) snap
       else {

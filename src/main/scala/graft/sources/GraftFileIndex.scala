@@ -81,6 +81,14 @@ final class GraftFileIndex(
         s"${snapshot.dvs.size} position-delete file(s) — register " +
         "spark.sql.extensions=graft.GraftExtensions so reads merge " +
         "them, or CALL rewrite_deletes to materialize first")
+    // a renamed column's old files carry the OLD physical name — a raw
+    // scan would silently null the column for them
+    require(snapshot.aliases.isEmpty,
+      s"table $root@v${snapshot.version} has renamed column(s) " +
+        s"(${snapshot.aliases.keys.mkString(", ")}) whose old files " +
+        "keep the historical name — register spark.sql.extensions=" +
+        "graft.GraftExtensions so reads coalesce them, or CALL " +
+        "rewrite_table to localize first")
     // dataFilters come from the optimizer: resolved AttributeReferences
     // with folded literals — exactly the shape FileStats.provesEmpty
     // evaluates. Files it cannot decide about are kept; Spark re-applies

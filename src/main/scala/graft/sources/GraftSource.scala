@@ -345,8 +345,11 @@ final class GraftStreamSource(
         val removed = before -- endSnap.entries.map(_.relPath).toSet
         // a merge-on-read DELETE removes ROWS without removing files —
         // the same non-append shape as an overwrite, caught the same
-        // way (the change feed is the right consumer for both)
-        val dvChanged = beforeSnap.dvs != endSnap.dvs
+        // way (the change feed is the right consumer for both). A
+        // metadata-only RENAME is caught identically: the pinned
+        // schema could not read post-rename files faithfully.
+        val dvChanged = beforeSnap.dvs != endSnap.dvs ||
+          beforeSnap.aliases != endSnap.aliases
         if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
           throw new IllegalStateException(
             s"graft streaming source: non-append change between " +
@@ -380,17 +383,10 @@ final class GraftStreamSource(
     val startV = start.map(versionOf).getOrElse(baseVersion)
     if (startV < 0) {
       val endSnap = TxTable.snapshot(spark, root, endV)
-      val table = StructType.fromDDL(endSnap.schemaDdl)
-      val full =
-        if (endSnap.entries.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table)
-        else
-          // DV-merged: the bootstrap snapshot must not emit rows a
-          // merge-on-read DELETE already removed
-          MergeOnRead.applyDvs(spark, root, endSnap,
-            spark.read.schema(table)
-              .parquet(endSnap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*))
+      // merged: the bootstrap snapshot must not emit rows a
+      // merge-on-read DELETE already removed, and renamed columns
+      // must coalesce across their historical names
+      val full = MergeOnRead.mergedRead(spark, root, endSnap, endSnap.entries)
       full.withColumn(ChangeFeed.OpCol, lit("insert"))
     } else ChangeFeed.between(spark, root, startV, endV, keys)
   }

@@ -34,6 +34,9 @@ private[graft] object KeyedLayout {
     // groups would include deleted rows (the extension rule serves
     // such tables through the merged plan instead)
     if (snap.dvs.nonEmpty) return None
+    // renamed columns refuse too: the keyed scan reads raw files,
+    // which carry historical names for pre-rename data
+    if (snap.aliases.nonEmpty) return None
 
     // COMPOSITE bucket keys refuse the keyed scan: Spark's
     // KeyGroupedPartitioning.supportsExpressions accepts only

@@ -107,6 +107,67 @@ object MergeOnRead {
       base: DataFrame): DataFrame =
     applyDvList(spark, root, snap.dvs, base)
 
+  /** The read schema that can see RENAMED columns' historical names:
+    * the declared schema plus, per alias, a nullable field of the
+    * CURRENT declared type under the OLD name (old files fill it, new
+    * files null it; the declared type covers narrower physical values
+    * via the reader's upcast — rename composes with widening).
+    */
+  private def extendedSchema(
+      schema: StructType,
+      aliases: Map[String, Seq[String]]): StructType =
+    StructType(schema.fields ++ aliases.toSeq.flatMap { case (cur, olds) =>
+      val dt = schema(cur).dataType
+      olds.map(o => StructField(o, dt, nullable = true))
+    })
+
+  /** Collapse alias columns back into their current names —
+    * `coalesce(new, old₁, old₂, …)` per renamed column — keeping
+    * `keep` helper columns (position keys) if asked.
+    */
+  private def aliasProject(
+      df: DataFrame, schema: StructType,
+      aliases: Map[String, Seq[String]],
+      keep: Seq[String] = Nil): DataFrame =
+    if (aliases.isEmpty) df
+    else df.select(schema.fields.map { f =>
+      aliases.get(f.name) match {
+        case Some(olds) =>
+          coalesce((col(f.name) +: olds.map(col)): _*).as(f.name)
+        case None => col(f.name)
+      }
+    } ++ keep.map(col): _*)
+
+  /** The fully MERGED read of `entries` under `snap`'s metadata:
+    * historical column names coalesced, position deletes anti-joined.
+    * Every snapshot-faithful reader goes through here.
+    */
+  private[sources] def mergedRead(
+      spark: SparkSession, root: String, snap: TxTable.Snapshot,
+      entries: Seq[TxTable.Entry]): DataFrame = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val base = spark.read.schema(extendedSchema(schema, snap.aliases))
+      .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+    aliasProject(applyDvList(spark, root, snap.dvs, base), schema,
+      snap.aliases)
+  }
+
+  /** [[mergedRead]] of the rows AT the positions in `posDf` —
+    * ChangeFeed uses this to turn a position-delete delta back into
+    * (alias-resolved) row images.
+    */
+  private[sources] def mergedRowsAt(
+      spark: SparkSession, root: String, snap: TxTable.Snapshot,
+      entries: Seq[TxTable.Entry], posDf: DataFrame): DataFrame = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val base = spark.read.schema(extendedSchema(schema, snap.aliases))
+      .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+    aliasProject(rowsAt(base, posDf), schema, snap.aliases)
+  }
+
   private[sources] def applyDvList(
       spark: SparkSession, root: String, dvs: Seq[TxTable.DvEntry],
       base: DataFrame): DataFrame =
@@ -126,19 +187,11 @@ object MergeOnRead {
   }
 
   /** The merged logical read of one snapshot — what the resolution
-    * rule splices in place of a DV-bearing relation.
+    * rule splices in place of a DV- or alias-bearing relation.
     */
   private[sources] def readMerged(
-      spark: SparkSession, root: String, snap: TxTable.Snapshot): DataFrame = {
-    val schema = StructType.fromDDL(snap.schemaDdl)
-    if (snap.entries.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      applyDvs(spark, root, snap,
-        spark.read.schema(schema)
-          .parquet(snap.entries.map(e => TxTable.entryPath(root, e.relPath)): _*))
-  }
+      spark: SparkSession, root: String, snap: TxTable.Snapshot): DataFrame =
+    mergedRead(spark, root, snap, snap.entries)
 
   /** MERGE-ON-READ DELETE: commit a position-delete file for every
     * currently-visible row matching `cond` — data files untouched,
@@ -156,16 +209,21 @@ object MergeOnRead {
       val cur = TxTable.requireSnapshot(spark, root)
       if (cur.entries.isEmpty) return (cur.version, 0L)
       val schema = StructType.fromDDL(cur.schemaDdl)
-      val base = spark.read.schema(schema)
+      val base = spark.read
+        .schema(extendedSchema(schema, cur.aliases))
         .parquet(cur.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
       // anti-join FIRST: already-deleted rows must not re-enter the
-      // delete set (their positions would double-count)
-      val visible = withPos(base)
+      // delete set (their positions would double-count); alias
+      // projection AFTER, so `cond` sees current column names while
+      // the position keys survive
+      val keyed = withPos(base)
       val dv = dvFrame(spark, root, cur.dvs)
+      val visible = aliasProject(
+        keyed.join(dv,
+          keyed("__g_key") === dv("file_key") &&
+            keyed("__g_pos") === dv("pos"), "left_anti"),
+        schema, cur.aliases, keep = Seq("__g_key", "__g_pos"))
       val doomed = visible
-        .join(dv,
-          visible("__g_key") === dv("file_key") &&
-            visible("__g_pos") === dv("pos"), "left_anti")
         .filter(cond)
         .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
       val rel = s"deletes/${java.util.UUID.randomUUID()}"
@@ -229,9 +287,7 @@ object MergeOnRead {
       val fresh =
         if (affected.isEmpty) Seq.empty[TxTable.Entry]
         else affected.groupBy(_.partition).toSeq.flatMap { case (part, es) =>
-          val merged = applyDvs(spark, root, cur,
-            spark.read.schema(schema)
-              .parquet(es.map(e => TxTable.entryPath(root, e.relPath)): _*))
+          val merged = mergedRead(spark, root, cur, es)
           val bytes = es.map(e => math.max(e.size, 0L)).sum
           val nOut = math.max(1L,
             (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -268,16 +324,23 @@ object MergeOnRead {
 final class ApplyDeletionVectors(spark: SparkSession)
   extends Rule[LogicalPlan] {
 
+  /** A snapshot needs the merged read when it carries position
+    * deletes OR rename aliases — both are resolved by the same
+    * spliced plan.
+    */
+  private def needsMerge(s: TxTable.Snapshot): Boolean =
+    s.dvs.nonEmpty || s.aliases.nonEmpty
+
   private def dvTableOf(p: LogicalPlan): Option[(String, TxTable.Snapshot)] =
     p match {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftV2Table if t.tableSnapshot.dvs.nonEmpty =>
+        case t: GraftV2Table if needsMerge(t.tableSnapshot) =>
           Some((t.tableRoot, t.tableSnapshot))
         case _ => None
       }
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
-          case g: GraftFileIndex if g.snapshot.dvs.nonEmpty =>
+          case g: GraftFileIndex if needsMerge(g.snapshot) =>
             Some((g.root, g.snapshot))
           case _ => None
         }

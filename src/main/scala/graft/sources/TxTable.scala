@@ -80,12 +80,18 @@ object TxTable {
     * carried forward and enforced by every data-writing commit
     * ([[addCheck]]).
     */
+  /** `aliases` maps a column's CURRENT name to the historical names
+    * data files may still carry ([[renameColumn]] is metadata-only, so
+    * files written before a rename keep the old physical column);
+    * reads coalesce across them. Cleared by any full rewrite.
+    */
   final case class Snapshot(
       version: Long, schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
       ts: Long = -1L,
-      dvs: Seq[DvEntry] = Nil)
+      dvs: Seq[DvEntry] = Nil,
+      aliases: Map[String, Seq[String]] = Map.empty)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -277,7 +283,15 @@ object TxTable {
         DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
           Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L))
     }
-    Snapshot(version, ddl, entries, txns, checks, ts, dvs)
+    // `#alias=<urlenc current>:<urlenc old1,old2>` — rename history
+    val aliases = meta.collect {
+      case l if l.startsWith("#alias=") =>
+        val Array(cur, olds) = l.stripPrefix("#alias=").split(":", 2)
+        java.net.URLDecoder.decode(cur, "UTF-8") ->
+          olds.split(",").toSeq.filter(_.nonEmpty)
+            .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    }.toMap
+    Snapshot(version, ddl, entries, txns, checks, ts, dvs, aliases)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -362,20 +376,11 @@ object TxTable {
 
   private def readEntries(
       spark: SparkSession, root: String, s: Snapshot,
-      pick: Seq[Entry] => Seq[Entry]): DataFrame = {
-    val schema = StructType.fromDDL(s.schemaDdl)
-    val entries = pick(s.entries)
-    if (entries.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val base = spark.read.schema(schema)
-        .parquet(entries.map(e => entryPath(root, e.relPath)): _*)
-      // merge-on-read: anti-join away the snapshot's position deletes
-      // (no-op when the snapshot carries none)
-      MergeOnRead.applyDvs(spark, root, s, base)
-    }
-  }
+      pick: Seq[Entry] => Seq[Entry]): DataFrame =
+    // snapshot-faithful read: position deletes anti-joined, renamed
+    // columns coalesced across their historical names (both no-ops on
+    // a plain snapshot)
+    MergeOnRead.mergedRead(spark, root, s, pick(s.entries))
 
   /** Write `df`'s rows as immutable data files (NOT yet visible — no
     * manifest references them) and return their entries. Partitioned
@@ -486,7 +491,8 @@ object TxTable {
       schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      dvs: Seq[DvEntry] = Nil): Long = {
+      dvs: Seq[DvEntry] = Nil,
+      aliases: Map[String, Seq[String]] = Map.empty): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -537,6 +543,11 @@ object TxTable {
         dvs.map(d =>
           s"#dv=${java.net.URLEncoder.encode(d.relPath, "UTF-8")}:" +
             s"${d.size}:${d.rows}\n").mkString +
+        aliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
+          s"#alias=${java.net.URLEncoder.encode(cur, "UTF-8")}:" +
+            olds.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") +
+            "\n"
+        }.mkString +
         entries.map(e =>
           s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
@@ -617,7 +628,7 @@ object TxTable {
       if (entries == null) entries = writeData(df, root, partitionCol)
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
-          cur.entries ++ entries, cur.txns, cur.checks, cur.dvs)
+          cur.entries ++ entries, cur.txns, cur.checks, cur.dvs, cur.aliases)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -658,7 +669,7 @@ object TxTable {
       try {
         commit(spark, root, cur.version + 1, cur.schemaDdl,
           cur.entries ++ entries, cur.txns + (txnId -> batchId),
-          cur.checks, cur.dvs)
+          cur.checks, cur.dvs, cur.aliases)
         return true
       } catch {
         case e: ConcurrentCommitException =>
@@ -696,6 +707,14 @@ object TxTable {
     val clash = newCols.map(_.name).intersect(schema.fieldNames.toSeq)
     require(clash.isEmpty,
       s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+    // a historical (renamed-away) name still lives in old data files —
+    // adding a column under it would make the alias read ambiguous
+    val aliasClash = newCols.map(_.name)
+      .filter(n => cur.aliases.values.flatten.exists(_.equalsIgnoreCase(n)))
+    require(aliasClash.isEmpty,
+      s"addColumns: ${aliasClash.mkString(", ")} is a historical name " +
+        "of a renamed column — rewrite the table (CALL rewrite_table) " +
+        "before reusing it")
     val dup = newCols.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
     require(dup.isEmpty,
       s"addColumns: duplicate new column name(s): ${dup.mkString(", ")}")
@@ -703,7 +722,7 @@ object TxTable {
       schema.fields ++ newCols.map(_.copy(nullable = true)))
     commit(spark, root, cur.version + 1,
       nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs)
+      cur.txns, cur.checks, cur.dvs, cur.aliases)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -746,7 +765,135 @@ object TxTable {
     }
     commit(spark, root, cur.version + 1,
       nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
-      cur.entries, cur.txns, cur.checks, cur.dvs)
+      cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases -- names)
+  }
+
+  /** RENAME COLUMN, metadata-only: commit a new version whose schema
+    * carries the new name over the SAME data files. Old files keep the
+    * old physical column; the snapshot records it as an ALIAS
+    * ([[Snapshot.aliases]]) and every read coalesces
+    * `(new, old₁, old₂, …)` — so no byte is rewritten at any size, and
+    * time travel preserves each version's own schema. Aliases persist
+    * until a full rewrite ([[rewriteAll]], `CALL rewrite_table`)
+    * localizes the new name into the files.
+    *
+    * Refusals (all loud): renaming a LAYOUT column (identity partition
+    * strings and the bucket hash are keyed by name — rewrite the
+    * table instead); a target name that collides with a live column
+    * or a historical alias; a CHECK constraint referencing the old
+    * name (re-create it under the new name first). Copy-on-write DML
+    * refuses while aliases are outstanding ([[GraftRowLevelOperation]]
+    * reads raw parquet, which would null the renamed column in old
+    * files) — `CALL rewrite_table` first.
+    */
+  def renameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Long = {
+    val cur = requireSnapshot(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no such column $from")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn: column $to already exists")
+    val aliasNames = cur.aliases.values.flatten.toSet
+    require(!aliasNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn: $to is a historical name of a renamed column — " +
+        "rewrite the table (CALL rewrite_table) before reusing it")
+    val layoutCols = GraftCatalog.readPartitionCol(spark, root)
+      .map(Layout.parse(_).cols).getOrElse(
+        cur.entries.flatMap(e =>
+          e.partition.split('=').headOption.filter(_.nonEmpty)).distinct)
+    require(!layoutCols.exists(_.equalsIgnoreCase(from)),
+      s"renameColumn: $from is the table's layout column — partition " +
+        "strings and bucket placement key on it; rewrite the table " +
+        "under a new layout instead")
+    cur.checks.foreach { case (n, sql) =>
+      val renamed = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], renamed)
+      val ok = Try {
+        probe.filter(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+      }.isSuccess
+      require(ok,
+        s"renameColumn: CHECK constraint $n [$sql] references $from — " +
+          "dropCheck and re-add it under the new name first")
+    }
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // the new name inherits the old name's full alias chain
+    val chain = cur.aliases.getOrElse(from, Nil) :+ from
+    commit(spark, root, cur.version + 1,
+      nullableType(renamed).asInstanceOf[StructType].toDDL, cur.entries,
+      cur.txns, cur.checks, cur.dvs, (cur.aliases - from) + (to -> chain))
+  }
+
+  /** TYPE WIDENING, metadata-only: change a column to a WIDER type
+    * over the same data files — Spark's vectorized parquet reader
+    * upcasts the narrower physical values at scan time (verified for
+    * this whole matrix on 4.1), so no byte moves at any size. The
+    * supported widenings are exactly the value-preserving ones:
+    * integral up-chain (byte→short→int→long), float→double,
+    * int-or-narrower→double, integral→decimal with room, and decimal
+    * precision growth at the SAME scale. CHECK constraints re-resolve
+    * against the widened schema (values are unchanged, so a passing
+    * table keeps passing). Refuses to widen a BUCKET layout column:
+    * the murmur3 hash is type-dependent, so old and new placement
+    * would disagree.
+    */
+  def widenColumn(
+      spark: SparkSession, root: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val cur = requireSnapshot(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(name),
+      s"widenColumn: no such column $name")
+    val old = schema(name).dataType
+    def widens(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x, y) if x == y => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+        d.scale == 0 && d.precision >= 10 && d.precision <= 18
+      case (x: DecimalType, y: DecimalType) =>
+        y.scale == x.scale && y.precision > x.precision &&
+          y.precision <= 18 // stays INT32/INT64-backed: reader-upcastable
+      case _ => false
+    }
+    require(widens(old, newType),
+      s"widenColumn: $old -> $newType is not a supported widening " +
+        "(value-preserving upcasts only: integral up-chain, " +
+        "float->double, int->double, integral->decimal, decimal " +
+        "precision growth at the same scale)")
+    GraftCatalog.readPartitionCol(spark, root).map(Layout.parse).foreach {
+      case b: Layout.Bucket if b.cols.exists(_.equalsIgnoreCase(name)) =>
+        throw new IllegalArgumentException(
+          s"widenColumn: $name is a bucket layout column — the hash is " +
+            "type-dependent, so widening would break placement parity; " +
+            "rewrite the table under the widened layout instead")
+      case _ => ()
+    }
+    val widened = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    // CHECKs must still analyze against the widened schema
+    cur.checks.foreach { case (n, sql) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      val ok = Try {
+        probe.filter(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+      }.isSuccess
+      require(ok,
+        s"widenColumn: CHECK constraint $n [$sql] does not analyze " +
+          "against the widened schema — dropCheck it first")
+    }
+    commit(spark, root, cur.version + 1,
+      nullableType(widened).asInstanceOf[StructType].toDDL, cur.entries,
+      cur.txns, cur.checks, cur.dvs, cur.aliases)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -809,7 +956,7 @@ object TxTable {
     val widened = cur.copy(checks = cur.checks + (name -> sql))
     requireChecks(readEntries(spark, root, cur, identity), widened, "addCheck")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, widened.checks, cur.dvs)
+      cur.txns, widened.checks, cur.dvs, cur.aliases)
   }
 
   /** Remove a CHECK constraint (metadata-only commit). */
@@ -819,7 +966,7 @@ object TxTable {
       s"dropCheck: no constraint named $name " +
         s"(have: ${cur.checks.keys.toSeq.sorted.mkString(", ")})")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks - name, cur.dvs)
+      cur.txns, cur.checks - name, cur.dvs, cur.aliases)
   }
 
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
@@ -895,7 +1042,7 @@ object TxTable {
     // inert (their file keys no longer match any live entry), rows
     // for untouched partitions' files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
-      cur.txns, cur.checks, cur.dvs)
+      cur.txns, cur.checks, cur.dvs, cur.aliases)
   }
 
   /** The commit half of a partition-granularity copy-on-write (SQL
@@ -967,7 +1114,7 @@ object TxTable {
       val kept = cur.entries.filterNot(e => dropPartitions.contains(e.partition))
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
-          kept ++ fresh, cur.txns, cur.checks, cur.dvs)
+          kept ++ fresh, cur.txns, cur.checks, cur.dvs, cur.aliases)
       } catch {
         // lost the version race itself — loop; the disjointness check
         // re-runs against the new current snapshot
@@ -996,7 +1143,7 @@ object TxTable {
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks, cur.dvs ++ addDvs)
+      cur.txns, cur.checks, cur.dvs ++ addDvs, cur.aliases)
   }
 
   /** Commit a DV materialization: swap the DV-affected data files for
@@ -1012,7 +1159,7 @@ object TxTable {
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
       cur.entries.filterNot(e => dropRelPaths.contains(e.relPath)) ++ fresh,
-      cur.txns, cur.checks, Nil)
+      cur.txns, cur.checks, Nil, cur.aliases)
   }
 
   /** Bin-pack compaction — the housekeeping op every manifest table
@@ -1071,12 +1218,10 @@ object TxTable {
     // bucket id is not a data column and could not be re-derived from
     // a recovered column name).
     val fresh = rewrite.groupBy(_.partition).toSeq.flatMap { case (part, es) =>
-      // DV-merged read: compaction MATERIALIZES any position deletes
-      // on the files it rewrites (the localization half of the
-      // merge-on-read contract)
-      val df = MergeOnRead.applyDvs(spark, root, cur,
-        spark.read.schema(schema)
-          .parquet(es.map(e => entryPath(root, e.relPath)): _*))
+      // MERGED read: compaction MATERIALIZES position deletes and
+      // localizes renamed columns on exactly the files it rewrites
+      // (the localization half of both metadata-only ops)
+      val df = MergeOnRead.mergedRead(spark, root, cur, es)
       val nOut = math.max(1L,
         (es.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       writeData(df.coalesce(nOut), root, None).map(_.copy(partition = part))
@@ -1085,7 +1230,7 @@ object TxTable {
     // by the merged read above; their old DV rows go inert with the
     // replaced files, rows for kept files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
-      cur.txns, cur.checks, cur.dvs)
+      cur.txns, cur.checks, cur.dvs, cur.aliases)
   }
 
   /** Whole-table rewrite under the same optimistic-concurrency
@@ -1194,7 +1339,7 @@ object TxTable {
     // restore across a merge-on-read delete resurrects exactly the
     // rows that version could see
     commit(spark, root, cur.version + 1, target.schemaDdl, target.entries,
-      cur.txns, target.checks, target.dvs)
+      cur.txns, target.checks, target.dvs, target.aliases)
   }
 
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so
@@ -1257,7 +1402,7 @@ object TxTable {
     val dvs = src.dvs.map(d =>
       d.copy(relPath = entryPath(qualifiedSrc, d.relPath)))
     val v = commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns,
-      src.checks, dvs)
+      src.checks, dvs, src.aliases)
     registerClone(spark, srcRoot, dstRoot)
     v
   }
