@@ -111,7 +111,25 @@ object ScaleRehearsal {
     // versions probe 25-row dims by oracle design, which a 10× ratio
     // cannot measure): the same MERGE and dictGet machinery pointed at
     // the scaling fact side
-    "x_sql_merge", "x_dict_probe")
+    "x_sql_merge", "x_dict_probe",
+    // round-8 (VERDICT r7 item 3): skewed-bucket SPJ straggler — the
+    // fact lands bucket(8) with ~half its rows on ONE key, joined
+    // co-bucketed. `full` is the fully-clustered contract (one task
+    // per bucket — the hot bucket serializes and AQE cannot split a
+    // key-grouped partition); `partial` enables Spark's
+    // partiallyClusteredDistribution, which keeps the hot bucket's
+    // files as separate tasks and replicates the dim's matching
+    // groups. The pair's wall-clock gap IS the straggler measurement.
+    "x_skew_spj_full", "x_skew_spj_partial")
+
+  /** 100×-tier family (VERDICT r7 item 2): the scale-critical
+    * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
+    * 100× scale-up. Near-linear ⇒ ratio ≲ 100-150×.
+    */
+  private val Family100 = Seq(
+    "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
+    "q_dedup_clusters", "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf",
+    "q_lookup_cascade", "x_sql_merge")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
@@ -164,7 +182,80 @@ object ScaleRehearsal {
         .select(graft.operators.Dict
           .dictGet(dict, col("o_orderpriority"), lit("?")).as("rank"))
         .groupBy(col("rank")).count().orderBy(col("rank"))
-    })
+    },
+    "x_skew_spj_full" -> (skewSpj(partial = false)(_, _)),
+    "x_skew_spj_partial" -> (skewSpj(partial = true)(_, _)))
+
+  /** Build-once (per dir) skewed co-bucketed pair: fact = orders with
+    * every even custkey collapsed onto key 7 (≈half the rows land in
+    * ONE of 8 buckets), written in four commits so the hot bucket
+    * holds ≥4 files; dim = customer keys, co-bucketed. The join runs
+    * under the SPJ confs and REQUIREs a shuffle-free plan in both
+    * modes — `partial` adds partiallyClusteredDistribution, the
+    * straggler mitigation GraftKeyedScan's per-file splits enable.
+    */
+  private def skewSpj(partial: Boolean)(
+      s: SparkSession, dir: String): DataFrame = {
+    val wh = s"target/tmp/graft_wh_skew_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.xk", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.xk.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS xk.mart")
+    val done = new java.io.File(s"$wh/_SKEW_DONE")
+    if (!done.exists()) {
+      s.sql("DROP TABLE IF EXISTS xk.mart.fact")
+      s.sql("DROP TABLE IF EXISTS xk.mart.dim")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("x_skew_src")
+      def slice(i: Int) =
+        s"""SELECT CASE WHEN o_custkey % 2 = 0 THEN CAST(7 AS BIGINT)
+           |         ELSE o_custkey END AS k,
+           |       o_totalprice AS v
+           |FROM x_skew_src WHERE o_orderkey % 4 = $i""".stripMargin
+      s.sql(
+        s"""CREATE TABLE xk.mart.fact PARTITIONED BY (bucket(8, k))
+           |AS ${slice(0)}""".stripMargin)
+      (1 until 4).foreach(i => s.sql(s"INSERT INTO xk.mart.fact ${slice(i)}"))
+      graft.Tables.customer(s, dir).createOrReplaceTempView("x_skew_cust")
+      s.sql(
+        """CREATE TABLE xk.mart.dim PARTITIONED BY (bucket(8, c_custkey))
+          |AS SELECT c_custkey, c_mktsegment FROM x_skew_cust""".stripMargin)
+      done.createNewFile()
+    }
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" ->
+        partial.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = s.sql(
+        """SELECT d.c_mktsegment, COUNT(*) AS n,
+          |  CAST(SUM(CAST(round(f.v * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM xk.mart.fact f JOIN xk.mart.dim d ON f.k = d.c_custkey
+          |GROUP BY d.c_mktsegment""".stripMargin)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val joins = out.queryExecution.executedPlan.collect {
+        case j: BaseJoinExec => j
+      }
+      require(joins.nonEmpty &&
+        joins.forall(_.collect { case e: ShuffleExchangeLike => e }.isEmpty),
+        s"x_skew_spj: expected a shuffle-free co-bucketed join:\n" +
+          out.queryExecution.executedPlan)
+      // execute INSIDE the conf scope (the grouping of key-grouped
+      // splits re-reads session confs at execution time) — the caller
+      // counts the 5 materialized rows, the timer still brackets this
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   private def queryOf(name: String): (SparkSession, String) => DataFrame =
     Extra.getOrElse(name, SparkEntry.queries(name))
@@ -262,6 +353,89 @@ object ScaleRehearsal {
     fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE_v2"), true).close()
   }
 
+  /** 100×-tier inputs: 100 deterministic copies of sf0.1, built with
+    * the same geometry-preserving transforms as [[scaleUp]], directly
+    * from sf0.1 (not 10× of sf1 — two suffixing levels could collide
+    * tokens across copies). Only the tables [[Family100]] reads are
+    * written (orders, lineitem, customer + fixed dims, documents,
+    * embeddings) — ~60M lineitem / 15M orders rows, the max-feasible
+    * single-box tier the sandbox holds comfortably.
+    *
+    *  - documents: token suffix is FIXED-WIDTH (`xNN`), so suffixed
+    *    tokens are injective across all 99 suffixed copies (equal
+    *    length ⇒ t1+s1 = t2+s2 iff t1=t2 ∧ s1=s2); per-copy shingle
+    *    geometry is sf0.1's exactly, vocabulary grows 100×.
+    *  - embeddings: dimension rotation by copy%64 — copies ≥64 reuse
+    *    rotations (64 distinct permutations), which preserves every
+    *    intra-copy cosine (the measured neighborhood structure) and
+    *    only raises cross-copy coincidences for the handful of
+    *    copy pairs 64 apart.
+    *  - orders/lineitem: order-key offset per copy, custkey/date
+    *    distributions unchanged (same join fan-out and predicate
+    *    selectivity fractions as sf0.1, 100× the rows).
+    */
+  def scaleUp100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE_v1"))) return
+    val n = 100
+    val copies = spark.range(0, n).select(col("id").as("__copy"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .crossJoin(copies)
+      .select(
+        (col("doc_id") + col("__copy") * IdStride).as("doc_id"),
+        when(col("__copy") === 0, col("text"))
+          .otherwise(array_join(
+            transform(
+              filter(split(trim(col("text")), "\\s+"), t => t =!= ""),
+              t => concat(t, lit("x"),
+                lpad(col("__copy").cast("string"), 2, "0"))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("__copy") * IdStride).as("vec_id"),
+        when(col("__copy") % dim === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), (col("__copy") % dim).cast("int") + 1,
+              lit(dim) - (col("__copy") % dim).cast("int")),
+            slice(col("embedding"), lit(1), (col("__copy") % dim).cast("int"))))
+          .as("embedding"),
+        col("label"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    ord.crossJoin(copies)
+      .select(
+        (col("o_orderkey") + col("__copy") * IdStride).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    li.crossJoin(copies)
+      .select(
+        (col("l_orderkey") + col("__copy") * IdStride).as("l_orderkey") +:
+          li.columns.filter(_ != "l_orderkey").map(col): _*)
+      .repartition(64).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+
+    Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .repartition(4).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE_v1"), true).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -276,20 +450,21 @@ object ScaleRehearsal {
 
     val sf01 = "/root/testdata/sf0.1"
     val sf1 = "target/sf1"
+    val sf10 = "target/sf10"
     scaleUp(spark, sf01, sf1)
+    scaleUp100(spark, sf01, sf10)
 
     // JVM/codegen warm-up on the small dir, like Bench
-    Family.foreach { name =>
+    (Family ++ Family100).distinct.foreach { name =>
       try queryOf(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       CacheScope.release(); spark.catalog.clearCache()
     }
 
-    val dirs = Seq("sf0.1" -> sf01, "sf1" -> sf1)
     // pass-interleaved so a steal burst can't poison both passes of
     // the same (query, dir) cell
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
-    for (pass <- 1 to 2; (tag, dir) <- dirs; name <- Family) {
+    def run(pass: Int, tag: String, dir: String, name: String): Unit = {
       val t0 = System.nanoTime()
       val n = queryOf(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -298,16 +473,30 @@ object ScaleRehearsal {
       times(k) = math.min(times.getOrElse(k, Double.MaxValue), dt)
       println(f"pass $pass $tag $name%-20s ${dt}%8.2fs rows=$n")
     }
+    val dirs = Seq("sf0.1" -> sf01, "sf1" -> sf1)
+    for (pass <- 1 to 2; (tag, dir) <- dirs; name <- Family)
+      run(pass, tag, dir, name)
+    // 100× tier: sf0.1 cells for its queries were measured above when
+    // shared with Family; measure the rest plus the sf10 tier
+    for (pass <- 1 to 2) {
+      for (name <- Family100 if !Family.contains(name))
+        run(pass, "sf0.1", sf01, name)
+      for (name <- Family100) run(pass, "sf10", sf10, name)
+    }
 
+    def cell(name: String, tag: String): Double = times((name, tag))
     val entries = Family.map { name =>
-      val a = times((name, "sf0.1")); val b = times((name, "sf1"))
-      val ratio = b / a
-      s""""$name":{"sf0.1_sec":${f"$a%.3f"},"sf1_sec":${f"$b%.3f"},"ratio":${f"$ratio%.2f"}}"""
+      val a = cell(name, "sf0.1"); val b = cell(name, "sf1")
+      s""""$name":{"sf0.1_sec":${f"$a%.3f"},"sf1_sec":${f"$b%.3f"},"ratio":${f"${b / a}%.2f"}}"""
+    }
+    val entries100 = Family100.map { name =>
+      val a = cell(name, "sf0.1"); val b = cell(name, "sf10")
+      s""""$name":{"sf0.1_sec":${f"$a%.3f"},"sf10_sec":${f"$b%.3f"},"ratio":${f"${b / a}%.2f"}}"""
     }
     val json =
-      s"""{"metric":"scale_rehearsal","scale_factor":10,"passes":2,"note":"sf1 = deterministic 10x scale-up of sf0.1 (disjoint-shingle doc copies, dimension-rotated embedding copies, offset-key event copies); ratio ~10 = linear","queries":{${entries.mkString(",")}}}"""
+      s"""{"metric":"scale_rehearsal","passes":2,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r07.json"), json + "\n")
+      java.nio.file.Paths.get("SCALE_r08.json"), json + "\n")
     println(json)
     spark.stop()
   }

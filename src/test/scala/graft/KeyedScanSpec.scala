@@ -125,4 +125,70 @@ class KeyedScanSpec extends SparkSpec {
         Seq(Row("A", 3.0), Row("B", 7.0), Row("C", 5.0), Row("D", 7.0)))
     }
   }
+
+  /** Skewed-bucket straggler posture (VERDICT r7 item 3): one task
+    * per key group is the fully-clustered SPJ contract, so a hot
+    * bucket serializes through one task and AQE cannot split it. With
+    * `partiallyClusteredDistribution.enabled` Spark instead keeps the
+    * big side's splits apart (one task per FILE of the hot bucket)
+    * and replicates the small side's matching groups — which only
+    * works because GraftKeyedScan plans per-file splits rather than
+    * pre-merging each group.
+    */
+  test("partially-clustered distribution splits a hot bucket across tasks") {
+    cat
+    spark.sql(
+      "CREATE TABLE kj.t.fact (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "CREATE TABLE kj.t.dim (k BIGINT, name STRING) PARTITIONED BY (bucket(4, k))")
+    // three commits land three files in the hot key's bucket (k=1);
+    // the other keys stay single-file
+    (1 to 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO kj.t.fact
+           |SELECT 1 AS k, CAST(id * $i AS DOUBLE) AS v FROM range(0, 200)
+           |UNION ALL SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(2, 6)
+           |""".stripMargin)
+    }
+    spark.sql("INSERT INTO kj.t.dim VALUES (1,'hot'),(2,'b'),(3,'c'),(4,'d'),(5,'e')")
+    val joinSql =
+      """SELECT f.k, f.v, d.name FROM kj.t.fact f JOIN kj.t.dim d
+        |ON f.k = d.k""".stripMargin
+    def partsOf(q: DataFrame): Int =
+      q.queryExecution.executedPlan.execute().getNumPartitions
+    val groupCount = {
+      val snap = graft.sources.TxTable.currentSnapshot(
+        spark, s"$wh/t/fact").get
+      snap.entries.map(_.partition).distinct.size
+    }
+    val (fullRows, fullParts, partialRows, partialParts) = withSpj {
+      val full = spark.sql(joinSql)
+      assert(shuffles(full.queryExecution.executedPlan).isEmpty)
+      val (fr, fp) = (full.collect().toSeq, partsOf(full))
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true")
+      val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val partial = spark.sql(joinSql)
+        assert(shuffles(partial.queryExecution.executedPlan).isEmpty,
+          s"partially-clustered SPJ must stay shuffle-free:\n" +
+            partial.queryExecution.executedPlan)
+        (fr, fp, partial.collect().toSeq, partsOf(partial))
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // fully clustered: exactly one task per live key group
+    assert(fullParts == groupCount, s"full=$fullParts groups=$groupCount")
+    // partially clustered: the hot bucket's 3 files run as 3 tasks
+    assert(partialParts > groupCount,
+      s"expected >$groupCount tasks (hot bucket split), got $partialParts")
+    // and the replicated-dim join computes the exact same rows
+    def key(r: Row): (Long, Double, String) =
+      (r.getLong(0), r.getDouble(1), r.getString(2))
+    assert(partialRows.map(key).sorted == fullRows.map(key).sorted)
+    assert(fullRows.size == 3 * 200 + 3 * 4) // k=1 hot rows + k∈{2,3,4,5} per commit
+  }
 }
