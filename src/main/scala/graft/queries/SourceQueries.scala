@@ -18,7 +18,8 @@ object SourceQueries {
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
-    bucketJoin, bucketDml, bucketMc, morDelete, morChanges, nullSkipping)
+    bucketJoin, bucketDml, bucketMc, morDelete, morUpdate, morChanges,
+    nullSkipping)
 
   /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
     * the multi-column PK shape of the reference's migration scripts):
@@ -127,6 +128,64 @@ object SourceQueries {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM gv.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** MERGE-ON-READ UPDATE ([[graft.sources.MergeOnRead.updateWhere]]
+    * via `CALL update_where`): orders lands as bucket(8, o_orderkey),
+    * then an UPDATE whose keys scatter across every bucket (custkey
+    * modulo — uncorrelated with the bucket key) commits ONE
+    * position-delete file masking the old images plus new data files
+    * carrying the post-images. The query REQUIREs the scattered-UPDATE
+    * cost shape: every original data file byte-identical, appended
+    * rows == masked rows == matched rows. The oracle replays the
+    * update as a CASE projection over the raw parquet, so equality
+    * proves position masking, simultaneous-assignment semantics, and
+    * the read-side merge are lossless.
+    */
+  val morUpdate: Q = Q(
+    "q_mor_update",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round((CASE WHEN o_custkey % 11 = 4
+      |    THEN o_totalprice * 2 ELSE o_totalprice END) * 100)
+      |    AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_moru_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gu", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gu.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gu.mart")
+    s.sql("DROP TABLE IF EXISTS gu.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_moru_src")
+    s.sql(
+      """CREATE TABLE gu.mart.orders PARTITIONED BY (bucket(8, o_orderkey))
+        |AS SELECT * FROM graft_moru_src""".stripMargin)
+    val root = s"$wh/mart/orders"
+    val before = graft.sources.TxTable.currentSnapshot(s, root).get
+      .entries.map(e => (e.relPath, e.size)).toSet
+    val res = s.sql(
+      """CALL gu.system.update_where('mart.orders', 'o_custkey % 11 = 4',
+        |  'o_totalprice = o_totalprice * 2')""".stripMargin).head()
+    val after = graft.sources.TxTable.currentSnapshot(s, root).get
+    // the point of the query: scattered-key UPDATE, write ∝ updated
+    // rows — original files untouched, appends == masks == matches
+    require(before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+      "q_mor_update: merge-on-read UPDATE must leave original data " +
+        "files byte-identical")
+    val masked = after.dvs.map(_.rows).sum
+    val appended = after.entries
+      .filterNot(e => before.contains((e.relPath, e.size)))
+      .map(e => graft.sources.FileStats.decode(e.stats).rows).sum
+    require(masked > 0 && masked == res.getLong(1) && appended == masked,
+      s"q_mor_update: expected appends == masks == matches, got " +
+        s"masked=$masked appended=$appended matched=${res.getLong(1)}")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gu.mart.orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
   }

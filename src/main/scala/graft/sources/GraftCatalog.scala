@@ -560,6 +560,42 @@ private[sources] object GraftProcedures {
           org.apache.spark.sql.functions.expr(str(r, 1)))
         Seq(Seq(v, n))
       }),
+    "update_where" -> new Proc(
+      "update_where", "MERGE-ON-READ UPDATE: one commit masks matching " +
+        "rows' old images with a position-delete file and appends " +
+        "their post-images as new data files (layout placement kept) " +
+        "— write bytes proportional to updated rows, the scattered-key " +
+        "complement of copy-on-write UPDATE; set_clause is SQL UPDATE " +
+        "SET syntax, e.g. 'price = price * 1.1, status = ''X'''",
+      Array(in("table", StringType), in("predicate", StringType),
+        in("set_clause", StringType)),
+      StructType(Seq(StructField("version", LongType, false),
+        StructField("rows_updated", LongType, false))),
+      (cat, r) => {
+        // parse the SET clause with Spark's own SQL parser (a
+        // synthetic UPDATE statement), so expression commas, quotes
+        // and casts all behave exactly as in UPDATE ... SET
+        val parsed = spark.sessionState.sqlParser.parsePlan(
+          s"UPDATE __g_set_probe SET ${str(r, 2)}")
+        val sets = parsed.collectFirst {
+          case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+            u.assignments.map { a =>
+              val name = a.key match {
+                case att: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute => att.name
+                case other => throw new IllegalArgumentException(
+                  s"update_where: assignment target must be a plain " +
+                    s"column, got $other")
+              }
+              name -> org.apache.spark.sql.GraftColumnBridge.column(a.value)
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"update_where: cannot parse set_clause: ${str(r, 2)}"))
+        val (v, n) = MergeOnRead.updateWhere(spark,
+          cat.tableRoot(str(r, 0)),
+          org.apache.spark.sql.functions.expr(str(r, 1)), sets)
+        Seq(Seq(v, n))
+      }),
     "rewrite_table" -> new Proc(
       "rewrite_table", "full same-schema rewrite of the current " +
         "snapshot: localizes metadata-only RENAMEs (old files still " +

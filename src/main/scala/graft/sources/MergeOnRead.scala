@@ -193,6 +193,54 @@ object MergeOnRead {
       spark: SparkSession, root: String, snap: TxTable.Snapshot): DataFrame =
     mergedRead(spark, root, snap, snap.entries)
 
+  /** The snapshot's currently-visible rows with their
+    * (`__g_key`, `__g_pos`) position columns: raw files scanned with
+    * `_metadata` positions, the existing delete set anti-joined FIRST
+    * (already-deleted rows must not re-match — their positions would
+    * double-count), then the alias projection so predicates see
+    * current column names while the position keys survive.
+    */
+  private def visibleWithPos(
+      spark: SparkSession, root: String, cur: TxTable.Snapshot): DataFrame = {
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val base = spark.read
+      .schema(extendedSchema(schema, cur.aliases))
+      .parquet(cur.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+    val keyed = withPos(base)
+    val dv = dvFrame(spark, root, cur.dvs)
+    aliasProject(
+      keyed.join(dv,
+        keyed("__g_key") === dv("file_key") &&
+          keyed("__g_pos") === dv("pos"), "left_anti"),
+      schema, cur.aliases, keep = Seq("__g_key", "__g_pos"))
+  }
+
+  /** Write `positions` (file_key, pos) as a new delete-file directory;
+    * returns the directory and its manifest entries (empty shards a
+    * partitioned write can emit are dropped).
+    */
+  private def writeDv(
+      spark: SparkSession, root: String,
+      positions: DataFrame): (String, Seq[TxTable.DvEntry]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rel = s"deletes/${java.util.UUID.randomUUID()}"
+    val dir = s"$root/$rel"
+    positions.write.parquet(dir)
+    val f = new Path(root).getFileSystem(conf)
+    val it = f.listFiles(new Path(dir), true)
+    val out = scala.collection.mutable.Buffer.empty[TxTable.DvEntry]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rows = Try(
+          FileStats.forFile(conf, st.getPath).rows).getOrElse(-1L)
+        out += TxTable.DvEntry(s"$rel/${st.getPath.getName}",
+          st.getLen, rows)
+      }
+    }
+    (dir, out.toSeq.filter(_.rows != 0L))
+  }
+
   /** MERGE-ON-READ DELETE: commit a position-delete file for every
     * currently-visible row matching `cond` — data files untouched,
     * write bytes ∝ deleted rows. Returns (new version, rows deleted);
@@ -208,43 +256,12 @@ object MergeOnRead {
     while (true) {
       val cur = TxTable.requireSnapshot(spark, root)
       if (cur.entries.isEmpty) return (cur.version, 0L)
-      val schema = StructType.fromDDL(cur.schemaDdl)
-      val base = spark.read
-        .schema(extendedSchema(schema, cur.aliases))
-        .parquet(cur.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
-      // anti-join FIRST: already-deleted rows must not re-enter the
-      // delete set (their positions would double-count); alias
-      // projection AFTER, so `cond` sees current column names while
-      // the position keys survive
-      val keyed = withPos(base)
-      val dv = dvFrame(spark, root, cur.dvs)
-      val visible = aliasProject(
-        keyed.join(dv,
-          keyed("__g_key") === dv("file_key") &&
-            keyed("__g_pos") === dv("pos"), "left_anti"),
-        schema, cur.aliases, keep = Seq("__g_key", "__g_pos"))
+      val visible = visibleWithPos(spark, root, cur)
       val doomed = visible
         .filter(cond)
         .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
-      val rel = s"deletes/${java.util.UUID.randomUUID()}"
-      val dir = s"$root/$rel"
-      doomed.write.parquet(dir)
       val f = new Path(root).getFileSystem(conf)
-      val newDvs = {
-        val it = f.listFiles(new Path(dir), true)
-        val out = scala.collection.mutable.Buffer.empty[TxTable.DvEntry]
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-            val rows = Try(
-              FileStats.forFile(conf, st.getPath).rows).getOrElse(-1L)
-            out += TxTable.DvEntry(s"$rel/${st.getPath.getName}",
-              st.getLen, rows)
-          }
-        }
-        // drop empty shards (a partitioned write can emit them)
-        out.toSeq.filter(_.rows != 0L)
-      }
+      val (dir, newDvs) = writeDv(spark, root, doomed)
       val total = newDvs.map(d => math.max(d.rows, 0L)).sum
       if (newDvs.isEmpty || total == 0L) {
         f.delete(new Path(dir), true)
@@ -258,6 +275,83 @@ object MergeOnRead {
           attempt += 1
           if (attempt > maxRetries) throw e
       }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MERGE-ON-READ UPDATE: for every currently-visible row matching
+    * `cond`, commit (a) a position-delete file masking its OLD image
+    * and (b) new data files carrying its post-image with `sets`
+    * applied — in ONE atomic commit, write bytes ∝ updated rows. The
+    * scattered-key UPDATE shape: copy-on-write UPDATE rewrites every
+    * touched layout group, so an update whose keys scatter across all
+    * N buckets rewrites the table; this writes only the changed rows.
+    *
+    * Semantics are SQL UPDATE's: every assignment's RHS evaluates
+    * against the row's PRE-image (all assignments simultaneous), and
+    * the result is cast to the column's declared type. Appended rows
+    * follow the table's layout placement (bucket/identity dirs), so
+    * SPJ/pruning contracts survive; CHECK constraints run over the
+    * post-images before commit. [[ChangeFeed.between]] across an
+    * update version reconciles the DV delta (old images) with the
+    * appended files (new images) into `_op = 'update'` rows.
+    *
+    * Returns (new version, rows updated); a no-match update commits
+    * nothing. Races retry with a fresh position scan, like
+    * [[deleteWhere]].
+    */
+  def updateWhere(
+      spark: SparkSession, root: String, cond: Column,
+      sets: Seq[(String, Column)], maxRetries: Int = 10): (Long, Long) = {
+    require(sets.nonEmpty, "updateWhere: no SET assignments")
+    var attempt = 0
+    while (true) {
+      val cur = TxTable.requireSnapshot(spark, root)
+      if (cur.entries.isEmpty) return (cur.version, 0L)
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      sets.foreach { case (n, _) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"updateWhere: no such column $n (table has " +
+            s"${schema.fieldNames.mkString(", ")})")
+      }
+      val matched = visibleWithPos(spark, root, cur).filter(cond)
+      // one scan feeds both legs (positions + post-images): the
+      // matched set is ∝ updated rows — exactly the write volume —
+      // so persisting it is the bounded-cost way to avoid a second
+      // full-table scan
+      matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val positions = matched
+          .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
+        // simultaneous assignments over the pre-image, cast to the
+        // declared column type (SQL UPDATE semantics)
+        val updated = matched.select(schema.fields.map { fld =>
+          sets.find(_._1.equalsIgnoreCase(fld.name))
+            .map { case (_, e) => e.cast(fld.dataType).as(fld.name) }
+            .getOrElse(col(fld.name))
+        }.toSeq: _*)
+        val f = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val (dvDir, newDvs) = writeDv(spark, root, positions)
+        val total = newDvs.map(d => math.max(d.rows, 0L)).sum
+        if (newDvs.isEmpty || total == 0L) {
+          f.delete(new Path(dvDir), true)
+          return (cur.version, 0L)
+        }
+        val layout = GraftCatalog.readPartitionCol(spark, root)
+        val fresh = TxTable.writeData(updated, root, layout)
+        try return (TxTable.commitDvUpdate(spark, root, cur.version,
+          newDvs, fresh), total)
+        catch {
+          case e: TxTable.ConcurrentCommitException =>
+            // stale positions: discard BOTH legs, rescan
+            f.delete(new Path(dvDir), true)
+            fresh.map(_.relPath.split("/").take(2).mkString("/")).distinct
+              .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      } finally matched.unpersist()
     }
     throw new IllegalStateException("unreachable")
   }

@@ -912,7 +912,7 @@ object TxTable {
     * expression evaluates to FALSE — NULL passes (use an explicit
     * `IS NOT NULL` conjunct to refuse nulls).
     */
-  private def requireChecks(df: DataFrame, cur: Snapshot, op: String): Unit = {
+  private[sources] def requireChecks(df: DataFrame, cur: Snapshot, op: String): Unit = {
     if (cur.checks.isEmpty) return
     import org.apache.spark.sql.functions.{expr, lit}
     val flags = cur.checks.toSeq.sortBy(_._1)
@@ -1144,6 +1144,28 @@ object TxTable {
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
       cur.txns, cur.checks, cur.dvs ++ addDvs, cur.aliases)
+  }
+
+  /** Commit a merge-on-read UPDATE: `addDvs` position-deletes mask the
+    * matched rows' OLD images and `fresh` data entries append their
+    * post-images, in ONE atomic commit — readers see pre- or
+    * post-update in full, never a row both masked and not yet
+    * re-appended. Write bytes ∝ updated rows (the scattered-key UPDATE
+    * complement of [[commitDvAppend]]'s DELETE). Pinned to
+    * `expectedVersion` like every position-based commit.
+    */
+  private[sources] def commitDvUpdate(
+      spark: SparkSession, root: String, expectedVersion: Long,
+      addDvs: Seq[DvEntry], fresh: Seq[Entry]): Long = {
+    val cur = requireSnapshot(spark, root)
+    if (cur.version != expectedVersion)
+      throw new ConcurrentCommitException(cur.version)
+    if (cur.checks.nonEmpty && fresh.nonEmpty)
+      requireChecks(readEntries(spark, root, cur.copy(entries = fresh),
+        identity), cur, "updateWhere")
+    commit(spark, root, cur.version + 1, cur.schemaDdl,
+      cur.entries ++ fresh, cur.txns, cur.checks, cur.dvs ++ addDvs,
+      cur.aliases)
   }
 
   /** Commit a DV materialization: swap the DV-affected data files for

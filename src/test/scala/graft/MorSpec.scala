@@ -229,4 +229,92 @@ class MorSpec extends SparkSpec {
     val cdf = ChangeFeed.between(spark, root, 0L, 1L, Seq("k"))
     assert(cdf.select("k").as[Long].collect().toSeq == Seq(42L))
   }
+
+  test("updateWhere appends post-images + masks old rows, ∝ updated rows") {
+    val root = freshRoot("upd")
+    TxTable.create(seed, root, Some("p"))
+    val before = dataPaths(root)
+    // simultaneous assignments over the PRE-image: v reads old v,
+    // and the swap (v = v + k, p untouched) proves RHS pre-image
+    val (v1, n) = MergeOnRead.updateWhere(spark, root,
+      expr("k % 10 = 3"), Seq("v" -> expr("v + k")))
+    assert(v1 == 1L && n == 10L)
+    val snap = TxTable.currentSnapshot(spark, root).get
+    // every ORIGINAL data file still present (no rewrite) + appended
+    // post-image files whose rows == updated rows
+    assert(before.subsetOf(snap.entries.map(_.relPath).toSet))
+    val freshRows = snap.entries.filterNot(e => before(e.relPath))
+      .map(e => graft.sources.FileStats.decode(e.stats).rows).sum
+    assert(freshRows == 10L, s"appended rows must equal updates, got $freshRows")
+    assert(snap.dvs.map(_.rows).sum == 10L)
+    // read-back: count unchanged, updated rows show post-image
+    val rows = TxTable.read(spark, root)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(rows.size == 100)
+    assert(rows.forall { case (k, v) =>
+      v == (if (k % 10 == 3) k * 1.5 + k else k * 1.5) })
+    // time travel to the pre-update version sees pre-images
+    assert(TxTable.readVersion(spark, root, 0L)
+      .filter(col("k") === 3).select("v").as[Double].head() == 4.5)
+    // updates COMPOSE: the second update's pre-image is the first's
+    // post-image, and its positions land in the APPENDED files
+    val (_, n2) = MergeOnRead.updateWhere(spark, root,
+      expr("k = 3"), Seq("v" -> expr("v * 2")))
+    assert(n2 == 1L)
+    assert(TxTable.read(spark, root)
+      .filter(col("k") === 3).select("v").as[Double].head() == 15.0)
+    // ChangeFeed across the first update version: _op = 'update'
+    val cdf = ChangeFeed.between(spark, root, 0L, 1L, Seq("k"))
+      .select("k", "v", ChangeFeed.OpCol)
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(cdf.forall(_._3 == "update"), s"expected updates, got ${cdf.toSeq}")
+    assert(cdf.map(_._1).toSeq == (1L to 100L).filter(_ % 10 == 3).toSeq)
+    assert(cdf.forall { case (k, v, _) => v == k * 1.5 + k })
+  }
+
+  test("updateWhere keeps bucket placement and CHECKs; CALL surface works") {
+    val wh = freshRoot("updwh")
+    spark.conf.set("spark.sql.catalog.gmu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmu.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gmu.m")
+    seed.createOrReplaceTempView("mor_upd_seed")
+    spark.sql(
+      """CREATE TABLE gmu.m.t PARTITIONED BY (bucket(4, k))
+        |AS SELECT * FROM mor_upd_seed""".stripMargin)
+    val root = s"$wh/m/t"
+    TxTable.addCheck(spark, root, "v_pos", "v >= 0")
+    val before = dataPaths(root)
+    val res = spark.sql(
+      """CALL gmu.system.update_where('m.t', 'k % 9 = 2',
+        |  'v = v * 2, p = concat(p, ''!'')')""".stripMargin).head()
+    assert(res.getLong(1) == 11L, s"100/9≈11 matches, got ${res.getLong(1)}")
+    val snap = TxTable.currentSnapshot(spark, root).get
+    // appended files follow the bucket layout (placement parity: the
+    // SPJ/pruning contracts need every file inside its bucket dir)
+    val freshEntries = snap.entries.filterNot(e => before(e.relPath))
+    assert(freshEntries.nonEmpty &&
+      freshEntries.forall(_.partition.startsWith("_bucket=")),
+      s"fresh entries must carry bucket dirs: $freshEntries")
+    freshEntries.foreach { e =>
+      val id = e.partition.stripPrefix("_bucket=").toInt
+      val off = spark.read.parquet(s"$root/${e.relPath}")
+        .where(pmod(hash(col("k")), lit(4)) =!= id).count()
+      assert(off == 0L, s"${e.relPath} rows outside ${e.partition}")
+    }
+    // SQL reads merge; the 11 updated rows show both assignments
+    assert(spark.sql("SELECT count(*) FROM gmu.m.t").as[Long].head() == 100L)
+    val updated = spark.sql(
+      "SELECT k, v, p FROM gmu.m.t WHERE k % 9 = 2")
+      .as[(Long, Double, String)].collect()
+    assert(updated.length == 11)
+    assert(updated.forall { case (k, v, p) =>
+      v == k * 1.5 * 2 && p.endsWith("!") })
+    // a CHECK-violating update refuses BEFORE anything commits
+    val vBefore = TxTable.currentVersion(spark, root).get
+    val err = intercept[Exception] {
+      spark.sql("CALL gmu.system.update_where('m.t', 'k = 2', 'v = -1')")
+    }
+    assert(err.getMessage.contains("v_pos"), s"got: ${err.getMessage}")
+    assert(TxTable.currentVersion(spark, root).get == vBefore)
+  }
 }
