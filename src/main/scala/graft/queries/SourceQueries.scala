@@ -18,8 +18,8 @@ object SourceQueries {
   def all: Seq[Q] = Seq(csvRoundtrip, jdbcRoundtrip, fixedWidthRoundtrip,
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
-    bucketJoin, bucketDml, bucketMc, morDelete, morUpdate, morChanges,
-    nullSkipping)
+    bucketJoin, spjPartial, bucketDml, bucketMc, morDelete, morUpdate,
+    morChanges, nullSkipping)
 
   /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
     * the multi-column PK shape of the reference's migration scripts):
@@ -594,6 +594,95 @@ object SourceQueries {
         s"q_bucket_join expected a shuffle-free co-bucketed join:\n" +
           out.queryExecution.executedPlan)
       out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Skewed-bucket SPJ under PARTIALLY-CLUSTERED distribution
+    * ([[org.apache.spark.sql.graft.GraftKeyedScan]] per-file splits +
+    * Spark's `partiallyClusteredDistribution`): the fact lands
+    * bucket(8, k) with every even custkey collapsed onto ONE key
+    * (≈half the rows in one bucket), written in four commits so the
+    * hot bucket holds 4 files. Fully-clustered SPJ would serialize
+    * that bucket through one task (AQE cannot split a key-grouped
+    * partition — the inherent straggler at 100 TB); with the partial
+    * conf the hot bucket's files run as separate tasks and the dim's
+    * matching groups replicate. The query REQUIREs BOTH halves: the
+    * join plans with zero shuffles AND its task count exceeds the
+    * live bucket-group count (the straggler actually split). The
+    * oracle replays the skewed join over raw parquet in DuckDB, so
+    * equality proves the replicated-dim join computes the exact rows.
+    */
+  val spjPartial: Q = Q(
+    "q_spj_partial",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(f.v * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM customer JOIN (
+      |  SELECT CASE WHEN o_custkey % 2 = 0 THEN 7 ELSE o_custkey END AS k,
+      |         o_totalprice AS v
+      |  FROM orders) f ON c_custkey = f.k
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_pc_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gp", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gp.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gp.mart")
+    s.sql("DROP TABLE IF EXISTS gp.mart.fact")
+    s.sql("DROP TABLE IF EXISTS gp.mart.dim")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_pc_ord")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_pc_cust")
+    def slice(i: Int) =
+      s"""SELECT CASE WHEN o_custkey % 2 = 0 THEN CAST(7 AS BIGINT)
+         |         ELSE o_custkey END AS k,
+         |       o_totalprice AS v
+         |FROM graft_pc_ord WHERE o_orderkey % 4 = $i""".stripMargin
+    s.sql(
+      s"""CREATE TABLE gp.mart.fact PARTITIONED BY (bucket(8, k))
+         |AS ${slice(0)}""".stripMargin)
+    (1 until 4).foreach(i => s.sql(s"INSERT INTO gp.mart.fact ${slice(i)}"))
+    s.sql(
+      """CREATE TABLE gp.mart.dim PARTITIONED BY (bucket(8, c_custkey))
+        |AS SELECT c_custkey, c_mktsegment FROM graft_pc_cust""".stripMargin)
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = s.sql(
+        """SELECT d.c_mktsegment, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(round(f.v * 100) AS BIGINT)) AS BIGINT)
+          |    AS rev_cents
+          |FROM gp.mart.fact f JOIN gp.mart.dim d ON f.k = d.c_custkey
+          |GROUP BY d.c_mktsegment
+          |ORDER BY d.c_mktsegment""".stripMargin)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val joins = out.queryExecution.executedPlan.collect {
+        case j: BaseJoinExec => j
+      }
+      require(joins.nonEmpty &&
+        joins.forall(_.collect { case e: ShuffleExchangeLike => e }.isEmpty),
+        s"q_spj_partial expected a shuffle-free co-bucketed join:\n" +
+          out.queryExecution.executedPlan)
+      val groups = graft.sources.TxTable
+        .currentSnapshot(s, s"$wh/mart/fact").get
+        .entries.map(_.partition).distinct.size
+      val joinParts = joins.head.execute().getNumPartitions
+      require(joinParts > groups,
+        s"q_spj_partial expected the hot bucket split across tasks " +
+          s"(join tasks $joinParts <= bucket groups $groups)")
+      // materialize inside the conf scope: split grouping re-reads
+      // session confs at execution time
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)

@@ -60,9 +60,22 @@ final class GraftCatalog
   with FunctionCatalog {
 
   private var catalogName: String = _
-  private var warehouse: String = _
+  private var initWarehouse: String = _
 
   private def spark: SparkSession = SparkSession.active
+
+  /** The warehouse root, re-read from the LIVE session conf on every
+    * use (falling back to the initialize-time value): Spark's
+    * CatalogManager caches catalog instances per name for the life of
+    * the session, so an initialize-only warehouse silently pins the
+    * FIRST value ever seen — a session that re-points
+    * `spark.sql.catalog.<name>.warehouse` (bench/verify harnesses
+    * running one query over several data dirs) would keep writing into
+    * the stale root while callers resolve paths against the new one.
+    */
+  private def warehouse: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .getOrElse(initWarehouse)
 
   private def fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,7 +83,7 @@ final class GraftCatalog
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
+    initWarehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"graft catalog '$name' needs a warehouse: set " +
           s"spark.sql.catalog.$name.warehouse=<dir>"))

@@ -128,8 +128,9 @@ object ScaleRehearsal {
     */
   private val Family100 = Seq(
     "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
-    "q_dedup_clusters", "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf",
-    "q_lookup_cascade", "x_sql_merge")
+    "q_mor_update", "q_spj_partial", "q_dedup_clusters",
+    "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
+    "x_sql_merge")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
