@@ -19,7 +19,7 @@ object SourceQueries {
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
     bucketJoin, spjPartial, bucketDml, bucketMc, morDelete, morUpdate,
-    morChanges, nullSkipping)
+    morMerge, morChanges, nullSkipping)
 
   /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
     * the multi-column PK shape of the reference's migration scripts):
@@ -186,6 +186,92 @@ object SourceQueries {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM gu.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** MERGE-ON-READ MERGE ([[graft.sources.MergeOnRead.mergeInto]] via
+    * `CALL merge_into`): orders lands as bucket(8, o_orderkey), then a
+    * three-clause merge runs against a change set whose keys scatter
+    * across every bucket (custkey modulos — uncorrelated with the
+    * bucket key): doubled-price updates (custkey%7=2), deletes
+    * (custkey%7=3, a `src.op` flag driving WHEN MATCHED ... DELETE),
+    * and brand-new orders (custkey%7=5, keys shifted past the domain).
+    * The query REQUIREs the scattered-MERGE cost shape — every
+    * original data file byte-identical, masks == updates + deletes,
+    * appends == updates + inserts — in ONE commit. The oracle replays
+    * all three clauses as set algebra over the raw parquet, so
+    * equality proves position masking, the `src`-struct set clause,
+    * name-bound inserts, and the read-side merge are lossless.
+    */
+  val morMerge: Q = Q(
+    "q_mor_merge",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_custkey % 7 = 2 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_custkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice + 10 AS o_totalprice
+      |  FROM orders WHERE o_custkey % 7 = 5
+      |) t
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_morm_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gm", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gm.mart")
+    s.sql("DROP TABLE IF EXISTS gm.mart.orders")
+    val base = Tables.orders(s, dir)
+    base.createOrReplaceTempView("graft_morm_src")
+    s.sql(
+      """CREATE TABLE gm.mart.orders PARTITIONED BY (bucket(8, o_orderkey))
+        |AS SELECT * FROM graft_morm_src""".stripMargin)
+    val upd = base.filter(col("o_custkey") % 7 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("op", lit("U"))
+    val del = base.filter(col("o_custkey") % 7 === 3)
+      .withColumn("op", lit("D"))
+    val ins = base.filter(col("o_custkey") % 7 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 600000000L)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+      .withColumn("op", lit("I"))
+    upd.unionByName(del).unionByName(ins)
+      .createOrReplaceTempView("graft_morm_changes")
+    val root = s"$wh/mart/orders"
+    val before = graft.sources.TxTable.currentSnapshot(s, root).get
+      .entries.map(e => (e.relPath, e.size)).toSet
+    val res = s.sql(
+      """CALL gm.system.merge_into('mart.orders', 'graft_morm_changes',
+        |  'o_orderkey', 'o_totalprice = src.o_totalprice',
+        |  'src.op = ''D''', true)""".stripMargin).head()
+    val after = graft.sources.TxTable.currentSnapshot(s, root).get
+    // the point of the query: scattered-key MERGE, write ∝ changed
+    // rows — original files untouched, masks == upd + del,
+    // appends == upd + ins, all in ONE commit
+    require(before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+      "q_mor_merge: merge-on-read MERGE must leave original data " +
+        "files byte-identical")
+    val (nUpd, nDel, nIns) = (res.getLong(1), res.getLong(2), res.getLong(3))
+    val masked = after.dvs.map(_.rows).sum
+    val appended = after.entries
+      .filterNot(e => before.contains((e.relPath, e.size)))
+      .map(e => graft.sources.FileStats.decode(e.stats).rows).sum
+    require(nUpd > 0 && nDel > 0 && nIns > 0,
+      s"q_mor_merge: expected all three clauses to fire, got " +
+        s"upd=$nUpd del=$nDel ins=$nIns")
+    require(masked == nUpd + nDel && appended == nUpd + nIns,
+      s"q_mor_merge: expected masks == upd + del and appends == " +
+        s"upd + ins, got masked=$masked appended=$appended " +
+        s"upd=$nUpd del=$nDel ins=$nIns")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gm.mart.orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
   }

@@ -468,6 +468,30 @@ private[sources] object GraftProcedures {
 
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
 
+  /** Parse an SQL `UPDATE … SET` assignment list with Spark's own
+    * parser (a synthetic UPDATE statement), so expression commas,
+    * quotes and casts all behave exactly as in UPDATE — shared by
+    * `CALL update_where` and `CALL merge_into`.
+    */
+  private def parseSetClause(op: String, clause: String)
+    : Seq[(String, org.apache.spark.sql.Column)] = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      s"UPDATE __g_set_probe SET $clause")
+    parsed.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        u.assignments.map { a =>
+          val name = a.key match {
+            case att: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => att.name
+            case other => throw new IllegalArgumentException(
+              s"$op: assignment target must be a plain column, got $other")
+          }
+          name -> org.apache.spark.sql.GraftColumnBridge.column(a.value)
+        }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$op: cannot parse set_clause: $clause"))
+  }
+
   val byName: Map[String, GraftCatalog => UnboundProcedure] = Map(
     "restore" -> new Proc(
       "restore", "make a historical version current (one metadata commit)",
@@ -585,29 +609,59 @@ private[sources] object GraftProcedures {
       StructType(Seq(StructField("version", LongType, false),
         StructField("rows_updated", LongType, false))),
       (cat, r) => {
-        // parse the SET clause with Spark's own SQL parser (a
-        // synthetic UPDATE statement), so expression commas, quotes
-        // and casts all behave exactly as in UPDATE ... SET
-        val parsed = spark.sessionState.sqlParser.parsePlan(
-          s"UPDATE __g_set_probe SET ${str(r, 2)}")
-        val sets = parsed.collectFirst {
-          case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
-            u.assignments.map { a =>
-              val name = a.key match {
-                case att: org.apache.spark.sql.catalyst.analysis
-                    .UnresolvedAttribute => att.name
-                case other => throw new IllegalArgumentException(
-                  s"update_where: assignment target must be a plain " +
-                    s"column, got $other")
-              }
-              name -> org.apache.spark.sql.GraftColumnBridge.column(a.value)
-            }
-        }.getOrElse(throw new IllegalArgumentException(
-          s"update_where: cannot parse set_clause: ${str(r, 2)}"))
         val (v, n) = MergeOnRead.updateWhere(spark,
           cat.tableRoot(str(r, 0)),
-          org.apache.spark.sql.functions.expr(str(r, 1)), sets)
+          org.apache.spark.sql.functions.expr(str(r, 1)),
+          parseSetClause("update_where", str(r, 2)))
         Seq(Seq(v, n))
+      }),
+    "merge_into" -> new Proc(
+      "merge_into", "MERGE-ON-READ MERGE (upsert): reconcile a source " +
+        "view into the table on equality of on_keys in ONE commit — " +
+        "matched rows' old images are masked by a position-delete " +
+        "file, their post-images and the unmatched source rows land " +
+        "as new data files (layout placement kept) — write bytes " +
+        "proportional to changed rows, the scattered-key complement " +
+        "of SQL MERGE INTO's copy-on-write group rewrite. matched_set " +
+        "is SQL SET syntax over the target row plus the source row as " +
+        "a `src` struct ('' = update every table column the source " +
+        "carries; 'NONE' = no update clause); matched_delete is a " +
+        "WHEN MATCHED ... THEN DELETE predicate ('' = none), " +
+        "evaluated first; insert_unmatched inserts source rows with " +
+        "no match, by column name; matched_condition / " +
+        "insert_condition gate the update / insert clauses (WHEN " +
+        "MATCHED AND ... / WHEN NOT MATCHED AND ... — e.g. skip CDC " +
+        "tombstones for never-seen keys)",
+      Array(in("table", StringType), in("source", StringType),
+        in("on_keys", StringType),
+        inDefault("matched_set", StringType, "''"),
+        inDefault("matched_delete", StringType, "''"),
+        inDefault("insert_unmatched", BooleanType, "true"),
+        inDefault("matched_condition", StringType, "''"),
+        inDefault("insert_condition", StringType, "''")),
+      StructType(Seq(StructField("version", LongType, false),
+        StructField("rows_updated", LongType, false),
+        StructField("rows_deleted", LongType, false),
+        StructField("rows_inserted", LongType, false))),
+      (cat, r) => {
+        val sets = str(r, 3).trim match {
+          case "" => Some(Nil)
+          case s if s.equalsIgnoreCase("none") => None
+          case s => Some(parseSetClause("merge_into", s))
+        }
+        val del = str(r, 4).trim match {
+          case "" => None
+          case s => Some(org.apache.spark.sql.functions.expr(s))
+        }
+        def cond(i: Int) = str(r, i).trim match {
+          case "" => None
+          case s => Some(org.apache.spark.sql.functions.expr(s))
+        }
+        val res = MergeOnRead.mergeInto(spark,
+          cat.tableRoot(str(r, 0)), spark.table(str(r, 1)),
+          str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          sets, del, r.getBoolean(5), cond(6), cond(7))
+        Seq(Seq(res.version, res.updated, res.deleted, res.inserted))
       }),
     "rewrite_table" -> new Proc(
       "rewrite_table", "full same-schema rewrite of the current " +

@@ -356,6 +356,165 @@ object MergeOnRead {
     throw new IllegalStateException("unreachable")
   }
 
+  /** What a [[mergeInto]] commit did: the committed version plus the
+    * row counts of each clause leg.
+    */
+  final case class MergeResult(
+      version: Long, updated: Long, deleted: Long, inserted: Long)
+
+  /** MERGE-ON-READ MERGE (upsert): reconcile `source` into the table
+    * on equality of `keys` in ONE atomic commit — matched rows'
+    * old images are masked by a position-delete file, their
+    * post-images (and the unmatched source rows, when
+    * `insertUnmatched`) land as new data files. Write bytes ∝
+    * CHANGED rows, never table size — the scattered-key MERGE shape
+    * that completes the merge-on-read DML trio
+    * ([[deleteWhere]]/[[updateWhere]]/here); SQL `MERGE INTO` on a
+    * graft table still takes the copy-on-write group rewrite, which
+    * wins when changes cluster inside few layout groups.
+    *
+    * Clause semantics (SQL MERGE):
+    *   - `matchedDelete` — `WHEN MATCHED AND cond THEN DELETE`,
+    *     evaluated FIRST (clause order);
+    *   - `matchedSets` — `WHEN MATCHED [AND matchedCond] THEN
+    *     UPDATE`: `Some(Nil)` updates every table column the source
+    *     also carries from the source row ("update all"); `Some(sets)`
+    *     applies explicit assignments (RHS sees the target row's
+    *     columns top-level and the source row as a `src` struct —
+    *     `col("src.x")`); `None` — or a matched row failing
+    *     `matchedCond` — leaves the row untouched;
+    *   - unmatched source rows passing `insertCond` (`WHEN NOT
+    *     MATCHED [AND cond] THEN INSERT` — e.g. skip CDC tombstones
+    *     for never-seen keys) insert by column NAME (table columns
+    *     the source lacks null-fill), cast to declared types;
+    *   - a target row matching MORE than one source row raises (the
+    *     SQL MERGE cardinality violation) — silently applying an
+    *     arbitrary one would be nondeterministic.
+    *
+    * Appended rows keep the table's layout placement (bucket dirs —
+    * SPJ and manifest pruning survive), CHECKs run over the
+    * post-images before commit, and [[ChangeFeed.between]] across the
+    * version nets each key to insert/update/delete from the DV delta
+    * + appended files. Lost optimistic races discard both legs and
+    * retry on a fresh position scan, like [[updateWhere]].
+    */
+  def mergeInto(
+      spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String],
+      matchedSets: Option[Seq[(String, Column)]] = Some(Nil),
+      matchedDelete: Option[Column] = None,
+      insertUnmatched: Boolean = true,
+      matchedCond: Option[Column] = None,
+      insertCond: Option[Column] = None,
+      maxRetries: Int = 10): MergeResult = {
+    require(keys.nonEmpty, "mergeInto: no ON key columns")
+    require(matchedSets.isDefined || matchedDelete.isDefined ||
+      insertUnmatched, "mergeInto: no merge clauses given")
+    val srcCols = source.columns.toSeq
+    keys.foreach(k => require(srcCols.exists(_.equalsIgnoreCase(k)),
+      s"mergeInto: source has no key column $k (source columns: " +
+        s"${srcCols.mkString(", ")})"))
+    var attempt = 0
+    while (true) {
+      val cur = TxTable.requireSnapshot(spark, root)
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      keys.foreach(k => require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"mergeInto: no such key column $k (table has " +
+          s"${schema.fieldNames.mkString(", ")})"))
+      matchedSets.toSeq.flatten.foreach { case (n, _) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"mergeInto: no such column $n (table has " +
+            s"${schema.fieldNames.mkString(", ")})")
+      }
+      val tgt =
+        if (cur.entries.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.fields ++ Seq(
+              StructField("__g_key", StringType), StructField("__g_pos", LongType))))
+        else visibleWithPos(spark, root, cur)
+      val src = source.select(struct(srcCols.map(col): _*).as("src"))
+      val joined = tgt.join(src,
+        keys.map(k => col(k) === col(s"src.$k")).reduce(_ && _),
+        "right_outer")
+      // the joined frame is ∝ source rows + matched targets — the
+      // change volume — so persisting it is the bounded-cost way to
+      // feed cardinality check, counts, positions and post-images
+      // from one scan
+      joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val isMatched = col("__g_key").isNotNull
+        val matched = joined.filter(isMatched)
+        val dup = matched.groupBy("__g_key", "__g_pos").count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "mergeInto: a target row matches more than one source row " +
+            s"(ON ${keys.mkString(", ")} is not unique in the source) — " +
+            "the SQL MERGE cardinality violation")
+        val delCond = coalesce(matchedDelete.getOrElse(lit(false)), lit(false))
+        val updCond = isMatched && !delCond && lit(matchedSets.isDefined) &&
+          coalesce(matchedCond.getOrElse(lit(true)), lit(false))
+        val insCond = !isMatched && lit(insertUnmatched) &&
+          coalesce(insertCond.getOrElse(lit(true)), lit(false))
+        val cnt = joined.agg(
+          coalesce(sum(when(isMatched && delCond, 1L)), lit(0L)).as("d"),
+          coalesce(sum(when(updCond, 1L)), lit(0L)).as("u"),
+          coalesce(sum(when(insCond, 1L)), lit(0L)).as("i")).head()
+        val (nDel, nUpd, nIns) =
+          (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
+        if (nDel + nUpd + nIns == 0L)
+          return MergeResult(cur.version, 0L, 0L, 0L)
+        val positions = joined.filter(isMatched && (delCond || updCond))
+          .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
+        val sets: Seq[(String, Column)] = matchedSets match {
+          case Some(Nil) => schema.fieldNames.toSeq
+            .filter(n => srcCols.exists(_.equalsIgnoreCase(n)))
+            .map(n => n -> col(s"src.$n"))
+          case Some(s) => s
+          case None => Nil
+        }
+        // post-images: updates keep SQL UPDATE semantics (simultaneous
+        // assignments over the pre-image, cast to declared types);
+        // inserts bind source columns by name, null-filling the rest
+        val updated = joined.filter(updCond).select(schema.fields.map { fld =>
+          sets.find(_._1.equalsIgnoreCase(fld.name))
+            .map { case (_, e) => e.cast(fld.dataType).as(fld.name) }
+            .getOrElse(col(fld.name))
+        }.toSeq: _*)
+        val inserted = joined.filter(insCond).select(schema.fields.map { fld =>
+          if (srcCols.exists(_.equalsIgnoreCase(fld.name)))
+            col(s"src.${fld.name}").cast(fld.dataType).as(fld.name)
+          else lit(null).cast(fld.dataType).as(fld.name)
+        }.toSeq: _*)
+        val f = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val (dvDir, newDvs) =
+          if (nDel + nUpd == 0L) ("", Seq.empty[TxTable.DvEntry])
+          else writeDv(spark, root, positions)
+        val layout = GraftCatalog.readPartitionCol(spark, root)
+        val fresh =
+          if (nUpd + nIns == 0L) Seq.empty[TxTable.Entry]
+          else TxTable.writeData(updated.unionByName(inserted), root, layout)
+        try {
+          val v =
+            if (fresh.isEmpty)
+              TxTable.commitDvAppend(spark, root, cur.version, newDvs)
+            else TxTable.commitDvUpdate(spark, root, cur.version, newDvs, fresh)
+          return MergeResult(v, nUpd, nDel, nIns)
+        } catch {
+          case e: TxTable.ConcurrentCommitException =>
+            // stale positions: discard BOTH legs, rescan
+            if (dvDir.nonEmpty) f.delete(new Path(dvDir), true)
+            fresh.map(_.relPath.split("/").take(2).mkString("/")).distinct
+              .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      } finally joined.unpersist()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** MATERIALIZE the delete set: rewrite exactly the DV-affected data
     * files with their deletes applied, drop every delete file from the
     * manifest, ONE commit. Cost ∝ the affected files' live rows — the

@@ -128,7 +128,7 @@ object ScaleRehearsal {
     */
   private val Family100 = Seq(
     "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
-    "q_mor_update", "q_spj_partial", "q_dedup_clusters",
+    "q_mor_update", "q_mor_merge", "q_spj_partial", "q_dedup_clusters",
     "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
     "x_sql_merge")
 

@@ -317,4 +317,100 @@ class MorSpec extends SparkSpec {
     assert(err.getMessage.contains("v_pos"), s"got: ${err.getMessage}")
     assert(TxTable.currentVersion(spark, root).get == vBefore)
   }
+
+  test("mergeInto applies update/delete/insert clauses in ONE commit, ∝ changed rows") {
+    val root = freshRoot("mrg")
+    TxTable.create(seed, root, Some("p"))
+    val before = dataPaths(root)
+    val parity = (k: Long) => if (k % 2 == 0) "even" else "odd"
+    // one source, three clause populations: updates (96..100),
+    // deletes (1..5, op flag), inserts (101..105, no match)
+    val src = ((96L to 100L).map(k => (k, parity(k), k * 10.0, "U")) ++
+      (1L to 5L).map(k => (k, parity(k), 0.0, "D")) ++
+      (101L to 105L).map(k => (k, parity(k), k * 10.0, "I")))
+      .toDF("k", "p", "v", "op")
+    val res = MergeOnRead.mergeInto(spark, root, src, Seq("k"),
+      matchedSets = Some(Seq("v" -> expr("src.v"))),
+      matchedDelete = Some(expr("src.op = 'D'")))
+    assert(res == MergeOnRead.MergeResult(1L, 5L, 5L, 5L), s"got $res")
+    val snap = TxTable.currentSnapshot(spark, root).get
+    // cost shape: originals byte-untouched; masks = upd + del;
+    // appends = upd + ins
+    assert(before.subsetOf(snap.entries.map(_.relPath).toSet))
+    assert(snap.dvs.map(_.rows).sum == 10L)
+    val freshRows = snap.entries.filterNot(e => before(e.relPath))
+      .map(e => graft.sources.FileStats.decode(e.stats).rows).sum
+    assert(freshRows == 10L, s"appends must equal upd + ins, got $freshRows")
+    // read-back: deletes gone, updates post-imaged, inserts present
+    val rows = TxTable.read(spark, root)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(rows.keySet == (6L to 105L).toSet)
+    assert(rows.forall { case (k, v) =>
+      v == (if (k >= 96) k * 10.0 else k * 1.5) })
+    // ChangeFeed across the merge version classifies all three ops
+    val cdf = ChangeFeed.between(spark, root, 0L, 1L, Seq("k"))
+      .select("k", ChangeFeed.OpCol).as[(Long, String)].collect().toMap
+    assert(cdf == ((1L to 5L).map(_ -> "delete") ++
+      (96L to 100L).map(_ -> "update") ++
+      (101L to 105L).map(_ -> "insert")).toMap, s"got $cdf")
+    // SQL MERGE cardinality violation: two source rows, one target row
+    val dup = Seq((50L, "even", 1.0), (50L, "even", 2.0)).toDF("k", "p", "v")
+    val err = intercept[IllegalStateException] {
+      MergeOnRead.mergeInto(spark, root, dup, Seq("k"))
+    }
+    assert(err.getMessage.contains("cardinality"), s"got: ${err.getMessage}")
+    // nothing to do → no commit (no matches, insert off)
+    val miss = Seq((9999L, "odd", 1.0)).toDF("k", "p", "v")
+    val res2 = MergeOnRead.mergeInto(spark, root, miss, Seq("k"),
+      matchedSets = Some(Nil), insertUnmatched = false)
+    assert(res2 == MergeOnRead.MergeResult(1L, 0L, 0L, 0L), s"got $res2")
+  }
+
+  test("CALL merge_into: update-all default, bucket placement, CHECKs, null-fill inserts") {
+    val wh = freshRoot("mrgwh")
+    spark.conf.set("spark.sql.catalog.gmm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gmm.m")
+    seed.createOrReplaceTempView("mor_mrg_seed")
+    spark.sql(
+      """CREATE TABLE gmm.m.t PARTITIONED BY (bucket(4, k))
+        |AS SELECT * FROM mor_mrg_seed""".stripMargin)
+    val root = s"$wh/m/t"
+    TxTable.addCheck(spark, root, "v_pos", "v >= 0")
+    val before = dataPaths(root)
+    // source WITHOUT p: update-all claims only (k, v); inserts
+    // null-fill the missing p column
+    ((40L to 44L).map(k => (k, k + 0.25)) ++
+      (201L to 203L).map(k => (k, k + 0.25)))
+      .toDF("k", "v").createOrReplaceTempView("mor_mrg_changes")
+    val res = spark.sql(
+      """CALL gmm.system.merge_into('m.t', 'mor_mrg_changes', 'k')"""
+    ).head()
+    assert((res.getLong(1), res.getLong(2), res.getLong(3)) == ((5L, 0L, 3L)),
+      s"got $res")
+    val snap = TxTable.currentSnapshot(spark, root).get
+    // appends keep the bucket layout (placement parity for SPJ/pruning)
+    val freshEntries = snap.entries.filterNot(e => before(e.relPath))
+    assert(freshEntries.nonEmpty &&
+      freshEntries.forall(_.partition.startsWith("_bucket=")),
+      s"fresh entries must carry bucket dirs: $freshEntries")
+    // updated rows keep their untouched p; inserted rows null-fill it
+    val got = spark.sql(
+      "SELECT k, v, p FROM gmm.m.t WHERE k >= 40 AND k <= 44 OR k >= 201")
+      .as[(Long, Double, Option[String])].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == ((40L to 44L) ++ (201L to 203L)).toSeq)
+    assert(got.forall { case (k, v, _) => v == k + 0.25 })
+    assert(got.filter(_._1 <= 44).forall(_._3.isDefined))
+    assert(got.filter(_._1 >= 201).forall(_._3.isEmpty))
+    assert(spark.sql("SELECT count(*) FROM gmm.m.t").as[Long].head() == 103L)
+    // a CHECK-violating post-image refuses BEFORE anything commits
+    val vBefore = TxTable.currentVersion(spark, root).get
+    Seq((7L, -1.0)).toDF("k", "v")
+      .createOrReplaceTempView("mor_mrg_bad")
+    val err = intercept[Exception] {
+      spark.sql("CALL gmm.system.merge_into('m.t', 'mor_mrg_bad', 'k')")
+    }
+    assert(err.getMessage.contains("v_pos"), s"got: ${err.getMessage}")
+    assert(TxTable.currentVersion(spark, root).get == vBefore)
+  }
 }
