@@ -12,7 +12,7 @@ import graft.streaming.Cdc
   */
 object CdcQueries {
 
-  def all: Seq[Q] = Seq(cdcApply, cdcTx, tableChanges, restoreQ)
+  def all: Seq[Q] = Seq(cdcApply, cdcTx, cdcMor, tableChanges, restoreQ)
 
   private[queries] def changeFeed(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -80,6 +80,46 @@ object CdcQueries {
       snapshot.withColumn("bucket", bucketOf(snapshot)), root, Some("bucket"))
     Cdc.applyTx(s, root, Cdc.range(feed, "lsn", mid, maxLsn),
       keys, data, "bucket", bucketOf)
+    TxTable.read(s, root)
+      .select(col("user_id"), col("amount"), col("last_lsn"))
+      .orderBy(col("user_id"))
+  }
+
+  /** MERGE-ON-READ two-phase apply ([[Cdc.applyTxMor]]): the same
+    * protocol as [[cdcTx]], but the second-half range lands through
+    * [[graft.sources.MergeOnRead.mergeInto]] — one atomic commit, a
+    * position-delete mask for the changed keys' old images plus
+    * appended post-images, write ∝ BATCH size instead of rewritten
+    * partitions (the scattered-trickle CDC shape at 100 TB). The
+    * target uses the engine's own bucket layout, no derived partition
+    * column. The query REQUIREs the cost shape — every v0 data file
+    * byte-identical after the apply — and the read-back must equal
+    * the same latest-per-key oracle as both other apply paths, so
+    * equality proves the merge path preserves the protocol's
+    * idempotent last-writer-wins + delete-removes semantics.
+    */
+  val cdcMor: Q = Q("q_cdc_mor", latestPerKeySql) { (s, dir) =>
+    import graft.sources.TxTable
+    val feed = changeFeed(s, dir)
+    val maxLsn = feed.agg(max(col("lsn"))).head.getLong(0)
+    val mid = maxLsn / 2
+    val keys = Seq("user_id")
+    val data = Seq("amount")
+    val snapshot = Cdc.apply(
+      Cdc.emptyTarget(feed, keys, data),
+      Cdc.range(feed, "lsn", Long.MinValue, mid), keys, data)
+    val root = s"target/tmp/cdc_mor_q_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    TxTable.create(snapshot, root, Some("bucket(16,user_id)"))
+    val before = TxTable.currentSnapshot(s, root).get
+      .entries.map(e => (e.relPath, e.size)).toSet
+    Cdc.applyTxMor(s, root, Cdc.range(feed, "lsn", mid, maxLsn), keys, data)
+    val after = TxTable.currentSnapshot(s, root).get
+    // the point of the query: the apply wrote ∝ batch, not partitions
+    require(before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+      "q_cdc_mor: merge-on-read apply must leave v0 data files " +
+        "byte-identical")
+    require(after.dvs.nonEmpty,
+      "q_cdc_mor: expected a committed position-delete file")
     TxTable.read(s, root)
       .select(col("user_id"), col("amount"), col("last_lsn"))
       .orderBy(col("user_id"))

@@ -444,22 +444,26 @@ object MergeOnRead {
       joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val isMatched = col("__g_key").isNotNull
-        val matched = joined.filter(isMatched)
-        val dup = matched.groupBy("__g_key", "__g_pos").count()
-          .filter(col("count") > 1).limit(1).count()
-        if (dup > 0) throw new IllegalStateException(
-          "mergeInto: a target row matches more than one source row " +
-            s"(ON ${keys.mkString(", ")} is not unique in the source) — " +
-            "the SQL MERGE cardinality violation")
         val delCond = coalesce(matchedDelete.getOrElse(lit(false)), lit(false))
         val updCond = isMatched && !delCond && lit(matchedSets.isDefined) &&
           coalesce(matchedCond.getOrElse(lit(true)), lit(false))
         val insCond = !isMatched && lit(insertUnmatched) &&
           coalesce(insertCond.getOrElse(lit(true)), lit(false))
+        // clause counts AND the cardinality probe in ONE pass: a
+        // target row matching several source rows repeats its
+        // position, so matched > distinct positions ⟺ violation
         val cnt = joined.agg(
           coalesce(sum(when(isMatched && delCond, 1L)), lit(0L)).as("d"),
           coalesce(sum(when(updCond, 1L)), lit(0L)).as("u"),
-          coalesce(sum(when(insCond, 1L)), lit(0L)).as("i")).head()
+          coalesce(sum(when(insCond, 1L)), lit(0L)).as("i"),
+          coalesce(sum(when(isMatched, 1L)), lit(0L)).as("m"),
+          countDistinct(
+            when(isMatched, struct(col("__g_key"), col("__g_pos"))))
+            .as("md")).head()
+        if (cnt.getLong(3) > cnt.getLong(4)) throw new IllegalStateException(
+          "mergeInto: a target row matches more than one source row " +
+            s"(ON ${keys.mkString(", ")} is not unique in the source) — " +
+            "the SQL MERGE cardinality violation")
         val (nDel, nUpd, nIns) =
           (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
         if (nDel + nUpd + nIns == 0L)

@@ -598,6 +598,10 @@ object TxTable {
     val f = fs(spark, root)
     f.delete(new Path(root), true)
     val entries = writeData(df, root, partitionCol)
+    // persist the layout spec (as catalog CREATE TABLE does), so
+    // later row-level appends (updateWhere/mergeInto post-images)
+    // keep this table's placement without the caller re-stating it
+    partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root, _))
     commit(spark, root, 0L, declaredDdl(df), entries)
   }
 

@@ -340,6 +340,48 @@ object Cdc {
       expectedVersion = Some(snap.version))
   }
 
+  /** MERGE-ON-READ CDC apply: the same idempotent last-writer-wins
+    * reconcile as [[applyTx]], but through
+    * [[graft.sources.MergeOnRead.mergeInto]] — ONE atomic commit
+    * masks changed keys' old images with a position-delete file and
+    * appends their post-images; write bytes ∝ BATCH size, never
+    * partition size. [[applyTx]]'s copy-on-write partition rewrite
+    * wins when a batch's keys cluster inside few partitions; this
+    * wins when they scatter — at 100 TB a trickle batch touching one
+    * key per bucket rewrites nothing either way here. No derived
+    * partition column or `partOf` contract is needed: the table's own
+    * layout (e.g. `bucket(16,user_id)`) places the appended
+    * post-images, so SPJ/pruning survive. Tombstones for never-seen
+    * keys are skipped (the NOT MATCHED insert is gated on op ≠
+    * delete), matching [[apply]]'s delete-removes semantics.
+    *
+    * Target schema: keyCols ++ dataCols ++ last_lsn (as [[applyTx]]).
+    * Returns the committed version (unchanged when the batch nets to
+    * nothing).
+    */
+  def applyTxMor(
+      spark: SparkSession,
+      txRoot: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      lsnCol: String = "lsn",
+      opCol: String = "op"): Long = {
+    import graft.sources.MergeOnRead
+    val latest = latestPerKey(changes, keyCols, lsnCol)
+    // align to the target's column names; the op rides along under a
+    // collision-proof name so clause predicates can see it without it
+    // ever entering the table (update-all claims only table columns)
+    val src = latest.select(
+      (keyCols ++ dataCols).map(col) :+
+        col(lsnCol).as("last_lsn") :+ col(opCol).as("__g_op"): _*)
+    MergeOnRead.mergeInto(spark, txRoot, src, keyCols,
+      matchedSets = Some(Nil),
+      matchedDelete = Some(col("src.__g_op") === lit(Op.Delete)),
+      insertUnmatched = true,
+      insertCond = Some(col("src.__g_op") =!= lit(Op.Delete))).version
+  }
+
   /** Empty target with the apply-compatible schema (C1 initial load
     * starts from nothing; the snapshot is just `apply` of the full
     * range onto this).

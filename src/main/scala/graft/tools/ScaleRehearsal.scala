@@ -112,6 +112,10 @@ object ScaleRehearsal {
     // cannot measure): the same MERGE and dictGet machinery pointed at
     // the scaling fact side
     "x_sql_merge", "x_dict_probe",
+    // round-8: merge-on-read CDC apply — 10× events as the change
+    // log; the apply's write cost must track the batch (second-half
+    // range), with v0 files byte-untouched by construction
+    "q_cdc_mor",
     // round-8 (VERDICT r7 item 3): skewed-bucket SPJ straggler — the
     // fact lands bucket(8) with ~half its rows on ONE key, joined
     // co-bucketed. `full` is the fully-clustered contract (one task

@@ -155,6 +155,40 @@ class CdcSpec extends SparkSpec {
       v0.entries.filter(_.partition == "bucket=3").toSet)
   }
 
+  test("applyTxMor ≡ apply; writes ∝ batch; tombstones skip; re-apply idempotent") {
+    val root = s"target/tmp/cdc_mor_${System.nanoTime()}"
+    val init = (0L until 100L).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    // the table's OWN bucket layout places appends — no partOf contract
+    TxTable.create(init, root, Some("bucket(4,user_id)"))
+    val changes = Seq(
+      (8L, 88.0, 10L, Cdc.Op.Update),
+      (102L, 12.0, 11L, Cdc.Op.Insert),
+      (13L, 0.0, 12L, Cdc.Op.Delete),
+      (777L, 0.0, 13L, Cdc.Op.Delete) // tombstone for a never-seen key
+    ).toDF("user_id", "amount", "lsn", "op")
+    val before = TxTable.currentSnapshot(spark, root).get
+      .entries.map(e => (e.relPath, e.size)).toSet
+    Cdc.applyTxMor(spark, root, changes, keys, data)
+    val after = TxTable.currentSnapshot(spark, root).get
+    // cost shape: v0 files byte-identical; masks = update + delete
+    // (the skipped tombstone masks nothing)
+    assert(before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+      "merge-on-read apply must not rewrite data files")
+    assert(after.dvs.map(_.rows).sum == 2L)
+    val got = state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn"))
+    val ref = state(Cdc.apply(init, changes, keys, data))
+    assert(got == ref)
+    // re-applying the same range nets to the same state (idempotent)
+    Cdc.applyTxMor(spark, root, changes, keys, data)
+    assert(state(TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn")) == ref)
+    // appended post-images follow the bucket layout
+    assert(TxTable.currentSnapshot(spark, root).get.entries
+      .forall(_.partition.startsWith("_bucket=")))
+  }
+
   test("applyTx with a wider-typed partOf still matches stored partitions") {
     // partOf yields DOUBLE against a BIGINT-partitioned table: the
     // collected values must be cast to the stored type before they are
