@@ -201,11 +201,18 @@ object MergeOnRead {
     * current column names while the position keys survive.
     */
   private def visibleWithPos(
-      spark: SparkSession, root: String, cur: TxTable.Snapshot): DataFrame = {
+      spark: SparkSession, root: String, cur: TxTable.Snapshot,
+      entries: Seq[TxTable.Entry]): DataFrame = {
     val schema = StructType.fromDDL(cur.schemaDdl)
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields ++ Seq(
+          StructField("__g_key", StringType),
+          StructField("__g_pos", LongType))))
     val base = spark.read
       .schema(extendedSchema(schema, cur.aliases))
-      .parquet(cur.entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
+      .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
     val keyed = withPos(base)
     val dv = dvFrame(spark, root, cur.dvs)
     aliasProject(
@@ -214,6 +221,31 @@ object MergeOnRead {
           keyed("__g_pos") === dv("pos"), "left_anti"),
       schema, cur.aliases, keep = Seq("__g_key", "__g_pos"))
   }
+
+  /** The manifest entries that can possibly hold a match for
+    * `source`'s keys: when the table's bucket layout hashes a SUBSET
+    * of the ON keys, equal keys land in equal buckets, so only the
+    * buckets the source's keys hash into can match — the rest of the
+    * table is pruned from the position scan at the MANIFEST (the
+    * scattered-trickle CDC shape then reads ∝ touched buckets, not
+    * table size). Entries outside the layout's dir convention (legacy
+    * unplaced appends) are conservatively kept; identity layouts keep
+    * the full scan (their dir rendering is type-dependent).
+    */
+  private[graft] def candidateEntries(
+      source: DataFrame, keys: Seq[String], layout: Option[String],
+      entries: Seq[TxTable.Entry]): Seq[TxTable.Entry] =
+    layout.map(l => (l, Layout.parse(l))) match {
+      case Some((spec, b: Layout.Bucket))
+          if b.cols.forall(c => keys.exists(_.equalsIgnoreCase(c))) =>
+        val prefix = s"${b.partName}="
+        val keep = source
+          .select(Layout.dirColumn(source, spec).cast("string").as("b"))
+          .distinct().collect().map(r => prefix + r.getString(0)).toSet
+        entries.filter(e =>
+          !e.partition.startsWith(prefix) || keep(e.partition))
+      case _ => entries
+    }
 
   /** Write `positions` (file_key, pos) as a new delete-file directory;
     * returns the directory and its manifest entries (empty shards a
@@ -241,6 +273,37 @@ object MergeOnRead {
     (dir, out.toSeq.filter(_.rows != 0L))
   }
 
+  /** SQL UPDATE post-image projection: every assignment's RHS
+    * evaluates against the row's PRE-image (all assignments
+    * simultaneous), cast to the column's declared type; unassigned
+    * columns pass through. Shared by [[updateWhere]] and
+    * [[mergeInto]].
+    */
+  private def postImage(
+      df: DataFrame, schema: StructType,
+      sets: Seq[(String, Column)]): DataFrame =
+    df.select(schema.fields.map { fld =>
+      sets.find(_._1.equalsIgnoreCase(fld.name))
+        .map { case (_, e) => e.cast(fld.dataType).as(fld.name) }
+        .getOrElse(col(fld.name))
+    }.toSeq: _*)
+
+  /** Discard an UNCOMMITTED (delete-file dir, fresh data entries)
+    * pair after a lost optimistic race — positions are only valid
+    * against the snapshot they were computed from, so both legs are
+    * dropped and the caller rescans. Shared by [[updateWhere]] and
+    * [[mergeInto]].
+    */
+  private def discardLegs(
+      spark: SparkSession, root: String, dvDir: String,
+      fresh: Seq[TxTable.Entry]): Unit = {
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (dvDir.nonEmpty) f.delete(new Path(dvDir), true)
+    fresh.map(_.relPath.split("/").take(2).mkString("/")).distinct
+      .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+  }
+
   /** MERGE-ON-READ DELETE: commit a position-delete file for every
     * currently-visible row matching `cond` — data files untouched,
     * write bytes ∝ deleted rows. Returns (new version, rows deleted);
@@ -256,7 +319,7 @@ object MergeOnRead {
     while (true) {
       val cur = TxTable.requireSnapshot(spark, root)
       if (cur.entries.isEmpty) return (cur.version, 0L)
-      val visible = visibleWithPos(spark, root, cur)
+      val visible = visibleWithPos(spark, root, cur, cur.entries)
       val doomed = visible
         .filter(cond)
         .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
@@ -314,7 +377,7 @@ object MergeOnRead {
           s"updateWhere: no such column $n (table has " +
             s"${schema.fieldNames.mkString(", ")})")
       }
-      val matched = visibleWithPos(spark, root, cur).filter(cond)
+      val matched = visibleWithPos(spark, root, cur, cur.entries).filter(cond)
       // one scan feeds both legs (positions + post-images): the
       // matched set is ∝ updated rows — exactly the write volume —
       // so persisting it is the bounded-cost way to avoid a second
@@ -323,13 +386,7 @@ object MergeOnRead {
       try {
         val positions = matched
           .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
-        // simultaneous assignments over the pre-image, cast to the
-        // declared column type (SQL UPDATE semantics)
-        val updated = matched.select(schema.fields.map { fld =>
-          sets.find(_._1.equalsIgnoreCase(fld.name))
-            .map { case (_, e) => e.cast(fld.dataType).as(fld.name) }
-            .getOrElse(col(fld.name))
-        }.toSeq: _*)
+        val updated = postImage(matched, schema, sets)
         val f = new Path(root).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val (dvDir, newDvs) = writeDv(spark, root, positions)
@@ -341,13 +398,10 @@ object MergeOnRead {
         val layout = GraftCatalog.readPartitionCol(spark, root)
         val fresh = TxTable.writeData(updated, root, layout)
         try return (TxTable.commitDvUpdate(spark, root, cur.version,
-          newDvs, fresh), total)
+          newDvs, fresh, "updateWhere"), total)
         catch {
           case e: TxTable.ConcurrentCommitException =>
-            // stale positions: discard BOTH legs, rescan
-            f.delete(new Path(dvDir), true)
-            fresh.map(_.relPath.split("/").take(2).mkString("/")).distinct
-              .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+            discardLegs(spark, root, dvDir, fresh)
             attempt += 1
             if (attempt > maxRetries) throw e
         }
@@ -426,13 +480,16 @@ object MergeOnRead {
           s"mergeInto: no such column $n (table has " +
             s"${schema.fieldNames.mkString(", ")})")
       }
-      val tgt =
-        if (cur.entries.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(schema.fields ++ Seq(
-              StructField("__g_key", StringType), StructField("__g_pos", LongType))))
-        else visibleWithPos(spark, root, cur)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase("src")),
+        "mergeInto: the table has a column named `src`, which is " +
+          "reserved for the source-row struct in clause expressions — " +
+          "RENAME COLUMN it first")
+      val layout = GraftCatalog.readPartitionCol(spark, root)
+      // when the bucket layout hashes a subset of the ON keys, only
+      // the buckets the source's keys hash into can hold a match —
+      // the position scan prunes to them at the manifest
+      val tgt = visibleWithPos(spark, root, cur,
+        candidateEntries(source, keys, layout, cur.entries))
       val src = source.select(struct(srcCols.map(col): _*).as("src"))
       val joined = tgt.join(src,
         keys.map(k => col(k) === col(s"src.$k")).reduce(_ && _),
@@ -449,26 +506,32 @@ object MergeOnRead {
           coalesce(matchedCond.getOrElse(lit(true)), lit(false))
         val insCond = !isMatched && lit(insertUnmatched) &&
           coalesce(insertCond.getOrElse(lit(true)), lit(false))
-        // clause counts AND the cardinality probe in ONE pass: a
-        // target row matching several source rows repeats its
-        // position, so matched > distinct positions ⟺ violation
+        // clause counts AND the cardinality probe in ONE pass. The
+        // probe counts only rows an update/delete clause ACTS on: a
+        // position acted on twice repeats in the acting set, so
+        // acting > distinct acting positions ⟺ the same target row
+        // would be updated/deleted more than once (nondeterministic);
+        // duplicate matches no clause touches are harmless, so an
+        // insert-only merge never spuriously aborts.
+        val actCond = isMatched && (delCond || updCond)
         val cnt = joined.agg(
           coalesce(sum(when(isMatched && delCond, 1L)), lit(0L)).as("d"),
           coalesce(sum(when(updCond, 1L)), lit(0L)).as("u"),
           coalesce(sum(when(insCond, 1L)), lit(0L)).as("i"),
-          coalesce(sum(when(isMatched, 1L)), lit(0L)).as("m"),
+          coalesce(sum(when(actCond, 1L)), lit(0L)).as("m"),
           countDistinct(
-            when(isMatched, struct(col("__g_key"), col("__g_pos"))))
+            when(actCond, struct(col("__g_key"), col("__g_pos"))))
             .as("md")).head()
         if (cnt.getLong(3) > cnt.getLong(4)) throw new IllegalStateException(
-          "mergeInto: a target row matches more than one source row " +
-            s"(ON ${keys.mkString(", ")} is not unique in the source) — " +
+          "mergeInto: an update/delete clause acts on the same target " +
+            s"row through more than one source row (ON " +
+            s"${keys.mkString(", ")} is not unique in the source) — " +
             "the SQL MERGE cardinality violation")
         val (nDel, nUpd, nIns) =
           (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
         if (nDel + nUpd + nIns == 0L)
           return MergeResult(cur.version, 0L, 0L, 0L)
-        val positions = joined.filter(isMatched && (delCond || updCond))
+        val positions = joined.filter(actCond)
           .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
         val sets: Seq[(String, Column)] = matchedSets match {
           case Some(Nil) => schema.fieldNames.toSeq
@@ -477,25 +540,18 @@ object MergeOnRead {
           case Some(s) => s
           case None => Nil
         }
-        // post-images: updates keep SQL UPDATE semantics (simultaneous
-        // assignments over the pre-image, cast to declared types);
-        // inserts bind source columns by name, null-filling the rest
-        val updated = joined.filter(updCond).select(schema.fields.map { fld =>
-          sets.find(_._1.equalsIgnoreCase(fld.name))
-            .map { case (_, e) => e.cast(fld.dataType).as(fld.name) }
-            .getOrElse(col(fld.name))
-        }.toSeq: _*)
+        // post-images: updates keep SQL UPDATE semantics (via
+        // postImage); inserts bind source columns by name,
+        // null-filling the rest
+        val updated = postImage(joined.filter(updCond), schema, sets)
         val inserted = joined.filter(insCond).select(schema.fields.map { fld =>
           if (srcCols.exists(_.equalsIgnoreCase(fld.name)))
             col(s"src.${fld.name}").cast(fld.dataType).as(fld.name)
           else lit(null).cast(fld.dataType).as(fld.name)
         }.toSeq: _*)
-        val f = new Path(root).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
         val (dvDir, newDvs) =
           if (nDel + nUpd == 0L) ("", Seq.empty[TxTable.DvEntry])
           else writeDv(spark, root, positions)
-        val layout = GraftCatalog.readPartitionCol(spark, root)
         val fresh =
           if (nUpd + nIns == 0L) Seq.empty[TxTable.Entry]
           else TxTable.writeData(updated.unionByName(inserted), root, layout)
@@ -503,14 +559,12 @@ object MergeOnRead {
           val v =
             if (fresh.isEmpty)
               TxTable.commitDvAppend(spark, root, cur.version, newDvs)
-            else TxTable.commitDvUpdate(spark, root, cur.version, newDvs, fresh)
+            else TxTable.commitDvUpdate(spark, root, cur.version, newDvs,
+              fresh, "mergeInto")
           return MergeResult(v, nUpd, nDel, nIns)
         } catch {
           case e: TxTable.ConcurrentCommitException =>
-            // stale positions: discard BOTH legs, rescan
-            if (dvDir.nonEmpty) f.delete(new Path(dvDir), true)
-            fresh.map(_.relPath.split("/").take(2).mkString("/")).distinct
-              .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+            discardLegs(spark, root, dvDir, fresh)
             attempt += 1
             if (attempt > maxRetries) throw e
         }

@@ -1160,13 +1160,14 @@ object TxTable {
     */
   private[sources] def commitDvUpdate(
       spark: SparkSession, root: String, expectedVersion: Long,
-      addDvs: Seq[DvEntry], fresh: Seq[Entry]): Long = {
+      addDvs: Seq[DvEntry], fresh: Seq[Entry],
+      op: String = "updateWhere"): Long = {
     val cur = requireSnapshot(spark, root)
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
     if (cur.checks.nonEmpty && fresh.nonEmpty)
       requireChecks(readEntries(spark, root, cur.copy(entries = fresh),
-        identity), cur, "updateWhere")
+        identity), cur, op)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
       cur.entries ++ fresh, cur.txns, cur.checks, cur.dvs ++ addDvs,
       cur.aliases)

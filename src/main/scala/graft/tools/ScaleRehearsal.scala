@@ -112,10 +112,12 @@ object ScaleRehearsal {
     // cannot measure): the same MERGE and dictGet machinery pointed at
     // the scaling fact side
     "x_sql_merge", "x_dict_probe",
-    // round-8: merge-on-read CDC apply — 10× events as the change
-    // log; the apply's write cost must track the batch (second-half
-    // range), with v0 files byte-untouched by construction
-    "q_cdc_mor",
+    // round-8: merge-on-read CDC apply — rehearsal-only shape (the
+    // oracle q_cdc_mor's two-phase split shares no keys across halves
+    // on the COPY-scaled log, so its matched clauses would never
+    // fire): a scattered replay batch over the snapshot's OWN keys,
+    // write ∝ batch with v0 files byte-untouched by construction
+    "x_cdc_mor",
     // round-8 (VERDICT r7 item 3): skewed-bucket SPJ straggler — the
     // fact lands bucket(8) with ~half its rows on ONE key, joined
     // co-bucketed. `full` is the fully-clustered contract (one task
@@ -189,7 +191,52 @@ object ScaleRehearsal {
         .groupBy(col("rank")).count().orderBy(col("rank"))
     },
     "x_skew_spj_full" -> (skewSpj(partial = false)(_, _)),
-    "x_skew_spj_partial" -> (skewSpj(partial = true)(_, _)))
+    "x_skew_spj_partial" -> (skewSpj(partial = true)(_, _)),
+    // merge-on-read CDC apply probed by a scattered replay batch:
+    // snapshot = full-log latest-per-key state in a bucket(16) table;
+    // the batch updates 1/5 of the LIVE keys and tombstones another
+    // 1/10 — keys drawn from the snapshot itself, so matches are
+    // guaranteed at every tier (unlike a range split of the
+    // copy-scaled log, whose halves share no keys). REQUIREs the MoR
+    // cost shape, then reads the merged table back (the anti-join
+    // read is part of the measured cost).
+    "x_cdc_mor" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.TxTable
+      import graft.streaming.Cdc
+      val feed = graft.Tables.events(s, dir).select(
+        col("user_id"), col("value").as("amount"),
+        col("event_id").as("lsn"),
+        when(col("event_type") === "error", Cdc.Op.Delete)
+          .when(col("event_type") === "signup", Cdc.Op.Insert)
+          .otherwise(Cdc.Op.Update).as("op"))
+      val keys = Seq("user_id"); val data = Seq("amount")
+      val maxLsn = feed.agg(max(col("lsn"))).head.getLong(0)
+      val snapshot = Cdc.apply(
+        Cdc.emptyTarget(feed, keys, data), feed, keys, data)
+      val root = s"target/tmp/x_cdc_mor_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TxTable.create(snapshot, root, Some("bucket(16,user_id)"))
+      val before = TxTable.currentSnapshot(s, root).get
+        .entries.map(e => (e.relPath, e.size)).toSet
+      val batch = snapshot
+        .filter(pmod(col("user_id"), lit(5L)) === 3)
+        .select(col("user_id"), (col("amount") * 0.5).as("amount"),
+          (col("last_lsn") + maxLsn).as("lsn"),
+          lit(Cdc.Op.Update).as("op"))
+        .unionByName(snapshot
+          .filter(pmod(col("user_id"), lit(10L)) === 4)
+          .select(col("user_id"), col("amount"),
+            (col("last_lsn") + maxLsn).as("lsn"),
+            lit(Cdc.Op.Delete).as("op")))
+      Cdc.applyTxMor(s, root, batch, keys, data)
+      val after = TxTable.currentSnapshot(s, root).get
+      require(
+        before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+        "x_cdc_mor: merge-on-read apply must not rewrite data files")
+      require(after.dvs.map(_.rows).sum > 0,
+        "x_cdc_mor: expected position deletes")
+      TxTable.read(s, root)
+    })
 
   /** Build-once (per dir) skewed co-bucketed pair: fact = orders with
     * every even custkey collapsed onto key 7 (≈half the rows land in

@@ -366,6 +366,52 @@ class MorSpec extends SparkSpec {
     assert(res2 == MergeOnRead.MergeResult(1L, 0L, 0L, 0L), s"got $res2")
   }
 
+  test("mergeInto: duplicate matches only violate when a clause ACTS; bucket layout prunes the position scan") {
+    val root = freshRoot("mrgdup")
+    TxTable.create(seed, root, Some("bucket(4,k)"))
+    val dup = Seq((50L, "even", 1.0), (50L, "even", 2.0),
+      (300L, "odd", 3.0)).toDF("k", "p", "v")
+    // insert-only merge: the duplicate MATCH is not acted on → no
+    // violation (SQL MERGE with only WHEN NOT MATCHED never raises);
+    // the unmatched row inserts
+    val res = MergeOnRead.mergeInto(spark, root, dup, Seq("k"),
+      matchedSets = None)
+    assert(res.updated == 0L && res.deleted == 0L && res.inserted == 1L,
+      s"got $res")
+    assert(TxTable.read(spark, root).filter(col("k") === 50).count() == 1L)
+    assert(TxTable.read(spark, root).filter(col("k") === 300).count() == 1L)
+    // the same duplicate under an ACTING clause raises
+    val err = intercept[IllegalStateException] {
+      MergeOnRead.mergeInto(spark, root,
+        dup.filter(col("k") === 50), Seq("k"))
+    }
+    assert(err.getMessage.contains("cardinality"))
+    // a table column named `src` would capture the source-struct name
+    // in clause expressions — refused loudly up front
+    val clash = freshRoot("mrgclash")
+    TxTable.create(seed.withColumnRenamed("p", "src"), clash, None)
+    val err2 = intercept[IllegalArgumentException] {
+      MergeOnRead.mergeInto(spark, clash,
+        Seq((1L, "x", 1.0)).toDF("k", "src", "v"), Seq("k"))
+    }
+    assert(err2.getMessage.contains("reserved"), s"got: ${err2.getMessage}")
+    // manifest pruning: a one-key source scans only its own bucket's
+    // entries (plus any outside the layout's dir convention)
+    val snap = TxTable.currentSnapshot(spark, root).get
+    val one = Seq((50L, "even", 9.9)).toDF("k", "p", "v")
+    val wantDir = "_bucket=" + one
+      .select(graft.sources.Layout.dirColumn(one, "bucket(4,k)")).head.getInt(0)
+    val cand = MergeOnRead.candidateEntries(
+      one, Seq("k"), Some("bucket(4,k)"), snap.entries)
+    assert(cand.nonEmpty && cand.forall(_.partition == wantDir),
+      s"candidates must sit in $wantDir: ${cand.map(_.partition)}")
+    assert(cand.size < snap.entries.size,
+      "pruning must exclude the other buckets' files")
+    // layouts NOT covered by the ON keys keep the full scan
+    assert(MergeOnRead.candidateEntries(
+      one, Seq("v"), Some("bucket(4,k)"), snap.entries) == snap.entries)
+  }
+
   test("CALL merge_into: update-all default, bucket placement, CHECKs, null-fill inserts") {
     val wh = freshRoot("mrgwh")
     spark.conf.set("spark.sql.catalog.gmm", "graft.sources.GraftCatalog")
