@@ -412,6 +412,60 @@ class MorSpec extends SparkSpec {
       one, Seq("v"), Some("bucket(4,k)"), snap.entries) == snap.entries)
   }
 
+  test("mergeInto clause conditions gate update/insert; randomized ≡ reference reconcile") {
+    // matchedCond: only rows passing WHEN MATCHED AND cond update;
+    // the rest stay untouched (and unmasked)
+    val root = freshRoot("mrgcond")
+    TxTable.create(seed, root, None)
+    val src = (1L to 20L).map(k => (k, k * 100.0)).toDF("k", "v")
+    val res = MergeOnRead.mergeInto(spark, root, src, Seq("k"),
+      matchedSets = Some(Nil),
+      matchedCond = Some(expr("k % 2 = 0")),
+      insertUnmatched = false)
+    assert(res.updated == 10L && res.deleted == 0L && res.inserted == 0L,
+      s"got $res")
+    val rows = TxTable.read(spark, root)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert((1L to 20L).forall(k =>
+      rows(k) == (if (k % 2 == 0) k * 100.0 else k * 1.5)))
+    assert(TxTable.currentSnapshot(spark, root).get.dvs.map(_.rows).sum == 10L,
+      "ungated matched rows must stay unmasked")
+
+    // randomized three-clause merges against a plain-DataFrame
+    // reference reconcile (deterministic seed): same final state
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val r2 = freshRoot(s"mrgprop$trial")
+      val n = 50 + rnd.nextInt(50)
+      val tgt0 = (1L to n.toLong).map(k => (k, rnd.nextInt(1000).toDouble))
+      TxTable.create(tgt0.toDF("k", "v"), r2, Some("bucket(4,k)"))
+      // unique-keyed source: some matching, some beyond the domain
+      val srcRows = rnd.shuffle((1L to (n + 30).toLong).toList)
+        .take(40).map(k => (k, rnd.nextInt(1000).toDouble,
+          Seq("U", "D", "I")(rnd.nextInt(3))))
+      val s2 = srcRows.toDF("k", "v", "op")
+      MergeOnRead.mergeInto(spark, r2, s2, Seq("k"),
+        matchedSets = Some(Seq("v" -> expr("src.v"))),
+        matchedDelete = Some(expr("src.op = 'D'")),
+        insertUnmatched = true,
+        insertCond = Some(expr("src.op <> 'D'")))
+      // reference: plain map-based reconcile with the same clauses
+      val bySrc = srcRows.map(r => r._1 -> r).toMap
+      val expect = (tgt0.flatMap { case (k, v) =>
+        bySrc.get(k) match {
+          case Some((_, _, "D")) => None
+          case Some((_, nv, _)) => Some(k -> nv)
+          case None => Some(k -> v)
+        }
+      } ++ srcRows.collect {
+        case (k, nv, op) if op != "D" && k > n => k -> nv
+      }).toMap
+      val got = TxTable.read(spark, r2)
+        .select("k", "v").as[(Long, Double)].collect().toMap
+      assert(got == expect, s"trial $trial: merge ≠ reference reconcile")
+    }
+  }
+
   test("CALL merge_into: update-all default, bucket placement, CHECKs, null-fill inserts") {
     val wh = freshRoot("mrgwh")
     spark.conf.set("spark.sql.catalog.gmm", "graft.sources.GraftCatalog")
