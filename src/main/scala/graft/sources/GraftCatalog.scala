@@ -631,14 +631,17 @@ private[sources] object GraftProcedures {
         "no match, by column name; matched_condition / " +
         "insert_condition gate the update / insert clauses (WHEN " +
         "MATCHED AND ... / WHEN NOT MATCHED AND ... — e.g. skip CDC " +
-        "tombstones for never-seen keys)",
+        "tombstones for never-seen keys); evolve_schema additively " +
+        "adds every source column the table lacks (metadata-only, " +
+        "nullable) before merging",
       Array(in("table", StringType), in("source", StringType),
         in("on_keys", StringType),
         inDefault("matched_set", StringType, "''"),
         inDefault("matched_delete", StringType, "''"),
         inDefault("insert_unmatched", BooleanType, "true"),
         inDefault("matched_condition", StringType, "''"),
-        inDefault("insert_condition", StringType, "''")),
+        inDefault("insert_condition", StringType, "''"),
+        inDefault("evolve_schema", BooleanType, "false")),
       StructType(Seq(StructField("version", LongType, false),
         StructField("rows_updated", LongType, false),
         StructField("rows_deleted", LongType, false),
@@ -660,7 +663,8 @@ private[sources] object GraftProcedures {
         val res = MergeOnRead.mergeInto(spark,
           cat.tableRoot(str(r, 0)), spark.table(str(r, 1)),
           str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          sets, del, r.getBoolean(5), cond(6), cond(7))
+          sets, del, r.getBoolean(5), cond(6), cond(7),
+          evolveSchema = r.getBoolean(8))
         Seq(Seq(res.version, res.updated, res.deleted, res.inserted))
       }),
     "rewrite_table" -> new Proc(

@@ -443,7 +443,13 @@ object MergeOnRead {
     *     the source lacks null-fill), cast to declared types;
     *   - a target row matching MORE than one source row raises (the
     *     SQL MERGE cardinality violation) — silently applying an
-    *     arbitrary one would be nondeterministic.
+    *     arbitrary one would be nondeterministic;
+    *   - `evolveSchema` additively evolves the table first: EVERY
+    *     source column the table lacks is added (metadata-only,
+    *     nullable — [[TxTable.addColumns]]), so update-all and the
+    *     inserts carry it; rows untouched by the merge read it as
+    *     null, and time travel keeps per-version schemas. Off by
+    *     default: an unknown source column is otherwise ignored.
     *
     * Appended rows keep the table's layout placement (bucket dirs —
     * SPJ and manifest pruning survive), CHECKs run over the
@@ -460,6 +466,7 @@ object MergeOnRead {
       insertUnmatched: Boolean = true,
       matchedCond: Option[Column] = None,
       insertCond: Option[Column] = None,
+      evolveSchema: Boolean = false,
       maxRetries: Int = 10): MergeResult = {
     require(keys.nonEmpty, "mergeInto: no ON key columns")
     require(matchedSets.isDefined || matchedDelete.isDefined ||
@@ -470,8 +477,27 @@ object MergeOnRead {
         s"${srcCols.mkString(", ")})"))
     var attempt = 0
     while (true) {
-      val cur = TxTable.requireSnapshot(spark, root)
-      val schema = StructType.fromDDL(cur.schemaDdl)
+      var cur = TxTable.requireSnapshot(spark, root)
+      var schema = StructType.fromDDL(cur.schemaDdl)
+      if (evolveSchema) {
+        // recompute-and-retry until the source carries nothing new:
+        // a lost race re-reads the fresh schema (a concurrent writer
+        // may have added some of the columns itself)
+        var pending = true
+        while (pending) {
+          cur = TxTable.requireSnapshot(spark, root)
+          schema = StructType.fromDDL(cur.schemaDdl)
+          val extra = source.schema.fields.filterNot(f =>
+            schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          if (extra.isEmpty) pending = false
+          else try TxTable.addColumns(spark, root, extra.toSeq)
+          catch {
+            case e: TxTable.ConcurrentCommitException =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          }
+        }
+      }
       keys.foreach(k => require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
         s"mergeInto: no such key column $k (table has " +
           s"${schema.fieldNames.mkString(", ")})"))

@@ -466,6 +466,29 @@ class MorSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto evolveSchema adds source-only columns additively") {
+    val root = freshRoot("mrgev")
+    TxTable.create(seed, root, Some("bucket(4,k)"))
+    val src = ((10L to 12L).map(k => (k, k * 2.0, s"n$k")) ++
+      Seq((500L, 5.0, "n500"))).toDF("k", "v", "note")
+    // without the flag the unknown column is ignored — schema unchanged
+    MergeOnRead.mergeInto(spark, root,
+      src.filter(col("k") === 10), Seq("k"))
+    assert(!TxTable.read(spark, root).columns.contains("note"))
+    // with it: metadata-only evolve, update-all and inserts carry it
+    val res = MergeOnRead.mergeInto(spark, root, src, Seq("k"),
+      evolveSchema = true)
+    assert(res.updated == 3L && res.inserted == 1L, s"got $res")
+    val byK = TxTable.read(spark, root)
+      .select("k", "note").as[(Long, Option[String])].collect().toMap
+    assert(byK(10L).contains("n10") && byK(12L).contains("n12"))
+    assert(byK(500L).contains("n500"))
+    // untouched rows read the evolved column as null
+    assert(byK(1L).isEmpty)
+    // time travel keeps the pre-evolve schema
+    assert(!TxTable.readVersion(spark, root, 0L).columns.contains("note"))
+  }
+
   test("CALL merge_into: update-all default, bucket placement, CHECKs, null-fill inserts") {
     val wh = freshRoot("mrgwh")
     spark.conf.set("spark.sql.catalog.gmm", "graft.sources.GraftCatalog")
