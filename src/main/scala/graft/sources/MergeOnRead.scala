@@ -449,7 +449,14 @@ object MergeOnRead {
     *     nullable — [[TxTable.addColumns]]), so update-all and the
     *     inserts carry it; rows untouched by the merge read it as
     *     null, and time travel keeps per-version schemas. Off by
-    *     default: an unknown source column is otherwise ignored.
+    *     default: an unknown source column is otherwise ignored;
+    *   - `txn = Some((txnId, batchId))` makes the merge EXACTLY-ONCE
+    *     under streaming replay (the [[TxTable.txnAppend]] watermark
+    *     contract): a batch at or below the recorded watermark is
+    *     skipped, the watermark advances atomically with the merge's
+    *     own commit (a no-op batch bumps it metadata-only), so
+    *     `foreachBatch { (b, id) => mergeInto(…, txn = Some((qid,
+    *     id))) }` is a replay-safe streaming upsert sink.
     *
     * Appended rows keep the table's layout placement (bucket dirs —
     * SPJ and manifest pruning survive), CHECKs run over the
@@ -467,6 +474,7 @@ object MergeOnRead {
       matchedCond: Option[Column] = None,
       insertCond: Option[Column] = None,
       evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None,
       maxRetries: Int = 10): MergeResult = {
     require(keys.nonEmpty, "mergeInto: no ON key columns")
     require(matchedSets.isDefined || matchedDelete.isDefined ||
@@ -479,6 +487,13 @@ object MergeOnRead {
     while (true) {
       var cur = TxTable.requireSnapshot(spark, root)
       var schema = StructType.fromDDL(cur.schemaDdl)
+      // exactly-once replay guard (the txnAppend watermark contract):
+      // a batch at or below the recorded watermark already applied in
+      // full — its commit and the watermark advanced atomically
+      txn.foreach { case (id, b) =>
+        if (cur.txns.get(id).exists(_ >= b))
+          return MergeResult(cur.version, 0L, 0L, 0L)
+      }
       if (evolveSchema) {
         // recompute-and-retry until the source carries nothing new:
         // a lost race re-reads the fresh schema (a concurrent writer
@@ -555,7 +570,10 @@ object MergeOnRead {
             "the SQL MERGE cardinality violation")
         val (nDel, nUpd, nIns) =
           (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
-        if (nDel + nUpd + nIns == 0L)
+        // a no-op batch with a txn still falls through: both legs stay
+        // empty, so the commit below is the metadata-only watermark
+        // bump a restarted stream needs to stop replaying it
+        if (nDel + nUpd + nIns == 0L && txn.isEmpty)
           return MergeResult(cur.version, 0L, 0L, 0L)
         val positions = joined.filter(actCond)
           .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
@@ -584,9 +602,9 @@ object MergeOnRead {
         try {
           val v =
             if (fresh.isEmpty)
-              TxTable.commitDvAppend(spark, root, cur.version, newDvs)
+              TxTable.commitDvAppend(spark, root, cur.version, newDvs, txn)
             else TxTable.commitDvUpdate(spark, root, cur.version, newDvs,
-              fresh, "mergeInto")
+              fresh, "mergeInto", txn)
           return MergeResult(v, nUpd, nDel, nIns)
         } catch {
           case e: TxTable.ConcurrentCommitException =>

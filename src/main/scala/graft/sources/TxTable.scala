@@ -1142,12 +1142,13 @@ object TxTable {
     */
   private[sources] def commitDvAppend(
       spark: SparkSession, root: String, expectedVersion: Long,
-      addDvs: Seq[DvEntry]): Long = {
+      addDvs: Seq[DvEntry],
+      txn: Option[(String, Long)] = None): Long = {
     val cur = requireSnapshot(spark, root)
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks, cur.dvs ++ addDvs, cur.aliases)
+      cur.txns ++ txn, cur.checks, cur.dvs ++ addDvs, cur.aliases)
   }
 
   /** Commit a merge-on-read UPDATE: `addDvs` position-deletes mask the
@@ -1161,7 +1162,8 @@ object TxTable {
   private[sources] def commitDvUpdate(
       spark: SparkSession, root: String, expectedVersion: Long,
       addDvs: Seq[DvEntry], fresh: Seq[Entry],
-      op: String = "updateWhere"): Long = {
+      op: String = "updateWhere",
+      txn: Option[(String, Long)] = None): Long = {
     val cur = requireSnapshot(spark, root)
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
@@ -1169,8 +1171,8 @@ object TxTable {
       requireChecks(readEntries(spark, root, cur.copy(entries = fresh),
         identity), cur, op)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
-      cur.entries ++ fresh, cur.txns, cur.checks, cur.dvs ++ addDvs,
-      cur.aliases)
+      cur.entries ++ fresh, cur.txns ++ txn, cur.checks,
+      cur.dvs ++ addDvs, cur.aliases)
   }
 
   /** Commit a DV materialization: swap the DV-affected data files for

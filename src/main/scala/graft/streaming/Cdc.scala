@@ -357,7 +357,11 @@ object Cdc {
     *
     * Target schema: keyCols ++ dataCols ++ last_lsn (as [[applyTx]]).
     * Returns the committed version (unchanged when the batch nets to
-    * nothing).
+    * nothing). `txn = Some((txnId, batchId))` makes the apply
+    * EXACTLY-ONCE under streaming replay — `foreachBatch { (b, id) =>
+    * applyTxMor(…, txn = Some((qid, id))) }` is a replay-safe
+    * streaming CDC-upsert sink (the txnAppend watermark contract,
+    * advanced atomically with the apply's own commit).
     */
   def applyTxMor(
       spark: SparkSession,
@@ -366,7 +370,8 @@ object Cdc {
       keyCols: Seq[String],
       dataCols: Seq[String],
       lsnCol: String = "lsn",
-      opCol: String = "op"): Long = {
+      opCol: String = "op",
+      txn: Option[(String, Long)] = None): Long = {
     import graft.sources.MergeOnRead
     val latest = latestPerKey(changes, keyCols, lsnCol)
     // align to the target's column names; the op rides along under a
@@ -379,7 +384,8 @@ object Cdc {
       matchedSets = Some(Nil),
       matchedDelete = Some(col("src.__g_op") === lit(Op.Delete)),
       insertUnmatched = true,
-      insertCond = Some(col("src.__g_op") =!= lit(Op.Delete))).version
+      insertCond = Some(col("src.__g_op") =!= lit(Op.Delete)),
+      txn = txn).version
   }
 
   /** Empty target with the apply-compatible schema (C1 initial load

@@ -189,6 +189,47 @@ class CdcSpec extends SparkSpec {
       .forall(_.partition.startsWith("_bucket=")))
   }
 
+  test("applyTxMor with txn is exactly-once under replay; no-op batches advance the watermark") {
+    val root = s"target/tmp/cdc_mor_txn_${System.nanoTime()}"
+    val init = (0L until 20L).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    TxTable.create(init, root, Some("bucket(4,user_id)"))
+    def amt() = TxTable.read(spark, root).filter(col("user_id") === 3)
+      .select("amount").as[Double].head()
+    val b0 = Seq((3L, 33.0, 10L, Cdc.Op.Update))
+      .toDF("user_id", "amount", "lsn", "op")
+    val v1 = Cdc.applyTxMor(spark, root, b0, keys, data,
+      txn = Some(("q1", 0L)))
+    assert(v1 == 1L && amt() == 33.0)
+    // replay of the same batch id: skipped WHOLESALE, even with
+    // different (corrupted/recomputed) content — the watermark is the
+    // truth, exactly like txnAppend
+    val b0r = Seq((3L, 999.0, 11L, Cdc.Op.Update))
+      .toDF("user_id", "amount", "lsn", "op")
+    assert(Cdc.applyTxMor(spark, root, b0r, keys, data,
+      txn = Some(("q1", 0L))) == v1)
+    assert(amt() == 33.0)
+    // a no-op batch (tombstone for an unseen key) advances the
+    // watermark with a METADATA-ONLY commit — no data, no DV
+    val b1 = Seq((999L, 0.0, 12L, Cdc.Op.Delete))
+      .toDF("user_id", "amount", "lsn", "op")
+    val v2 = Cdc.applyTxMor(spark, root, b1, keys, data,
+      txn = Some(("q1", 1L)))
+    assert(v2 == v1 + 1)
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.txns.get("q1").contains(1L))
+    assert(snap.entries.map(_.relPath) ==
+      TxTable.snapshot(spark, root, v1).entries.map(_.relPath))
+    assert(snap.dvs == TxTable.snapshot(spark, root, v1).dvs)
+    // stale ids stay skipped; the NEXT batch id applies
+    assert(Cdc.applyTxMor(spark, root, b0r, keys, data,
+      txn = Some(("q1", 0L))) == v2)
+    val v3 = Cdc.applyTxMor(spark, root,
+      b0r.withColumn("lsn", lit(13L)), keys, data,
+      txn = Some(("q1", 2L)))
+    assert(v3 == v2 + 1 && amt() == 999.0)
+  }
+
   test("applyTx with a wider-typed partOf still matches stored partitions") {
     // partOf yields DOUBLE against a BIGINT-partitioned table: the
     // collected values must be cast to the stored type before they are
