@@ -255,6 +255,44 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE-ON-READ CDC apply — the scattered-trickle
+    * streaming upsert sink: each micro-batch folds through
+    * [[Cdc.applyTxMor]] under the (txnId, batchId) watermark, so the
+    * effect is EXACTLY-ONCE across crash-replay (a replayed batch
+    * skips WHOLESALE — version history stays clean — instead of
+    * relying on fold idempotence), write bytes ∝ the batch, and no
+    * partition column or partOf contract is needed (the table's own
+    * layout places post-images). [[cdcApplyTxStream]] remains the
+    * copy-on-write sibling for batches whose keys cluster.
+    */
+  def cdcApplyTxMorStream(
+      spark: SparkSession,
+      feed: DataFrame,
+      txRoot: String,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      checkpoint: String,
+      lsnCol: String = "lsn",
+      opCol: String = "op",
+      txnId: String = "",
+      afterBatch: Long => Unit = _ => ()): Unit = {
+    // the watermark identity must survive restarts: default to the
+    // checkpoint path, which IS the stream's durable identity
+    val id = if (txnId.nonEmpty) txnId else s"cdc_mor:$checkpoint"
+    val q = feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Cdc.applyTxMor(spark, txRoot, batch, keyCols, dataCols,
+          lsnCol, opCol, txn = Some((id, batchId)))
+        afterBatch(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming distinct-count MV: fold each micro-batch's HLL states
     * ([[graft.operators.Sketches]]) into a [[graft.sources.TxTable]]
     * MV — the continuous form of the q_sketch_mv fold, with EXACTLY-

@@ -278,6 +278,69 @@ class StreamSpec extends SparkSpec {
     assert(!got.exists(_._1 == 13L))
   }
 
+  test("streaming applyTxMor: crash-restart replays skip WHOLESALE via the txn watermark") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import graft.sources.TxTable
+    import graft.streaming.Streams
+
+    val base = s"target/tmp/txmorstream_${System.nanoTime()}"
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val feedDir = s"$base/feed"
+    val keys = Seq("user_id"); val data = Seq("amount")
+
+    val init = (0L until 100L).map(k => (k, k * 1.0, 1L))
+      .toDF("user_id", "amount", "last_lsn")
+    // the table's OWN layout places post-images — no partOf contract
+    TxTable.create(init, root, Some("bucket(4,user_id)"))
+
+    val b0 = Seq(
+      (8L, 88.0, 10L, Cdc.Op.Update),
+      (102L, 12.0, 11L, Cdc.Op.Insert),
+      (13L, 0.0, 12L, Cdc.Op.Delete)).toDF("user_id", "amount", "lsn", "op")
+    val b1 = Seq(
+      (8L, 99.0, 20L, Cdc.Op.Update),
+      (102L, 0.0, 21L, Cdc.Op.Delete),
+      (55L, 5.5, 22L, Cdc.Op.Update)).toDF("user_id", "amount", "lsn", "op")
+    b0.coalesce(1).write.parquet(s"$feedDir/f=0")
+    Thread.sleep(1100)
+    b1.coalesce(1).write.parquet(s"$feedDir/f=1")
+
+    def stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(feedDir)
+
+    // run 1: crash AFTER batch 0's manifest commit, BEFORE the
+    // checkpoint commit — the at-least-once window
+    val ex = intercept[StreamingQueryException] {
+      Streams.cdcApplyTxMorStream(spark, stream, root, keys, data, ckpt,
+        afterBatch = bid => if (bid == 0) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    val vAfterCrash = TxTable.currentVersion(spark, root).get
+    assert(vAfterCrash == 1L, "batch 0 must have committed before the crash")
+
+    // run 2: Spark replays batch 0 — the watermark skips it WITHOUT
+    // burning a version, then batch 1 applies as exactly one commit
+    Streams.cdcApplyTxMorStream(spark, stream, root, keys, data, ckpt)
+    assert(TxTable.currentVersion(spark, root).get == 2L,
+      "replayed batch must not burn a version")
+
+    val got = TxTable.read(spark, root)
+      .select("user_id", "amount", "last_lsn").as[(Long, Double, Long)]
+      .collect().toSet
+    val ref = Cdc.apply(Cdc.apply(init, b0, keys, data), b1, keys, data)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.contains((8L, 99.0, 20L)))
+    assert(!got.exists(_._1 == 102L))
+    assert(!got.exists(_._1 == 13L))
+    // the watermark landed with the data commit
+    assert(TxTable.currentSnapshot(spark, root).get
+      .txns.get(s"cdc_mor:$ckpt").contains(1L))
+  }
+
   test("streaming sketch MV: crash-restart neither loses nor double-counts a batch") {
     import org.apache.spark.sql.streaming.StreamingQueryException
     import graft.sources.TxTable
