@@ -228,9 +228,14 @@ object MergeOnRead {
     * buckets the source's keys hash into can match — the rest of the
     * table is pruned from the position scan at the MANIFEST (the
     * scattered-trickle CDC shape then reads ∝ touched buckets, not
-    * table size). Entries outside the layout's dir convention (legacy
-    * unplaced appends) are conservatively kept; identity layouts keep
-    * the full scan (their dir rendering is type-dependent).
+    * table size). Identity layouts prune the same way when the layout
+    * column is an ON key — source values are rendered to directory
+    * segments with the writer's own rules (session-timezone Cast +
+    * Hive escaping), bounded at [[MaxIdentityCandidates]] distinct
+    * values (an unbounded key set falls back to the full scan rather
+    * than collecting it to the driver). Entries outside the layout's
+    * dir convention (legacy unplaced appends) are conservatively
+    * kept.
     */
   private[graft] def candidateEntries(
       source: DataFrame, keys: Seq[String], layout: Option[String],
@@ -244,8 +249,31 @@ object MergeOnRead {
           .distinct().collect().map(r => prefix + r.getString(0)).toSet
         entries.filter(e =>
           !e.partition.startsWith(prefix) || keep(e.partition))
+      case Some((_, idl: Layout.Identity))
+          if keys.exists(_.equalsIgnoreCase(idl.col)) =>
+        val prefix = s"${idl.partName}="
+        // cast-to-string matches the CoW writer's rendering (same Cast
+        // expression, session timezone); escaping matches partitionBy
+        val rows = source.select(col(idl.col).cast("string").as("v"))
+          .distinct().limit(MaxIdentityCandidates + 1).collect()
+        if (rows.length > MaxIdentityCandidates) entries
+        else {
+          val keep = rows.map { r =>
+            if (r.isNullAt(0)) prefix + "__HIVE_DEFAULT_PARTITION__"
+            else prefix + org.apache.spark.sql.GraftColumnBridge
+              .escapePartitionValue(r.getString(0))
+          }.toSet
+          entries.filter(e =>
+            !e.partition.startsWith(prefix) || keep(e.partition))
+        }
       case _ => entries
     }
+
+  /** Cap on the driver-collected distinct identity values in
+    * [[candidateEntries]] — past it the key set is "scattered enough"
+    * that pruning buys little and the collect itself is the risk.
+    */
+  private val MaxIdentityCandidates = 1000
 
   /** Write `positions` (file_key, pos) as a new delete-file directory;
     * returns the directory and its manifest entries (empty shards a

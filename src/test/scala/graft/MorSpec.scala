@@ -410,6 +410,25 @@ class MorSpec extends SparkSpec {
     // layouts NOT covered by the ON keys keep the full scan
     assert(MergeOnRead.candidateEntries(
       one, Seq("v"), Some("bucket(4,k)"), snap.entries) == snap.entries)
+    // identity layouts prune too (writer's own dir rendering)...
+    val idRoot = freshRoot("mrgid")
+    TxTable.create(seed, idRoot, Some("p"))
+    val idSnap = TxTable.currentSnapshot(spark, idRoot).get
+    val oddSrc = Seq((3L, "odd", 1.0)).toDF("k", "p", "v")
+    val candId = MergeOnRead.candidateEntries(
+      oddSrc, Seq("k", "p"), Some("p"), idSnap.entries)
+    assert(candId.nonEmpty && candId.forall(_.partition == "p=odd"),
+      s"identity candidates must sit in p=odd: ${candId.map(_.partition)}")
+    assert(candId.size < idSnap.entries.size)
+    // ...but only when the layout column IS an ON key
+    assert(MergeOnRead.candidateEntries(
+      oddSrc, Seq("k"), Some("p"), idSnap.entries) == idSnap.entries)
+    // and a pruned merge on the composite key still lands correctly
+    val res2 = MergeOnRead.mergeInto(spark, idRoot, oddSrc, Seq("k", "p"),
+      matchedSets = Some(Seq("v" -> expr("src.v"))), insertUnmatched = false)
+    assert(res2.updated == 1L)
+    assert(TxTable.read(spark, idRoot).filter(col("k") === 3)
+      .select("v").as[Double].head() == 1.0)
   }
 
   test("mergeInto clause conditions gate update/insert; randomized ≡ reference reconcile") {
