@@ -1,0 +1,511 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.spark.SerializableWritable
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MERGE-ON-READ SQL DML — the delta-based (`SupportsDelta`) twin of
+  * [[GraftRowLevelOperation]]'s group-based copy-on-write.
+  *
+  * `SET spark.graft.dml.mode=mor` routes plain SQL `DELETE FROM` /
+  * `UPDATE` / `MERGE INTO` on graft tables through Spark's own
+  * delta-based row-level rewrite (`RewriteDeleteFromTable` /
+  * `RewriteUpdateTable` / `RewriteMergeIntoTable` →
+  * `WriteDelta`): the scan exposes each row's lineage (`_file`,
+  * `_pos` — the table's [[GraftV2Table.metadataColumns]]), the plan
+  * computes per-row DELETE/UPDATE/INSERT operations, and the writer
+  * commits position-delete files masking old images plus fresh data
+  * files carrying new images — write bytes ∝ CHANGED rows, data files
+  * byte-identical, in ONE atomic commit
+  * ([[TxTable.commitDvUpdate]]). This is the scattered-key DML shape
+  * at 100 TB: a DELETE touching 0.1% of rows across every bucket
+  * writes 0.1% of the table, where copy-on-write would rewrite all
+  * touched groups (reference: the CDC practice's trickle-apply shape,
+  * `Practice/004 CDC.md`; Spark-first realization via the DSv2
+  * SupportsDelta API, the architecture Iceberg's Spark MoR uses).
+  *
+  * Division of labor with the default mode:
+  *   - `cow` (default): group-based rewrite — wins when changes
+  *     CLUSTER (few touched groups, no read-side merge debt).
+  *   - `mor`: this path — wins when changes SCATTER (write ∝ changed
+  *     rows; readers pay the DV anti-join until `CALL materialize` /
+  *     `compact` localizes).
+  *   The mode is chosen per statement from the session conf — the
+  *   same static write-mode contract as Iceberg's `write.delete.mode`
+  *   (the predicate is not visible at operation-build time, so a
+  *   runtime cost-based choice is impossible at this seam).
+  *
+  * What still holds under `mor`:
+  *   - Metadata-only partition DELETE: Spark's
+  *     `OptimizeMetadataOnlyDeleteFromTable` matches `WriteDelta`
+  *     too, so a partition-uniform DELETE never reads a row.
+  *   - Static group pruning: the command condition's layout-column
+  *     conjuncts prune the scanned file set at the manifest
+  *     ([[GroupPrune]]), so a selective DELETE reads ∝ touched
+  *     groups. (Runtime group filtering is ReplaceData-only in
+  *     Spark; a mor MERGE scans the statically-pruned set.)
+  *   - Existing DVs merge INSIDE the scan (per-file position skip) —
+  *     no pre-materialize, unlike the CoW path.
+  *   - CHECK constraints (enforced on fresh files by the commit),
+  *     SQL MERGE cardinality violation (Spark's MergeRows raises it),
+  *     layout placement of post-images (the shared
+  *     [[GraftCowDataWriter]] places by bucket/identity dir, so
+  *     SPJ/pruning contracts survive), CDF classification
+  *     ([[ChangeFeed.between]] nets the DV delta with the appends),
+  *     optimistic concurrency (a concurrent commit fails the
+  *     statement loudly — positions are pinned to the scanned
+  *     snapshot).
+  */
+object DeltaDml {
+
+  /** `cow` (default) or `mor` — how SQL row-level DML materializes. */
+  val ModeKey = "spark.graft.dml.mode"
+
+  /** Cap on EXISTING position-delete rows inlined into a mor DML scan
+    * (the per-file skip lists transit the driver); past it the delete
+    * debt is large enough that localizing first is the right move.
+    */
+  val DvCapKey = "spark.graft.dml.morDvCap"
+  val DvCapDefault = 10000000L
+
+  val FileCol = "_file"
+  val PosCol = "_pos"
+
+  /** Schema of a position-delete parquet file (MergeOnRead's). */
+  private[sources] val DvSchema = StructType(Seq(
+    StructField("file_key", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  def mode(spark: SparkSession): String =
+    spark.conf.get(ModeKey, "cow") match {
+      case m @ ("cow" | "mor") => m
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey=$other — valid modes: cow (group-based " +
+          "copy-on-write rewrite), mor (merge-on-read position " +
+          "deletes, write ∝ changed rows)")
+    }
+}
+
+/** The lineage metadata columns a graft table exposes for delta-based
+  * DML: `_file` (the data file's canonical key — [[MergeOnRead
+  * .fileKey]]) and `_pos` (the row's physical position in it). Both
+  * non-nullable — Spark requires a non-nullable row id.
+  */
+private[sources] final case class GraftLineageColumn(
+    name: String, dataType: DataType)
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def isNullable: Boolean = false
+  override def comment: String =
+    "row lineage for merge-on-read DML (spark.graft.dml.mode=mor)"
+}
+
+/** The delta-based row-level operation: scan with lineage, write
+  * position deletes + fresh data files.
+  */
+private[sources] final class GraftDeltaOperation(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String], cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(DeltaDml.FileCol),
+    Expressions.column(DeltaDml.PosCol))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDeltaScanBuilder(spark, root, snap, partitionCol)
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder = {
+    // the row schema (absent for DELETE-only plans, which carry just
+    // lineage) must be the table's own — same guard as the CoW leg
+    if (info.schema().nonEmpty) {
+      val declared = TxTable.normalizedDdl(info.schema())
+      val stored = TxTable.normalizedDdl(StructType.fromDDL(snap.schemaDdl))
+      require(declared == stored,
+        s"row-level $cmd (mor): schema mismatch — table declares " +
+          s"[$stored] but the rewrite produces [$declared]")
+    }
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(spark, root, snap, partitionCol, cmd.toString)
+    }
+  }
+
+  override def description(): String =
+    s"graft $cmd $root@v${snap.version} (merge-on-read position deletes)"
+}
+
+/** Scan builder for the delta read: the table's columns plus the two
+  * lineage columns, with static layout-group pruning from the command
+  * condition (all predicates are reported back as not-handled — the
+  * full condition stays in the plan; pruning here is at FILE
+  * granularity via the manifest, and row-level truth lives above).
+  */
+private[sources] final class GraftDeltaScanBuilder(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String])
+  extends ScanBuilder
+  with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+
+  private val schema = StructType.fromDDL(snap.schemaDdl)
+  private val layout = partitionCol.map(Layout.parse)
+  private val lineageFields = Seq(
+    StructField(DeltaDml.FileCol, StringType, nullable = false),
+    StructField(DeltaDml.PosCol, LongType, nullable = false))
+
+  private var pushed: Array[V2Predicate] = Array.empty
+  private var required: StructType = StructType(schema.fields ++ lineageFields)
+
+  override def pushPredicates(
+      predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    pushed = GroupPrune.pushable(layout, schema, predicates)
+    predicates
+  }
+
+  override def pushedPredicates(): Array[V2Predicate] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftDeltaScan(spark, root, snap, layout, schema, required, pushed)
+}
+
+/** One data file of the delta scan: read whole (position = iteration
+  * order is only exact for a full-file, filterless parquet read — the
+  * reader factory owns that invariant), with the file's EXISTING
+  * delete positions to skip.
+  */
+private[sources] final case class GraftDeltaPartition(
+    path: String, fileKey: String, fileSize: Long, deleted: Array[Long])
+  extends InputPartition
+
+/** The delta scan: one input partition per (group-pruned) manifest
+  * entry, rows served with their (`_file`, `_pos`) lineage and the
+  * snapshot's existing position deletes already skipped — so the DML
+  * operates on exactly the VISIBLE rows, and freshly-written delete
+  * positions compose with the old ones.
+  */
+private[sources] final class GraftDeltaScan(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    layout: Option[Layout.Kind], schema: StructType,
+    required: StructType, pushed: Array[V2Predicate])
+  extends Scan with Batch {
+
+  private val partDt = layout.map(_.partType(schema))
+  private val valueCache = mutable.HashMap.empty[String, Any]
+  private def valueOf(partition: String): Any =
+    valueCache.getOrElseUpdate(partition,
+      PartitionPredicates.partitionValue(partition, partDt.get))
+
+  private val entries: Seq[TxTable.Entry] =
+    GroupPrune.prune(layout, schema, snap.entries, pushed, valueOf)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  /** Existing delete positions, grouped per file key — collected to
+    * the driver so each file's skip list rides its own input
+    * partition. Bounded by [[DeltaDml.DvCapKey]]: past the cap the
+    * right move is localizing the delete debt (CALL materialize /
+    * compact), not hauling it through every statement.
+    */
+  private def dvByFile(): Map[String, Array[Long]] = {
+    if (snap.dvs.isEmpty) return Map.empty
+    val cap = spark.conf.get(DeltaDml.DvCapKey,
+      DeltaDml.DvCapDefault.toString).toLong
+    val known = snap.dvs.map(d => math.max(d.rows, 0L)).sum
+    require(known <= cap,
+      s"merge-on-read DML: this snapshot carries $known position " +
+        s"deletes (> $cap, ${DeltaDml.DvCapKey}) — run CALL " +
+        "gc.system.materialize or compact to localize them first")
+    import org.apache.spark.sql.functions.{col, collect_list}
+    val rows = spark.read.schema(DeltaDml.DvSchema)
+      .parquet(snap.dvs.map(d => TxTable.entryPath(root, d.relPath)): _*)
+      .groupBy(col("file_key")).agg(collect_list(col("pos")).as("ps"))
+      .collect()
+    rows.map(r => r.getString(0) ->
+      r.getSeq[Long](1).toArray.sorted).toMap
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dv = dvByFile()
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    entries.map { e =>
+      val path = TxTable.entryPath(root, e.relPath)
+      val size =
+        if (e.size >= 0) e.size
+        else fs.getFileStatus(new Path(path)).getLen
+      GraftDeltaPartition(path, MergeOnRead.fileKey(path), size,
+        dv.getOrElse(MergeOnRead.fileKey(path), Array.emptyLongArray))
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataFields = required.fields.filterNot(f =>
+      f.name == DeltaDml.FileCol || f.name == DeltaDml.PosCol)
+    val dataSchema = StructType(dataFields)
+    // Spark's own parquet reader closure (vectorized inside, rows
+    // out): built once on the driver, shipped to executors — the
+    // FileSourceScanExec pattern. Filters stay EMPTY by contract:
+    // row-group/page skipping would break the position = iteration
+    // order invariant `_pos` relies on.
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, schema, StructType(Nil), dataSchema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new GraftDeltaReaderFactory(readFunc, required, dataSchema)
+  }
+
+  override def description(): String =
+    s"GraftDeltaScan $root@v${snap.version} " +
+      s"(${entries.size}/${snap.entries.size} files, mor)"
+}
+
+private[sources] final class GraftDeltaReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    required: StructType, dataSchema: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftDeltaPartition]
+    new PartitionReader[InternalRow] {
+      private val iter = readFunc(new PartitionedFile(
+          InternalRow.empty, SparkPath.fromPathString(part.path),
+          0L, part.fileSize, Array.empty[String], 0L, part.fileSize,
+          Map.empty))
+        .asInstanceOf[Iterator[AnyRef]]
+        .flatMap {
+          case b: ColumnarBatch =>
+            import scala.jdk.CollectionConverters._
+            b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+      // output layout: (data columns in required order) ++ lineage —
+      // projected to `required`'s exact order as UnsafeRows (copies
+      // bytes out of the reused vectorized row, so downstream
+      // buffering operators can .copy() safely)
+      private val proj = UnsafeProjection.create(required.fields.map { f =>
+        f.name match {
+          case DeltaDml.FileCol =>
+            BoundReference(dataSchema.length, StringType, nullable = false)
+          case DeltaDml.PosCol =>
+            BoundReference(dataSchema.length + 1, LongType, nullable = false)
+          case n =>
+            val i = dataSchema.fieldIndex(n)
+            BoundReference(i, dataSchema(i).dataType, dataSchema(i).nullable)
+        }
+      })
+      private val joined = new JoinedRow
+      private val lineage = new GenericInternalRow(2)
+      private val keyUtf8 = UTF8String.fromString(part.fileKey)
+      private var pos = -1L
+      private var dvIdx = 0
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (iter.hasNext) {
+          val r = iter.next()
+          pos += 1
+          while (dvIdx < part.deleted.length && part.deleted(dvIdx) < pos)
+            dvIdx += 1
+          if (!(dvIdx < part.deleted.length && part.deleted(dvIdx) == pos)) {
+            lineage.update(0, keyUtf8)
+            lineage.setLong(1, pos)
+            current = proj(joined(r, lineage))
+            return true
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Write half: a delta batch write whose tasks route per-row
+  * operations to two legs — position deletes (one DV parquet per task
+  * that saw a delete/update) and post-image/insert data files (the
+  * shared layout-placing [[GraftCowDataWriter]]) — committed together
+  * via [[TxTable.commitDvUpdate]].
+  */
+private[sources] final class GraftDeltaWrite(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String], cmd: String)
+  extends DeltaWrite {
+
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(spark, root, snap, partitionCol, cmd)
+
+  override def description(): String = s"graft merge-on-read $cmd"
+}
+
+private[sources] final case class GraftDeltaCommitMessage(
+    data: Seq[GraftCowFile], dv: Option[TxTable.DvEntry])
+  extends WriterCommitMessage
+
+private[sources] final class GraftDeltaBatchWrite(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String], cmd: String)
+  extends DeltaBatchWrite {
+
+  private val uuid = java.util.UUID.randomUUID().toString
+  private val relDir = s"data/$uuid"
+  private val dvRel = s"deletes/$uuid"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val (conf, codecName, tz) = TaskParquet.prepare(spark, schema)
+    new GraftDeltaWriterFactory(conf, root, relDir, dvRel,
+      snap.schemaDdl, partitionCol, codecName, tz)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+    val files = msgs.flatMap(_.data).toSeq
+    val dvs = msgs.flatMap(_.dv).toSeq
+    if (files.isEmpty && dvs.isEmpty) return // no-match DML: no commit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fresh = files.map { f =>
+      val stats = scala.util.Try(FileStats.encode(
+        FileStats.forFile(conf, new Path(s"$root/${f.relPath}"))))
+        .getOrElse("")
+      TxTable.Entry(f.relPath, f.partition, stats, f.size)
+    }
+    try TxTable.commitDvUpdate(spark, root, snap.version, dvs, fresh,
+      s"SQL $cmd (mor)")
+    catch {
+      case e: TxTable.ConcurrentCommitException =>
+        // delete positions are only valid against the snapshot the
+        // scan read — discard both legs; the statement must re-run
+        cleanup()
+        throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    scala.util.Try(f.delete(new Path(s"$root/$relDir"), true))
+    scala.util.Try(f.delete(new Path(s"$root/$dvRel"), true))
+  }
+}
+
+private[sources] final class GraftDeltaWriterFactory(
+    conf: SerializableWritable[Configuration], root: String,
+    relDir: String, dvRel: String, schemaDdl: String,
+    partitionCol: Option[String], codecName: String, timeZoneId: String)
+  extends DeltaWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaRowWriter(conf.value, root, relDir, dvRel,
+      StructType.fromDDL(schemaDdl), partitionCol, codecName,
+      s"$partitionId-$taskId", timeZoneId)
+}
+
+/** Executor-side delta writer. Data rows (inserts + update
+  * post-images) go through the shared [[GraftCowDataWriter]] —
+  * layout placement identical to every other write path, so
+  * SPJ/pruning contracts hold on the appended files. Delete row ids
+  * stream straight into ONE open DV parquet (write-through, no
+  * buffering — a full-table mor DELETE stays O(1) memory per task).
+  * File names carry partitionId+taskId: retries write fresh names,
+  * losers are never referenced and vacuum reclaims them.
+  */
+private[sources] final class GraftDeltaRowWriter(
+    conf: Configuration, root: String, relDir: String, dvRel: String,
+    schema: StructType, partitionCol: Option[String], codecName: String,
+    uid: String, timeZoneId: String)
+  extends DeltaWriter[InternalRow] {
+
+  private val inner = new GraftCowDataWriter(conf, root, relDir, schema,
+    partitionCol, codecName, uid, timeZoneId)
+
+  private var dvWriter: ParquetWriter[InternalRow] = _
+  private var dvPath: Path = _
+  private var dvRows = 0L
+  private val dvRow = new GenericInternalRow(2)
+  private var done = false
+
+  private def writeDvRow(id: InternalRow): Unit = {
+    if (dvWriter == null) {
+      val c = new Configuration(conf)
+      ParquetWriteSupport.setSchema(DeltaDml.DvSchema, c)
+      dvPath = new Path(s"$root/$dvRel/part-$uid.parquet")
+      dvWriter = TaskParquet.open(dvPath, c, codecName)
+    }
+    // rowId order is the operation's rowId(): (_file, _pos); the
+    // projecting row is reused — ParquetWriteSupport serializes
+    // immediately, so no copy is needed
+    dvRow.update(0, id.getUTF8String(0))
+    dvRow.setLong(1, id.getLong(1))
+    dvWriter.write(dvRow)
+    dvRows += 1
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    writeDvRow(id)
+
+  override def update(
+      metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    writeDvRow(id)
+    inner.write(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    done = true
+    val dataMsg = inner.commit().asInstanceOf[GraftCowCommitMessage]
+    val dv =
+      if (dvWriter == null) None
+      else {
+        dvWriter.close()
+        val f = dvPath.getFileSystem(conf)
+        Some(TxTable.DvEntry(s"$dvRel/${dvPath.getName}",
+          f.getFileStatus(dvPath).getLen, dvRows))
+      }
+    GraftDeltaCommitMessage(dataMsg.files, dv)
+  }
+
+  override def abort(): Unit = {
+    done = true
+    inner.abort()
+    if (dvWriter != null) {
+      scala.util.Try(dvWriter.close())
+      scala.util.Try(dvPath.getFileSystem(conf).delete(dvPath, false))
+    }
+  }
+
+  override def close(): Unit =
+    if (!done) abort() // task died between write and commit/abort
+}

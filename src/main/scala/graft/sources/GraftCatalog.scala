@@ -831,7 +831,8 @@ final class GraftV2Table(
     root: String, snap: TxTable.Snapshot, partitionCol: Option[String],
     timeTravel: Boolean)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsDeleteV2 {
+  with SupportsRowLevelOperations with SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -864,6 +865,22 @@ final class GraftV2Table(
     case Layout.Identity(c) => Expressions.identity(c)
     case Layout.Bucket(n, cs) => Expressions.bucket(n, cs: _*)
   }.toArray
+
+  /** Row-lineage metadata columns (`_file`, `_pos`) — the row id the
+    * merge-on-read DML path keys its position deletes on
+    * ([[GraftDeltaOperation.rowId]]). Hidden when the table's own
+    * schema claims the names (the Spark conflict rule); ordinary
+    * reads refuse them loudly rather than serve nulls
+    * ([[org.apache.spark.sql.graft.GraftAggScanBuilder.pruneColumns]]).
+    */
+  override def metadataColumns()
+    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema().fieldNames.exists(n =>
+        n.equalsIgnoreCase(DeltaDml.FileCol) ||
+          n.equalsIgnoreCase(DeltaDml.PosCol))) Array.empty
+    else Array(
+      GraftLineageColumn(DeltaDml.FileCol, org.apache.spark.sql.types.StringType),
+      GraftLineageColumn(DeltaDml.PosCol, org.apache.spark.sql.types.LongType))
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> root,
@@ -940,17 +957,27 @@ final class GraftV2Table(
         s"${snap.aliases.keys.mkString(", ")} were renamed metadata-only " +
         "and old data files still carry the historical name — run " +
         "CALL rewrite_table to localize the rename first")
-    val opSnap =
-      if (snap.dvs.isEmpty) snap
-      else {
-        MergeOnRead.materialize(spark, root)
-        TxTable.requireSnapshot(spark, root)
-      }
-    // bucket layouts are first-class here since round 7: the replaced
-    // group is a bucket directory, pruned via the source column
-    // (candidate enumeration + Spark's runtime group filter)
-    () => new GraftRowLevelOperation(spark, root, opSnap, partitionCol,
-      info.command())
+    DeltaDml.mode(spark) match {
+      // merge-on-read: Spark plans the delta-based rewrite
+      // (WriteDelta) — position deletes + post-image appends, write
+      // ∝ changed rows; existing DVs merge inside the delta scan, so
+      // no pre-materialize is needed
+      case "mor" =>
+        () => new GraftDeltaOperation(spark, root, snap, partitionCol,
+          info.command())
+      case _ =>
+        val opSnap =
+          if (snap.dvs.isEmpty) snap
+          else {
+            MergeOnRead.materialize(spark, root)
+            TxTable.requireSnapshot(spark, root)
+          }
+        // bucket layouts are first-class here since round 7: the
+        // replaced group is a bucket directory, pruned via the source
+        // column (candidate enumeration + Spark's runtime group filter)
+        () => new GraftRowLevelOperation(spark, root, opSnap, partitionCol,
+          info.command())
+    }
   }
 
   /** Metadata-only DELETE: accepted iff every conjunct is provably

@@ -385,86 +385,53 @@ private[graft] object BucketIds {
   }
 }
 
-/** Scan half of the copy-on-write pair. Built over the PINNED snapshot
-  * (statement-scoped isolation); `entries` narrows monotonically:
-  * statically from the command condition's partition conjuncts, then
-  * at runtime when Spark's group filter hands back the partition
-  * values that actually contain matching rows. `toBatch` is a def —
-  * Spark re-plans input partitions after runtime filtering — and
-  * delegates to the same manifest-backed vectorized parquet scan the
-  * ordinary read path uses. [[replacedPartitions]] (read at commit
-  * time) is the group set the write swaps.
+/** Layout-group pruning shared by the copy-on-write scan
+  * ([[GraftCowScan]]) and the merge-on-read delta scan
+  * ([[GraftDeltaScan]]): which pushed predicates can bound the group
+  * set, and which manifest entries survive a predicate set. Pruning
+  * is at GROUP granularity and always over-approximates — dropping a
+  * group that could hold a match would silently lose rows.
   */
-private[sources] final class GraftCowScanBuilder(
-    spark: SparkSession, root: String, snap: TxTable.Snapshot,
-    partitionCol: Option[String], onBuild: GraftCowScan => Unit)
-  extends ScanBuilder with SupportsPushDownV2Filters {
+private[sources] object GroupPrune {
 
-  private val schema = StructType.fromDDL(snap.schemaDdl)
-  private var pushed: Array[V2Predicate] = Array.empty
-
-  /** Group selection only: interpretable partition-column conjuncts
-    * (identity layout) or candidate-enumerable source-column conjuncts
-    * (bucket layout) prune which groups the operation scans AND
-    * REPLACES. Every predicate is reported back as not-handled so the
-    * full condition stays in the plan — pruning here is at group
-    * granularity, and row-level work belongs above the scan (dropping
-    * rows here would silently delete the unmatched rows of a replaced
-    * group).
+  /** The predicates worth reporting as pushed: interpretable
+    * partition-column conjuncts (identity layout) or
+    * candidate-enumerable source-column conjuncts (bucket layout —
+    * a predicate helps when it enumerates ANY layout column; full
+    * pruning needs all of them, decided in [[prune]] which sees every
+    * pushed predicate at once).
     */
-  override def pushPredicates(
-      predicates: Array[V2Predicate]): Array[V2Predicate] = {
-    pushed = partitionCol.map(Layout.parse) match {
+  def pushable(
+      layout: Option[Layout.Kind], schema: StructType,
+      predicates: Array[V2Predicate]): Array[V2Predicate] =
+    layout match {
       case Some(Layout.Identity(c)) =>
         val dt = schema(c).dataType
         predicates.filter(p =>
           PartitionPredicates.interpret(c, dt, p).isDefined)
       case Some(Layout.Bucket(_, cs)) =>
-        // composite keys: a predicate helps when it enumerates ANY
-        // layout column (full pruning needs all of them — decided in
-        // the scan's prune, which sees every pushed predicate at once)
         predicates.filter(p => cs.exists(c =>
           PartitionPredicates.candidateValues(c, schema(c).dataType, p)
             .isDefined))
       case None => Array.empty
     }
-    predicates
-  }
 
-  override def pushedPredicates(): Array[V2Predicate] = pushed
-
-  override def build(): Scan = {
-    val s = new GraftCowScan(spark, root, snap, partitionCol, schema, pushed)
-    onBuild(s)
-    s
-  }
-}
-
-private[sources] final class GraftCowScan(
-    spark: SparkSession, root: String, snap: TxTable.Snapshot,
-    partitionCol: Option[String], schema: StructType,
-    staticPreds: Array[V2Predicate])
-  extends Scan with SupportsRuntimeV2Filtering {
-
-  private val layout = partitionCol.map(Layout.parse)
-  // group-key type as it appears in entry partition strings: the
-  // column's own type for identity, the bucket id (int) for buckets
-  private val partDt = layout.map(_.partType(schema))
-
-  // memoized per distinct partition string — entry counts are
-  // manifest-scale, distinct partitions far fewer
-  private val valueCache = mutable.HashMap.empty[String, Any]
-  private def valueOf(partition: String): Any =
-    valueCache.getOrElseUpdate(partition,
-      PartitionPredicates.partitionValue(partition, partDt.get))
-
-  private def prune(
-      es: Seq[TxTable.Entry], preds: Array[V2Predicate]): Seq[TxTable.Entry] =
+  /** The entries whose group can possibly hold a match for `preds`.
+    * `valueOf` maps an entry's partition string to its group value
+    * (memoized by the caller — entry counts are manifest-scale,
+    * distinct partitions far fewer).
+    */
+  def prune(
+      layout: Option[Layout.Kind], schema: StructType,
+      es: Seq[TxTable.Entry], preds: Array[V2Predicate],
+      valueOf: String => Any): Seq[TxTable.Entry] =
     layout match {
       case Some(Layout.Identity(c)) if preds.nonEmpty =>
+        val dt = schema(c).dataType
         val fs = preds.toSeq.flatMap(p =>
-          PartitionPredicates.interpret(c, partDt.get, p))
-        es.filter(e => PartitionPredicates.keepForScan(fs, valueOf(e.partition)))
+          PartitionPredicates.interpret(c, dt, p))
+        es.filter(e =>
+          PartitionPredicates.keepForScan(fs, valueOf(e.partition)))
       case Some(Layout.Bucket(n, cs)) if preds.nonEmpty =>
         // every layout column needs a candidate bound (per column:
         // intersection across the conjuncts that enumerate it); the
@@ -498,6 +465,72 @@ private[sources] final class GraftCowScan(
         }
       case _ => es
     }
+}
+
+/** Scan half of the copy-on-write pair. Built over the PINNED snapshot
+  * (statement-scoped isolation); `entries` narrows monotonically:
+  * statically from the command condition's partition conjuncts, then
+  * at runtime when Spark's group filter hands back the partition
+  * values that actually contain matching rows. `toBatch` is a def —
+  * Spark re-plans input partitions after runtime filtering — and
+  * delegates to the same manifest-backed vectorized parquet scan the
+  * ordinary read path uses. [[replacedPartitions]] (read at commit
+  * time) is the group set the write swaps.
+  */
+private[sources] final class GraftCowScanBuilder(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String], onBuild: GraftCowScan => Unit)
+  extends ScanBuilder with SupportsPushDownV2Filters {
+
+  private val schema = StructType.fromDDL(snap.schemaDdl)
+  private var pushed: Array[V2Predicate] = Array.empty
+
+  /** Group selection only: interpretable partition-column conjuncts
+    * (identity layout) or candidate-enumerable source-column conjuncts
+    * (bucket layout) prune which groups the operation scans AND
+    * REPLACES. Every predicate is reported back as not-handled so the
+    * full condition stays in the plan — pruning here is at group
+    * granularity, and row-level work belongs above the scan (dropping
+    * rows here would silently delete the unmatched rows of a replaced
+    * group).
+    */
+  override def pushPredicates(
+      predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    pushed = GroupPrune.pushable(
+      partitionCol.map(Layout.parse), schema, predicates)
+    predicates
+  }
+
+  override def pushedPredicates(): Array[V2Predicate] = pushed
+
+  override def build(): Scan = {
+    val s = new GraftCowScan(spark, root, snap, partitionCol, schema, pushed)
+    onBuild(s)
+    s
+  }
+}
+
+private[sources] final class GraftCowScan(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String], schema: StructType,
+    staticPreds: Array[V2Predicate])
+  extends Scan with SupportsRuntimeV2Filtering {
+
+  private val layout = partitionCol.map(Layout.parse)
+  // group-key type as it appears in entry partition strings: the
+  // column's own type for identity, the bucket id (int) for buckets
+  private val partDt = layout.map(_.partType(schema))
+
+  // memoized per distinct partition string — entry counts are
+  // manifest-scale, distinct partitions far fewer
+  private val valueCache = mutable.HashMap.empty[String, Any]
+  private def valueOf(partition: String): Any =
+    valueCache.getOrElseUpdate(partition,
+      PartitionPredicates.partitionValue(partition, partDt.get))
+
+  private def prune(
+      es: Seq[TxTable.Entry], preds: Array[V2Predicate]): Seq[TxTable.Entry] =
+    GroupPrune.prune(layout, schema, es, preds, valueOf)
 
   @volatile private var entries: Seq[TxTable.Entry] =
     prune(snap.entries, staticPreds)
@@ -597,22 +630,20 @@ private[sources] final class GraftCowWrite(
   override def description(): String = s"graft copy-on-write $command"
 }
 
-private[sources] final class GraftCowBatchWrite(
-    spark: SparkSession, root: String, snap: TxTable.Snapshot,
-    partitionCol: Option[String], scanOf: () => Option[GraftCowScan],
-    writeSchema: StructType, command: String)
-  extends BatchWrite {
+/** Shared setup for executor-side task-level parquet writes (the
+  * copy-on-write rewrite and the merge-on-read delta write): a hadoop
+  * conf carrying the write schema plus the session parquet settings
+  * `ParquetWriteSupport.init` requires with NO default (the file
+  * format's prepareWrite sets them; these write paths own that here),
+  * so task-written files are bit-compatible with every other file in
+  * the table.
+  */
+private[sources] object TaskParquet {
 
-  private val relDir = s"data/${java.util.UUID.randomUUID()}"
-
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
+  def prepare(spark: SparkSession, writeSchema: StructType)
+    : (SerializableWritable[Configuration], String, String) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     ParquetWriteSupport.setSchema(writeSchema, conf)
-    // ParquetWriteSupport.init requires these present with NO default
-    // (the file format's prepareWrite sets them; this write path owns
-    // that here) — sourced from the live session SQLConf so the files
-    // match what every other writer in the session produces
     val sc = org.apache.spark.sql.internal.SQLConf.get
     import org.apache.spark.sql.internal.SQLConf._
     conf.setBoolean(PARQUET_WRITE_LEGACY_FORMAT.key,
@@ -629,9 +660,34 @@ private[sources] final class GraftCowBatchWrite(
         case "NONE" | "UNCOMPRESSED" => "UNCOMPRESSED"
         case other => other
       })).getOrElse(CompressionCodecName.SNAPPY)
-    new GraftCowWriterFactory(new SerializableWritable(conf),
-      root, relDir, snap.schemaDdl, partitionCol, codec.name(),
-      sc.sessionLocalTimeZone)
+    (new SerializableWritable(conf), codec.name(), sc.sessionLocalTimeZone)
+  }
+
+  /** Open one task parquet file with Spark's own write support — the
+    * exact writer shape [[GraftCowDataWriter.open]] uses.
+    */
+  def open(path: Path, conf: Configuration,
+      codecName: String): ParquetWriter[InternalRow] =
+    new ParquetWriter[InternalRow](path, new ParquetWriteSupport,
+      CompressionCodecName.valueOf(codecName),
+      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE, true, false,
+      ParquetProperties.WriterVersion.PARQUET_1_0, conf)
+}
+
+private[sources] final class GraftCowBatchWrite(
+    spark: SparkSession, root: String, snap: TxTable.Snapshot,
+    partitionCol: Option[String], scanOf: () => Option[GraftCowScan],
+    writeSchema: StructType, command: String)
+  extends BatchWrite {
+
+  private val relDir = s"data/${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (conf, codecName, tz) = TaskParquet.prepare(spark, writeSchema)
+    new GraftCowWriterFactory(conf, root, relDir, snap.schemaDdl,
+      partitionCol, codecName, tz)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -787,12 +843,7 @@ private[sources] final class GraftCowDataWriter(
     val dir =
       if (seg.isEmpty) s"$root/$relDir" else s"$root/$relDir/$seg"
     val path = new Path(s"$dir/part-$uid-${writers.size}.parquet")
-    val w = new ParquetWriter[InternalRow](path, new ParquetWriteSupport,
-      CompressionCodecName.valueOf(codecName),
-      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
-      ParquetWriter.DEFAULT_PAGE_SIZE, true, false,
-      ParquetProperties.WriterVersion.PARQUET_1_0, conf)
-    (path, w, man)
+    (path, TaskParquet.open(path, conf, codecName), man)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -69,8 +69,23 @@ final class GraftAggScanBuilder(
   private var seenFilters: Seq[Expression] = Nil
   private var answer: Option[(StructType, Array[InternalRow])] = None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // `_file`/`_pos` are the table's row-lineage METADATA columns —
+    // served for real only by the merge-on-read DML scan
+    // (graft.sources.GraftDeltaScan). The stock parquet path would
+    // silently read them as nulls (no such physical column), so an
+    // ordinary SELECT that references them refuses loudly instead.
+    // A table whose own schema claims the names keeps them (the
+    // metadata columns are conflict-hidden then).
+    val phantom = requiredSchema.fieldNames.filter(n =>
+      (n == "_file" || n == "_pos") &&
+        !delegate.schema.fieldNames.contains(n))
+    if (phantom.nonEmpty) throw new UnsupportedOperationException(
+      s"column(s) ${phantom.mkString(", ")} are row-lineage metadata " +
+        "for merge-on-read DML (spark.graft.dml.mode=mor) and are not " +
+        "served on ordinary reads")
     delegate.pruneColumns(requiredSchema)
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     seenFilters = seenFilters ++ filters

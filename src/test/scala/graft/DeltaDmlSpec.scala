@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.sources.TxTable
+
+/** Merge-on-read SQL DML (`spark.graft.dml.mode=mor`): plain
+  * DELETE/UPDATE/MERGE plan Spark's delta-based rewrite (WriteDelta)
+  * and commit position deletes + post-image appends — data files
+  * byte-identical, write ∝ changed rows — while the default mode
+  * keeps the copy-on-write group rewrite.
+  */
+class DeltaDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = s"target/tmp/graft_mordml_${System.nanoTime()}"
+
+  private lazy val cat: Unit = {
+    spark.conf.set("spark.sql.catalog.gd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gd.m")
+  }
+
+  private def withMor[T](f: => T): T = {
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try f finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
+  private def entryPaths(root: String): Set[String] =
+    TxTable.currentSnapshot(spark, root).get.entries.map(_.relPath).toSet
+
+  private def mkBucketTable(name: String, rows: Int = 100): String = {
+    cat
+    spark.sql(s"CREATE TABLE gd.m.$name (k BIGINT, p STRING, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1 to rows).map(k => (k.toLong, if (k % 2 == 0) "even" else "odd",
+        k * 1.5)).toDF("k", "p", "v")
+      .writeTo(s"gd.m.$name").append()
+    s"$wh/m/$name"
+  }
+
+  test("mor DELETE: scattered keys, data files byte-identical, write = DV only") {
+    val root = mkBucketTable("del")
+    val before = entryPaths(root)
+    withMor { spark.sql("DELETE FROM gd.m.del WHERE k % 7 = 0") }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(entryPaths(root) == before,
+      "merge-on-read SQL DELETE must not rewrite or add data files")
+    assert(snap.dvs.nonEmpty && snap.dvs.map(_.rows).sum == 14L,
+      s"100/7 = 14 masked rows, got ${snap.dvs.map(_.rows).sum}")
+    val back = spark.sql("SELECT k FROM gd.m.del").as[Long].collect().toSet
+    assert(back == (1L to 100L).filterNot(_ % 7 == 0).toSet)
+    // no-match DELETE commits nothing
+    val v = snap.version
+    withMor { spark.sql("DELETE FROM gd.m.del WHERE k < 0") }
+    assert(TxTable.currentVersion(spark, root).contains(v))
+  }
+
+  test("mor DELETEs compose on existing DVs without materializing") {
+    val root = mkBucketTable("compose")
+    withMor {
+      spark.sql("DELETE FROM gd.m.compose WHERE k <= 10")
+      // second statement scans THROUGH the first's delete set: the 10
+      // already-masked rows must not re-match (their positions would
+      // double-count)
+      spark.sql("DELETE FROM gd.m.compose WHERE k <= 20")
+    }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.map(_.rows).sum == 20L,
+      s"10 + 10 masked rows, got ${snap.dvs.map(_.rows).sum}")
+    assert(spark.sql("SELECT count(*) FROM gd.m.compose")
+      .as[Long].head() == 80L)
+  }
+
+  test("mor UPDATE: originals untouched, appends == masks == matches, placement kept") {
+    val root = mkBucketTable("upd")
+    val before = entryPaths(root)
+    withMor {
+      spark.sql("UPDATE gd.m.upd SET v = v * 10, p = concat(p, '!') " +
+        "WHERE k % 11 = 0")
+    }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(before.subsetOf(entryPaths(root)),
+      "original data files must survive byte-identical")
+    val appended = snap.entries.filterNot(e => before(e.relPath))
+    assert(snap.dvs.map(_.rows).sum == 9L, "100/11 = 9 masks")
+    // appended post-images keep the bucket layout placement
+    assert(appended.nonEmpty &&
+      appended.forall(_.partition.startsWith("_bucket=")),
+      s"post-images must place into bucket dirs, got " +
+        s"${appended.map(_.partition).distinct}")
+    val got = spark.sql(
+      "SELECT v, p FROM gd.m.upd WHERE k = 22").collect().toSeq
+    assert(got == Seq(Row(22 * 1.5 * 10, "even!")))
+    assert(spark.sql("SELECT count(*) FROM gd.m.upd").as[Long].head() == 100L)
+  }
+
+  test("mor MERGE INTO: three clauses, one commit, write proportional to changes") {
+    val root = mkBucketTable("mrg")
+    (1 to 120).filter(k => k % 10 == 0).map(k =>
+        (k.toLong, s"src$k", k * 100.0))
+      .toDF("k", "p", "v").createOrReplaceTempView("mrg_src")
+    val before = entryPaths(root)
+    val vBefore = TxTable.currentVersion(spark, root).get
+    withMor {
+      spark.sql(
+        """MERGE INTO gd.m.mrg t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.k = 50 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v, p = s.p
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.version == vBefore + 1, "MERGE is ONE commit")
+    assert(before.subsetOf(entryPaths(root)),
+      "original data files must survive byte-identical")
+    // matched: k = 10..100 step 10 (10 rows) → 1 delete + 9 updates
+    assert(snap.dvs.map(_.rows).sum == 10L, "10 old images masked")
+    assert(spark.sql("SELECT count(*) FROM gd.m.mrg").as[Long].head() ==
+      100L - 1 + 2, "100 - deleted(50) + inserted(110, 120)")
+    assert(spark.sql("SELECT p, v FROM gd.m.mrg WHERE k = 30")
+      .collect().toSeq == Seq(Row("src30", 3000.0)))
+    assert(spark.sql("SELECT p, v FROM gd.m.mrg WHERE k = 110")
+      .collect().toSeq == Seq(Row("src110", 11000.0)))
+    assert(spark.sql("SELECT count(*) FROM gd.m.mrg WHERE k = 50")
+      .as[Long].head() == 0L)
+  }
+
+  test("mor MERGE raises the SQL cardinality violation on duplicate source keys") {
+    val root = mkBucketTable("card", rows = 10)
+    Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("card_src")
+    val e = intercept[Exception] {
+      withMor {
+        spark.sql(
+          """MERGE INTO gd.m.card t USING card_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+    }
+    assert(e.getMessage.toLowerCase.contains("merge") ||
+      e.getMessage.contains("MERGE_CARDINALITY_VIOLATION"),
+      s"unexpected error: ${e.getMessage}")
+    assert(TxTable.currentVersion(spark, root).contains(1L),
+      "failed MERGE must not commit")
+  }
+
+  test("default mode stays copy-on-write; bad mode refuses loudly") {
+    val root = mkBucketTable("cow", rows = 40)
+    val before = entryPaths(root)
+    spark.sql("DELETE FROM gd.m.cow WHERE k = 5") // default: cow
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.isEmpty, "default mode must not write DVs")
+    assert(entryPaths(root) != before, "cow rewrites the touched group")
+    spark.conf.set("spark.graft.dml.mode", "nope")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("DELETE FROM gd.m.cow WHERE k = 6")
+      }
+      assert(e.getMessage.contains("spark.graft.dml.mode"))
+    } finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
+  test("metadata-only partition DELETE still short-circuits under mor") {
+    cat
+    spark.sql("CREATE TABLE gd.m.pmeta (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gd.m.pmeta VALUES (1,'A'),(2,'A'),(3,'B')")
+    val root = s"$wh/m/pmeta"
+    withMor { spark.sql("DELETE FROM gd.m.pmeta WHERE p = 'A'") }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.isEmpty,
+      "partition-uniform DELETE must stay metadata-only (no DVs)")
+    assert(snap.entries.forall(_.partition == "p=B"))
+    assert(spark.sql("SELECT k FROM gd.m.pmeta").as[Long].collect().toSeq
+      == Seq(3L))
+  }
+
+  test("CHECK constraints enforce on mor post-images") {
+    val root = mkBucketTable("chk", rows = 10)
+    TxTable.addCheck(spark, root, "v_pos", "v >= 0")
+    val e = intercept[Exception] {
+      withMor { spark.sql("UPDATE gd.m.chk SET v = -1 WHERE k = 3") }
+    }
+    assert(e.getMessage.contains("v_pos"), s"got: ${e.getMessage}")
+    // failed statement must not commit a masked row either
+    assert(spark.sql("SELECT count(*) FROM gd.m.chk").as[Long].head() == 10L)
+    assert(spark.sql("SELECT v FROM gd.m.chk WHERE k = 3")
+      .as[Double].head() == 4.5)
+  }
+
+  test("ordinary reads refuse the _file/_pos lineage columns loudly") {
+    mkBucketTable("lin", rows = 5)
+    val e = intercept[Exception] {
+      spark.sql("SELECT _file FROM gd.m.lin").collect()
+    }
+    assert(e.getMessage.contains("lineage") ||
+      e.getMessage.contains("_file"), s"got: ${e.getMessage}")
+  }
+
+  test("mor DML stays correct after CALL compact localizes the delete debt") {
+    val root = mkBucketTable("loc")
+    withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 3 = 0") }
+    assert(TxTable.currentSnapshot(spark, root).get.dvs.nonEmpty)
+    graft.sources.MergeOnRead.materialize(spark, root)
+    assert(TxTable.currentSnapshot(spark, root).get.dvs.isEmpty)
+    withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 5 = 0") }
+    val want = (1L to 100L).filterNot(k => k % 3 == 0 || k % 5 == 0).toSet
+    assert(spark.sql("SELECT k FROM gd.m.loc").as[Long].collect().toSet
+      == want)
+  }
+}
