@@ -19,7 +19,7 @@ object SourceQueries {
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
     bucketJoin, spjPartial, bucketDml, bucketMc, morDelete, morUpdate,
-    morMerge, morChanges, nullSkipping)
+    morMerge, morChanges, nullSkipping, sqlMor)
 
   /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
     * the multi-column PK shape of the reference's migration scripts):
@@ -340,6 +340,105 @@ object SourceQueries {
     TxTable.readWhere(s, root, col("maybe_comment").isNull)
       .agg(count(lit(1)).as("n_rows"),
         sum("o_orderkey").cast("bigint").as("key_sum"))
+  }
+
+  /** PLAIN SQL DML under merge-on-read mode
+    * ([[graft.sources.GraftDeltaOperation]],
+    * `spark.graft.dml.mode=mor`): orders lands as bucket(8,
+    * o_orderkey), then two statements of ordinary SQL text run — a
+    * three-clause `MERGE INTO` (doubled-price updates at custkey%7=2,
+    * deletes at %7=3, shifted-key inserts at %7=5) and a scattered
+    * `DELETE` (custkey%7=4) composing on the merge's fresh delete
+    * vectors. Spark plans its delta-based rewrite (`WriteDelta` over
+    * the `_file`/`_pos` row lineage), and the query REQUIREs the
+    * scattered-DML cost shape: every original data file
+    * byte-identical across BOTH statements, masks == merge updates +
+    * merge deletes + delete matches, appends == merge updates +
+    * merge inserts — write ∝ changed rows through nothing but SQL.
+    * The oracle replays all four mutations as set algebra over the
+    * raw parquet, so equality proves the delta plan, position
+    * masking, layout placement, and the read-side merge are lossless.
+    */
+  val sqlMor: Q = Q(
+    "q_sql_mor",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM (
+      |  SELECT o_orderstatus, o_custkey,
+      |    CASE WHEN o_custkey % 7 = 2 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_custkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_custkey, o_totalprice + 10 AS o_totalprice
+      |  FROM orders WHERE o_custkey % 7 = 5
+      |) t
+      |WHERE o_custkey % 7 <> 4
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_sqlmor_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq.mart")
+    s.sql("DROP TABLE IF EXISTS gq.mart.orders")
+    val base = Tables.orders(s, dir)
+    base.createOrReplaceTempView("graft_sqlmor_src")
+    s.sql(
+      """CREATE TABLE gq.mart.orders PARTITIONED BY (bucket(8, o_orderkey))
+        |AS SELECT * FROM graft_sqlmor_src""".stripMargin)
+    val upd = base.filter(col("o_custkey") % 7 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("op", lit("U"))
+    val del = base.filter(col("o_custkey") % 7 === 3)
+      .withColumn("op", lit("D"))
+    val ins = base.filter(col("o_custkey") % 7 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 600000000L)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+      .withColumn("op", lit("I"))
+    upd.unionByName(del).unionByName(ins)
+      .createOrReplaceTempView("graft_sqlmor_changes")
+    val root = s"$wh/mart/orders"
+    import graft.sources.TxTable
+    val before = TxTable.currentSnapshot(s, root).get
+      .entries.map(e => (e.relPath, e.size)).toSet
+    val (nUpd, nDel, nIns, nDel2) = (
+      base.filter(col("o_custkey") % 7 === 2).count(),
+      base.filter(col("o_custkey") % 7 === 3).count(),
+      base.filter(col("o_custkey") % 7 === 5).count(),
+      base.filter(col("o_custkey") % 7 === 4).count())
+    val cols = base.columns
+    s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+    try {
+      s.sql(
+        s"""MERGE INTO gq.mart.orders t USING graft_sqlmor_changes s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+           |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})"""
+          .stripMargin)
+      s.sql("DELETE FROM gq.mart.orders WHERE o_custkey % 7 = 4")
+    } finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
+    val after = TxTable.currentSnapshot(s, root).get
+    // the point of the query: scattered SQL DML, write ∝ changed rows
+    require(before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+      "q_sql_mor: merge-on-read SQL DML must leave original data " +
+        "files byte-identical")
+    val masked = after.dvs.map(_.rows).sum
+    val appended = after.entries
+      .filterNot(e => before.contains((e.relPath, e.size)))
+      .map(e => graft.sources.FileStats.decode(e.stats).rows).sum
+    require(masked == nUpd + nDel + nDel2 && appended == nUpd + nIns,
+      s"q_sql_mor: expected masks == upd + del + del2 and appends == " +
+        s"upd + ins, got masked=$masked appended=$appended " +
+        s"upd=$nUpd del=$nDel ins=$nIns del2=$nDel2")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gq.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
   }
 
   /** SQL row-level operations end-to-end ([[graft.sources.GraftRowLevelOperation]]):

@@ -111,7 +111,7 @@ object ScaleRehearsal {
     // versions probe 25-row dims by oracle design, which a 10× ratio
     // cannot measure): the same MERGE and dictGet machinery pointed at
     // the scaling fact side
-    "x_sql_merge", "x_dict_probe",
+    "x_sql_merge", "x_sql_mor", "x_dict_probe",
     // round-8: merge-on-read CDC apply — rehearsal-only shape (the
     // oracle q_cdc_mor's two-phase split shares no keys across halves
     // on the COPY-scaled log, so its matched clauses would never
@@ -136,7 +136,7 @@ object ScaleRehearsal {
     "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
     "q_mor_update", "q_mor_merge", "q_spj_partial", "q_dedup_clusters",
     "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
-    "x_sql_merge")
+    "x_sql_merge", "x_sql_mor")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
@@ -176,6 +176,51 @@ object ScaleRehearsal {
           |    '9-NEW')"""
           .stripMargin)
       s.sql("SELECT count(*) AS n FROM xm.mart.orders")
+    },
+    // the SAME merge shape through the merge-on-read SQL path
+    // (spark.graft.dml.mode=mor, WriteDelta): bucket(8) layout so the
+    // matched keys scatter across every group, REQUIREs originals
+    // byte-identical — the pair (x_sql_merge, x_sql_mor) is the
+    // CoW-vs-MoR cost comparison at each tier
+    "x_sql_mor" -> { (s, dir) =>
+      val wh = s"target/tmp/graft_wh_xmor_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      s.conf.set("spark.sql.catalog.ym", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.ym.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ym.mart")
+      s.sql("DROP TABLE IF EXISTS ym.mart.orders")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("y_ord_src")
+      s.sql(
+        """CREATE TABLE ym.mart.orders PARTITIONED BY (bucket(8, o_orderkey))
+          |AS SELECT * FROM y_ord_src""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMP VIEW y_merge_src AS
+          |SELECT o_orderkey AS k, o_totalprice * 1.1 AS np,
+          |       o_orderkey % 50 = 1 AS del
+          |FROM y_ord_src WHERE o_orderkey % 10 < 2
+          |UNION ALL
+          |SELECT -o_orderkey AS k, o_totalprice AS np, false AS del
+          |FROM y_ord_src WHERE o_orderkey % 20 = 3""".stripMargin)
+      val root = s"$wh/mart/orders"
+      val before = graft.sources.TxTable.currentSnapshot(s, root).get
+        .entries.map(e => (e.relPath, e.size)).toSet
+      s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+      try s.sql(
+        """MERGE INTO ym.mart.orders t USING y_merge_src s
+          |ON t.o_orderkey = s.k
+          |WHEN MATCHED AND s.del THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+          |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+          |  VALUES (s.k, 0, 'X', s.np, TIMESTAMP'2099-01-01 00:00:00',
+          |    '9-NEW')"""
+          .stripMargin)
+      finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
+      val after = graft.sources.TxTable.currentSnapshot(s, root).get
+      require(
+        before.subsetOf(after.entries.map(e => (e.relPath, e.size)).toSet),
+        "x_sql_mor: merge-on-read MERGE must not rewrite data files")
+      require(after.dvs.nonEmpty, "x_sql_mor: expected position deletes")
+      s.sql("SELECT count(*) AS n FROM ym.mart.orders")
     },
     // literal-map dictGet probed by the scaling fact side: the J6
     // in-projection lookup must cost O(rows), broadcast-shipped once
