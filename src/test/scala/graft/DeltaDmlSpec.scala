@@ -195,6 +195,29 @@ class DeltaDmlSpec extends SparkSpec {
       e.getMessage.contains("_file"), s"got: ${e.getMessage}")
   }
 
+  test("mor DML plans WriteDelta with static bucket pruning; cow plans ReplaceData") {
+    mkBucketTable("plan", rows = 50)
+    val morPlan = withMor {
+      spark.sql("EXPLAIN EXTENDED DELETE FROM gd.m.plan WHERE k = 7")
+        .head().getString(0)
+    }
+    assert(morPlan.contains("WriteDelta") && !morPlan.contains("ReplaceData"),
+      s"mor DELETE must plan the delta-based rewrite:\n$morPlan")
+    // the equality conjunct on the bucket key statically prunes the
+    // delta scan to that key's bucket at the manifest
+    assert(morPlan.contains("GraftDeltaScan") &&
+      morPlan.split("GraftDeltaScan").exists(s =>
+        s.contains("(1/") || s.matches("(?s).*\\(1/\\d+ files.*")),
+      s"bucket-key equality must prune the mor scan to one bucket:\n" +
+        morPlan.linesIterator.filter(_.contains("GraftDeltaScan"))
+          .mkString("\n"))
+    val cowPlan = spark
+      .sql("EXPLAIN EXTENDED DELETE FROM gd.m.plan WHERE k = 7")
+      .head().getString(0)
+    assert(cowPlan.contains("ReplaceData") && !cowPlan.contains("WriteDelta"),
+      s"default DELETE must stay group-based copy-on-write:\n$cowPlan")
+  }
+
   test("mor DML stays correct after CALL compact localizes the delete debt") {
     val root = mkBucketTable("loc")
     withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 3 = 0") }
