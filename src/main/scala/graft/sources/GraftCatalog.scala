@@ -127,7 +127,7 @@ final class GraftCatalog
     val snap = TxTable.currentSnapshot(spark, root.toString)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftV2Table(root.toString, snap,
-      GraftCatalog.readPartitionCol(spark, root.toString), timeTravel = false)
+      GraftCatalog.layoutOf(spark, root.toString, snap), timeTravel = false)
   }
 
   /** SQL `TIMESTAMP AS OF` time travel: Spark hands the instant as
@@ -153,7 +153,7 @@ final class GraftCatalog
       case _: java.io.IOException => throw new NoSuchTableException(ident)
     }
     new GraftV2Table(root.toString, snap,
-      GraftCatalog.readPartitionCol(spark, root.toString), timeTravel = true)
+      GraftCatalog.layoutOf(spark, root.toString, snap), timeTravel = true)
   }
 
   override def createTable(
@@ -196,7 +196,7 @@ final class GraftCatalog
         s"graft tables support PARTITIONED BY (one identity column or " +
           s"one bucket(N, column...)); got: ${other.mkString(", ")}")
     }
-    TxTable.createEmpty(spark, root.toString, schema)
+    TxTable.createEmpty(spark, root.toString, schema, partitionCol)
     partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root.toString, _))
     new GraftV2Table(root.toString,
       TxTable.currentSnapshot(spark, root.toString).get, partitionCol,
@@ -677,6 +677,53 @@ private[sources] object GraftProcedures {
       StructType(Seq(StructField("version", LongType, false))),
       (cat, r) => Seq(Seq(
         TxTable.rewriteAll(spark, cat.tableRoot(str(r, 0)), identity)))),
+    "relayout" -> new Proc(
+      "relayout", "PARTITION EVOLUTION: full rewrite of the current " +
+        "snapshot placing every row under a NEW layout spec " +
+        "('col' or 'bucket(N,cols...)'; '' = unpartitioned) — the " +
+        "escape hatch when a table outgrows its bucket count. One " +
+        "commit; the manifest records each version's own spec, so " +
+        "time travel keeps pruning/SPJ bound to the layout a " +
+        "version's files were actually written under",
+      Array(in("table", StringType), in("layout", StringType)),
+      StructType(Seq(StructField("version", LongType, false))),
+      (cat, r) => {
+        val root = cat.tableRoot(str(r, 0))
+        val specStr = str(r, 1).trim
+        val spec = if (specStr.isEmpty) None else Some(specStr)
+        spec.foreach { sp =>
+          val schema = StructType.fromDDL(
+            TxTable.requireSnapshot(spark, root).schemaDdl)
+          Layout.parse(sp) match {
+            case Layout.Identity(c) =>
+              require(schema.fieldNames.contains(c),
+                s"relayout: no such column $c")
+            case Layout.Bucket(n, cs) =>
+              require(n > 0, s"relayout: bucket($n, …): need N > 0")
+              cs.foreach { c =>
+                require(schema.fieldNames.contains(c),
+                  s"relayout: bucket($n, $c): no such column")
+                schema(c).dataType match {
+                  case org.apache.spark.sql.types.ByteType |
+                       org.apache.spark.sql.types.ShortType |
+                       org.apache.spark.sql.types.IntegerType |
+                       LongType | StringType |
+                       org.apache.spark.sql.types.DateType |
+                       org.apache.spark.sql.types.TimestampType |
+                       org.apache.spark.sql.types.TimestampNTZType |
+                       org.apache.spark.sql.types.BooleanType => ()
+                  case dt => throw new UnsupportedOperationException(
+                    s"relayout: bucket($n, $c): unsupported bucket " +
+                      s"column type $dt")
+                }
+              }
+          }
+        }
+        // '' relayouts to UNPARTITIONED — recorded explicitly in the
+        // manifest (None would fall back to the creation sidecar)
+        Seq(Seq(TxTable.rewriteAll(spark, root, identity,
+          newLayout = Some(specStr))))
+      }),
     "rewrite_deletes" -> new Proc(
       "rewrite_deletes", "materialize the merge-on-read delete set: " +
         "rewrite exactly the DV-affected data files with their " +
@@ -714,7 +761,7 @@ private[sources] object GraftProcedures {
           else fsys.getFileStatus(
             new Path(TxTable.entryPath(root, e.relPath))).getLen).sum
         Seq(Seq(s.version, s.entries.size.toLong, bytes,
-          GraftCatalog.readPartitionCol(spark, root).orNull,
+          GraftCatalog.layoutOf(spark, root, s).orNull,
           s.checks.size.toLong, root,
           s.dvs.size.toLong, s.dvs.map(d => math.max(d.rows, 0L)).sum))
       }),
@@ -805,6 +852,22 @@ object GraftCatalog {
     val os = f.create(p, true)
     try os.write(col.getBytes("UTF-8")) finally os.close()
   }
+
+  /** The layout spec EFFECTIVE for `snap`: the manifest-carried spec
+    * of that version when present (re-layouts stamp every commit from
+    * then on), else the creation sidecar — which [[TxTable
+    * .rewriteAll]]'s re-layout never touches, so pre-tracking
+    * versions keep resolving to the spec their entries were actually
+    * written under.
+    */
+  private[graft] def layoutOf(
+      spark: SparkSession, root: String,
+      snap: TxTable.Snapshot): Option[String] =
+    snap.layout match {
+      case Some("") => None // relayouted to EXPLICITLY unpartitioned
+      case Some(spec) => Some(spec)
+      case None => readPartitionCol(spark, root)
+    }
 
   private[sources] def readPartitionCol(
       spark: SparkSession, root: String): Option[String] = {

@@ -52,7 +52,7 @@ final class GraftFileIndex(
   // point lookup on a 100 TB table scans 1/N of it before stats even
   // apply
   private val layout: Option[Layout.Kind] =
-    GraftCatalog.readPartitionCol(spark, root).map(Layout.parse)
+    GraftCatalog.layoutOf(spark, root, snapshot).map(Layout.parse)
 
   private val qualifiedRoot: Path = {
     val p = new Path(root)

@@ -423,7 +423,7 @@ object MergeOnRead {
           f.delete(new Path(dvDir), true)
           return (cur.version, 0L)
         }
-        val layout = GraftCatalog.readPartitionCol(spark, root)
+        val layout = GraftCatalog.layoutOf(spark, root, cur)
         val fresh = TxTable.writeData(updated, root, layout)
         try return (TxTable.commitDvUpdate(spark, root, cur.version,
           newDvs, fresh, "updateWhere"), total)
@@ -553,7 +553,7 @@ object MergeOnRead {
         "mergeInto: the table has a column named `src`, which is " +
           "reserved for the source-row struct in clause expressions — " +
           "RENAME COLUMN it first")
-      val layout = GraftCatalog.readPartitionCol(spark, root)
+      val layout = GraftCatalog.layoutOf(spark, root, cur)
       // when the bucket layout hashes a subset of the ON keys, only
       // the buckets the source's keys hash into can hold a match —
       // the position scan prunes to them at the manifest
@@ -760,11 +760,12 @@ final class ApplyDeletionVectors(spark: SparkSession)
     * matching-rows subquery as a fresh scan of exactly that relation,
     * which the raw-scan guard would (rightly) refuse.
     */
-  private def freshTable(t: GraftV2Table): GraftV2Table =
-    new GraftV2Table(t.tableRoot,
-      TxTable.requireSnapshot(spark, t.tableRoot),
-      GraftCatalog.readPartitionCol(spark, t.tableRoot),
+  private def freshTable(t: GraftV2Table): GraftV2Table = {
+    val cur = TxTable.requireSnapshot(spark, t.tableRoot)
+    new GraftV2Table(t.tableRoot, cur,
+      GraftCatalog.layoutOf(spark, t.tableRoot, cur),
       timeTravel = false)
+  }
 
   /** True when a row-level command's table field still pins a
     * pre-materialize (DV-bearing) snapshot — directly, or through the

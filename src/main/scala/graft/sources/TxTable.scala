@@ -85,13 +85,23 @@ object TxTable {
     * files written before a rename keep the old physical column);
     * reads coalesce across them. Cleared by any full rewrite.
     */
+  /** `layout` is this VERSION's layout spec ([[Layout]] grammar —
+    * `col` or `bucket(N,cols…)`), carried in the manifest since
+    * [[rewriteAll]]'s re-layout support landed: a table's placement
+    * can change over its life (`CALL relayout`), and pruning/SPJ
+    * contracts must bind each version's entries to the spec THEY were
+    * written under — a time-travel read of a pre-relayout version
+    * with the current spec would mis-prune. `None` falls back to the
+    * catalog sidecar (pre-layout-tracking tables, never relayouted).
+    */
   final case class Snapshot(
       version: Long, schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
       ts: Long = -1L,
       dvs: Seq[DvEntry] = Nil,
-      aliases: Map[String, Seq[String]] = Map.empty)
+      aliases: Map[String, Seq[String]] = Map.empty,
+      layout: Option[String] = None)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -291,7 +301,13 @@ object TxTable {
           olds.split(",").toSeq.filter(_.nonEmpty)
             .map(java.net.URLDecoder.decode(_, "UTF-8"))
     }.toMap
-    Snapshot(version, ddl, entries, txns, checks, ts, dvs, aliases)
+    // `#layout=<urlenc spec>` — THIS version's layout spec (absent on
+    // pre-layout-tracking manifests: sidecar fallback)
+    val layout = meta.collectFirst {
+      case l if l.startsWith("#layout=") =>
+        java.net.URLDecoder.decode(l.stripPrefix("#layout="), "UTF-8")
+    }
+    Snapshot(version, ddl, entries, txns, checks, ts, dvs, aliases, layout)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -492,7 +508,8 @@ object TxTable {
       txns: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
       dvs: Seq[DvEntry] = Nil,
-      aliases: Map[String, Seq[String]] = Map.empty): Long = {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      layout: Option[String] = None): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -548,6 +565,9 @@ object TxTable {
             olds.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") +
             "\n"
         }.mkString +
+        layout.map(l =>
+          s"#layout=${java.net.URLEncoder.encode(l, "UTF-8")}\n")
+          .getOrElse("") +
         entries.map(e =>
           s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
@@ -566,10 +586,12 @@ object TxTable {
     * reserved for the explicit programmatic [[create]](df, root) API.
     */
   def createEmpty(
-      spark: SparkSession, root: String, schema: StructType): Long = {
+      spark: SparkSession, root: String, schema: StructType,
+      layout: Option[String] = None): Long = {
     requireAbsentOrEmpty(spark, root, "createEmpty")
     commit(spark, root, 0L,
-      nullableType(schema).asInstanceOf[StructType].toDDL, Nil)
+      nullableType(schema).asInstanceOf[StructType].toDDL, Nil,
+      layout = layout)
   }
 
   /** Refuse to initialize `root` when the path already exists with any
@@ -602,7 +624,7 @@ object TxTable {
     // later row-level appends (updateWhere/mergeInto post-images)
     // keep this table's placement without the caller re-stating it
     partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root, _))
-    commit(spark, root, 0L, declaredDdl(df), entries)
+    commit(spark, root, 0L, declaredDdl(df), entries, layout = partitionCol)
   }
 
   /** Append-only commit: new files become visible atomically alongside
@@ -632,7 +654,8 @@ object TxTable {
       if (entries == null) entries = writeData(df, root, partitionCol)
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
-          cur.entries ++ entries, cur.txns, cur.checks, cur.dvs, cur.aliases)
+          cur.entries ++ entries, cur.txns, cur.checks, cur.dvs, cur.aliases,
+          cur.layout)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -673,7 +696,7 @@ object TxTable {
       try {
         commit(spark, root, cur.version + 1, cur.schemaDdl,
           cur.entries ++ entries, cur.txns + (txnId -> batchId),
-          cur.checks, cur.dvs, cur.aliases)
+          cur.checks, cur.dvs, cur.aliases, cur.layout)
         return true
       } catch {
         case e: ConcurrentCommitException =>
@@ -726,7 +749,7 @@ object TxTable {
       schema.fields ++ newCols.map(_.copy(nullable = true)))
     commit(spark, root, cur.version + 1,
       nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, cur.aliases)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -769,7 +792,8 @@ object TxTable {
     }
     commit(spark, root, cur.version + 1,
       nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
-      cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases -- names)
+      cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases -- names,
+      cur.layout)
   }
 
   /** RENAME COLUMN, metadata-only: commit a new version whose schema
@@ -802,7 +826,7 @@ object TxTable {
     require(!aliasNames.exists(_.equalsIgnoreCase(to)),
       s"renameColumn: $to is a historical name of a renamed column — " +
         "rewrite the table (CALL rewrite_table) before reusing it")
-    val layoutCols = GraftCatalog.readPartitionCol(spark, root)
+    val layoutCols = GraftCatalog.layoutOf(spark, root, cur)
       .map(Layout.parse(_).cols).getOrElse(
         cur.entries.flatMap(e =>
           e.partition.split('=').headOption.filter(_.nonEmpty)).distinct)
@@ -829,7 +853,8 @@ object TxTable {
     val chain = cur.aliases.getOrElse(from, Nil) :+ from
     commit(spark, root, cur.version + 1,
       nullableType(renamed).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, (cur.aliases - from) + (to -> chain))
+      cur.txns, cur.checks, cur.dvs, (cur.aliases - from) + (to -> chain),
+      cur.layout)
   }
 
   /** TYPE WIDENING, metadata-only: change a column to a WIDER type
@@ -873,7 +898,7 @@ object TxTable {
         "(value-preserving upcasts only: integral up-chain, " +
         "float->double, int->double, integral->decimal, decimal " +
         "precision growth at the same scale)")
-    GraftCatalog.readPartitionCol(spark, root).map(Layout.parse).foreach {
+    GraftCatalog.layoutOf(spark, root, cur).map(Layout.parse).foreach {
       case b: Layout.Bucket if b.cols.exists(_.equalsIgnoreCase(name)) =>
         throw new IllegalArgumentException(
           s"widenColumn: $name is a bucket layout column — the hash is " +
@@ -897,7 +922,7 @@ object TxTable {
     }
     commit(spark, root, cur.version + 1,
       nullableType(widened).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, cur.aliases)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -960,7 +985,7 @@ object TxTable {
     val widened = cur.copy(checks = cur.checks + (name -> sql))
     requireChecks(readEntries(spark, root, cur, identity), widened, "addCheck")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, widened.checks, cur.dvs, cur.aliases)
+      cur.txns, widened.checks, cur.dvs, cur.aliases, cur.layout)
   }
 
   /** Remove a CHECK constraint (metadata-only commit). */
@@ -970,7 +995,7 @@ object TxTable {
       s"dropCheck: no constraint named $name " +
         s"(have: ${cur.checks.keys.toSeq.sorted.mkString(", ")})")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks - name, cur.dvs, cur.aliases)
+      cur.txns, cur.checks - name, cur.dvs, cur.aliases, cur.layout)
   }
 
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
@@ -1046,7 +1071,7 @@ object TxTable {
     // inert (their file keys no longer match any live entry), rows
     // for untouched partitions' files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
-      cur.txns, cur.checks, cur.dvs, cur.aliases)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
   }
 
   /** The commit half of a partition-granularity copy-on-write (SQL
@@ -1107,7 +1132,10 @@ object TxTable {
             normalizedDdl(StructType.fromDDL(pinned.schemaDdl)) ==
               normalizedDdl(StructType.fromDDL(cur.schemaDdl)) &&
             pinned.checks == cur.checks &&
-            pinned.dvs == cur.dvs
+            pinned.dvs == cur.dvs &&
+            // a concurrent RE-LAYOUT replaced every group under a new
+            // spec — this commit's files were placed under the old one
+            pinned.layout == cur.layout
         if (!disjoint || attempt >= 3)
           throw new ConcurrentCommitException(cur.version)
       }
@@ -1118,7 +1146,8 @@ object TxTable {
       val kept = cur.entries.filterNot(e => dropPartitions.contains(e.partition))
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
-          kept ++ fresh, cur.txns, cur.checks, cur.dvs, cur.aliases)
+          kept ++ fresh, cur.txns, cur.checks, cur.dvs, cur.aliases,
+          cur.layout)
       } catch {
         // lost the version race itself — loop; the disjointness check
         // re-runs against the new current snapshot
@@ -1148,7 +1177,8 @@ object TxTable {
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns ++ txn, cur.checks, cur.dvs ++ addDvs, cur.aliases)
+      cur.txns ++ txn, cur.checks, cur.dvs ++ addDvs, cur.aliases,
+      cur.layout)
   }
 
   /** Commit a merge-on-read UPDATE: `addDvs` position-deletes mask the
@@ -1172,7 +1202,7 @@ object TxTable {
         identity), cur, op)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
       cur.entries ++ fresh, cur.txns ++ txn, cur.checks,
-      cur.dvs ++ addDvs, cur.aliases)
+      cur.dvs ++ addDvs, cur.aliases, cur.layout)
   }
 
   /** Commit a DV materialization: swap the DV-affected data files for
@@ -1188,7 +1218,7 @@ object TxTable {
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
       cur.entries.filterNot(e => dropRelPaths.contains(e.relPath)) ++ fresh,
-      cur.txns, cur.checks, Nil, cur.aliases)
+      cur.txns, cur.checks, Nil, cur.aliases, cur.layout)
   }
 
   /** Bin-pack compaction — the housekeeping op every manifest table
@@ -1259,7 +1289,7 @@ object TxTable {
     // by the merged read above; their old DV rows go inert with the
     // replaced files, rows for kept files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
-      cur.txns, cur.checks, cur.dvs, cur.aliases)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
   }
 
   /** Whole-table rewrite under the same optimistic-concurrency
@@ -1281,25 +1311,48 @@ object TxTable {
     */
   def rewriteAll(
       spark: SparkSession, root: String,
-      transform: DataFrame => DataFrame, maxRetries: Int = 3): Long = {
+      transform: DataFrame => DataFrame, maxRetries: Int = 3,
+      newLayout: Option[String] = None): Long = {
+    // validate + canonicalize the spec up front ('' = explicitly
+    // unpartitioned) — the manifest stores the rendered form, so
+    // layout equality (rebase guard, specs) is spacing-insensitive
+    val wanted = newLayout.map(_.trim).map {
+      case "" => ""
+      case s => Layout.parse(s) match {
+        case Layout.Identity(c) => c
+        case Layout.Bucket(n, cs) => Layout.bucketSpec(n, cs)
+      }
+    }
     var attempt = 0
     while (true) {
       val cur = requireSnapshot(spark, root)
-      // layout resolution: the catalog's layout file is authoritative
-      // (it alone can say bucket(N,col)); tables written outside the
-      // catalog fall back to recovering an identity column from the
-      // entry strings, as before
-      val partitionCol = GraftCatalog.readPartitionCol(spark, root)
-        .orElse(cur.entries.map(_.partition).find(_.nonEmpty)
+      // layout resolution, most-authoritative first: an explicit
+      // re-layout (`newLayout` — CALL relayout), this version's
+      // manifest-carried spec, the catalog's creation sidecar (it
+      // alone can say bucket(N,col) for pre-tracking tables); tables
+      // written outside the catalog fall back to recovering an
+      // identity column from the entry strings, as before
+      val declared = wanted
+        .orElse(cur.layout)
+        .orElse(GraftCatalog.readPartitionCol(spark, root))
+      val partitionCol = declared match {
+        case Some("") => None // explicitly unpartitioned
+        case Some(spec) => Some(spec)
+        case None => cur.entries.map(_.partition).find(_.nonEmpty)
           .map(_.split("=", 2)(0))
-          .filterNot(_ == Layout.BucketPartName))
+          .filterNot(_ == Layout.BucketPartName)
+      }
       val out = transform(readEntries(spark, root, cur, identity))
       requireSchema(out, cur, "rewriteAll")
       requireChecks(out, cur, "rewriteAll")
       val entries = writeData(out, root, partitionCol)
       try {
+        // the manifest records the DECLARED spec only (never the
+        // heuristic entry-string recovery): a full rewrite places
+        // every row under it, so this version's entries and spec are
+        // consistent by construction — the re-layout commit point
         return commit(spark, root, cur.version + 1, cur.schemaDdl, entries,
-          cur.txns, cur.checks)
+          cur.txns, cur.checks, layout = declared)
       } catch {
         // A rewrite's output may depend on the content it replaced, so
         // a lost race re-runs the WHOLE transform on the fresh snapshot
@@ -1368,7 +1421,7 @@ object TxTable {
     // restore across a merge-on-read delete resurrects exactly the
     // rows that version could see
     commit(spark, root, cur.version + 1, target.schemaDdl, target.entries,
-      cur.txns, target.checks, target.dvs, target.aliases)
+      cur.txns, target.checks, target.dvs, target.aliases, target.layout)
   }
 
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so
@@ -1431,7 +1484,7 @@ object TxTable {
     val dvs = src.dvs.map(d =>
       d.copy(relPath = entryPath(qualifiedSrc, d.relPath)))
     val v = commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns,
-      src.checks, dvs, src.aliases)
+      src.checks, dvs, src.aliases, src.layout)
     registerClone(spark, srcRoot, dstRoot)
     v
   }
