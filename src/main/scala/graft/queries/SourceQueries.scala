@@ -19,7 +19,7 @@ object SourceQueries {
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
     bucketJoin, spjPartial, bucketDml, bucketMc, morDelete, morUpdate,
-    morMerge, morChanges, nullSkipping, sqlMor)
+    morMerge, morChanges, nullSkipping, sqlMor, relayout)
 
   /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
     * the multi-column PK shape of the reference's migration scripts):
@@ -340,6 +340,71 @@ object SourceQueries {
     TxTable.readWhere(s, root, col("maybe_comment").isNull)
       .agg(count(lit(1)).as("n_rows"),
         sum("o_orderkey").cast("bigint").as("key_sum"))
+  }
+
+  /** PARTITION EVOLUTION (`CALL relayout`, [[graft.sources.TxTable
+    * .rewriteAll]]'s `newLayout`): orders lands as bucket(4,
+    * o_orderkey), grows to bucket(16) in ONE commit, then a
+    * bucket-key point DELETE and a scattered modulo UPDATE run over
+    * the NEW layout. The query REQUIREs the evolution contract —
+    * the relayout is one version, the manifest records the new spec
+    * while the pre-relayout version keeps binding its own, the point
+    * DELETE's rewrite touches exactly one of the 16 new groups, and
+    * time travel to the pre-relayout version still reads in full.
+    * The oracle replays both mutations over the raw parquet, so
+    * equality proves the re-placement is lossless and the new
+    * modulus prunes correctly end to end.
+    */
+  val relayout: Q = Q(
+    "q_relayout",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(CASE WHEN o_custkey % 10 = 3
+      |      THEN o_totalprice + 5 ELSE o_totalprice END * 100) AS BIGINT))
+      |    AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE o_orderkey <> 1
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_rel_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gr", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gr.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gr.mart")
+    s.sql("DROP TABLE IF EXISTS gr.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_rel_src")
+    s.sql(
+      """CREATE TABLE gr.mart.orders PARTITIONED BY (bucket(4, o_orderkey))
+        |AS SELECT * FROM graft_rel_src""".stripMargin)
+    val root = s"$wh/mart/orders"
+    import graft.sources.TxTable
+    val vPre = TxTable.currentVersion(s, root).get
+    val nRows = Tables.orders(s, dir).count()
+    s.sql("CALL gr.system.relayout('mart.orders', 'bucket(16, o_orderkey)')")
+    val snap = TxTable.currentSnapshot(s, root).get
+    require(snap.version == vPre + 1 &&
+      snap.layout.contains("bucket(16,o_orderkey)"),
+      s"q_relayout: expected one commit recording the new spec, got " +
+        s"v${snap.version} layout=${snap.layout}")
+    require(TxTable.readVersion(s, root, vPre).count() == nRows,
+      "q_relayout: the pre-relayout version must stay readable in full")
+    val before = snap.entries.map(_.relPath).toSet
+    s.sql("DELETE FROM gr.mart.orders WHERE o_orderkey = 1")
+    val afterDel = TxTable.currentSnapshot(s, root).get
+    val replacedParts = snap.entries
+      .filter(e => !afterDel.entries.map(_.relPath).toSet.contains(e.relPath))
+      .map(_.partition).toSet
+    require(replacedParts.size <= 1,
+      s"q_relayout: a point DELETE after relayout must rewrite at most " +
+        s"one of the 16 new groups, touched: $replacedParts")
+    s.sql(
+      """UPDATE gr.mart.orders SET o_totalprice = o_totalprice + 5
+        |WHERE o_custkey % 10 = 3""".stripMargin)
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM gr.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
   }
 
   /** PLAIN SQL DML under merge-on-read mode
