@@ -93,11 +93,19 @@ object DeltaDml {
     StructField("file_key", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  def mode(spark: SparkSession): String =
-    spark.conf.get(ModeKey, "cow") match {
+  /** The table property holding a PER-TABLE default mode (`ALTER
+    * TABLE … SET TBLPROPERTIES('write.dml.mode'='mor')`); an
+    * explicitly-set session conf overrides it per statement.
+    */
+  val ModeProp = "write.dml.mode"
+
+  def mode(spark: SparkSession, snap: TxTable.Snapshot): String =
+    spark.conf.getOption(ModeKey)
+      .orElse(snap.props.get(ModeProp))
+      .getOrElse("cow") match {
       case m @ ("cow" | "mor") => m
       case other => throw new IllegalArgumentException(
-        s"$ModeKey=$other — valid modes: cow (group-based " +
+        s"$ModeKey/$ModeProp=$other — valid modes: cow (group-based " +
           "copy-on-write rewrite), mor (merge-on-read position " +
           "deletes, write ∝ changed rows)")
     }

@@ -196,7 +196,14 @@ final class GraftCatalog
         s"graft tables support PARTITIONED BY (one identity column or " +
           s"one bucket(N, column...)); got: ${other.mkString(", ")}")
     }
-    TxTable.createEmpty(spark, root.toString, schema, partitionCol)
+    // user TBLPROPERTIES persist in the manifest; Spark's own
+    // bookkeeping keys (provider/location/owner/...) are computed by
+    // the table and never stored
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      Set("provider", "location", "owner", "external", "comment",
+        "option.path", "path").contains(k) || k.startsWith("option.")
+    }
+    TxTable.createEmpty(spark, root.toString, schema, partitionCol, userProps)
     partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root.toString, _))
     new GraftV2Table(root.toString,
       TxTable.currentSnapshot(spark, root.toString).get, partitionCol,
@@ -211,15 +218,20 @@ final class GraftCatalog
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    val setProps = changes.collect { case s: TableChange.SetProperty => s }
+    val unsetProps =
+      changes.collect { case r: TableChange.RemoveProperty => r }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.UpdateColumnType])
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       "graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS / RENAME " +
-        "COLUMN / ALTER COLUMN TYPE (all metadata-only); got: " +
-        other.mkString(", "))
+        "COLUMN / ALTER COLUMN TYPE / SET-UNSET TBLPROPERTIES (all " +
+        "metadata-only); got: " + other.mkString(", "))
     adds.foreach { a =>
       require(a.fieldNames.length == 1,
         s"graft ADD COLUMNS is top-level only: ${a.fieldNames.mkString(".")}")
@@ -245,6 +257,10 @@ final class GraftCatalog
       TxTable.renameColumn(spark, root, r.fieldNames.head, r.newName))
     widens.foreach(u =>
       TxTable.widenColumn(spark, root, u.fieldNames.head, u.newDataType))
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      TxTable.setProperties(spark, root,
+        setProps.map(s => s.property -> s.value).toMap,
+        unsetProps.map(_.property))
     loadTable(ident)
   }
 
@@ -946,7 +962,8 @@ final class GraftV2Table(
       GraftLineageColumn(DeltaDml.PosCol, org.apache.spark.sql.types.LongType))
 
   override def properties(): util.Map[String, String] =
-    (Map("provider" -> "graft", "location" -> root,
+    (snap.props ++ // user TBLPROPERTIES; engine-computed keys win below
+      Map("provider" -> "graft", "location" -> root,
       "version" -> snap.version.toString) ++
       partitionCol.map("partitionCol" -> _) ++
       snap.checks.map { case (n, sql) => s"check.$n" -> sql }).asJava
@@ -1020,7 +1037,7 @@ final class GraftV2Table(
         s"${snap.aliases.keys.mkString(", ")} were renamed metadata-only " +
         "and old data files still carry the historical name — run " +
         "CALL rewrite_table to localize the rename first")
-    DeltaDml.mode(spark) match {
+    DeltaDml.mode(spark, snap) match {
       // merge-on-read: Spark plans the delta-based rewrite
       // (WriteDelta) — position deletes + post-image appends, write
       // ∝ changed rows; existing DVs merge inside the delta scan, so

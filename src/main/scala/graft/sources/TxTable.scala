@@ -94,6 +94,12 @@ object TxTable {
     * with the current spec would mis-prune. `None` falls back to the
     * catalog sidecar (pre-layout-tracking tables, never relayouted).
     */
+  /** `props` are the user-facing TABLE PROPERTIES of this version
+    * (SQL `TBLPROPERTIES` / `ALTER TABLE SET TBLPROPERTIES`),
+    * carried forward by every commit and versioned like everything
+    * else — `write.dml.mode=mor` is the flagship use (per-table
+    * merge-on-read default for SQL DML).
+    */
   final case class Snapshot(
       version: Long, schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
@@ -101,7 +107,8 @@ object TxTable {
       ts: Long = -1L,
       dvs: Seq[DvEntry] = Nil,
       aliases: Map[String, Seq[String]] = Map.empty,
-      layout: Option[String] = None)
+      layout: Option[String] = None,
+      props: Map[String, String] = Map.empty)
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -307,7 +314,15 @@ object TxTable {
       case l if l.startsWith("#layout=") =>
         java.net.URLDecoder.decode(l.stripPrefix("#layout="), "UTF-8")
     }
-    Snapshot(version, ddl, entries, txns, checks, ts, dvs, aliases, layout)
+    // `#prop=<urlenc key>:<urlenc value>` — table properties
+    val props = meta.collect {
+      case l if l.startsWith("#prop=") =>
+        val Array(k, v) = l.stripPrefix("#prop=").split(":", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    Snapshot(version, ddl, entries, txns, checks, ts, dvs, aliases, layout,
+      props)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -509,7 +524,8 @@ object TxTable {
       checks: Map[String, String] = Map.empty,
       dvs: Seq[DvEntry] = Nil,
       aliases: Map[String, Seq[String]] = Map.empty,
-      layout: Option[String] = None): Long = {
+      layout: Option[String] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -568,6 +584,10 @@ object TxTable {
         layout.map(l =>
           s"#layout=${java.net.URLEncoder.encode(l, "UTF-8")}\n")
           .getOrElse("") +
+        props.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"#prop=${java.net.URLEncoder.encode(k, "UTF-8")}:" +
+            s"${java.net.URLEncoder.encode(v, "UTF-8")}\n"
+        }.mkString +
         entries.map(e =>
           s"${e.relPath}\t${e.partition}\t${e.stats}\t${e.size}\n").mkString +
         "#eof\n")
@@ -587,11 +607,39 @@ object TxTable {
     */
   def createEmpty(
       spark: SparkSession, root: String, schema: StructType,
-      layout: Option[String] = None): Long = {
+      layout: Option[String] = None,
+      props: Map[String, String] = Map.empty): Long = {
     requireAbsentOrEmpty(spark, root, "createEmpty")
     commit(spark, root, 0L,
       nullableType(schema).asInstanceOf[StructType].toDDL, Nil,
-      layout = layout)
+      layout = layout, props = props)
+  }
+
+  /** Property keys the engine computes itself — never user-settable
+    * ([[GraftV2Table.properties]] surfaces them read-only).
+    */
+  private val ReservedProps =
+    Set("provider", "location", "version", "partitionCol", "owner",
+      "external", "comment")
+
+  private def requireSettable(keys: Iterable[String], op: String): Unit =
+    keys.foreach { k =>
+      require(!ReservedProps.contains(k) && !k.startsWith("check."),
+        s"$op: property '$k' is engine-computed and read-only")
+    }
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: one metadata-only
+    * commit. Properties are versioned like everything else — time
+    * travel shows each version's own map, and restore reverts it.
+    */
+  def setProperties(
+      spark: SparkSession, root: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    requireSettable(set.keys ++ unset, "setProperties")
+    val cur = requireSnapshot(spark, root)
+    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout,
+      cur.props -- unset ++ set)
   }
 
   /** Refuse to initialize `root` when the path already exists with any
@@ -655,7 +703,7 @@ object TxTable {
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
           cur.entries ++ entries, cur.txns, cur.checks, cur.dvs, cur.aliases,
-          cur.layout)
+          cur.layout, cur.props)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -696,7 +744,7 @@ object TxTable {
       try {
         commit(spark, root, cur.version + 1, cur.schemaDdl,
           cur.entries ++ entries, cur.txns + (txnId -> batchId),
-          cur.checks, cur.dvs, cur.aliases, cur.layout)
+          cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
         return true
       } catch {
         case e: ConcurrentCommitException =>
@@ -749,7 +797,7 @@ object TxTable {
       schema.fields ++ newCols.map(_.copy(nullable = true)))
     commit(spark, root, cur.version + 1,
       nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -793,7 +841,7 @@ object TxTable {
     commit(spark, root, cur.version + 1,
       nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
       cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases -- names,
-      cur.layout)
+      cur.layout, cur.props)
   }
 
   /** RENAME COLUMN, metadata-only: commit a new version whose schema
@@ -854,7 +902,7 @@ object TxTable {
     commit(spark, root, cur.version + 1,
       nullableType(renamed).asInstanceOf[StructType].toDDL, cur.entries,
       cur.txns, cur.checks, cur.dvs, (cur.aliases - from) + (to -> chain),
-      cur.layout)
+      cur.layout, cur.props)
   }
 
   /** TYPE WIDENING, metadata-only: change a column to a WIDER type
@@ -922,7 +970,7 @@ object TxTable {
     }
     commit(spark, root, cur.version + 1,
       nullableType(widened).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -985,7 +1033,7 @@ object TxTable {
     val widened = cur.copy(checks = cur.checks + (name -> sql))
     requireChecks(readEntries(spark, root, cur, identity), widened, "addCheck")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, widened.checks, cur.dvs, cur.aliases, cur.layout)
+      cur.txns, widened.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
   /** Remove a CHECK constraint (metadata-only commit). */
@@ -995,7 +1043,7 @@ object TxTable {
       s"dropCheck: no constraint named $name " +
         s"(have: ${cur.checks.keys.toSeq.sorted.mkString(", ")})")
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks - name, cur.dvs, cur.aliases, cur.layout)
+      cur.txns, cur.checks - name, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
@@ -1071,7 +1119,7 @@ object TxTable {
     // inert (their file keys no longer match any live entry), rows
     // for untouched partitions' files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
-      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
   /** The commit half of a partition-granularity copy-on-write (SQL
@@ -1135,7 +1183,8 @@ object TxTable {
             pinned.dvs == cur.dvs &&
             // a concurrent RE-LAYOUT replaced every group under a new
             // spec — this commit's files were placed under the old one
-            pinned.layout == cur.layout
+            pinned.layout == cur.layout &&
+            pinned.props == cur.props
         if (!disjoint || attempt >= 3)
           throw new ConcurrentCommitException(cur.version)
       }
@@ -1147,7 +1196,7 @@ object TxTable {
       try {
         return commit(spark, root, cur.version + 1, cur.schemaDdl,
           kept ++ fresh, cur.txns, cur.checks, cur.dvs, cur.aliases,
-          cur.layout)
+          cur.layout, cur.props)
       } catch {
         // lost the version race itself — loop; the disjointness check
         // re-runs against the new current snapshot
@@ -1178,7 +1227,7 @@ object TxTable {
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
       cur.txns ++ txn, cur.checks, cur.dvs ++ addDvs, cur.aliases,
-      cur.layout)
+      cur.layout, cur.props)
   }
 
   /** Commit a merge-on-read UPDATE: `addDvs` position-deletes mask the
@@ -1202,7 +1251,7 @@ object TxTable {
         identity), cur, op)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
       cur.entries ++ fresh, cur.txns ++ txn, cur.checks,
-      cur.dvs ++ addDvs, cur.aliases, cur.layout)
+      cur.dvs ++ addDvs, cur.aliases, cur.layout, cur.props)
   }
 
   /** Commit a DV materialization: swap the DV-affected data files for
@@ -1218,7 +1267,7 @@ object TxTable {
       throw new ConcurrentCommitException(cur.version)
     commit(spark, root, cur.version + 1, cur.schemaDdl,
       cur.entries.filterNot(e => dropRelPaths.contains(e.relPath)) ++ fresh,
-      cur.txns, cur.checks, Nil, cur.aliases, cur.layout)
+      cur.txns, cur.checks, Nil, cur.aliases, cur.layout, cur.props)
   }
 
   /** Bin-pack compaction — the housekeeping op every manifest table
@@ -1289,7 +1338,7 @@ object TxTable {
     // by the merged read above; their old DV rows go inert with the
     // replaced files, rows for kept files keep applying
     commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
-      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout)
+      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
   /** Whole-table rewrite under the same optimistic-concurrency
@@ -1352,7 +1401,7 @@ object TxTable {
         // every row under it, so this version's entries and spec are
         // consistent by construction — the re-layout commit point
         return commit(spark, root, cur.version + 1, cur.schemaDdl, entries,
-          cur.txns, cur.checks, layout = declared)
+          cur.txns, cur.checks, layout = declared, props = cur.props)
       } catch {
         // A rewrite's output may depend on the content it replaced, so
         // a lost race re-runs the WHOLE transform on the fresh snapshot
@@ -1421,7 +1470,8 @@ object TxTable {
     // restore across a merge-on-read delete resurrects exactly the
     // rows that version could see
     commit(spark, root, cur.version + 1, target.schemaDdl, target.entries,
-      cur.txns, target.checks, target.dvs, target.aliases, target.layout)
+      cur.txns, target.checks, target.dvs, target.aliases, target.layout,
+      target.props)
   }
 
   /** Crash recovery: delete incomplete (`#eof`-less) manifests so
@@ -1484,7 +1534,7 @@ object TxTable {
     val dvs = src.dvs.map(d =>
       d.copy(relPath = entryPath(qualifiedSrc, d.relPath)))
     val v = commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns,
-      src.checks, dvs, src.aliases, src.layout)
+      src.checks, dvs, src.aliases, src.layout, src.props)
     registerClone(spark, srcRoot, dstRoot)
     v
   }

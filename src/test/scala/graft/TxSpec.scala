@@ -607,7 +607,8 @@ class TxSpec extends SparkSpec {
       m.setAccessible(true)
       try m.invoke(TxTable, spark, root,
         java.lang.Long.valueOf(stale.version + 1), stale.schemaDdl,
-        stale.entries, stale.txns, stale.checks, Nil, Map.empty, None)
+        stale.entries, stale.txns, stale.checks, Nil, Map.empty, None,
+        Map.empty)
       catch {
         case e: java.lang.reflect.InvocationTargetException => throw e.getCause
       }
