@@ -129,6 +129,50 @@ class RelayoutSpec extends SparkSpec {
       == want)
   }
 
+  test("relayouted tables regain the zero-shuffle co-bucketed join") {
+    cat
+    // two bucket(4) tables relayouted to bucket(8): the SPJ contract
+    // must bind to the NEW manifest-carried spec on both sides
+    spark.sql("CREATE TABLE rl.t.j1 (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE rl.t.j2 (k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO rl.t.j1 SELECT id, id * 1.0 FROM range(0, 200)")
+    spark.sql("INSERT INTO rl.t.j2 SELECT id, id * 2.0 FROM range(0, 200)")
+    spark.sql("CALL rl.system.relayout('t.j1', 'bucket(8, k)')")
+    spark.sql("CALL rl.system.relayout('t.j2', 'bucket(8, k)')")
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        """SELECT sum(a.v + b.w) AS s FROM rl.t.j1 a
+          |JOIN rl.t.j2 b ON a.k = b.k""".stripMargin)
+      // the JOIN is shuffle-free; the single global-aggregate
+      // SinglePartition exchange above it is inherent
+      val joins = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+      val below = joins.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      })
+      assert(below.isEmpty,
+        s"post-relayout co-bucketed join must be shuffle-free below " +
+          s"the join:\n${df.queryExecution.executedPlan}")
+      assert(df.as[Double].head() == (0 until 200).map(_ * 3.0).sum)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("relayout refuses bad specs loudly") {
     mk("bad", "bucket(4, k)", rows = 10)
     val e1 = intercept[Exception] {
