@@ -239,8 +239,12 @@ private[sources] final class GraftDeltaScan(
     * right move is localizing the delete debt (CALL materialize /
     * compact), not hauling it through every statement.
     */
-  private def dvByFile(): Map[String, Array[Long]] = {
-    if (snap.dvs.isEmpty) return Map.empty
+  private lazy val dvByFile: Map[String, Array[Long]] = {
+    if (snap.dvs.isEmpty) Map.empty
+    else collectDvs()
+  }
+
+  private def collectDvs(): Map[String, Array[Long]] = {
     val cap = spark.conf.get(DeltaDml.DvCapKey,
       DeltaDml.DvCapDefault.toString).toLong
     val known = snap.dvs.map(d => math.max(d.rows, 0L)).sum
@@ -258,7 +262,7 @@ private[sources] final class GraftDeltaScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dv = dvByFile()
+    val dv = dvByFile // memoized: re-planning must not re-collect
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     entries.map { e =>

@@ -609,6 +609,7 @@ object TxTable {
       spark: SparkSession, root: String, schema: StructType,
       layout: Option[String] = None,
       props: Map[String, String] = Map.empty): Long = {
+    requireSettable(props.keys, "createEmpty")
     requireAbsentOrEmpty(spark, root, "createEmpty")
     commit(spark, root, 0L,
       nullableType(schema).asInstanceOf[StructType].toDDL, Nil,
