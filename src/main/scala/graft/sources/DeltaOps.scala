@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
@@ -134,6 +134,19 @@ private[sources] final class GraftDeltaOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** The layout source columns a runtime filter can prune groups on —
+    * the same policy as [[GraftDeltaScan.filterAttributes]] (identity
+    * column, or a SINGLE bucket column; composite keys cannot bound
+    * the folded hash from one column). [[MorDmlRuntimeFiltering]]
+    * reads this pre-pushdown, before the scan exists.
+    */
+  private[sources] def runtimeFilterCols: Seq[String] =
+    partitionCol.map(Layout.parse) match {
+      case Some(b: Layout.Bucket) if b.cols.length > 1 => Nil
+      case Some(l) => Seq(l.col)
+      case None => Nil
+    }
+
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(DeltaDml.FileCol),
     Expressions.column(DeltaDml.PosCol))
@@ -213,12 +226,23 @@ private[sources] final case class GraftDeltaPartition(
   * snapshot's existing position deletes already skipped — so the DML
   * operates on exactly the VISIBLE rows, and freshly-written delete
   * positions compose with the old ones.
+  *
+  * `SupportsRuntimeV2Filtering` makes the scan a dynamic-pruning
+  * target for Spark's ordinary DPP: a mor MERGE plans a join of this
+  * scan with the source, and when the layout's source column is the
+  * join key, Spark collects the source's distinct key values and
+  * [[filter]] prunes the scanned FILE set to their buckets/partitions
+  * — a trickle merge into a 100 TB table then reads ∝ touched groups
+  * (the delta twin of the CALL-path manifest pruning). Unlike the
+  * copy-on-write scan there is NO replaced-group contract here:
+  * unscanned rows are simply unchanged rows, so pruning is purely
+  * beneficial and over-approximation-safe.
   */
 private[sources] final class GraftDeltaScan(
     spark: SparkSession, root: String, snap: TxTable.Snapshot,
     layout: Option[Layout.Kind], schema: StructType,
     required: StructType, pushed: Array[V2Predicate])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   private val partDt = layout.map(_.partType(schema))
   private val valueCache = mutable.HashMap.empty[String, Any]
@@ -226,8 +250,25 @@ private[sources] final class GraftDeltaScan(
     valueCache.getOrElseUpdate(partition,
       PartitionPredicates.partitionValue(partition, partDt.get))
 
-  private val entries: Seq[TxTable.Entry] =
+  @volatile private var entries: Seq[TxTable.Entry] =
     GroupPrune.prune(layout, schema, snap.entries, pushed, valueOf)
+
+  /** Runtime filtering keys on the layout's SOURCE column — the same
+    * attribute policy as [[GraftCowScan.filterAttributes]] (identity:
+    * bounded by partition count; single-column bucket: the raw key,
+    * skipped when static enumeration already bounded the set;
+    * composite keys: a single column can never bound the folded
+    * hash).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    layout match {
+      case Some(b: Layout.Bucket) if pushed.nonEmpty => Array.empty
+      case Some(b: Layout.Bucket) if b.cols.length > 1 => Array.empty
+      case other => other.map(l => Expressions.column(l.col)).toArray
+    }
+
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    entries = GroupPrune.prune(layout, schema, entries, predicates, valueOf)
 
   override def readSchema(): StructType = required
 

@@ -66,6 +66,19 @@ object GraftColumnBridge {
     case _ => None
   }
 
+  /** The wrapped operation itself — [[graft.sources
+    * .MorDmlRuntimeFiltering]] checks it is the merge-on-read delta
+    * operation before injecting runtime file pruning.
+    */
+  def rowLevelOperationOf(
+      t: org.apache.spark.sql.connector.catalog.Table)
+    : Option[org.apache.spark.sql.connector.write.RowLevelOperation] =
+    t match {
+      case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some(rt.operation)
+      case _ => None
+    }
+
   def withRowLevelOperationInner(
       t: org.apache.spark.sql.connector.catalog.Table,
       inner: org.apache.spark.sql.connector.catalog.Table)

@@ -218,6 +218,40 @@ class DeltaDmlSpec extends SparkSpec {
       s"default DELETE must stay group-based copy-on-write:\n$cowPlan")
   }
 
+  test("mor MERGE target scan is a dynamic-pruning target on the bucket key") {
+    val root = mkBucketTable("dpp", rows = 400)
+    Seq((7L, "x", 1.0), (13L, "y", 2.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("dpp_src")
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" ->
+        "false",
+      "spark.graft.dml.mode" -> "mor")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = spark.sql(
+        """EXPLAIN EXTENDED MERGE INTO gd.m.dpp t USING dpp_src s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+        .head().getString(0)
+      assert(plan.contains("dynamicpruning"),
+        s"mor MERGE must plan runtime file pruning on the bucket key:\n" +
+          plan.linesIterator.filter(_.contains("GraftDeltaScan"))
+            .mkString("\n"))
+      // and the merge itself stays correct under pruning
+      spark.sql(
+        """MERGE INTO gd.m.dpp t USING dpp_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      assert(spark.sql("SELECT v FROM gd.m.dpp WHERE k = 7")
+        .as[Double].head() == 1.0)
+      assert(spark.sql("SELECT count(*) FROM gd.m.dpp").as[Long].head()
+        == 400L)
+    } finally {
+      spark.conf.unset("spark.graft.dml.mode")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("mor DML stays correct after CALL compact localizes the delete debt") {
     val root = mkBucketTable("loc")
     withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 3 = 0") }
