@@ -126,7 +126,16 @@ object ScaleRehearsal {
     // partiallyClusteredDistribution, which keeps the hot bucket's
     // files as separate tasks and replicates the dim's matching
     // groups. The pair's wall-clock gap IS the straggler measurement.
-    "x_skew_spj_full", "x_skew_spj_partial")
+    "x_skew_spj_full", "x_skew_spj_partial",
+    // fourth session: SQL merge-on-read TRICKLE — a constant-size
+    // (~64-key) CDC batch merged into a bucket(256) orders table.
+    // `full` disables the injected runtime file filter
+    // (spark.graft.dml.morRuntimeFiltering=false → the delta scan
+    // reads the whole table); `pruned` keeps it (the source's
+    // distinct keys prune the scan to ≤64 of 256 buckets at the
+    // manifest). The pair's gap IS the MorDmlRuntimeFiltering
+    // measurement, and it must WIDEN with table size.
+    "x_mor_trickle_full", "x_mor_trickle_pruned")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
@@ -136,7 +145,8 @@ object ScaleRehearsal {
     "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
     "q_mor_update", "q_mor_merge", "q_spj_partial", "q_dedup_clusters",
     "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
-    "x_sql_merge", "x_sql_mor")
+    "x_sql_merge", "x_sql_mor",
+    "x_mor_trickle_full", "x_mor_trickle_pruned")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
@@ -237,6 +247,8 @@ object ScaleRehearsal {
     },
     "x_skew_spj_full" -> (skewSpj(partial = false)(_, _)),
     "x_skew_spj_partial" -> (skewSpj(partial = true)(_, _)),
+    "x_mor_trickle_full" -> (morTrickle(pruned = false)(_, _)),
+    "x_mor_trickle_pruned" -> (morTrickle(pruned = true)(_, _)),
     // merge-on-read CDC apply probed by a scattered replay batch:
     // snapshot = full-log latest-per-key state in a bucket(16) table;
     // the batch updates 1/5 of the LIVE keys and tombstones another
@@ -362,6 +374,69 @@ object ScaleRehearsal {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }
+  }
+
+  /** SQL merge-on-read trickle pair: a CONSTANT ~64-key CDC batch
+    * merged (mode=mor) into a bucket(256, o_orderkey) orders table —
+    * the batch keys live in [1, 600000], the sf0.1 key domain every
+    * scaled tier contains, so the batch stays fixed while the table
+    * grows. `pruned` keeps [[graft.sources.MorDmlRuntimeFiltering]]'s
+    * injected runtime file filter (the scan reads ≤64 of 256
+    * buckets); `full` disables it (whole-table scan). Each run merges
+    * into a fresh zero-copy CLONE of a built-once master, so the
+    * master stays byte-identical across passes and variants and the
+    * timed work is exactly clone (metadata) + merge. The returned
+    * frame is a 1-row literal — the merge cost is the measurement,
+    * not a table re-read.
+    */
+  private val trickleKeys = scala.collection.mutable.Map.empty[String, Seq[Long]]
+  private var trickleRun = 0
+
+  private[graft] def morTrickle(pruned: Boolean)(
+      s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.zt", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.zt.warehouse", "target/tmp/graft_wh_trk")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS zt.mart")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!trickleKeys.contains(dir)) {
+      s.sql(s"DROP TABLE IF EXISTS zt.mart.orders_$tag")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("zt_src")
+      s.sql(
+        s"""CREATE TABLE zt.mart.orders_$tag
+           |PARTITIONED BY (bucket(256, o_orderkey))
+           |AS SELECT * FROM zt_src""".stripMargin)
+      // the batch keys, collected ONCE per dir — the per-run source
+      // is a literal VALUES relation, so neither variant pays a
+      // table-sized source scan that would mask the pruning gap
+      trickleKeys(dir) = s.sql(
+        """SELECT o_orderkey FROM zt_src
+          |WHERE o_orderkey BETWEEN 1 AND 600000
+          |  AND o_orderkey % 9391 = 1""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    import s.implicits._
+    trickleKeys(dir).map(k => (k, 99.0)).toDF("k", "np")
+      .createOrReplaceTempView("zt_trickle")
+    trickleRun += 1
+    val target = s"orders_${tag}_run$trickleRun"
+    s.sql(s"CALL zt.system.clone('mart.orders_$tag', 'mart.$target')")
+    val confs = Seq(
+      "spark.graft.dml.mode" -> "mor",
+      "spark.graft.dml.morRuntimeFiltering" -> pruned.toString)
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      s.sql(
+        s"""MERGE INTO zt.mart.$target t USING zt_trickle src
+           |ON t.o_orderkey = src.k
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = src.np"""
+          .stripMargin)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    import s.implicits._
+    Seq(1).toDF("ok")
   }
 
   private def queryOf(name: String): (SparkSession, String) => DataFrame =
