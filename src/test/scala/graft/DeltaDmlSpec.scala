@@ -252,6 +252,66 @@ class DeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("randomized DML sequences agree between cow and mor modes") {
+    cat
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val names = Seq(s"rzc$seed", s"rzm$seed")
+      names.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS gd.m.$n")
+        spark.sql(s"CREATE TABLE gd.m.$n (k BIGINT, p STRING, v DOUBLE) " +
+          "PARTITIONED BY (bucket(8, k))")
+        (1 to 200).map(j => (j.toLong, s"p${j % 5}", j * 1.0))
+          .toDF("k", "p", "v").writeTo(s"gd.m.$n").append()
+      }
+      val ops = (1 to 6).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val m = 2 + rnd.nextInt(9)
+            val r = rnd.nextInt(m)
+            val x = rnd.nextInt(100) // hoisted: the closure replays
+            (t: String) => spark.sql(s"DELETE FROM gd.m.$t " +
+              s"WHERE k % $m = $r AND k > $x")
+          case 1 =>
+            val m = 2 + rnd.nextInt(9)
+            val r = rnd.nextInt(m)
+            val f = 1 + rnd.nextInt(5)
+            (t: String) => spark.sql(s"UPDATE gd.m.$t " +
+              s"SET v = v * $f + k, p = concat(p, '$f') WHERE k % $m = $r")
+          case 2 =>
+            val lo = 1 + rnd.nextInt(150)
+            val hi = lo + 30 + rnd.nextInt(100)
+            val shift = rnd.nextInt(2) * 1000
+            (t: String) => {
+              spark.sql(
+                s"""SELECT CAST(id + $shift AS BIGINT) AS k,
+                   |  concat('s', id % 3) AS p, CAST(id AS DOUBLE) / 7 AS v
+                   |FROM range($lo, $hi)""".stripMargin)
+                .createOrReplaceTempView("rz_src")
+              spark.sql(
+                s"""MERGE INTO gd.m.$t t USING rz_src s ON t.k = s.k
+                   |WHEN MATCHED AND s.v < 10 THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET v = s.v, p = s.p
+                   |WHEN NOT MATCHED THEN INSERT (k, p, v)
+                   |  VALUES (s.k, s.p, s.v)""".stripMargin)
+            }
+        }
+      }
+      ops.foreach(op => op(names.head))          // default: copy-on-write
+      withMor { ops.foreach(op => op(names(1))) } // merge-on-read
+      val cow = spark.sql(s"SELECT * FROM gd.m.${names.head}")
+        .collect().map(_.toString).sorted.toSeq
+      val mor = spark.sql(s"SELECT * FROM gd.m.${names(1)}")
+        .collect().map(_.toString).sorted.toSeq
+      assert(cow == mor,
+        s"seed $seed: cow and mor diverged (${cow.size} vs ${mor.size} " +
+          s"rows; first diff: ${cow.zip(mor).find(p => p._1 != p._2)})")
+      // and the mor table actually took the delta path somewhere
+      val morSnap = TxTable.currentSnapshot(spark, s"$wh/m/${names(1)}").get
+      assert(morSnap.dvs.nonEmpty || morSnap.version >= 1)
+    }
+  }
+
   test("mor DML stays correct after CALL compact localizes the delete debt") {
     val root = mkBucketTable("loc")
     withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 3 = 0") }
