@@ -938,7 +938,13 @@ final class GraftV2Table(
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // `MERGE WITH SCHEMA EVOLUTION`: Spark resolves the source-only
+      // columns into ADD COLUMNS TableChanges and routes them through
+      // [[GraftCatalog.alterTable]] (metadata-only, nullable) before
+      // rewriting the merge — the SQL twin of `CALL merge_into`'s
+      // evolve_schema flag; old files read the new column as NULL
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def partitioning(): Array[Transform] = layout.map {
     case Layout.Identity(c) => Expressions.identity(c)

@@ -252,6 +252,37 @@ class DeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns in both modes") {
+    for ((name, mor) <- Seq(("evoc", false), ("evom", true))) {
+      val root = mkBucketTable(name, rows = 20)
+      Seq((2L, "x", 20.0, "n2"), (25L, "y", 250.0, "n25"))
+        .toDF("k", "p", "v", "note").createOrReplaceTempView("evo_src")
+      val before = entryPaths(root)
+      def merge(): Unit = spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO gd.m.$name t
+           |USING evo_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      if (mor) withMor { merge() } else merge()
+      val snap = TxTable.currentSnapshot(spark, root).get
+      assert(snap.schemaDdl.contains("note"),
+        s"schema must evolve additively, got ${snap.schemaDdl}")
+      // pre-evolution rows read the new column as NULL; merged rows
+      // carry it
+      assert(spark.sql(s"SELECT note FROM gd.m.$name WHERE k = 1")
+        .collect().head.isNullAt(0))
+      assert(spark.sql(s"SELECT note FROM gd.m.$name WHERE k = 25")
+        .collect().head.getString(0) == "n25")
+      assert(spark.sql(s"SELECT count(*) FROM gd.m.$name")
+        .as[Long].head() == 21L)
+      if (mor) {
+        assert(before.subsetOf(snap.entries.map(_.relPath).toSet),
+          "mor evolution keeps original files byte-identical")
+        assert(snap.dvs.map(_.rows).sum == 1L, "one old image masked")
+      }
+    }
+  }
+
   test("randomized DML sequences agree between cow and mor modes") {
     cat
     for (seed <- 1 to 3) {
