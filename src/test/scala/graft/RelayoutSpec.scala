@@ -185,6 +185,24 @@ class RelayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("unsupported bucket column type"))
   }
 
+  test("CDF across a relayout version is empty (pure re-placement)") {
+    val root = mk("cdf", "bucket(4, k)")
+    val vPre = TxTable.currentVersion(spark, root).get
+    spark.sql("CALL rl.system.relayout('t.cdf', 'bucket(16, k)')")
+    // every file was swapped, but every ROW is identical — the
+    // change feed's identical-value reconciliation must net to zero
+    val delta = graft.sources.ChangeFeed.between(
+      spark, root, vPre, vPre + 1, Seq("k"))
+    assert(delta.count() == 0L,
+      "a relayout must not surface row changes downstream")
+    // ...while a real change after the relayout still surfaces
+    spark.sql("DELETE FROM rl.t.cdf WHERE k = 42")
+    val d2 = graft.sources.ChangeFeed.between(
+      spark, root, vPre + 1, vPre + 2, Seq("k"))
+    assert(d2.select("k", "_op").collect().map(_.toString).toSeq ==
+      Seq("[42,delete]"))
+  }
+
   test("clone of a relayouted table keeps the new layout") {
     val root = mk("cl", "bucket(4, k)", rows = 20)
     spark.sql("CALL rl.system.relayout('t.cl', 'bucket(16, k)')")
