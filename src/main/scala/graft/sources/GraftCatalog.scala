@@ -91,6 +91,30 @@ final class GraftCatalog
 
   override def name(): String = catalogName
 
+  /** SQL CHECK constraints are first-class: `CREATE TABLE … CHECK` and
+    * `ALTER TABLE ADD/DROP CONSTRAINT` route into the engine's own
+    * versioned CHECK map ([[TxTable.addCheck]] — validated against
+    * existing rows at add time, enforced by every data-writing
+    * commit). PRIMARY KEY / UNIQUE / FOREIGN KEY refuse loudly
+    * (nothing in the engine enforces them; storing them as
+    * decoration would lie to the optimizer).
+    */
+  override def capabilities()
+    : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  private def checkOf(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+    : (String, String) = c match {
+    case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      require(chk.predicateSql != null && chk.predicateSql.nonEmpty,
+        s"CHECK constraint ${chk.name} carries no SQL predicate")
+      chk.name -> chk.predicateSql
+    case other => throw new UnsupportedOperationException(
+      s"graft tables support CHECK constraints only; got: $other")
+  }
+
   private val SegmentRe = "[A-Za-z0-9_.-]+".r
 
   private def checkSegments(parts: Seq[String]): Unit = parts.foreach { s =>
@@ -210,6 +234,22 @@ final class GraftCatalog
       timeTravel = false)
   }
 
+  /** CREATE TABLE with inline CONSTRAINT clauses (the TableInfo shape
+    * Spark 4 routes constraint-bearing DDL through): create, then
+    * commit each CHECK into the versioned constraint map.
+    */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints().toSeq.map(checkOf) // refuse non-CHECK first
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    checks.foreach { case (n, sql) =>
+      TxTable.addCheck(spark, rootOf(ident).toString, n, sql)
+    }
+    if (checks.isEmpty) t else loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident).toString
     if (TxTable.currentVersion(spark, root).isEmpty)
@@ -221,17 +261,22 @@ final class GraftCatalog
     val setProps = changes.collect { case s: TableChange.SetProperty => s }
     val unsetProps =
       changes.collect { case r: TableChange.RemoveProperty => r }
+    val addCons = changes.collect { case a: TableChange.AddConstraint => a }
+    val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       "graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS / RENAME " +
-        "COLUMN / ALTER COLUMN TYPE / SET-UNSET TBLPROPERTIES (all " +
-        "metadata-only); got: " + other.mkString(", "))
+        "COLUMN / ALTER COLUMN TYPE / SET-UNSET TBLPROPERTIES / " +
+        "ADD-DROP CONSTRAINT CHECK (all metadata-only); got: " +
+        other.mkString(", "))
     adds.foreach { a =>
       require(a.fieldNames.length == 1,
         s"graft ADD COLUMNS is top-level only: ${a.fieldNames.mkString(".")}")
@@ -261,6 +306,14 @@ final class GraftCatalog
       TxTable.setProperties(spark, root,
         setProps.map(s => s.property -> s.value).toMap,
         unsetProps.map(_.property))
+    addCons.foreach { a =>
+      val (n, sql) = checkOf(a.constraint())
+      TxTable.addCheck(spark, root, n, sql)
+    }
+    dropCons.foreach { d =>
+      val have = TxTable.requireSnapshot(spark, root).checks.contains(d.name)
+      if (have || !d.ifExists) TxTable.dropCheck(spark, root, d.name)
+    }
     loadTable(ident)
   }
 
@@ -966,6 +1019,22 @@ final class GraftV2Table(
     else Array(
       GraftLineageColumn(DeltaDml.FileCol, org.apache.spark.sql.types.StringType),
       GraftLineageColumn(DeltaDml.PosCol, org.apache.spark.sql.types.LongType))
+
+  /** The versioned CHECK map as first-class SQL constraints —
+    * DESCRIBE shows them, and ALTER TABLE ADD/DROP CONSTRAINT rides
+    * [[TxTable.addCheck]]/[[TxTable.dropCheck]]. Reported VALID:
+    * addCheck validated existing rows when the constraint landed, and
+    * every data-writing commit enforces since.
+    */
+  override def constraints()
+    : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def properties(): util.Map[String, String] =
     (snap.props ++ // user TBLPROPERTIES; engine-computed keys win below
