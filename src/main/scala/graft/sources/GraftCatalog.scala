@@ -845,7 +845,9 @@ private[sources] object GraftProcedures {
         StructField("bytes_added", LongType, false),
         StructField("txns", StringType, true),
         StructField("checks", StringType, true),
-        StructField("ts_millis", LongType, false))),
+        StructField("ts_millis", LongType, false),
+        StructField("layout", StringType, true),
+        StructField("props", StringType, true))),
       (cat, r) =>
         TxTable.history(spark, cat.tableRoot(str(r, 0)))
           .collect().toSeq.map(_.toSeq)),

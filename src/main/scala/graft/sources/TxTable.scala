@@ -250,10 +250,15 @@ object TxTable {
         added.size.toLong, added.map(e => math.max(e.size, 0L)).sum,
         s.txns.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
         s.checks.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
-        s.ts)
+        s.ts,
+        // the manifest-RECORDED spec (null = pre-layout-tracking:
+        // the creation sidecar applies; a relayout is visible as the
+        // version where this flips)
+        s.layout.orNull,
+        s.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
     }
     rows.toDF("version", "files", "bytes", "files_added", "bytes_added",
-      "txns", "checks", "ts_millis")
+      "txns", "checks", "ts_millis", "layout", "props")
   }
 
   private def parseManifest(version: Long, text: String, root: String): Snapshot = {
