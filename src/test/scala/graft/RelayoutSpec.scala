@@ -185,6 +185,24 @@ class RelayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("unsupported bucket column type"))
   }
 
+  test("relayout over outstanding deletion vectors materializes them") {
+    val root = mk("dv", "bucket(4, k)")
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try spark.sql("DELETE FROM rl.t.dv WHERE k % 5 = 0")
+    finally spark.conf.unset("spark.graft.dml.mode")
+    val vDel = TxTable.currentVersion(spark, root).get
+    assert(TxTable.currentSnapshot(spark, root).get.dvs.nonEmpty)
+    spark.sql("CALL rl.system.relayout('t.dv', 'bucket(16, k)')")
+    val snap = TxTable.currentSnapshot(spark, root).get
+    // the rewrite read through the delete set, so the new layout's
+    // files carry only visible rows and the DV metadata clears
+    assert(snap.dvs.isEmpty, "relayout must materialize the delete set")
+    assert(spark.sql("SELECT k FROM rl.t.dv").as[Long].collect().toSet ==
+      (1L to 100L).filterNot(_ % 5 == 0).toSet)
+    // time travel to the DV-bearing version still merges its deletes
+    assert(TxTable.readVersion(spark, root, vDel).count() == 80L)
+  }
+
   test("CDF across a relayout version is empty (pure re-placement)") {
     val root = mk("cdf", "bucket(4, k)")
     val vPre = TxTable.currentVersion(spark, root).get
