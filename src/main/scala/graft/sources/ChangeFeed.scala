@@ -48,7 +48,7 @@ object ChangeFeed {
     require(keys.nonEmpty, "changeFeed: no key columns given")
     val from = TxTable.snapshot(spark, root, fromVersion)
     val to = TxTable.snapshot(spark, root, toVersion)
-    val schema = StructType.fromDDL(to.schemaDdl)
+    val schema = to.schema
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"changeFeed: key column $k not in table schema"))
 

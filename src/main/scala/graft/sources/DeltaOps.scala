@@ -161,7 +161,7 @@ private[sources] final class GraftDeltaOperation(
     // lineage) must be the table's own — same guard as the CoW leg
     if (info.schema().nonEmpty) {
       val declared = TxTable.normalizedDdl(info.schema())
-      val stored = TxTable.normalizedDdl(StructType.fromDDL(snap.schemaDdl))
+      val stored = TxTable.normalizedDdl(snap.schema)
       require(declared == stored,
         s"row-level $cmd (mor): schema mismatch — table declares " +
           s"[$stored] but the rewrite produces [$declared]")
@@ -188,7 +188,7 @@ private[sources] final class GraftDeltaScanBuilder(
   extends ScanBuilder
   with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
 
-  private val schema = StructType.fromDDL(snap.schemaDdl)
+  private val schema = snap.schema
   private val layout = partitionCol.map(Layout.parse)
   private val lineageFields = Seq(
     StructField(DeltaDml.FileCol, StringType, nullable = false),
@@ -433,7 +433,7 @@ private[sources] final class GraftDeltaBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val schema = StructType.fromDDL(snap.schemaDdl)
+    val schema = snap.schema
     val (conf, codecName, tz) = TaskParquet.prepare(spark, schema)
     new GraftDeltaWriterFactory(conf, root, relDir, dvRel,
       snap.schemaDdl, partitionCol, codecName, tz)

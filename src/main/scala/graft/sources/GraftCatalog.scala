@@ -99,10 +99,19 @@ final class GraftCatalog
     * (nothing in the engine enforces them; storing them as
     * decoration would lie to the optimizer).
     */
+  /** Column DEFAULT values ride the manifest's metadata-capable
+    * schema form (`#schemaJson=` — the DDL string cannot carry
+    * them): CREATE TABLE stores the default expressions as Spark's
+    * own StructField metadata, and INSERTs with missing columns
+    * resolve them from the reported schema.
+    */
   override def capabilities()
     : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def checkOf(
       c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
@@ -263,6 +272,8 @@ final class GraftCatalog
       changes.collect { case r: TableChange.RemoveProperty => r }
     val addCons = changes.collect { case a: TableChange.AddConstraint => a }
     val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
+    val defaults =
+      changes.collect { case u: TableChange.UpdateColumnDefaultValue => u }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
@@ -271,12 +282,13 @@ final class GraftCatalog
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddConstraint] ||
-        c.isInstanceOf[TableChange.DropConstraint])
+        c.isInstanceOf[TableChange.DropConstraint] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       "graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS / RENAME " +
-        "COLUMN / ALTER COLUMN TYPE / SET-UNSET TBLPROPERTIES / " +
-        "ADD-DROP CONSTRAINT CHECK (all metadata-only); got: " +
-        other.mkString(", "))
+        "COLUMN / ALTER COLUMN TYPE / SET-DROP DEFAULT / SET-UNSET " +
+        "TBLPROPERTIES / ADD-DROP CONSTRAINT CHECK (all metadata-only); " +
+        "got: " + other.mkString(", "))
     adds.foreach { a =>
       require(a.fieldNames.length == 1,
         s"graft ADD COLUMNS is top-level only: ${a.fieldNames.mkString(".")}")
@@ -313,6 +325,12 @@ final class GraftCatalog
     dropCons.foreach { d =>
       val have = TxTable.requireSnapshot(spark, root).checks.contains(d.name)
       if (have || !d.ifExists) TxTable.dropCheck(spark, root, d.name)
+    }
+    defaults.foreach { u =>
+      require(u.fieldNames.length == 1,
+        "graft ALTER COLUMN DEFAULT is top-level only")
+      TxTable.setColumnDefault(spark, root, u.fieldNames.head,
+        Option(u.newDefaultValue()).filter(_.nonEmpty))
     }
     loadTable(ident)
   }
@@ -987,7 +1005,7 @@ final class GraftV2Table(
   override def name(): String = s"graft.`$root`" +
     (if (timeTravel) s"@v${snap.version}" else "")
 
-  override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+  override def schema(): StructType = snap.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -1199,7 +1217,7 @@ final class GraftV2Table(
 private[graft] final class GraftPartitioningIndex(
     spark: SparkSession, root: String, snap: TxTable.Snapshot)
   extends PartitioningAwareFileIndex(
-    spark, Map.empty, Some(StructType.fromDDL(snap.schemaDdl))) {
+    spark, Map.empty, Some(snap.schema)) {
 
   private[graft] val delegate = new GraftFileIndex(spark, root, snap)
 

@@ -43,7 +43,7 @@ final class GraftFileIndex(
     spark: SparkSession, val root: String, val snapshot: TxTable.Snapshot)
     extends FileIndex {
 
-  private val schema = StructType.fromDDL(snapshot.schemaDdl)
+  private val schema = snapshot.schema
 
   // layout spec (catalog tables persist it next to the manifest):
   // bucket layouts get manifest-level GROUP pruning for key-equality

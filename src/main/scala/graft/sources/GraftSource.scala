@@ -70,7 +70,7 @@ final class GraftSource
       throw new IllegalStateException(
         s"no committed graft table under $root — the streaming source " +
           "needs an existing table to pin its schema"))
-    val table = StructType.fromDDL(snap.schemaDdl)
+    val table = snap.schema
     val out =
       if (cdfMode(parameters))
         StructType(table.fields :+
@@ -201,7 +201,7 @@ final class GraftSource
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, snap),
       partitionSchema = StructType(Nil),
-      dataSchema = StructType.fromDDL(snap.schemaDdl),
+      dataSchema = snap.schema,
       bucketSpec = None,
       fileFormat = new GraftSource.ReadOnlyParquet(),
       options = Map.empty)(spark)

@@ -52,7 +52,7 @@ private[graft] object KeyedLayout {
       case _ => ()
     }
 
-    val schema = StructType.fromDDL(snap.schemaDdl)
+    val schema = snap.schema
     val kind = Layout.parse(layoutSpec)
     // partition value type: the column's for identity, the bucket id
     // (int) for buckets — in both cases what the reported transform

@@ -145,7 +145,7 @@ object MergeOnRead {
   private[sources] def mergedRead(
       spark: SparkSession, root: String, snap: TxTable.Snapshot,
       entries: Seq[TxTable.Entry]): DataFrame = {
-    val schema = StructType.fromDDL(snap.schemaDdl)
+    val schema = snap.schema
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -162,7 +162,7 @@ object MergeOnRead {
   private[sources] def mergedRowsAt(
       spark: SparkSession, root: String, snap: TxTable.Snapshot,
       entries: Seq[TxTable.Entry], posDf: DataFrame): DataFrame = {
-    val schema = StructType.fromDDL(snap.schemaDdl)
+    val schema = snap.schema
     val base = spark.read.schema(extendedSchema(schema, snap.aliases))
       .parquet(entries.map(e => TxTable.entryPath(root, e.relPath)): _*)
     aliasProject(rowsAt(base, posDf), schema, snap.aliases)
@@ -203,7 +203,7 @@ object MergeOnRead {
   private def visibleWithPos(
       spark: SparkSession, root: String, cur: TxTable.Snapshot,
       entries: Seq[TxTable.Entry]): DataFrame = {
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -399,7 +399,7 @@ object MergeOnRead {
     while (true) {
       val cur = TxTable.requireSnapshot(spark, root)
       if (cur.entries.isEmpty) return (cur.version, 0L)
-      val schema = StructType.fromDDL(cur.schemaDdl)
+      val schema = cur.schema
       sets.foreach { case (n, _) =>
         require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
           s"updateWhere: no such column $n (table has " +
@@ -514,7 +514,7 @@ object MergeOnRead {
     var attempt = 0
     while (true) {
       var cur = TxTable.requireSnapshot(spark, root)
-      var schema = StructType.fromDDL(cur.schemaDdl)
+      var schema = cur.schema
       // exactly-once replay guard (the txnAppend watermark contract):
       // a batch at or below the recorded watermark already applied in
       // full — its commit and the watermark advanced atomically
@@ -529,7 +529,7 @@ object MergeOnRead {
         var pending = true
         while (pending) {
           cur = TxTable.requireSnapshot(spark, root)
-          schema = StructType.fromDDL(cur.schemaDdl)
+          schema = cur.schema
           val extra = source.schema.fields.filterNot(f =>
             schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           if (extra.isEmpty) pending = false
@@ -660,7 +660,7 @@ object MergeOnRead {
     while (true) {
       val cur = TxTable.requireSnapshot(spark, root)
       if (cur.dvs.isEmpty) return cur.version
-      val schema = StructType.fromDDL(cur.schemaDdl)
+      val schema = cur.schema
       // distinct file keys in the delete set — bounded by live file
       // count (manifest scale), not by deleted rows
       val keys = dvFrame(spark, root, cur.dvs)

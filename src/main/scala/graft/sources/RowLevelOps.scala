@@ -482,7 +482,7 @@ private[sources] final class GraftCowScanBuilder(
     partitionCol: Option[String], onBuild: GraftCowScan => Unit)
   extends ScanBuilder with SupportsPushDownV2Filters {
 
-  private val schema = StructType.fromDDL(snap.schemaDdl)
+  private val schema = snap.schema
   private var pushed: Array[V2Predicate] = Array.empty
 
   /** Group selection only: interpretable partition-column conjuncts
@@ -898,7 +898,7 @@ private[sources] final class GraftRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val declared = TxTable.normalizedDdl(info.schema())
-    val stored = TxTable.normalizedDdl(StructType.fromDDL(snap.schemaDdl))
+    val stored = TxTable.normalizedDdl(snap.schema)
     require(declared == stored,
       s"row-level $cmd: schema mismatch — table declares [$stored] " +
         s"but the rewrite produces [$declared]")

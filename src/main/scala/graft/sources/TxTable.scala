@@ -100,6 +100,13 @@ object TxTable {
     * else — `write.dml.mode=mor` is the flagship use (per-table
     * merge-on-read default for SQL DML).
     */
+  /** `schemaJson` is the schema's FULL representation (Spark's
+    * StructType JSON — carries per-field METADATA the DDL string
+    * cannot: column DEFAULT expressions, comments), written alongside
+    * the DDL since round 8's fourth session. Readers prefer it;
+    * `schemaDdl` stays authoritative for pre-JSON manifests and
+    * remains the human-readable/equality form.
+    */
   final case class Snapshot(
       version: Long, schemaDdl: String, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
@@ -108,7 +115,30 @@ object TxTable {
       dvs: Seq[DvEntry] = Nil,
       aliases: Map[String, Seq[String]] = Map.empty,
       layout: Option[String] = None,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      schemaJson: Option[String] = None) {
+
+    /** The declared schema, metadata included when available. */
+    lazy val schema: StructType = schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(StructType.fromDDL(schemaDdl))
+
+    def schemaRep: SchemaRep = SchemaRep(schemaDdl, schemaJson)
+  }
+
+  /** A schema in both persisted forms — what every commit writes.
+    * Build via [[SchemaRep.of]] so the two stay consistent
+    * (nullability-normalized, metadata preserved in the JSON).
+    */
+  final case class SchemaRep(ddl: String, json: Option[String])
+
+  object SchemaRep {
+    def of(schema: StructType): SchemaRep = {
+      val n = nullableType(schema).asInstanceOf[StructType]
+      SchemaRep(n.toDDL, Some(n.json))
+    }
+  }
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(
@@ -326,8 +356,13 @@ object TxTable {
         java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
+    // `#schemaJson=<urlenc json>` — metadata-capable schema form
+    val schemaJson = meta.collectFirst {
+      case l if l.startsWith("#schemaJson=") =>
+        java.net.URLDecoder.decode(l.stripPrefix("#schemaJson="), "UTF-8")
+    }
     Snapshot(version, ddl, entries, txns, checks, ts, dvs, aliases, layout,
-      props)
+      props, schemaJson)
   }
 
   /** Parse one committed manifest. Refuses a manifest without its
@@ -405,7 +440,7 @@ object TxTable {
   private[graft] def statsPrune(
       spark: SparkSession, s: Snapshot,
       cond: org.apache.spark.sql.Column): Seq[Entry] = {
-    val schema = StructType.fromDDL(s.schemaDdl)
+    val schema = s.schema
     val norm = FileStats.normalize(spark, schema, cond)
     s.entries.filterNot(e => FileStats.provesEmpty(norm, schema, e.stats))
   }
@@ -524,13 +559,14 @@ object TxTable {
     */
   private def commit(
       spark: SparkSession, root: String, next: Long,
-      schemaDdl: String, entries: Seq[Entry],
+      schema: SchemaRep, entries: Seq[Entry],
       txns: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
       dvs: Seq[DvEntry] = Nil,
       aliases: Map[String, Seq[String]] = Map.empty,
       layout: Option[String] = None,
       props: Map[String, String] = Map.empty): Long = {
+    val schemaDdl = schema.ddl
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val finalP = new Path(manifestDir(root), s"v$next.manifest")
@@ -566,6 +602,9 @@ object TxTable {
       }
     try os.write(
       (s"#schema=$schemaDdl\n" +
+        schema.json.map(j =>
+          s"#schemaJson=${java.net.URLEncoder.encode(j, "UTF-8")}\n")
+          .getOrElse("") +
         // commit wall-clock (millis) — read-side TIMESTAMP AS OF
         // resolution makes these monotone (see versionAt), so writer
         // clock skew degrades to version granularity, never to a
@@ -616,8 +655,7 @@ object TxTable {
       props: Map[String, String] = Map.empty): Long = {
     requireSettable(props.keys, "createEmpty")
     requireAbsentOrEmpty(spark, root, "createEmpty")
-    commit(spark, root, 0L,
-      nullableType(schema).asInstanceOf[StructType].toDDL, Nil,
+    commit(spark, root, 0L, SchemaRep.of(schema), Nil,
       layout = layout, props = props)
   }
 
@@ -634,6 +672,42 @@ object TxTable {
         s"$op: property '$k' is engine-computed and read-only")
     }
 
+  /** `ALTER TABLE … ALTER COLUMN c SET/DROP DEFAULT`: one
+    * metadata-only commit updating the field's CURRENT_DEFAULT
+    * metadata (future INSERTs resolve it; existing rows keep their
+    * real values — EXISTS_DEFAULT, the backfill form, is creation's
+    * business and untouched here). `None` drops the default.
+    */
+  def setColumnDefault(
+      spark: SparkSession, root: String, column: String,
+      defaultSql: Option[String]): Long = {
+    val cur = requireSnapshot(spark, root)
+    val schema = cur.schema
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"setColumnDefault: no such column $column")
+    // validate: a DEFAULT must be a CONSTANT expression — analyzed
+    // with no columns in scope, so a stray column reference refuses
+    // here instead of poisoning every future INSERT
+    defaultSql.foreach { sqlText =>
+      spark.sql(s"SELECT $sqlText").queryExecution.analyzed
+    }
+    val evolved = StructType(schema.fields.map { f =>
+      if (!f.name.equalsIgnoreCase(column)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        defaultSql match {
+          case Some(sqlText) => b.putString("CURRENT_DEFAULT", sqlText)
+          case None => b.remove("CURRENT_DEFAULT")
+        }
+        f.copy(metadata = b.build())
+      }
+    })
+    commit(spark, root, cur.version + 1, SchemaRep.of(evolved),
+      cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout,
+      cur.props)
+  }
+
   /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: one metadata-only
     * commit. Properties are versioned like everything else — time
     * travel shows each version's own map, and restore reverts it.
@@ -643,7 +717,7 @@ object TxTable {
       set: Map[String, String], unset: Seq[String] = Nil): Long = {
     requireSettable(set.keys ++ unset, "setProperties")
     val cur = requireSnapshot(spark, root)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+    commit(spark, root, cur.version + 1, cur.schemaRep, cur.entries,
       cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout,
       cur.props -- unset ++ set)
   }
@@ -678,7 +752,8 @@ object TxTable {
     // later row-level appends (updateWhere/mergeInto post-images)
     // keep this table's placement without the caller re-stating it
     partitionCol.foreach(GraftCatalog.writePartitionCol(spark, root, _))
-    commit(spark, root, 0L, declaredDdl(df), entries, layout = partitionCol)
+    commit(spark, root, 0L, SchemaRep.of(df.schema), entries,
+      layout = partitionCol)
   }
 
   /** Append-only commit: new files become visible atomically alongside
@@ -707,7 +782,7 @@ object TxTable {
       checkedFor = cur.checks
       if (entries == null) entries = writeData(df, root, partitionCol)
       try {
-        return commit(spark, root, cur.version + 1, cur.schemaDdl,
+        return commit(spark, root, cur.version + 1, cur.schemaRep,
           cur.entries ++ entries, cur.txns, cur.checks, cur.dvs, cur.aliases,
           cur.layout, cur.props)
       } catch {
@@ -748,7 +823,7 @@ object TxTable {
       if (entries == null) requireChecks(df, cur, "txnAppend")
       if (entries == null) entries = writeData(df, root, partitionCol)
       try {
-        commit(spark, root, cur.version + 1, cur.schemaDdl,
+        commit(spark, root, cur.version + 1, cur.schemaRep,
           cur.entries ++ entries, cur.txns + (txnId -> batchId),
           cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
         return true
@@ -784,7 +859,7 @@ object TxTable {
       newCols: Seq[org.apache.spark.sql.types.StructField]): Long = {
     require(newCols.nonEmpty, "addColumns: no columns given")
     val cur = requireSnapshot(spark, root)
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     val clash = newCols.map(_.name).intersect(schema.fieldNames.toSeq)
     require(clash.isEmpty,
       s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
@@ -801,9 +876,9 @@ object TxTable {
       s"addColumns: duplicate new column name(s): ${dup.mkString(", ")}")
     val evolved = StructType(
       schema.fields ++ newCols.map(_.copy(nullable = true)))
-    commit(spark, root, cur.version + 1,
-      nullableType(evolved).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
+    commit(spark, root, cur.version + 1, SchemaRep.of(evolved),
+      cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout,
+      cur.props)
   }
 
   /** ADDITIVE evolution's inverse: drop columns, metadata-only. The
@@ -818,7 +893,7 @@ object TxTable {
       spark: SparkSession, root: String, names: Seq[String]): Long = {
     require(names.nonEmpty, "dropColumns: no columns given")
     val cur = requireSnapshot(spark, root)
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     val missing = names.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"dropColumns: no such column(s): ${missing.mkString(", ")}")
@@ -844,8 +919,7 @@ object TxTable {
         s"dropColumns: CHECK constraint $n [$sql] references a dropped " +
           "column — dropCheck it first")
     }
-    commit(spark, root, cur.version + 1,
-      nullableType(StructType(kept)).asInstanceOf[StructType].toDDL,
+    commit(spark, root, cur.version + 1, SchemaRep.of(StructType(kept)),
       cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases -- names,
       cur.layout, cur.props)
   }
@@ -871,7 +945,7 @@ object TxTable {
   def renameColumn(
       spark: SparkSession, root: String, from: String, to: String): Long = {
     val cur = requireSnapshot(spark, root)
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     require(schema.fieldNames.contains(from),
       s"renameColumn: no such column $from")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -905,10 +979,9 @@ object TxTable {
       if (f.name == from) f.copy(name = to) else f))
     // the new name inherits the old name's full alias chain
     val chain = cur.aliases.getOrElse(from, Nil) :+ from
-    commit(spark, root, cur.version + 1,
-      nullableType(renamed).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, (cur.aliases - from) + (to -> chain),
-      cur.layout, cur.props)
+    commit(spark, root, cur.version + 1, SchemaRep.of(renamed),
+      cur.entries, cur.txns, cur.checks, cur.dvs,
+      (cur.aliases - from) + (to -> chain), cur.layout, cur.props)
   }
 
   /** TYPE WIDENING, metadata-only: change a column to a WIDER type
@@ -929,7 +1002,7 @@ object TxTable {
       newType: org.apache.spark.sql.types.DataType): Long = {
     import org.apache.spark.sql.types._
     val cur = requireSnapshot(spark, root)
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     require(schema.fieldNames.contains(name),
       s"widenColumn: no such column $name")
     val old = schema(name).dataType
@@ -974,9 +1047,9 @@ object TxTable {
         s"widenColumn: CHECK constraint $n [$sql] does not analyze " +
           "against the widened schema — dropCheck it first")
     }
-    commit(spark, root, cur.version + 1,
-      nullableType(widened).asInstanceOf[StructType].toDDL, cur.entries,
-      cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
+    commit(spark, root, cur.version + 1, SchemaRep.of(widened),
+      cur.entries, cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout,
+      cur.props)
   }
 
   /** A commit must match the table's declared schema: divergent
@@ -1031,14 +1104,14 @@ object TxTable {
     // resolve the expression against the schema NOW — an unresolvable
     // or non-boolean expression must fail at ADD time, not at the
     // next append
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val resolved = probe.filter(org.apache.spark.sql.functions.expr(sql))
     resolved.queryExecution.analyzed // force analysis
     val widened = cur.copy(checks = cur.checks + (name -> sql))
     requireChecks(readEntries(spark, root, cur, identity), widened, "addCheck")
-    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+    commit(spark, root, cur.version + 1, cur.schemaRep, cur.entries,
       cur.txns, widened.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
@@ -1048,8 +1121,9 @@ object TxTable {
     require(cur.checks.contains(name),
       s"dropCheck: no constraint named $name " +
         s"(have: ${cur.checks.keys.toSeq.sorted.mkString(", ")})")
-    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
-      cur.txns, cur.checks - name, cur.dvs, cur.aliases, cur.layout, cur.props)
+    commit(spark, root, cur.version + 1, cur.schemaRep, cur.entries,
+      cur.txns, cur.checks - name, cur.dvs, cur.aliases, cur.layout,
+      cur.props)
   }
 
   private def requireSchema(df: DataFrame, cur: Snapshot, op: String): Unit = {
@@ -1057,7 +1131,7 @@ object TxTable {
     // normalization stores NOT NULL markers in its schemaDdl, and
     // comparing it verbatim would permanently refuse writes to a
     // durable pre-existing table
-    val stored = nullableType(StructType.fromDDL(cur.schemaDdl))
+    val stored = nullableType(cur.schema)
       .asInstanceOf[StructType].toDDL
     require(declaredDdl(df) == stored,
       s"$op: schema mismatch — table declares [${cur.schemaDdl}] " +
@@ -1124,7 +1198,7 @@ object TxTable {
     // position deletes carry forward: rows for replaced files become
     // inert (their file keys no longer match any live entry), rows
     // for untouched partitions' files keep applying
-    commit(spark, root, cur.version + 1, cur.schemaDdl, kept ++ fresh,
+    commit(spark, root, cur.version + 1, cur.schemaRep, kept ++ fresh,
       cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
@@ -1183,8 +1257,8 @@ object TxTable {
         // over it would silently drop those deletes
         val disjoint =
           replacedOf(pinned) == replacedOf(cur) &&
-            normalizedDdl(StructType.fromDDL(pinned.schemaDdl)) ==
-              normalizedDdl(StructType.fromDDL(cur.schemaDdl)) &&
+            normalizedDdl(pinned.schema) ==
+              normalizedDdl(cur.schema) &&
             pinned.checks == cur.checks &&
             pinned.dvs == cur.dvs &&
             // a concurrent RE-LAYOUT replaced every group under a new
@@ -1200,7 +1274,7 @@ object TxTable {
           identity), cur, op)
       val kept = cur.entries.filterNot(e => dropPartitions.contains(e.partition))
       try {
-        return commit(spark, root, cur.version + 1, cur.schemaDdl,
+        return commit(spark, root, cur.version + 1, cur.schemaRep,
           kept ++ fresh, cur.txns, cur.checks, cur.dvs, cur.aliases,
           cur.layout, cur.props)
       } catch {
@@ -1231,7 +1305,7 @@ object TxTable {
     val cur = requireSnapshot(spark, root)
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
-    commit(spark, root, cur.version + 1, cur.schemaDdl, cur.entries,
+    commit(spark, root, cur.version + 1, cur.schemaRep, cur.entries,
       cur.txns ++ txn, cur.checks, cur.dvs ++ addDvs, cur.aliases,
       cur.layout, cur.props)
   }
@@ -1255,7 +1329,7 @@ object TxTable {
     if (cur.checks.nonEmpty && fresh.nonEmpty)
       requireChecks(readEntries(spark, root, cur.copy(entries = fresh),
         identity), cur, op)
-    commit(spark, root, cur.version + 1, cur.schemaDdl,
+    commit(spark, root, cur.version + 1, cur.schemaRep,
       cur.entries ++ fresh, cur.txns ++ txn, cur.checks,
       cur.dvs ++ addDvs, cur.aliases, cur.layout, cur.props)
   }
@@ -1271,7 +1345,7 @@ object TxTable {
     val cur = requireSnapshot(spark, root)
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(cur.version)
-    commit(spark, root, cur.version + 1, cur.schemaDdl,
+    commit(spark, root, cur.version + 1, cur.schemaRep,
       cur.entries.filterNot(e => dropRelPaths.contains(e.relPath)) ++ fresh,
       cur.txns, cur.checks, Nil, cur.aliases, cur.layout, cur.props)
   }
@@ -1298,7 +1372,7 @@ object TxTable {
       partitionScope: Option[String] = None): Long = {
     val cur = requireSnapshot(spark, root)
     val f = fs(spark, root)
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    val schema = cur.schema
     // manifest-carried sizes; only pre-size legacy entries (-1) cost a
     // filesystem call
     val size = cur.entries.map(e =>
@@ -1343,7 +1417,7 @@ object TxTable {
     // rewritten (compacted) files had their position deletes APPLIED
     // by the merged read above; their old DV rows go inert with the
     // replaced files, rows for kept files keep applying
-    commit(spark, root, cur.version + 1, cur.schemaDdl, keep ++ fresh,
+    commit(spark, root, cur.version + 1, cur.schemaRep, keep ++ fresh,
       cur.txns, cur.checks, cur.dvs, cur.aliases, cur.layout, cur.props)
   }
 
@@ -1406,7 +1480,7 @@ object TxTable {
         // heuristic entry-string recovery): a full rewrite places
         // every row under it, so this version's entries and spec are
         // consistent by construction — the re-layout commit point
-        return commit(spark, root, cur.version + 1, cur.schemaDdl, entries,
+        return commit(spark, root, cur.version + 1, cur.schemaRep, entries,
           cur.txns, cur.checks, layout = declared, props = cur.props)
       } catch {
         // A rewrite's output may depend on the content it replaced, so
@@ -1475,7 +1549,7 @@ object TxTable {
     // the target's delete set is restored WITH its file set — a
     // restore across a merge-on-read delete resurrects exactly the
     // rows that version could see
-    commit(spark, root, cur.version + 1, target.schemaDdl, target.entries,
+    commit(spark, root, cur.version + 1, target.schemaRep, target.entries,
       cur.txns, target.checks, target.dvs, target.aliases, target.layout,
       target.props)
   }
@@ -1539,7 +1613,7 @@ object TxTable {
     // clone's absolute entry paths preserve — MergeOnRead.fileKey)
     val dvs = src.dvs.map(d =>
       d.copy(relPath = entryPath(qualifiedSrc, d.relPath)))
-    val v = commit(spark, dstRoot, 0L, src.schemaDdl, entries, src.txns,
+    val v = commit(spark, dstRoot, 0L, src.schemaRep, entries, src.txns,
       src.checks, dvs, src.aliases, src.layout, src.props)
     registerClone(spark, srcRoot, dstRoot)
     v

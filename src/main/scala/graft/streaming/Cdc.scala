@@ -302,7 +302,7 @@ object Cdc {
     val latest = latestPerKey(changes, keyCols, lsnCol)
     val snap = TxTable.currentSnapshot(spark, txRoot).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $txRoot"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    val schema = snap.schema
     // The derived partition value is cast to the STORED partition
     // column's type BEFORE it is collected: pruning and drop candidates
     // are matched by Hive directory STRING, so a wider partOf type

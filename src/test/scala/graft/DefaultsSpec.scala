@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.TxTable
+
+/** Column DEFAULT values (Spark's SUPPORT_COLUMN_DEFAULT_VALUE over
+  * the manifest's metadata-capable schema form): CREATE-time
+  * defaults, partial INSERTs and the DEFAULT keyword, ALTER COLUMN
+  * SET/DROP DEFAULT as versioned metadata commits, and refusal of
+  * non-constant default expressions.
+  */
+class DefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = s"target/tmp/graft_defaults_${System.nanoTime()}"
+
+  private lazy val cat: Unit = {
+    spark.conf.set("spark.sql.catalog.gv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gv.m")
+  }
+
+  test("CREATE-time defaults fill partial INSERTs and the DEFAULT keyword") {
+    cat
+    spark.sql("CREATE TABLE gv.m.t (k BIGINT, v DOUBLE DEFAULT 1.5, " +
+      "tag STRING DEFAULT 'none') PARTITIONED BY (bucket(4, k))")
+    val root = s"$wh/m/t"
+    // the defaults persisted in the manifest's JSON schema form
+    val json = TxTable.currentSnapshot(spark, root).get.schemaJson.get
+    assert(json.contains("CURRENT_DEFAULT") && json.contains("1.5"))
+    spark.sql("INSERT INTO gv.m.t (k) VALUES (1)")
+    spark.sql("INSERT INTO gv.m.t VALUES (2, 9.0, 'x'), (3, DEFAULT, DEFAULT)")
+    assert(spark.sql("SELECT k, v, tag FROM gv.m.t ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,1.5,none]", "[2,9.0,x]", "[3,1.5,none]"))
+  }
+
+  test("ALTER COLUMN SET/DROP DEFAULT are versioned, affect future inserts only") {
+    cat
+    spark.sql("CREATE TABLE gv.m.a (k BIGINT, v DOUBLE DEFAULT 1.5)")
+    spark.sql("INSERT INTO gv.m.a (k) VALUES (1)")
+    val root = s"$wh/m/a"
+    val vBefore = TxTable.currentVersion(spark, root).get
+    spark.sql("ALTER TABLE gv.m.a ALTER COLUMN v SET DEFAULT 7.5")
+    assert(TxTable.currentVersion(spark, root).get == vBefore + 1,
+      "SET DEFAULT is one metadata commit")
+    spark.sql("INSERT INTO gv.m.a (k) VALUES (2)")
+    spark.sql("ALTER TABLE gv.m.a ALTER COLUMN v DROP DEFAULT")
+    spark.sql("INSERT INTO gv.m.a (k) VALUES (3)")
+    assert(spark.sql("SELECT k, v FROM gv.m.a ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,1.5]", "[2,7.5]", "[3,null]"))
+    // per-version schemas: the pre-SET version still records 1.5
+    assert(TxTable.snapshot(spark, root, vBefore).schemaJson.get
+      .contains("1.5"))
+    // existing rows were never rewritten by any of it
+    assert(TxTable.snapshot(spark, root, vBefore).entries.map(_.relPath)
+      .forall(TxTable.currentSnapshot(spark, root).get.entries
+        .map(_.relPath).contains))
+  }
+
+  test("non-constant DEFAULT expressions refuse loudly") {
+    cat
+    spark.sql("CREATE TABLE gv.m.bad (k BIGINT, v DOUBLE)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gv.m.bad ALTER COLUMN v SET DEFAULT k + 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("k") ||
+      e.getMessage.contains("DEFAULT"), e.getMessage)
+  }
+
+  test("defaults survive unrelated commits and restore") {
+    cat
+    spark.sql("CREATE TABLE gv.m.s (k BIGINT, v DOUBLE DEFAULT 2.5)")
+    spark.sql("INSERT INTO gv.m.s (k) VALUES (1)")
+    val root = s"$wh/m/s"
+    spark.sql("ALTER TABLE gv.m.s ADD CONSTRAINT vp CHECK (v > 0)")
+    spark.sql("INSERT INTO gv.m.s (k) VALUES (2)")
+    assert(spark.sql("SELECT sum(v) FROM gv.m.s").as[Double].head() == 5.0)
+    val vKeep = TxTable.currentVersion(spark, root).get
+    spark.sql("ALTER TABLE gv.m.s ALTER COLUMN v DROP DEFAULT")
+    spark.sql(s"CALL gv.system.restore('m.s', $vKeep)")
+    spark.sql("INSERT INTO gv.m.s (k) VALUES (3)")
+    assert(spark.sql("SELECT v FROM gv.m.s WHERE k = 3")
+      .as[Double].head() == 2.5, "restore must revert the schema metadata")
+  }
+}

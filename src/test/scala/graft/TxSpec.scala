@@ -606,7 +606,7 @@ class TxSpec extends SparkSpec {
         .find(_.getName == "commit").get
       m.setAccessible(true)
       try m.invoke(TxTable, spark, root,
-        java.lang.Long.valueOf(stale.version + 1), stale.schemaDdl,
+        java.lang.Long.valueOf(stale.version + 1), stale.schemaRep,
         stale.entries, stale.txns, stale.checks, Nil, Map.empty, None,
         Map.empty)
       catch {
