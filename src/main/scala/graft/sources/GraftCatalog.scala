@@ -305,9 +305,22 @@ final class GraftCatalog
       }).length == 1,
       s"graft ALTER COLUMN is top-level only"))
     if (adds.nonEmpty)
-      TxTable.addColumns(spark, root, adds.map(a =>
+      TxTable.addColumns(spark, root, adds.map { a =>
+        // ADD COLUMN ... DEFAULT: Spark's convention — existing rows
+        // read the default frozen at add time (EXISTS_DEFAULT, filled
+        // by the parquet reader for files lacking the column), future
+        // inserts resolve CURRENT_DEFAULT
+        val metadata = Option(a.defaultValue()) match {
+          case Some(d) =>
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", d.getSql)
+              .putString("EXISTS_DEFAULT", d.getSql)
+              .build()
+          case None => org.apache.spark.sql.types.Metadata.empty
+        }
         org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)))
+          a.fieldNames.head, a.dataType, nullable = true, metadata)
+      })
     if (drops.nonEmpty)
       TxTable.dropColumns(spark, root, drops.map(_.fieldNames.head))
     renames.foreach(r =>

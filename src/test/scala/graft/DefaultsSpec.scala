@@ -58,6 +58,33 @@ class DefaultsSpec extends SparkSpec {
         .map(_.relPath).contains))
   }
 
+  test("ADD COLUMN DEFAULT backfills existing rows at read, metadata-only") {
+    cat
+    spark.sql("CREATE TABLE gv.m.ac (k BIGINT)")
+    spark.sql("INSERT INTO gv.m.ac VALUES (1), (2)")
+    val root = s"$wh/m/ac"
+    val before = TxTable.currentSnapshot(spark, root).get
+      .entries.map(_.relPath).toSet
+    spark.sql("ALTER TABLE gv.m.ac ADD COLUMN w DOUBLE DEFAULT 3.0")
+    spark.sql("INSERT INTO gv.m.ac (k) VALUES (9)")
+    // existing rows read the frozen EXISTS_DEFAULT (the parquet
+    // reader fills it for files lacking the column — zero rewrite),
+    // the new row resolves CURRENT_DEFAULT
+    assert(spark.sql("SELECT k, w FROM gv.m.ac ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,3.0]", "[2,3.0]", "[9,3.0]"))
+    assert(before.subsetOf(TxTable.currentSnapshot(spark, root).get
+      .entries.map(_.relPath).toSet),
+      "ADD COLUMN DEFAULT must not rewrite existing files")
+    // the two defaults diverge after a SET DEFAULT: old files keep
+    // the frozen backfill, new inserts take the new default
+    spark.sql("ALTER TABLE gv.m.ac ALTER COLUMN w SET DEFAULT 8.0")
+    spark.sql("INSERT INTO gv.m.ac (k) VALUES (10)")
+    assert(spark.sql("SELECT k, w FROM gv.m.ac ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,3.0]", "[2,3.0]", "[9,3.0]", "[10,8.0]"))
+  }
+
   test("non-constant DEFAULT expressions refuse loudly") {
     cat
     spark.sql("CREATE TABLE gv.m.bad (k BIGINT, v DOUBLE)")
