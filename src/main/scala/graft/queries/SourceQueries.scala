@@ -386,11 +386,11 @@ object SourceQueries {
         s"v${snap.version} layout=${snap.layout}")
     require(TxTable.readVersion(s, root, vPre).count() == nRows,
       "q_relayout: the pre-relayout version must stay readable in full")
-    val before = snap.entries.map(_.relPath).toSet
     s.sql("DELETE FROM gr.mart.orders WHERE o_orderkey = 1")
     val afterDel = TxTable.currentSnapshot(s, root).get
+    val survived = afterDel.entries.map(_.relPath).toSet
     val replacedParts = snap.entries
-      .filter(e => !afterDel.entries.map(_.relPath).toSet.contains(e.relPath))
+      .filterNot(e => survived.contains(e.relPath))
       .map(_.partition).toSet
     require(replacedParts.size <= 1,
       s"q_relayout: a point DELETE after relayout must rewrite at most " +

@@ -294,8 +294,18 @@ private[sources] final class GraftDeltaScan(
         s"deletes (> $cap, ${DeltaDml.DvCapKey}) — run CALL " +
         "gc.system.materialize or compact to localize them first")
     import org.apache.spark.sql.functions.{col, collect_list}
-    val rows = spark.read.schema(DeltaDml.DvSchema)
+    val base = spark.read.schema(DeltaDml.DvSchema)
       .parquet(snap.dvs.map(d => TxTable.entryPath(root, d.relPath)): _*)
+    // a group-pruned scan only needs ITS files' positions — bound the
+    // collect by the scanned file keys (guarded: a huge IN list would
+    // cost more than it saves on an unpruned scan)
+    val es = entries
+    val scoped =
+      if (es.size < snap.entries.size && es.size <= 1000)
+        base.where(col("file_key").isInCollection(
+          es.map(e => MergeOnRead.fileKey(TxTable.entryPath(root, e.relPath)))))
+      else base
+    val rows = scoped
       .groupBy(col("file_key")).agg(collect_list(col("pos")).as("ps"))
       .collect()
     rows.map(r => r.getString(0) ->

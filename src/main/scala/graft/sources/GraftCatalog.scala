@@ -251,6 +251,21 @@ final class GraftCatalog
       ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
     val checks = info.constraints().toSeq.map(checkOf) // refuse non-CHECK first
+    // validate every predicate BEFORE the create commits — a failing
+    // constraint must fail the whole statement, not leave behind a
+    // table missing its declared CHECK
+    checks.foreach { case (n, sql) =>
+      try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          info.schema())
+        .filter(org.apache.spark.sql.functions.expr(sql))
+        .queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"CHECK constraint $n [$sql] does not analyze against the " +
+            s"declared schema: ${e.getMessage}", e)
+      }
+    }
     val t = createTable(ident, info.schema(), info.partitions(),
       info.properties())
     checks.foreach { case (n, sql) =>
@@ -792,8 +807,7 @@ private[sources] object GraftProcedures {
         val specStr = str(r, 1).trim
         val spec = if (specStr.isEmpty) None else Some(specStr)
         spec.foreach { sp =>
-          val schema = StructType.fromDDL(
-            TxTable.requireSnapshot(spark, root).schemaDdl)
+          val schema = TxTable.requireSnapshot(spark, root).schema
           Layout.parse(sp) match {
             case Layout.Identity(c) =>
               require(schema.fieldNames.contains(c),
@@ -1151,6 +1165,20 @@ final class GraftV2Table(
       // ∝ changed rows; existing DVs merge inside the delta scan, so
       // no pre-materialize is needed
       case "mor" =>
+        // the delta row id IS the (_file, _pos) lineage pair; a table
+        // claiming those names hides the metadata columns, so the row
+        // id would resolve to the nullable user columns and fail with
+        // an unactionable NULLABLE_ROW_ID error deep in the rewrite —
+        // refuse here with the real reason instead
+        if (schema().fieldNames.exists(n =>
+            n.equalsIgnoreCase(DeltaDml.FileCol) ||
+              n.equalsIgnoreCase(DeltaDml.PosCol)))
+          throw new UnsupportedOperationException(
+            s"row-level ${info.command()} (mor) on $root: the table's " +
+              s"own schema claims ${DeltaDml.FileCol}/${DeltaDml.PosCol}, " +
+              "which merge-on-read DML needs as row-lineage metadata " +
+              "columns — rename the columns or use the copy-on-write " +
+              "mode (spark.graft.dml.mode=cow)")
         () => new GraftDeltaOperation(spark, root, snap, partitionCol,
           info.command())
       case _ =>

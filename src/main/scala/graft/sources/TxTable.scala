@@ -136,7 +136,28 @@ object TxTable {
   object SchemaRep {
     def of(schema: StructType): SchemaRep = {
       val n = nullableType(schema).asInstanceOf[StructType]
-      SchemaRep(n.toDDL, Some(n.json))
+      // the DDL form is METADATA-FREE: Spark 4 renders DEFAULT
+      // clauses into toDDL but fromDDL cannot parse them back, so a
+      // metadata-bearing DDL would poison every parse/equality site —
+      // defaults and comments live ONLY in the JSON form
+      SchemaRep(stripMetadata(n).asInstanceOf[StructType].toDDL, Some(n.json))
+    }
+  }
+
+  /** Drop per-field metadata (recursively) — the DDL-rendering and
+    * DDL-equality form. Defaults/comments stay in the JSON schema.
+    */
+  private def stripMetadata(dt: org.apache.spark.sql.types.DataType)
+    : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = stripMetadata(f.dataType),
+          metadata = Metadata.empty)))
+      case a: ArrayType => a.copy(elementType = stripMetadata(a.elementType))
+      case m: MapType => m.copy(keyType = stripMetadata(m.keyType),
+        valueType = stripMetadata(m.valueType))
+      case other => other
     }
   }
 
@@ -1131,7 +1152,7 @@ object TxTable {
     // normalization stores NOT NULL markers in its schemaDdl, and
     // comparing it verbatim would permanently refuse writes to a
     // durable pre-existing table
-    val stored = nullableType(cur.schema)
+    val stored = stripMetadata(nullableType(cur.schema))
       .asInstanceOf[StructType].toDDL
     require(declaredDdl(df) == stored,
       s"$op: schema mismatch — table declares [${cur.schemaDdl}] " +
@@ -1139,7 +1160,7 @@ object TxTable {
   }
 
   private def declaredDdl(df: DataFrame): String =
-    nullableType(df.schema).asInstanceOf[StructType].toDDL
+    stripMetadata(nullableType(df.schema)).asInstanceOf[StructType].toDDL
 
   private def nullableType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
@@ -1290,7 +1311,7 @@ object TxTable {
     * write-path validation uses (see [[requireSchema]]).
     */
   private[sources] def normalizedDdl(schema: StructType): String =
-    nullableType(schema).asInstanceOf[StructType].toDDL
+    stripMetadata(nullableType(schema)).asInstanceOf[StructType].toDDL
 
   /** Commit a merge-on-read DELETE: data entries unchanged, `addDvs`
     * position-delete files appended — metadata plus bytes ∝ deleted

@@ -419,6 +419,9 @@ object ScaleRehearsal {
       .createOrReplaceTempView("zt_trickle")
     trickleRun += 1
     val target = s"orders_${tag}_run$trickleRun"
+    // the warehouse persists across processes but the run counter
+    // does not — a previous invocation's clone may sit at this name
+    s.sql(s"DROP TABLE IF EXISTS zt.mart.$target")
     s.sql(s"CALL zt.system.clone('mart.orders_$tag', 'mart.$target')")
     val confs = Seq(
       "spark.graft.dml.mode" -> "mor",

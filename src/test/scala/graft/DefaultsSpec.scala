@@ -95,6 +95,67 @@ class DefaultsSpec extends SparkSpec {
       e.getMessage.contains("DEFAULT"), e.getMessage)
   }
 
+  test("DML, programmatic appends, and relayout all work on defaults tables") {
+    cat
+    spark.sql("CREATE TABLE gv.m.x (k BIGINT, v DOUBLE DEFAULT 1.5) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gv.m.x (k) SELECT id FROM range(1, 21)")
+    val root = s"$wh/m/x"
+    // the persisted DDL form must stay metadata-free (parseable):
+    // DEFAULT clauses live only in the JSON form
+    val snap0 = TxTable.currentSnapshot(spark, root).get
+    assert(!snap0.schemaDdl.contains("DEFAULT"),
+      s"DDL form must not render defaults: ${snap0.schemaDdl}")
+    assert(snap0.schemaJson.get.contains("CURRENT_DEFAULT"))
+    // copy-on-write DML
+    spark.sql("UPDATE gv.m.x SET v = 9.0 WHERE k = 1")
+    // merge-on-read DML (delta writer parses the DDL on executors)
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try {
+      spark.sql("DELETE FROM gv.m.x WHERE k = 2")
+      spark.sql("UPDATE gv.m.x SET v = 8.0 WHERE k = 3")
+    } finally spark.conf.unset("spark.graft.dml.mode")
+    // programmatic append (plain DataFrame carries no metadata)
+    TxTable.append(Seq((50L, 5.0)).toDF("k", "v"), root,
+      Some("bucket(4,k)"))
+    // re-layout (full rewrite through the metadata-capable schema)
+    spark.sql(s"CALL gv.system.relayout('m.x', 'bucket(8, k)')")
+    assert(spark.sql("SELECT v FROM gv.m.x WHERE k = 1")
+      .as[Double].head() == 9.0)
+    assert(spark.sql("SELECT v FROM gv.m.x WHERE k = 3")
+      .as[Double].head() == 8.0)
+    assert(spark.sql("SELECT count(*) FROM gv.m.x").as[Long].head() == 20L)
+    // the default still resolves after all of it
+    spark.sql("INSERT INTO gv.m.x (k) VALUES (99)")
+    assert(spark.sql("SELECT v FROM gv.m.x WHERE k = 99")
+      .as[Double].head() == 1.5)
+  }
+
+  test("mor DML refuses loudly on tables claiming _file/_pos") {
+    cat
+    spark.sql("CREATE TABLE gv.m.clash (k BIGINT, _file STRING)")
+    spark.sql("INSERT INTO gv.m.clash VALUES (1, 'a')")
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM gv.m.clash WHERE k = 1")
+      }
+      assert(e.getMessage.contains("row-lineage"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
+  test("a CREATE with an unanalyzable CHECK fails whole, leaving no table") {
+    cat
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gv.m.broken (k BIGINT, " +
+        "CONSTRAINT c CHECK (nope > 0))")
+    }
+    assert(e.getMessage.contains("does not analyze") ||
+      e.getMessage.toLowerCase.contains("nope"), e.getMessage)
+    assert(!spark.catalog.tableExists("gv.m.broken"),
+      "a failing constraint must fail the whole CREATE")
+  }
+
   test("defaults survive unrelated commits and restore") {
     cat
     spark.sql("CREATE TABLE gv.m.s (k BIGINT, v DOUBLE DEFAULT 2.5)")
