@@ -19,7 +19,7 @@ object SourceQueries {
     xmlRoundtrip, jsonlRoundtrip, xlsxRoundtrip, statsSkipping, zorderSkipping,
     formatRead, sqlCatalog, sqlDelete, sqlMerge, statsAgg, spjJoin,
     bucketJoin, spjPartial, bucketDml, bucketMc, morDelete, morUpdate,
-    morMerge, morChanges, nullSkipping, sqlMor, relayout)
+    morMerge, morChanges, nullSkipping, sqlMor, relayout, defaults)
 
   /** COMPOSITE bucket keys (`bucket(8, o_custkey, o_orderstatus)` —
     * the multi-column PK shape of the reference's migration scripts):
@@ -403,6 +403,79 @@ object SourceQueries {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM gr.mart.orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** COLUMN DEFAULT VALUES end-to-end (`SUPPORT_COLUMN_DEFAULT_VALUE`
+    * over the manifest's metadata-capable `#schemaJson=` form): a
+    * bucket table declares two defaulted columns, partial-column
+    * INSERTs fill them across THREE default epochs — the creation
+    * defaults, then `ALTER COLUMN SET DEFAULT` changes one
+    * mid-stream (a versioned metadata-only commit) for the last
+    * third. The query REQUIREs the representation contract (the DDL
+    * schema form stays metadata-free/parseable; the JSON form
+    * carries CURRENT_DEFAULT; the ALTER is one commit) and the
+    * oracle replays the three epochs as constants over the raw
+    * parquet — equality proves default persistence, INSERT
+    * resolution, and epoch boundaries are exact.
+    */
+  val defaults: Q = Q(
+    "q_defaults",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(adj * 100) AS BIGINT)) AS BIGINT) AS adj_cents
+      |FROM (
+      |  SELECT 'X' AS o_orderstatus, 2.5 AS adj FROM orders
+      |  WHERE o_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice AS adj FROM orders
+      |  WHERE o_custkey % 3 = 1
+      |  UNION ALL
+      |  SELECT 'X' AS o_orderstatus, 4.0 AS adj FROM orders
+      |  WHERE o_custkey % 3 = 2
+      |) t
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = s"target/tmp/graft_wh_def_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.conf.set("spark.sql.catalog.gd2", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gd2.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gd2.mart")
+    s.sql("DROP TABLE IF EXISTS gd2.mart.orders")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_def_src")
+    s.sql(
+      """CREATE TABLE gd2.mart.orders (
+        |  o_orderkey BIGINT,
+        |  o_orderstatus STRING DEFAULT 'X',
+        |  adj DOUBLE DEFAULT 2.5)
+        |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+    val root = s"$wh/mart/orders"
+    import graft.sources.TxTable
+    val snap0 = TxTable.currentSnapshot(s, root).get
+    require(!snap0.schemaDdl.contains("DEFAULT"),
+      s"q_defaults: the DDL schema form must stay metadata-free, " +
+        s"got ${snap0.schemaDdl}")
+    require(snap0.schemaJson.exists(_.contains("CURRENT_DEFAULT")),
+      "q_defaults: the JSON schema form must carry the defaults")
+    s.sql(
+      """INSERT INTO gd2.mart.orders (o_orderkey)
+        |SELECT o_orderkey FROM graft_def_src WHERE o_custkey % 3 = 0"""
+        .stripMargin)
+    s.sql(
+      """INSERT INTO gd2.mart.orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_def_src WHERE o_custkey % 3 = 1""".stripMargin)
+    val vPre = TxTable.currentVersion(s, root).get
+    s.sql("ALTER TABLE gd2.mart.orders ALTER COLUMN adj SET DEFAULT 4.0")
+    require(TxTable.currentVersion(s, root).contains(vPre + 1),
+      "q_defaults: SET DEFAULT must be ONE metadata commit")
+    s.sql(
+      """INSERT INTO gd2.mart.orders (o_orderkey)
+        |SELECT o_orderkey FROM graft_def_src WHERE o_custkey % 3 = 2"""
+        .stripMargin)
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(adj * 100) AS BIGINT)) AS BIGINT) AS adj_cents
+        |FROM gd2.mart.orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
   }
