@@ -11,7 +11,79 @@ import graft.operators.Funnel
   */
 object AnalyticsQueries {
 
-  def all: Seq[Q] = Seq(funnel, cohortRetention, driftPsi)
+  def all: Seq[Q] = Seq(funnel, cohortRetention, driftPsi, histQuantiles)
+
+  /** Quantile readout from the drift-MV histogram STATE
+    * ([[graft.operators.Drift.quantiles]]): p50/p95/p99 of the event
+    * value distribution per event type, served from the stored
+    * `array<long>` state — no re-scan of the raw data at query time.
+    * The rank walk (first bin whose running count reaches p·n) and the
+    * in-bin linear interpolation are exact double arithmetic in a
+    * fixed fold order, so DuckDB replays them bit-for-bit: the
+    * repeated `rem − c` subtraction of integer counts from the double
+    * target is IEEE-exact (magnitude only shrinks), making
+    * `target ≤ cum` an equivalent hit test. Both sides round to 9
+    * decimals only as a guard.
+    */
+  val histQuantiles: Q = Q(
+    "q_hist_quantiles",
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CASE WHEN value < 0 THEN 0
+      |         WHEN value > 500 THEN 11
+      |         WHEN value = 500 THEN 10
+      |         ELSE 1 + LEAST(CAST(floor(value/50) AS INT), 9) END AS b
+      |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+      |grid AS (
+      |  SELECT et.event_type, g.b
+      |  FROM (SELECT DISTINCT event_type FROM events) et
+      |  CROSS JOIN (SELECT unnest(range(12)) AS b) g),
+      |cnt AS (SELECT event_type, b, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      |j AS (
+      |  SELECT grid.event_type, grid.b, COALESCE(cnt.c, 0) AS c,
+      |    SUM(COALESCE(cnt.c, 0)) OVER (
+      |      PARTITION BY grid.event_type ORDER BY grid.b) AS cum
+      |  FROM grid LEFT JOIN cnt
+      |    ON grid.event_type = cnt.event_type AND grid.b = cnt.b),
+      |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM j GROUP BY 1),
+      |hit AS (
+      |  SELECT j.event_type, p.p, t.n, j.b, j.c, j.cum,
+      |    CAST(p.p AS DOUBLE) * CAST(t.n AS DOUBLE) AS target,
+      |    ROW_NUMBER() OVER (PARTITION BY j.event_type, p.p ORDER BY j.b) AS rn
+      |  FROM j JOIN t ON j.event_type = t.event_type
+      |  CROSS JOIN (VALUES (0.5), (0.95), (0.99)) p(p)
+      |  WHERE j.c > 0
+      |    AND j.cum >= CAST(p.p AS DOUBLE) * CAST(t.n AS DOUBLE)),
+      |val AS (
+      |  SELECT event_type, p, n,
+      |    CASE WHEN b = 0 THEN 0.0
+      |         WHEN b = 11 THEN 500.0
+      |         ELSE LEAST(GREATEST(
+      |           (CAST(b AS DOUBLE) - 1.0) * 50.0
+      |             + ((target - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) * 50.0,
+      |           0.0), 500.0) END AS v
+      |  FROM hit WHERE rn = 1)
+      |SELECT event_type, MAX(n) AS n,
+      |  round(MAX(CASE WHEN p = 0.5 THEN v END), 9) AS p50,
+      |  round(MAX(CASE WHEN p = 0.95 THEN v END), 9) AS p95,
+      |  round(MAX(CASE WHEN p = 0.99 THEN v END), 9) AS p99
+      |FROM val
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.operators.Drift
+    val ev = Tables.events(s, dir)
+    val st = Drift.histState(ev, Seq("event_type"), col("value"),
+      lo = 0.0, hi = 500.0, bins = 10)
+    val qs = Drift.quantiles(col("hist"), Seq(0.5, 0.95, 0.99),
+      lo = 0.0, hi = 500.0)
+    st.select(
+        col("event_type"),
+        aggregate(col("hist"), lit(0L), _ + _).as("n"),
+        round(element_at(qs, 1), 9).as("p50"),
+        round(element_at(qs, 2), 9).as("p95"),
+        round(element_at(qs, 3), 9).as("p99"))
+      .orderBy(col("event_type"))
+  }
 
   /** Distribution drift ([[graft.operators.Drift]]): PSI of the value
     * distribution between two halves of the event log (split by
