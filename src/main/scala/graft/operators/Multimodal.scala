@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: `javax.imageio` (in the JDK — PNG, JPEG, GIF,
   * BMP) sniffs and decodes the payload, emitting true width/height and
-  * a normalized 16-bin luminance histogram. Audio/video have no JDK
-  * codec, so they take a deterministic 16-bin BYTE histogram — the
-  * same fixed-width `Array[Float]` shape — and a NULL `decoded`
-  * struct, keeping the boundary honest and visible in the output. The
+  * a normalized 16-bin luminance histogram. AUDIO decode is REAL for
+  * the JDK's containers: `javax.sound.sampled` (WAV/AIFF/AU, linear
+  * PCM + A-law/µ-law) — see [[audioFeatures]]. Video, and payloads no
+  * installed codec accepts, take the deterministic fallback (16-bin
+  * BYTE histogram for images, raw-PCM interpretation for audio) and a
+  * NULL `decoded` struct, keeping the boundary honest and visible. The
   * Spark-side plumbing is identical for both: per-partition batch
   * iteration (the Scala analog of a `mapInPandas` batch UDF: one
   * iterator in, one iterator out, no per-row scheduling), partition
@@ -323,22 +325,29 @@ object Multimodal {
   }
 
   /** Audio feature extraction: per-window RMS energy and zero-crossing
-    * rate over the payload interpreted as 16-bit little-endian PCM
-    * mono — the two classic cheap audio descriptors (energy envelope +
+    * rate — the two classic cheap audio descriptors (energy envelope +
     * a crude pitch/noisiness proxy).
     *
-    * STUB SEAM (same contract as the image path's ImageIO boundary):
-    * real audio arrives in containers (wav/flac/ogg) whose codecs this
-    * environment lacks, so the DECODE step is the fixed PCM
-    * interpretation above — deterministic and total (any byte string
-    * is readable as PCM). Swapping in a real decoder changes ONLY the
+    * DECODE is REAL for the containers the JDK ships codecs for:
+    * `javax.sound.sampled.AudioSystem` sniffs WAV/AIFF/AU payloads and
+    * decodes linear PCM (8/16-bit, any endianness, any channel count —
+    * channels are mean-downmixed to mono) and, via the JDK's
+    * conversion providers, A-law/µ-law. Container-decoded rows carry a
+    * non-null `decoded` struct with the source format's sample rate /
+    * channels / bits / encoding. Payloads NO JDK codec accepts
+    * (MP3/OGG/FLAC/raw captures) fall back to the deterministic
+    * 16-bit little-endian PCM interpretation with a NULL `decoded` —
+    * the same honest-boundary posture as the image path's ImageIO
+    * fallback. Swapping in a richer decoder changes ONLY the
     * bytes→samples step inside the kernel; the Spark plumbing
     * (schema, batching, partition spreading, null posture) is the
     * production shape and is what the spec tests.
     *
     * Output: `audio` = array<struct<rms float, zcr float>> of
     * ⌈samples/windowSamples⌉ windows (empty array for empty/null
-    * payloads — absence of signal, not an error).
+    * payloads — absence of signal, not an error), plus `decoded` =
+    * struct<sample_rate float, channels int, bits int, encoding
+    * string> (null on the raw-PCM fallback).
     */
   def audioFeatures(
       media: DataFrame, windowSamples: Int = 1024,
@@ -349,27 +358,122 @@ object Multimodal {
     val spread =
       if (media.rdd.getNumPartitions < target) media.repartition(target)
       else media
-    val outSchema = StructType(media.schema.fields :+
+    val outSchema = StructType(media.schema.fields ++ Seq(
       StructField("audio", ArrayType(StructType(Seq(
         StructField("rms", FloatType, false),
-        StructField("zcr", FloatType, false))), containsNull = false), false))
+        StructField("zcr", FloatType, false))), containsNull = false), false),
+      StructField("decoded", StructType(Seq(
+        StructField("sample_rate", FloatType, true),
+        StructField("channels", IntegerType, true),
+        StructField("bits", IntegerType, true),
+        StructField("encoding", StringType, true))), true)))
     val byteIdx = media.schema.fieldIndex("bytes")
     spread.mapPartitions { iter =>
       iter.map { row =>
         val bytes =
           if (row.isNullAt(byteIdx)) null else row.getAs[Array[Byte]](byteIdx)
-        Row.fromSeq(row.toSeq :+ pcmWindows(bytes, windowSamples))
+        decodeAudio(bytes) match {
+          case Some((mono, rate, ch, bits, enc)) =>
+            Row.fromSeq(row.toSeq :+ windowFeatures(mono, windowSamples) :+
+              Row(rate, ch, bits, enc))
+          case None =>
+            Row.fromSeq(row.toSeq :+ pcmWindows(bytes, windowSamples) :+ null)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** The decode+descriptor kernel: bytes → 16-bit LE samples →
-    * per-window (rms ∈ [0,1], zcr ∈ [0,1]). Pure, deterministic.
+  /** Container decode via the JDK's sampled-audio stack: bytes →
+    * mono samples in [-1, 1] plus the SOURCE format's metadata.
+    * Linear PCM (8/16-bit, both endiannesses, unsigned or signed,
+    * n channels) decodes directly; non-linear encodings (A-law/µ-law)
+    * route through `AudioSystem`'s converter to 16-bit signed PCM
+    * first. Returns None for payloads no installed reader accepts —
+    * the caller's raw-PCM fallback keeps the operator total.
     */
-  private[operators] def pcmWindows(
+  private[operators] def decodeAudio(
+      bytes: Array[Byte]): Option[(Array[Double], Float, Int, Int, String)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f0 = in.getFormat
+        val (stream, fmt) =
+          if (f0.getEncoding == PCM_SIGNED || f0.getEncoding == PCM_UNSIGNED)
+            (in, f0)
+          else {
+            val target = new AudioFormat(PCM_SIGNED, f0.getSampleRate, 16,
+              f0.getChannels, 2 * f0.getChannels, f0.getSampleRate, false)
+            (AudioSystem.getAudioInputStream(target, in), target)
+          }
+        val raw = stream.readAllBytes()
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if (ch < 1 || (bits != 8 && bits != 16)) return None
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * ch
+        val nFrames = raw.length / frameBytes
+        val signed = fmt.getEncoding == PCM_SIGNED
+        val big = fmt.isBigEndian
+        val mono = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameBytes + c * bytesPerSample
+            acc += (if (bits == 8) {
+              val u = raw(off) & 0xff
+              (if (signed) raw(off).toInt else u - 128) / 128.0
+            } else {
+              val b0 = raw(off); val b1 = raw(off + 1)
+              val (loB, hiB) = if (big) (b1, b0) else (b0, b1)
+              val u = ((hiB & 0xff) << 8) | (loB & 0xff)
+              (if (signed) u.toShort.toInt else u - 32768) / 32768.0
+            })
+            c += 1
+          }
+          mono(i) = acc / ch
+          i += 1
+        }
+        Some((mono, f0.getSampleRate, f0.getChannels, f0.getSampleSizeInBits,
+          f0.getEncoding.toString))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no conversion provider
+    }
+  }
+
+  /** Raw fallback: bytes as 16-bit LE PCM → per-window features.
+    * Pure, deterministic, total (any byte string is readable as PCM).
+    */
+  private[graft] def pcmWindows(
       bytes: Array[Byte], windowSamples: Int): Seq[Row] = {
     if (bytes == null || bytes.length < 2) return Seq.empty
     val nSamples = bytes.length / 2
+    val samples = new Array[Double](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      // 16-bit little-endian signed sample, normalized to [-1, 1]
+      samples(i) =
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+      i += 1
+    }
+    windowFeatures(samples, windowSamples)
+  }
+
+  /** The descriptor kernel: mono samples → per-window
+    * (rms ∈ [0,1], zcr ∈ [0,1]).
+    */
+  private[operators] def windowFeatures(
+      samples: Array[Double], windowSamples: Int): Seq[Row] = {
+    val nSamples = samples.length
+    if (nSamples == 0) return Seq.empty
     val out = Seq.newBuilder[Row]
     var w = 0
     while (w < nSamples) {
@@ -379,8 +483,7 @@ object Multimodal {
       var prevNeg = false
       var i = w
       while (i < end) {
-        // 16-bit little-endian signed sample, normalized to [-1, 1]
-        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+        val s = samples(i)
         sumSq += s * s
         val neg = s < 0
         if (i > w && neg != prevNeg) crossings += 1

@@ -715,6 +715,73 @@ class StreamSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("multimodal audio: REAL WAV/AIFF decode via javax.sound.sampled") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def container(samples: Seq[Short], channels: Int, bigEndian: Boolean,
+        typ: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16,
+        channels, 2 * channels, 8000f, bigEndian)
+      val pcm = new Array[Byte](samples.size * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (bigEndian) { pcm(2 * i) = (s >> 8).toByte; pcm(2 * i + 1) = s.toByte }
+        else { pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.size / channels), typ, bos)
+      bos.toByteArray
+    }
+    val silence = Seq.fill[Short](1024)(0)
+    val nyquist = (0 until 1024).map(i =>
+      if (i % 2 == 0) (32767: Short) else (-32768: Short))
+    val tone = silence ++ nyquist
+    // stereo: L = tone, R = 0 → mono downmix halves the amplitude
+    val stereo = tone.flatMap(s => Seq(s, 0: Short))
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L,
+          container(tone, 1, false, AudioFileFormat.Type.WAVE)),
+        org.apache.spark.sql.Row(2L,
+          container(tone, 1, true, AudioFileFormat.Type.AIFF)),
+        org.apache.spark.sql.Row(3L,
+          container(stereo, 2, false, AudioFileFormat.Type.WAVE)),
+        org.apache.spark.sql.Row(4L, "not audio at all".getBytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, true))))
+    val got = Multimodal.audioFeatures(media, windowSamples = 1024)
+      .select(col("media_id"), col("audio"), col("decoded"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[org.apache.spark.sql.Row](1), r.getAs[org.apache.spark.sql.Row](2))).toMap
+
+    // WAV mono: sample-exact — window 0 silent, window 1 full-swing
+    val (wavWin, wavMeta) = got(1L)
+    assert(wavWin.size == 2)
+    assert(wavWin(0).getFloat(0) == 0f && wavWin(0).getFloat(1) == 0f)
+    assert(wavWin(1).getFloat(0) > 0.9f && wavWin(1).getFloat(1) == 1f)
+    assert(wavMeta != null, "WAV payload must decode (non-null `decoded`)")
+    assert(wavMeta.getFloat(0) == 8000f && wavMeta.getInt(1) == 1 &&
+      wavMeta.getInt(2) == 16 && wavMeta.getString(3) == "PCM_SIGNED")
+    // AIFF (big-endian) carries the SAME samples → identical features
+    val (aiffWin, aiffMeta) = got(2L)
+    assert(aiffWin == wavWin, "endianness must not leak into features")
+    assert(aiffMeta != null && aiffMeta.getFloat(0) == 8000f)
+    // stereo downmix: R channel silent → rms exactly halved, zcr kept
+    val (stWin, stMeta) = got(3L)
+    assert(stMeta.getInt(1) == 2)
+    assert(stWin.size == 2 && stWin(0).getFloat(0) == 0f)
+    assert(math.abs(stWin(1).getFloat(0) - wavWin(1).getFloat(0) / 2) < 1e-6,
+      s"stereo downmix rms ${stWin(1).getFloat(0)} vs mono ${wavWin(1).getFloat(0)}")
+    assert(stWin(1).getFloat(1) == 1f)
+    // non-audio bytes: raw-PCM fallback, decoded NULL
+    val (rawWin, rawMeta) = got(4L)
+    assert(rawMeta == null && rawWin.nonEmpty)
+    assert(rawWin == Multimodal.pcmWindows("not audio at all".getBytes, 1024))
+  }
+
   test("incremental MV maintenance == full recompute (A6 State/Merge)") {
     val events = Tables.events(spark, sf)
     val keys = Seq("event_type")
