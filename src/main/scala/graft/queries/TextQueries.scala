@@ -271,7 +271,13 @@ object TextQueries {
        |  AND q.quality >= 0.15
        |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    // all four legs derive from the same narrow projection — persist
+    // it ONCE so the documents parquet is scanned a single time and
+    // the dedup/quality/decontamination legs read cached blocks
+    // (PlanSpec pins that no leg scans the parquet directly)
+    import graft.CacheScope.TrackedDataFrame
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang")).persistTracked()
     val canonical = Dedup.duplicateClusters(docs, "doc_id", "text", 3, 0.8)
       .filter(col("is_canonical")).select(col("doc_id"))
     val contaminated = Dedup.jaccardAgainstPairs(

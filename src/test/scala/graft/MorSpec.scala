@@ -555,4 +555,53 @@ class MorSpec extends SparkSpec {
     assert(err.getMessage.contains("v_pos"), s"got: ${err.getMessage}")
     assert(TxTable.currentVersion(spark, root).get == vBefore)
   }
+
+  test("concurrent MoR DML on disjoint keys: all 8 writers land via fresh-scan retry") {
+    // the DV-commit counterpart of TxSpec's append-contention case:
+    // commitDvAppend/commitDvUpdate are PINNED to the snapshot their
+    // positions were computed against, so a racer must discard its
+    // legs and redo the position scan against the new current snapshot
+    // — correctness under contention comes from recompute, not rebase.
+    // 8 threads, disjoint key ranges: 4 DELETE legs + 4 UPDATE legs.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("race")
+    TxTable.create(seed, root, Some("p"))
+    val before = dataPaths(root)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val legs: Seq[() => (Long, Long)] =
+        (0 until 4).map { i => () =>
+          MergeOnRead.deleteWhere(spark, root,
+            expr(s"k > ${i * 10} AND k <= ${i * 10 + 10}"), maxRetries = 20)
+        } ++ (0 until 4).map { i => () =>
+          MergeOnRead.updateWhere(spark, root,
+            expr(s"k > ${40 + i * 10} AND k <= ${50 + i * 10}"),
+            Seq("v" -> (col("v") + 1000.0)), maxRetries = 20)
+        }
+      val results = Await.result(
+        Future.sequence(legs.map(f => Future(f()))), 300.seconds)
+      // every leg landed its own commit: versions 1..8, no sharing
+      assert(results.map(_._1).toSet == (1L to 8L).toSet,
+        s"legs must land distinct consecutive versions: $results")
+      assert(results.map(_._2).forall(_ == 10L),
+        s"each leg owns exactly 10 rows: $results")
+    } finally pool.shutdown()
+    // content: 1..40 deleted; 41..80 bumped; 81..100 untouched
+    val got = TxTable.read(spark, root).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == (41L to 100L).toSet, "deletes lost or over-applied")
+    assert((41L to 80L).forall(k => got(k) == k * 1.5 + 1000.0),
+      "an update leg lost rows in the race")
+    assert((81L to 100L).forall(k => got(k) == k * 1.5))
+    // MoR posture survived the contention: the original data files are
+    // all still present (deletes masked, updates appended post-images)
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(before.subsetOf(snap.entries.map(_.relPath).toSet),
+      "a racing MoR writer rewrote seed data files")
+    assert(snap.dvs.map(_.rows).sum == 80L,
+      s"40 deleted + 40 update-masked positions, got ${snap.dvs.map(_.rows).sum}")
+  }
 }

@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("corpus_select legs share ONE cached documents projection") {
+    // the capstone's four legs (dedup clusters, quality, language,
+    // decontamination) all derive from the same narrow (doc_id, text,
+    // lang) projection — persisted once in the query, so the
+    // documents parquet contributes exactly one scan node to the
+    // whole composed plan
+    val df = Catalog.queries("q_corpus_select")(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size <= 1,
+      s"documents parquet must be scanned via one node, saw ids $scanIds")
+    graft.CacheScope.release()
+  }
+
   test("sketch/histogram aggregates partial-aggregate before their exchange") {
     // the scale contract of every TypedImperativeAggregate here: a
     // map-side partial (ObjectHashAggregate) combines per-partition

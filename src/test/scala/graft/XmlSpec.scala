@@ -32,6 +32,76 @@ class XmlSpec extends SparkSpec {
     assert(got == Set((1L, "alice", 10.5), (2L, "bob", 20.0)))
   }
 
+  test("schemaFromXsd: XSD-declared schema drives the read (S7 schema-from-XSD)") {
+    val dir = Files.createDirectories(
+      Paths.get(s"target/tmp/xsd_${System.nanoTime()}")).toString
+    // the shape the reference's "Generate XSD" produces: named row
+    // element, sequence of typed leaves, optional element, attribute,
+    // a nested complex type, and an unbounded repeat
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="row">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="id" type="xs:long"/>
+        |        <xs:element name="name" type="xs:string" minOccurs="0"/>
+        |        <xs:element name="amount" type="xs:double" minOccurs="0"/>
+        |        <xs:element name="when" type="xs:date" minOccurs="0"/>
+        |        <xs:element name="tag" type="xs:string" minOccurs="0"
+        |                    maxOccurs="unbounded"/>
+        |        <xs:element name="addr" minOccurs="0">
+        |          <xs:complexType>
+        |            <xs:sequence>
+        |              <xs:element name="city" type="xs:string" minOccurs="0"/>
+        |              <xs:element name="zip" type="xs:int" minOccurs="0"/>
+        |            </xs:sequence>
+        |          </xs:complexType>
+        |        </xs:element>
+        |      </xs:sequence>
+        |      <xs:attribute name="src" type="xs:string"/>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val derived = XmlIngest.schemaFromXsd(xsd, "row")
+    assert(derived == StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, true),
+      StructField("amount", DoubleType, true),
+      StructField("when", DateType, true),
+      StructField("tag", ArrayType(StringType, true), true),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType, true),
+        StructField("zip", IntegerType, true))), true),
+      StructField("_src", StringType, true))), s"derived: $derived")
+    Files.writeString(Paths.get(s"$dir/rows.xml"),
+      """<rows>
+        |  <row src="feed"><id>1</id><name>alice</name><amount>10.5</amount>
+        |    <when>2024-03-01</when><tag>a</tag><tag>b</tag>
+        |    <addr><city>Riga</city><zip>1010</zip></addr></row>
+        |  <row><id>2</id><name>bob</name></row>
+        |</rows>""".stripMargin)
+    val df = XmlIngest.readWithXsd(spark, s"$dir/rows.xml", "row", xsd)
+    assert(df.filter(col(CsvIngest.CorruptCol).isNotNull).count() == 0)
+    val r1 = df.filter(col("id") === 1).head
+    assert(r1.getAs[String]("_src") == "feed")
+    assert(r1.getSeq[String](r1.fieldIndex("tag")).toList == List("a", "b"))
+    assert(r1.getAs[org.apache.spark.sql.Row]("addr").getAs[Int]("zip") == 1010)
+    assert(r1.getAs[java.sql.Date]("when").toString == "2024-03-01")
+    val r2 = df.filter(col("id") === 2).head
+    assert(r2.isNullAt(r2.fieldIndex("addr")) && r2.isNullAt(r2.fieldIndex("amount")))
+    // the inverse: generateXsd → schemaFromXsd is the identity on the
+    // datasource-facing schema (the "Generate XSD" affordance)
+    val regen = XmlIngest.generateXsd("row", derived)
+    assert(XmlIngest.schemaFromXsd(regen, "row") == derived,
+      s"roundtrip drifted:\n$regen")
+    // DTDs are refused — no entity expansion from an untrusted schema
+    intercept[Exception] {
+      XmlIngest.schemaFromXsd(
+        "<!DOCTYPE x [<!ENTITY e \"v\">]>" + xsd.dropWhile(_ != '\n'), "row")
+    }
+  }
+
   test("from_xml parses embedded XML payload columns") {
     val df = Seq(
       (1L, "<item><name>widget</name><amount>5.5</amount></item>")
