@@ -1,0 +1,339 @@
+package graft.dag
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal orchestration DAG runner — the control-flow layer the
+  * reference builds every pipeline on, re-expressed for a Spark
+  * driver:
+  *
+  *   - tasks linked by PRECEDENCE CONSTRAINTS with the three SSIS
+  *     edge kinds — Success / Failure / Completion — plus an optional
+  *     variable-guard expression per edge, AND-joined by default with
+  *     an OR-join opt-in per task (…/Глава 01…md:56-60: "Precedence
+  *     Constraints — связывают задачи … Success, Failure, Completion
+  *     + выражения"; Airflow `extract >> transform >> load`,
+  *     `Integration/Apache AirFlow/001 Intro.md:20-52`);
+  *   - CHECKPOINT-FILE RESTART (…/Глава 14…md:25-34): every task
+  *     success atomically rewrites the checkpoint with the completed
+  *     set and the variable values; a rerun against an existing
+  *     checkpoint SKIPS the recorded tasks, restores the variables,
+  *     and resumes from the failure onward; a fully-successful run
+  *     deletes the file — SSIS `SaveCheckpoints`/`IfExists` exactly;
+  *   - PER-TASK AUDIT ROWS ([[DagRun.audit]]) — run id, task, status,
+  *     attempt, duration — the run-log discipline of the reference's
+  *     end-to-end packages (…/Глава 08…md:64 tech columns).
+  *
+  * Ready tasks run CONCURRENTLY on a bounded driver pool ("Параллелизм
+  * в Control Flow — бесплатный способ ускориться", …/Глава 14…md:113)
+  * — each task typically submits distributed Spark jobs, so the pool
+  * bounds driver-side orchestration, not cluster work. The runner is
+  * deliberately driver-level and engine-agnostic: tasks are opaque
+  * `DagContext => Unit` closures; everything data-shaped (staging,
+  * quarantine, idempotent writes) lives in the operators the tasks
+  * call, not here.
+  *
+  * Skip propagation: an edge from a SKIPPED upstream is never
+  * satisfied — a task whose join cannot be satisfied once all its
+  * upstreams are terminal is itself Skipped (SSIS: a task whose
+  * constraint never fires does not execute). OnFailure edges fire on
+  * genuine task failure only.
+  */
+object Dag {
+
+  /** One unit of work. `run` sees the session and the run's shared
+    * variables; a throw marks the task Failed (and the run restartable
+    * from its checkpoint).
+    */
+  final case class Task(name: String, run: DagContext => Unit)
+
+  sealed trait EdgeKind
+  case object OnSuccess extends EdgeKind
+  case object OnFailure extends EdgeKind
+  case object OnCompletion extends EdgeKind
+
+  /** Precedence constraint `from → to`. `guard` is the SSIS
+    * "expression AND constraint" form: evaluated against a snapshot of
+    * the run variables when the edge's source completes; both the
+    * status condition and the guard must hold for the edge to be
+    * satisfied.
+    */
+  final case class Edge(
+      from: String, to: String,
+      kind: EdgeKind = OnSuccess,
+      guard: Option[Map[String, String] => Boolean] = None)
+
+  sealed abstract class Status(val label: String)
+  /** Ran in this run and returned. */
+  case object Succeeded extends Status("succeeded")
+  /** Ran in this run and threw. */
+  case object Failed extends Status("failed")
+  /** Join unsatisfiable — never executed. */
+  case object Skipped extends Status("skipped")
+  /** Completed in a PRIOR run (checkpoint) — not re-executed. */
+  case object Checkpointed extends Status("checkpointed")
+
+  final case class TaskResult(
+      task: String, status: Status, attempt: Int,
+      startedAtMs: Long, endedAtMs: Long, error: Option[String])
+
+  /** Shared run state handed to every task: the session plus the
+    * run-scoped string variables (the SSIS variable surface — also
+    * what the checkpoint persists and restores).
+    */
+  final class DagContext private[dag] (
+      val spark: SparkSession,
+      private[dag] val vars: TrieMap[String, String]) {
+    def set(key: String, value: String): Unit = vars.put(key, value)
+    def get(key: String): Option[String] = vars.get(key)
+    def snapshot: Map[String, String] = vars.toMap
+  }
+
+  final case class DagRun(
+      runId: String,
+      results: Seq[TaskResult],
+      vars: Map[String, String]) {
+    def succeeded: Boolean =
+      results.forall(r => r.status == Succeeded || r.status == Checkpointed)
+    def status(task: String): Status =
+      results.find(_.task == task).getOrElse(
+        throw new NoSuchElementException(task)).status
+
+    /** The audit table of this run — one row per task, ready to append
+      * to a run-log table (timestamps are wall-clock; the driver's
+      * oracle-gated query projects them away).
+      */
+    def audit(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      results.map(r => (runId, r.task, r.status.label, r.attempt,
+          r.startedAtMs, r.endedAtMs, r.error.getOrElse(null: String)))
+        .toDF("run_id", "task", "status", "attempt",
+          "started_at_ms", "ended_at_ms", "error")
+    }
+  }
+
+  /** Execute the DAG. `checkpoint` (optional) is the SSIS
+    * CheckpointFileName: pre-completed tasks are skipped and their
+    * variable state restored; the file is advanced after every task
+    * success and deleted when the whole run succeeds. `maxParallel`
+    * bounds concurrently-RUNNING tasks (ready tasks beyond the bound
+    * queue). Throws on malformed graphs (duplicate/unknown names,
+    * cycles) before running anything.
+    */
+  def run(
+      spark: SparkSession,
+      tasks: Seq[Task],
+      edges: Seq[Edge],
+      runId: String,
+      checkpoint: Option[String] = None,
+      orJoins: Set[String] = Set.empty,
+      vars: Map[String, String] = Map.empty,
+      maxParallel: Int = 4): DagRun = {
+    validate(tasks, edges, orJoins)
+    val byName = tasks.map(t => t.name -> t).toMap
+    val incoming = edges.groupBy(_.to)
+    val ctx = new DagContext(spark, TrieMap(vars.toSeq: _*))
+    val state = TrieMap.empty[String, TaskResult]
+
+    // checkpoint restore: completed set + variables (…/Глава 14…md:30)
+    val cpDone: Set[String] = checkpoint.map { cp =>
+      val (done, savedVars) = readCheckpoint(spark, cp)
+      savedVars.foreach { case (k, v) => ctx.vars.put(k, v) }
+      done.filter(byName.contains)
+    }.getOrElse(Set.empty)
+    cpDone.foreach { name =>
+      state.put(name, TaskResult(name, Checkpointed, 0, -1L, -1L, None))
+    }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, maxParallel))
+    val completions =
+      new java.util.concurrent.LinkedBlockingQueue[TaskResult]()
+    try {
+      var running = Set.empty[String]
+      var continue = true
+      while (continue) {
+        // schedule every task whose fate is decidable
+        var progressed = true
+        while (progressed) {
+          progressed = false
+          byName.keys.toSeq.sorted.foreach { name =>
+            if (!state.contains(name) && !running.contains(name)) {
+              joinFate(name, incoming.getOrElse(name, Nil),
+                  orJoins.contains(name), state, ctx) match {
+                case JoinReady =>
+                  running += name
+                  val task = byName(name)
+                  pool.execute(() => completions.put(execute(task, ctx)))
+                case JoinDead =>
+                  state.put(name,
+                    TaskResult(name, Skipped, 0, -1L, -1L, None))
+                  progressed = true // may decide downstream fates
+                case JoinPending => ()
+              }
+            }
+          }
+        }
+        if (running.isEmpty) continue = false
+        else {
+          val done = completions.take()
+          running -= done.task
+          state.put(done.task, done)
+          if (done.status == Succeeded)
+            checkpoint.foreach(cp => writeCheckpoint(spark, cp,
+              state.filter { case (_, r) =>
+                r.status == Succeeded || r.status == Checkpointed
+              }.keySet.toSet, ctx.snapshot))
+        }
+      }
+    } finally pool.shutdown()
+
+    val ordered = tasks.map(t => state(t.name))
+    val runRes = DagRun(runId, ordered, ctx.snapshot)
+    // a fully-successful run retires its checkpoint (SSIS deletes the
+    // file on package success so the next run starts fresh)
+    if (runRes.succeeded) checkpoint.foreach { cp =>
+      val p = new Path(cp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, false)
+    }
+    runRes
+  }
+
+  private def execute(task: Task, ctx: DagContext): TaskResult = {
+    val t0 = System.currentTimeMillis()
+    try {
+      task.run(ctx)
+      TaskResult(task.name, Succeeded, 1, t0, System.currentTimeMillis(), None)
+    } catch {
+      case e: Throwable =>
+        TaskResult(task.name, Failed, 1, t0, System.currentTimeMillis(),
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
+  }
+
+  private sealed trait JoinState
+  private case object JoinReady extends JoinState
+  private case object JoinPending extends JoinState
+  private case object JoinDead extends JoinState
+
+  /** Decide a not-yet-run task's fate from its incoming edges.
+    * AND-join: ready when EVERY edge is satisfied; dead as soon as one
+    * edge can never be satisfied. OR-join: ready when ANY edge is
+    * satisfied; dead only when all are unsatisfiable.
+    */
+  private def joinFate(
+      name: String, in: Seq[Edge], orJoin: Boolean,
+      state: scala.collection.Map[String, TaskResult],
+      ctx: DagContext): JoinState = {
+    if (in.isEmpty) return JoinReady
+    val fates = in.map { e =>
+      state.get(e.from) match {
+        case None => JoinPending // upstream not terminal yet
+        case Some(r) =>
+          val statusOk = (e.kind, r.status) match {
+            case (OnSuccess, Succeeded | Checkpointed) => true
+            case (OnFailure, Failed) => true
+            case (OnCompletion, Succeeded | Checkpointed | Failed) => true
+            case _ => false // Skipped satisfies nothing
+          }
+          if (statusOk && e.guard.forall(_(ctx.snapshot))) JoinReady
+          else JoinDead
+      }
+    }
+    if (orJoin) {
+      if (fates.contains(JoinReady)) JoinReady
+      else if (fates.forall(_ == JoinDead)) JoinDead
+      else JoinPending
+    } else {
+      if (fates.contains(JoinDead)) JoinDead
+      else if (fates.forall(_ == JoinReady)) JoinReady
+      else JoinPending
+    }
+  }
+
+  private def validate(
+      tasks: Seq[Task], edges: Seq[Edge], orJoins: Set[String]): Unit = {
+    val names = tasks.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate task names: ${dups.mkString(", ")}")
+    val known = names.toSet
+    edges.foreach { e =>
+      require(known(e.from) && known(e.to),
+        s"edge ${e.from} -> ${e.to} references an unknown task")
+      require(e.from != e.to, s"self-edge on ${e.from}")
+    }
+    orJoins.foreach(n => require(known(n), s"orJoin on unknown task $n"))
+    // Kahn's algorithm — any remainder is a cycle
+    var inDeg = names.map(n => n -> 0).toMap
+    edges.foreach(e => inDeg += e.to -> (inDeg(e.to) + 1))
+    val out = edges.groupBy(_.from)
+    var queue = names.filter(inDeg(_) == 0).toList
+    var seen = 0
+    while (queue.nonEmpty) {
+      val n = queue.head; queue = queue.tail; seen += 1
+      out.getOrElse(n, Nil).foreach { e =>
+        inDeg += e.to -> (inDeg(e.to) - 1)
+        if (inDeg(e.to) == 0) queue ::= e.to
+      }
+    }
+    require(seen == names.size,
+      s"cycle through: ${inDeg.filter(_._2 > 0).keys.mkString(", ")}")
+  }
+
+  // ---- checkpoint file: same crash-safety idiom as the TxTable
+  // manifest — full content to a temp path, atomic rename, `#eof`
+  // trailer so a torn write reads as absent, not as a partial state.
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  private def writeCheckpoint(
+      spark: SparkSession, path: String,
+      done: Set[String], vars: Map[String, String]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val os = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      done.toSeq.sorted.foreach(t => sb ++= s"task\t${enc(t)}\n")
+      vars.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb ++= s"var\t${enc(k)}\t${enc(v)}\n"
+      }
+      sb ++= "#eof\n"
+      os.write(sb.result().getBytes(UTF_8))
+    } finally os.close()
+    if (!fs.rename(tmp, p)) { // rename-over needs delete-first on HDFS
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"checkpoint rename failed: $path")
+    }
+  }
+
+  private def readCheckpoint(
+      spark: SparkSession, path: String): (Set[String], Map[String, String]) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (Set.empty, Map.empty)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1)
+    if (!lines.contains("#eof")) return (Set.empty, Map.empty) // torn write
+    val done = Set.newBuilder[String]
+    val vars = Map.newBuilder[String, String]
+    lines.takeWhile(_ != "#eof").foreach { l =>
+      l.split("\t", -1) match {
+        case Array("task", t) => done += dec(t)
+        case Array("var", k, v) => vars += dec(k) -> dec(v)
+        case _ => ()
+      }
+    }
+    (done.result(), vars.result())
+  }
+}

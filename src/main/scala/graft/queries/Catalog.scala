@@ -6,7 +6,8 @@ object Catalog {
     val qs =
       Relational.all ++ Reshape.all ++ Scalar.all ++ CdcQueries.all ++
         TextQueries.all ++ VectorQueries.all ++ SourceQueries.all ++
-        QualityQueries.all ++ StreamQueries.all ++ AnalyticsQueries.all
+        QualityQueries.all ++ StreamQueries.all ++ AnalyticsQueries.all ++
+        DagQueries.all
     // a duplicate name would silently drop a query from the toMap
     // below — and with it from the correctness gate
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

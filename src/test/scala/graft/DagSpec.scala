@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.dag.Dag
+import graft.dag.Dag._
+
+/** The orchestration runner: precedence-constraint semantics
+  * (success/failure/completion edges, guards, AND/OR joins, skip
+  * propagation), checkpoint-file restart (the mid-flight kill), graph
+  * validation, and driver-side parallelism.
+  */
+class DagSpec extends SparkSpec {
+
+  private def cpPath(tag: String) =
+    s"target/tmp/dag_cp_${tag}_${System.nanoTime()}"
+
+  private def noop: DagContext => Unit = _ => ()
+
+  test("success/failure/completion edges route exactly like the reference's constraints") {
+    val ran = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    def mark(n: String): DagContext => Unit = _ => ran.put(n, true)
+    val run = Dag.run(spark,
+      tasks = Seq(
+        Task("a", mark("a")),
+        Task("probe", _ => sys.error("feed unavailable")),
+        Task("b", mark("b")),               // a success →
+        Task("alarm", mark("alarm")),       // a failure → (must skip)
+        Task("quarantine", mark("quarantine")), // probe failure →
+        Task("publish", mark("publish")),   // probe success → (must skip)
+        Task("fin", mark("fin"))),          // probe completion →
+      edges = Seq(
+        Edge("a", "b", OnSuccess),
+        Edge("a", "alarm", OnFailure),
+        Edge("probe", "quarantine", OnFailure),
+        Edge("probe", "publish", OnSuccess),
+        Edge("probe", "fin", OnCompletion)),
+      runId = "r1")
+    assert(!run.succeeded)
+    assert(run.status("a") == Succeeded && run.status("b") == Succeeded)
+    assert(run.status("probe") == Failed)
+    assert(run.status("alarm") == Skipped && !ran.contains("alarm"))
+    assert(run.status("publish") == Skipped && !ran.contains("publish"))
+    assert(run.status("quarantine") == Succeeded && ran.contains("quarantine"))
+    assert(run.status("fin") == Succeeded && ran.contains("fin"))
+    // audit rows carry the same verdicts
+    val audit = run.audit(spark).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(audit("probe") == "failed" && audit("publish") == "skipped")
+  }
+
+  test("skip propagates: downstream of a skipped-only upstream is skipped") {
+    val run = Dag.run(spark,
+      tasks = Seq(
+        Task("f", _ => sys.error("boom")),
+        Task("x", noop), Task("y", noop)),
+      edges = Seq(
+        Edge("f", "x", OnSuccess),   // x skipped (f failed)
+        Edge("x", "y", OnCompletion)), // completion of a SKIPPED task
+      runId = "r")
+    assert(run.status("x") == Skipped && run.status("y") == Skipped)
+  }
+
+  test("edge guards and OR-joins (expression + constraint forms)") {
+    val run = Dag.run(spark,
+      tasks = Seq(
+        Task("load", ctx => ctx.set("n", "42")),
+        Task("probe", _ => sys.error("down")),
+        Task("big", noop),    // guard n > 100 → skipped
+        Task("small", noop),  // guard n <= 100 → runs
+        Task("either", noop)), // OR-join over (load success, probe success)
+      edges = Seq(
+        Edge("load", "big", OnSuccess, Some(v => v("n").toLong > 100)),
+        Edge("load", "small", OnSuccess, Some(v => v("n").toLong <= 100)),
+        Edge("load", "either", OnSuccess),
+        Edge("probe", "either", OnSuccess)),
+      orJoins = Set("either"),
+      runId = "r")
+    assert(run.status("big") == Skipped)
+    assert(run.status("small") == Succeeded)
+    assert(run.status("either") == Succeeded,
+      "OR-join must fire on the satisfied edge despite the failed one")
+    // same edges with the default AND-join must skip
+    val and = Dag.run(spark,
+      tasks = Seq(Task("load", noop), Task("probe", _ => sys.error("down")),
+        Task("both", noop)),
+      edges = Seq(Edge("load", "both"), Edge("probe", "both")),
+      runId = "r2")
+    assert(and.status("both") == Skipped)
+  }
+
+  test("checkpoint restart runs exactly the unfinished suffix (mid-flight kill)") {
+    val cp = cpPath("restart")
+    val execs = scala.collection.concurrent.TrieMap.empty[String, AtomicInteger]
+    def counted(n: String)(body: DagContext => Unit): Task = Task(n, ctx => {
+      execs.getOrElseUpdate(n, new AtomicInteger).incrementAndGet()
+      body(ctx)
+    })
+    val healthy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def tasks = Seq(
+      counted("t1")(ctx => ctx.set("watermark", "v7")),
+      counted("t2")(noop),
+      counted("t3")(_ => if (!healthy.get) sys.error("killed mid-flight")),
+      counted("t4")(ctx =>
+        // t4 proves the restored variable state is visible downstream
+        require(ctx.get("watermark").contains("v7"), "vars not restored")),
+      counted("t5")(noop))
+    val chain = Seq(Edge("t1", "t2"), Edge("t2", "t3"),
+      Edge("t3", "t4"), Edge("t4", "t5"))
+
+    val first = Dag.run(spark, tasks, chain, "run1", checkpoint = Some(cp))
+    assert(!first.succeeded)
+    assert(first.status("t2") == Succeeded && first.status("t3") == Failed)
+    assert(first.status("t4") == Skipped && first.status("t5") == Skipped)
+    assert(Files.exists(Paths.get(cp)), "failed run must leave its checkpoint")
+
+    healthy.set(true)
+    val second = Dag.run(spark, tasks, chain, "run2", checkpoint = Some(cp))
+    assert(second.succeeded)
+    // EXACTLY the unfinished suffix re-ran
+    assert(second.status("t1") == Checkpointed &&
+      second.status("t2") == Checkpointed)
+    assert(Seq("t1", "t2").forall(execs(_).get == 1),
+      s"completed tasks must not re-run: ${execs.map { case (k, v) => k -> v.get }}")
+    assert(execs("t3").get == 2, "the failed task re-runs")
+    assert(Seq("t4", "t5").forall(execs(_).get == 1),
+      "tasks skipped by the failure run once, in the restart")
+    // success retires the checkpoint (next run starts fresh)
+    assert(!Files.exists(Paths.get(cp)))
+  }
+
+  test("malformed graphs refuse before running anything") {
+    intercept[IllegalArgumentException] { // cycle
+      Dag.run(spark, Seq(Task("a", noop), Task("b", noop)),
+        Seq(Edge("a", "b"), Edge("b", "a")), "r")
+    }
+    intercept[IllegalArgumentException] { // unknown endpoint
+      Dag.run(spark, Seq(Task("a", noop)), Seq(Edge("a", "ghost")), "r")
+    }
+    intercept[IllegalArgumentException] { // duplicate names
+      Dag.run(spark, Seq(Task("a", noop), Task("a", noop)), Nil, "r")
+    }
+    intercept[IllegalArgumentException] { // self-edge
+      Dag.run(spark, Seq(Task("a", noop)), Seq(Edge("a", "a")), "r")
+    }
+  }
+
+  test("independent branches run concurrently on the driver pool") {
+    // rendezvous: each branch waits for the other — completes only if
+    // both are genuinely in flight at once (a serial runner times out
+    // a latch and fails the task, not the suite)
+    val latch = new java.util.concurrent.CyclicBarrier(2)
+    def meet: DagContext => Unit = _ =>
+      latch.await(20, java.util.concurrent.TimeUnit.SECONDS)
+    val run = Dag.run(spark,
+      Seq(Task("left", meet), Task("right", meet), Task("join", noop)),
+      Seq(Edge("left", "join"), Edge("right", "join")),
+      runId = "r", maxParallel = 2)
+    assert(run.succeeded, run.results.mkString("; "))
+  }
+}
