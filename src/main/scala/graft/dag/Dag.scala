@@ -46,10 +46,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Dag {
 
   /** One unit of work. `run` sees the session and the run's shared
-    * variables; a throw marks the task Failed (and the run restartable
-    * from its checkpoint).
+    * variables; a throw marks the attempt failed — the task retries up
+    * to `maxAttempts` total executions (the Airflow `retries` knob;
+    * transient-source resilience) before it is marked Failed and the
+    * run becomes restartable from its checkpoint. The audit row
+    * records the attempt that settled the task.
     */
-  final case class Task(name: String, run: DagContext => Unit)
+  final case class Task(
+      name: String, run: DagContext => Unit, maxAttempts: Int = 1) {
+    require(maxAttempts >= 1, s"task $name: maxAttempts must be >= 1")
+  }
 
   sealed trait EdgeKind
   case object OnSuccess extends EdgeKind
@@ -206,14 +212,21 @@ object Dag {
 
   private def execute(task: Task, ctx: DagContext): TaskResult = {
     val t0 = System.currentTimeMillis()
-    try {
-      task.run(ctx)
-      TaskResult(task.name, Succeeded, 1, t0, System.currentTimeMillis(), None)
-    } catch {
-      case e: Throwable =>
-        TaskResult(task.name, Failed, 1, t0, System.currentTimeMillis(),
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    var attempt = 0
+    var lastError: Option[String] = None
+    while (attempt < task.maxAttempts) {
+      attempt += 1
+      try {
+        task.run(ctx)
+        return TaskResult(task.name, Succeeded, attempt, t0,
+          System.currentTimeMillis(), None)
+      } catch {
+        case e: Throwable =>
+          lastError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
     }
+    TaskResult(task.name, Failed, attempt, t0,
+      System.currentTimeMillis(), lastError)
   }
 
   private sealed trait JoinState
@@ -241,8 +254,13 @@ object Dag {
             case (OnCompletion, Succeeded | Checkpointed | Failed) => true
             case _ => false // Skipped satisfies nothing
           }
-          if (statusOk && e.guard.forall(_(ctx.snapshot))) JoinReady
-          else JoinDead
+          // a guard that THROWS is an unsatisfied constraint, not a
+          // runner crash (SSIS: expression evaluation failure fails
+          // the constraint) — the downstream task skips, visibly
+          val guardOk = statusOk &&
+            (try e.guard.forall(_(ctx.snapshot))
+             catch { case _: Exception => false })
+          if (guardOk) JoinReady else JoinDead
       }
     }
     if (orJoin) {

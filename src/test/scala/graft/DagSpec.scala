@@ -130,6 +130,36 @@ class DagSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(cp)))
   }
 
+  test("per-task retries settle transient failures; the audit records the attempt") {
+    val flaky = new AtomicInteger(0)
+    val run = Dag.run(spark,
+      tasks = Seq(
+        Task("transient", _ =>
+          if (flaky.incrementAndGet() < 3) sys.error("transient outage"),
+          maxAttempts = 3),
+        Task("hopeless", _ => sys.error("always down"), maxAttempts = 2),
+        Task("after", noop)),
+      edges = Seq(Edge("transient", "after")),
+      runId = "r")
+    assert(run.status("transient") == Succeeded && flaky.get == 3)
+    assert(run.results.find(_.task == "transient").get.attempt == 3)
+    assert(run.status("hopeless") == Failed)
+    assert(run.results.find(_.task == "hopeless").get.attempt == 2)
+    assert(run.status("after") == Succeeded)
+  }
+
+  test("a guard that throws is an unsatisfied constraint, not a runner crash") {
+    val run = Dag.run(spark,
+      tasks = Seq(Task("a", noop), Task("b", noop), Task("c", noop)),
+      edges = Seq(
+        Edge("a", "b", OnSuccess,
+          Some(v => v("missing_key").toLong > 0)), // throws NoSuchElement
+        Edge("a", "c", OnSuccess)),
+      runId = "r")
+    assert(run.status("b") == Skipped, "failing guard must skip, not crash")
+    assert(run.status("c") == Succeeded)
+  }
+
   test("malformed graphs refuse before running anything") {
     intercept[IllegalArgumentException] { // cycle
       Dag.run(spark, Seq(Task("a", noop), Task("b", noop)),
