@@ -395,7 +395,21 @@ object Multimodal {
       bytes: Array[Byte]): Option[(Array[Double], Float, Int, Int, String)] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     import AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
-    if (bytes == null || bytes.length == 0) return None
+    if (bytes == null || bytes.length < 12) return None
+    // container-magic gate before touching AudioSystem: the JDK's
+    // readers accept exactly RIFF/WAVE, FORM/AIFF(-C) and .snd (AU);
+    // sniffing via getAudioInputStream on a NON-container payload
+    // costs an exception + SPI iteration per row — measured 3× on the
+    // audio bench query at sf0.1 — for a rejection this comparison
+    // gets for free
+    val isContainer =
+      (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F') ||
+      (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' &&
+        bytes(3) == 'M') ||
+      (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' &&
+        bytes(3) == 'd')
+    if (!isContainer) return None
     try {
       val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -449,26 +463,43 @@ object Multimodal {
     }
   }
 
-  /** Raw fallback: bytes as 16-bit LE PCM → per-window features.
-    * Pure, deterministic, total (any byte string is readable as PCM).
+  /** Raw fallback: bytes as 16-bit LE PCM → per-window features,
+    * streamed straight off the byte array (no samples materialized —
+    * this is the hot path for every non-container payload). Pure,
+    * deterministic, total (any byte string is readable as PCM).
     */
   private[graft] def pcmWindows(
       bytes: Array[Byte], windowSamples: Int): Seq[Row] = {
     if (bytes == null || bytes.length < 2) return Seq.empty
     val nSamples = bytes.length / 2
-    val samples = new Array[Double](nSamples)
-    var i = 0
-    while (i < nSamples) {
-      // 16-bit little-endian signed sample, normalized to [-1, 1]
-      samples(i) =
-        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
-      i += 1
+    val out = Seq.newBuilder[Row]
+    var w = 0
+    while (w < nSamples) {
+      val end = math.min(w + windowSamples, nSamples)
+      var sumSq = 0.0
+      var crossings = 0
+      var prevNeg = false
+      var i = w
+      while (i < end) {
+        // 16-bit little-endian signed sample, normalized to [-1, 1]
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+        sumSq += s * s
+        val neg = s < 0
+        if (i > w && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val n = end - w
+      out += Row(
+        math.sqrt(sumSq / n).toFloat,
+        if (n > 1) crossings.toFloat / (n - 1) else 0f)
+      w += windowSamples
     }
-    windowFeatures(samples, windowSamples)
+    out.result()
   }
 
-  /** The descriptor kernel: mono samples → per-window
-    * (rms ∈ [0,1], zcr ∈ [0,1]).
+  /** The descriptor kernel over DECODED mono samples: per-window
+    * (rms ∈ [0,1], zcr ∈ [0,1]) — same fold as [[pcmWindows]].
     */
   private[operators] def windowFeatures(
       samples: Array[Double], windowSamples: Int): Seq[Row] = {

@@ -681,7 +681,7 @@ object ScaleRehearsal {
     val json =
       s"""{"metric":"scale_rehearsal","passes":2,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r08.json"), json + "\n")
+      java.nio.file.Paths.get("SCALE_r09.json"), json + "\n")
     println(json)
     spark.stop()
   }
