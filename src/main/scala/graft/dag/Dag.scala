@@ -210,6 +210,38 @@ object Dag {
     runRes
   }
 
+  /** A Foreach/For Loop container expansion (…/Глава 01…md:55,
+    * …/Глава 04…md: Foreach Loop iterates files/rows, For Loop a
+    * counter): one task per item bracketed by `name.start` /
+    * `name.done` barrier tasks, so callers wire the whole loop like a
+    * single node — upstream → `group.start`, `group.done` →
+    * downstream. `sequential = true` chains the items in order (the
+    * SSIS default); otherwise items fan out and run concurrently up
+    * to the pool bound. One failing item fails the join (`.done`
+    * skips), exactly like a task inside a sequence container.
+    */
+  final case class Group(tasks: Seq[Task], edges: Seq[Edge],
+      start: String, done: String)
+
+  def foreachGroup[T](
+      name: String, items: Seq[T], sequential: Boolean = false,
+      maxAttempts: Int = 1)(body: (DagContext, T) => Unit): Group = {
+    val start = Task(s"$name.start", _ => ())
+    val done = Task(s"$name.done", _ => ())
+    val itemTasks = items.zipWithIndex.map { case (item, i) =>
+      Task(s"$name#$i", ctx => body(ctx, item), maxAttempts)
+    }
+    val edges =
+      if (itemTasks.isEmpty) Seq(Edge(start.name, done.name))
+      else if (sequential)
+        (Seq(start.name) ++ itemTasks.map(_.name) :+ done.name)
+          .sliding(2).map { case Seq(a, b) => Edge(a, b) }.toSeq
+      else
+        itemTasks.map(t => Edge(start.name, t.name)) ++
+          itemTasks.map(t => Edge(t.name, done.name))
+    Group(start +: itemTasks :+ done, edges, start.name, done.name)
+  }
+
   private def execute(task: Task, ctx: DagContext): TaskResult = {
     val t0 = System.currentTimeMillis()
     var attempt = 0

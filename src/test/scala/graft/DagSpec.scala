@@ -176,6 +176,41 @@ class DagSpec extends SparkSpec {
     }
   }
 
+  test("foreach group: parallel fan-out, sequential chaining, failure fails the join") {
+    // parallel: items land in any order between the barriers
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val g = Dag.foreachGroup("load", Seq(1, 2, 3))((_, i) => seen.add(i): Unit)
+    val run = Dag.run(spark,
+      tasks = Task("pre", noop) +: g.tasks :+ Task("post", noop),
+      edges = Edge("pre", g.start) +: g.edges :+ Edge(g.done, "post"),
+      runId = "r")
+    assert(run.succeeded && seen.size == 3)
+    assert(run.status("post") == Succeeded)
+
+    // sequential: strict order (the SSIS Foreach default)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val sg = Dag.foreachGroup("seq", Seq(10, 20, 30), sequential = true)(
+      (_, i) => order.add(i): Unit)
+    assert(Dag.run(spark, sg.tasks, sg.edges, "r2").succeeded)
+    assert(order.toArray.toSeq == Seq(10, 20, 30))
+
+    // one failing item: the join never fires, downstream skips
+    val fg = Dag.foreachGroup("bad", Seq(1, 2, 3))((_, i) =>
+      if (i == 2) sys.error("item 2 down"))
+    val failed = Dag.run(spark,
+      tasks = fg.tasks :+ Task("after", noop),
+      edges = fg.edges :+ Edge(fg.done, "after"),
+      runId = "r3")
+    assert(!failed.succeeded)
+    assert(failed.status("bad#1") == Failed)
+    assert(failed.status("bad.done") == Skipped)
+    assert(failed.status("after") == Skipped)
+
+    // empty loop degenerates to start → done
+    val eg = Dag.foreachGroup("none", Seq.empty[Int])((_, _) => ())
+    assert(Dag.run(spark, eg.tasks, eg.edges, "r4").succeeded)
+  }
+
   test("independent branches run concurrently on the driver pool") {
     // rendezvous: each branch waits for the other — completes only if
     // both are genuinely in flight at once (a serial runner times out
