@@ -20,7 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `Integration/Apache AirFlow/001 Intro.md:20-52`);
   *   - CHECKPOINT-FILE RESTART (…/Глава 14…md:25-34): every task
   *     success atomically rewrites the checkpoint with the completed
-  *     set and the variable values; a rerun against an existing
+  *     set and the variable values COMMITTED by succeeded tasks (a
+  *     still-running task's partial writes are never persisted, so a
+  *     crash cannot leak uncommitted state into the resumed run); a
+  *     rerun against an existing
   *     checkpoint SKIPS the recorded tasks, restores the variables,
   *     and resumes from the failure onward; a fully-successful run
   *     deletes the file — SSIS `SaveCheckpoints`/`IfExists` exactly;
@@ -63,10 +66,13 @@ object Dag {
   case object OnCompletion extends EdgeKind
 
   /** Precedence constraint `from → to`. `guard` is the SSIS
-    * "expression AND constraint" form: evaluated against a snapshot of
-    * the run variables when the edge's source completes; both the
-    * status condition and the guard must hold for the edge to be
-    * satisfied.
+    * "expression AND constraint" form: evaluated EXACTLY ONCE, against
+    * a snapshot of the run variables taken at the moment the edge's
+    * source becomes terminal (succeeded/failed/skipped/checkpoint-
+    * restored), and the verdict is cached — later variable writes by
+    * unrelated tasks cannot flip it, and OR-join re-examination sees
+    * the same verdict. Both the status condition and the guard must
+    * hold for the edge to be satisfied.
     */
   final case class Edge(
       from: String, to: String,
@@ -83,20 +89,36 @@ object Dag {
   /** Completed in a PRIOR run (checkpoint) — not re-executed. */
   case object Checkpointed extends Status("checkpointed")
 
+  /** `startedAtMs..endedAtMs` covers the SETTLING attempt only (the
+    * succeeding one, or the final failing one) — retries that failed
+    * earlier are not folded into the duration, so lag/duration
+    * monitoring over the audit table sees the real last-attempt cost.
+    */
   final case class TaskResult(
       task: String, status: Status, attempt: Int,
       startedAtMs: Long, endedAtMs: Long, error: Option[String])
 
   /** Shared run state handed to every task: the session plus the
-    * run-scoped string variables (the SSIS variable surface — also
-    * what the checkpoint persists and restores).
+    * run-scoped string variables (the SSIS variable surface). Reads
+    * and writes hit the LIVE shared map (concurrent tasks observe each
+    * other's writes, as SSIS package variables do); additionally each
+    * write is recorded in the executing attempt's private delta, and
+    * only the deltas of SUCCEEDED tasks (succeeding attempt only) are
+    * persisted to the checkpoint — a crashed run never restores
+    * variables written by a task that did not complete.
     */
   final class DagContext private[dag] (
       val spark: SparkSession,
-      private[dag] val vars: TrieMap[String, String]) {
-    def set(key: String, value: String): Unit = vars.put(key, value)
+      private[dag] val vars: TrieMap[String, String],
+      private[dag] val delta: Option[TrieMap[String, String]] = None) {
+    def set(key: String, value: String): Unit = {
+      vars.put(key, value)
+      delta.foreach(_.put(key, value))
+    }
     def get(key: String): Option[String] = vars.get(key)
     def snapshot: Map[String, String] = vars.toMap
+    private[dag] def withDelta(d: TrieMap[String, String]): DagContext =
+      new DagContext(spark, vars, Some(d))
   }
 
   final case class DagRun(
@@ -141,24 +163,48 @@ object Dag {
       maxParallel: Int = 4): DagRun = {
     validate(tasks, edges, orJoins)
     val byName = tasks.map(t => t.name -> t).toMap
-    val incoming = edges.groupBy(_.to)
+    val indexed = edges.zipWithIndex
+    val incoming = indexed.groupBy(_._1.to)
+    val outgoing = indexed.groupBy(_._1.from)
     val ctx = new DagContext(spark, TrieMap(vars.toSeq: _*))
     val state = TrieMap.empty[String, TaskResult]
+    // checkpoint-eligible variable state: the initial vars plus deltas
+    // committed by SUCCEEDED tasks only (never a running task's
+    // partial writes — see DagContext doc)
+    val committed = TrieMap[String, String](vars.toSeq: _*)
+    // one cached verdict per guarded edge, fixed when its source
+    // becomes terminal (see Edge doc)
+    val guardVerdicts = TrieMap.empty[Int, Boolean]
+    def settleGuards(source: String): Unit =
+      outgoing.getOrElse(source, Nil).foreach { case (e, i) =>
+        e.guard.foreach { g =>
+          // a guard that THROWS is an unsatisfied constraint, not a
+          // runner crash (SSIS: expression evaluation failure fails
+          // the constraint) — the downstream task skips, visibly
+          guardVerdicts.getOrElseUpdate(i,
+            try g(ctx.snapshot) catch { case _: Exception => false })
+        }
+      }
 
     // checkpoint restore: completed set + variables (…/Глава 14…md:30)
     val cpDone: Set[String] = checkpoint.map { cp =>
       val (done, savedVars) = readCheckpoint(spark, cp)
-      savedVars.foreach { case (k, v) => ctx.vars.put(k, v) }
+      savedVars.foreach { case (k, v) =>
+        ctx.vars.put(k, v); committed.put(k, v)
+      }
       done.filter(byName.contains)
     }.getOrElse(Set.empty)
     cpDone.foreach { name =>
       state.put(name, TaskResult(name, Checkpointed, 0, -1L, -1L, None))
     }
+    cpDone.foreach(settleGuards) // restored vars are the source snapshot
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, maxParallel))
-    val completions =
-      new java.util.concurrent.LinkedBlockingQueue[TaskResult]()
+    // Right((result, varDelta)) per settled task; Left(fatal) when an
+    // attempt hit a VirtualMachineError/interrupt — rethrown below
+    val completions = new java.util.concurrent.LinkedBlockingQueue[
+      Either[Throwable, (TaskResult, Map[String, String])]]()
     try {
       var running = Set.empty[String]
       var continue = true
@@ -169,15 +215,19 @@ object Dag {
           progressed = false
           byName.keys.toSeq.sorted.foreach { name =>
             if (!state.contains(name) && !running.contains(name)) {
-              joinFate(name, incoming.getOrElse(name, Nil),
-                  orJoins.contains(name), state, ctx) match {
+              joinFate(incoming.getOrElse(name, Nil),
+                  orJoins.contains(name), state, guardVerdicts) match {
                 case JoinReady =>
                   running += name
                   val task = byName(name)
-                  pool.execute(() => completions.put(execute(task, ctx)))
+                  pool.execute { () =>
+                    try completions.put(Right(execute(task, ctx)))
+                    catch { case t: Throwable => completions.put(Left(t)) }
+                  }
                 case JoinDead =>
                   state.put(name,
                     TaskResult(name, Skipped, 0, -1L, -1L, None))
+                  settleGuards(name)
                   progressed = true // may decide downstream fates
                 case JoinPending => ()
               }
@@ -185,15 +235,23 @@ object Dag {
           }
         }
         if (running.isEmpty) continue = false
-        else {
-          val done = completions.take()
-          running -= done.task
-          state.put(done.task, done)
-          if (done.status == Succeeded)
-            checkpoint.foreach(cp => writeCheckpoint(spark, cp,
-              state.filter { case (_, r) =>
-                r.status == Succeeded || r.status == Checkpointed
-              }.keySet.toSet, ctx.snapshot))
+        else completions.take() match {
+          case Left(fatal) =>
+            // JVM/driver state is suspect: cancel outstanding work and
+            // surface the error to the caller, not the audit table
+            pool.shutdownNow()
+            throw fatal
+          case Right((done, delta)) =>
+            running -= done.task
+            state.put(done.task, done)
+            settleGuards(done.task)
+            if (done.status == Succeeded) {
+              delta.foreach { case (k, v) => committed.put(k, v) }
+              checkpoint.foreach(cp => writeCheckpoint(spark, cp,
+                state.filter { case (_, r) =>
+                  r.status == Succeeded || r.status == Checkpointed
+                }.keySet.toSet, committed.toMap))
+            }
         }
       }
     } finally pool.shutdown()
@@ -242,23 +300,61 @@ object Dag {
     Group(start +: itemTasks :+ done, edges, start.name, done.name)
   }
 
-  private def execute(task: Task, ctx: DagContext): TaskResult = {
-    val t0 = System.currentTimeMillis()
+  /** A group plus the extra join configuration its wiring needs —
+    * splat into [[run]]: `run(spark, w.tasks, w.edges ++ more,
+    * orJoins = w.orJoins, …)`.
+    */
+  final case class Wired(
+      tasks: Seq[Task], edges: Seq[Edge], orJoins: Set[String],
+      start: String, done: String)
+
+  /** Container-scoped OnError handler (the SSIS event-handler scope
+    * story, …/Глава 17: Обработка ошибок и событий.md: an OnError
+    * handler attached to a container fires for a failure anywhere
+    * inside it): wires an OnFailure edge from EVERY member of the
+    * group to `handler` and marks the handler an OR-join, so it runs
+    * exactly once when any member fails and is Skipped on a clean run.
+    * The handler is a peer task — give it its own onward edges (e.g.
+    * to a notify/quarantine leg) as needed.
+    */
+  def withErrorHandler(g: Group, handler: Task): Wired =
+    Wired(
+      g.tasks :+ handler,
+      g.edges ++ g.tasks.map(t => Edge(t.name, handler.name, OnFailure)),
+      Set(handler.name), g.start, g.done)
+
+  /** Run one task to settlement. Containment boundary: an `Exception`
+    * (or other non-fatal `Throwable`) fails the ATTEMPT — retried up
+    * to `maxAttempts`, then audited as Failed. `VirtualMachineError`
+    * (OOM, stack overflow) and `InterruptedException` are NOT task
+    * failures: the JVM/driver state is suspect, so they propagate and
+    * abort the whole run instead of being retried into a routine
+    * audit row. Timing covers the settling attempt only; the returned
+    * delta holds the succeeding attempt's variable writes (empty on
+    * failure — a failed task commits nothing to the checkpoint).
+    */
+  private def execute(
+      task: Task, ctx: DagContext): (TaskResult, Map[String, String]) = {
     var attempt = 0
     var lastError: Option[String] = None
+    var a0 = System.currentTimeMillis()
     while (attempt < task.maxAttempts) {
       attempt += 1
+      val delta = TrieMap.empty[String, String]
+      a0 = System.currentTimeMillis()
       try {
-        task.run(ctx)
-        return TaskResult(task.name, Succeeded, attempt, t0,
-          System.currentTimeMillis(), None)
+        task.run(ctx.withDelta(delta))
+        return (TaskResult(task.name, Succeeded, attempt, a0,
+          System.currentTimeMillis(), None), delta.toMap)
       } catch {
+        case e: InterruptedException => throw e
+        case e: VirtualMachineError => throw e
         case e: Throwable =>
           lastError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
-    TaskResult(task.name, Failed, attempt, t0,
-      System.currentTimeMillis(), lastError)
+    (TaskResult(task.name, Failed, attempt, a0,
+      System.currentTimeMillis(), lastError), Map.empty)
   }
 
   private sealed trait JoinState
@@ -269,14 +365,16 @@ object Dag {
   /** Decide a not-yet-run task's fate from its incoming edges.
     * AND-join: ready when EVERY edge is satisfied; dead as soon as one
     * edge can never be satisfied. OR-join: ready when ANY edge is
-    * satisfied; dead only when all are unsatisfiable.
+    * satisfied; dead only when all are unsatisfiable. Guard verdicts
+    * come from the per-edge cache fixed at source-terminal time, so
+    * re-examination across scheduler passes is stable by construction.
     */
   private def joinFate(
-      name: String, in: Seq[Edge], orJoin: Boolean,
+      in: Seq[(Edge, Int)], orJoin: Boolean,
       state: scala.collection.Map[String, TaskResult],
-      ctx: DagContext): JoinState = {
+      guardVerdicts: scala.collection.Map[Int, Boolean]): JoinState = {
     if (in.isEmpty) return JoinReady
-    val fates = in.map { e =>
+    val fates = in.map { case (e, i) =>
       state.get(e.from) match {
         case None => JoinPending // upstream not terminal yet
         case Some(r) =>
@@ -286,12 +384,8 @@ object Dag {
             case (OnCompletion, Succeeded | Checkpointed | Failed) => true
             case _ => false // Skipped satisfies nothing
           }
-          // a guard that THROWS is an unsatisfied constraint, not a
-          // runner crash (SSIS: expression evaluation failure fails
-          // the constraint) — the downstream task skips, visibly
           val guardOk = statusOk &&
-            (try e.guard.forall(_(ctx.snapshot))
-             catch { case _: Exception => false })
+            (e.guard.isEmpty || guardVerdicts.getOrElse(i, false))
           if (guardOk) JoinReady else JoinDead
       }
     }

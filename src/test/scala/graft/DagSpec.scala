@@ -211,6 +211,125 @@ class DagSpec extends SparkSpec {
     assert(Dag.run(spark, eg.tasks, eg.edges, "r4").succeeded)
   }
 
+  test("fatal JVM errors abort the run — not retried into an audit row") {
+    val attempts = new AtomicInteger(0)
+    val oom = intercept[OutOfMemoryError] {
+      Dag.run(spark,
+        tasks = Seq(Task("boom", _ => {
+          attempts.incrementAndGet()
+          throw new OutOfMemoryError("synthetic (constructed, no real exhaustion)")
+        }, maxAttempts = 3)),
+        edges = Nil, runId = "r")
+    }
+    assert(oom.getMessage.contains("synthetic"))
+    assert(attempts.get == 1,
+      "a VirtualMachineError must propagate on the FIRST attempt, never retry")
+  }
+
+  test("audit timing covers the settling attempt only (retries excluded)") {
+    val tries = new AtomicInteger(0)
+    val firstFailAt = new java.util.concurrent.atomic.AtomicLong(0)
+    val run = Dag.run(spark,
+      tasks = Seq(Task("flaky", _ => {
+        if (tries.incrementAndGet() == 1) {
+          firstFailAt.set(System.currentTimeMillis())
+          Thread.sleep(300)
+          sys.error("transient")
+        }
+      }, maxAttempts = 2)),
+      edges = Nil, runId = "r")
+    val r = run.results.head
+    assert(r.status == Succeeded && r.attempt == 2)
+    assert(r.startedAtMs >= firstFailAt.get + 280,
+      s"startedAtMs must be the attempt-2 start, not the attempt-1 start " +
+        s"(started=${r.startedAtMs}, firstAttemptAt=${firstFailAt.get})")
+    assert(r.endedAtMs - r.startedAtMs < 280,
+      "duration must not include the failed attempt's 300ms")
+  }
+
+  test("edge guards are snapshotted when the source becomes terminal") {
+    // `writer` runs strictly AFTER `a` is terminal (it is a's
+    // downstream), so a→c's guard verdict is already fixed when the
+    // flag appears: c must stay Skipped even though by the time its
+    // join is last examined the live variables would satisfy the guard.
+    val run = Dag.run(spark,
+      tasks = Seq(
+        Task("a", noop),
+        Task("writer", ctx => ctx.set("flag", "on")),
+        Task("c", noop)),
+      edges = Seq(
+        Edge("a", "writer", OnSuccess),
+        Edge("a", "c", OnSuccess, Some(v => v.get("flag").contains("on"))),
+        Edge("writer", "c", OnSuccess)),
+      runId = "r")
+    assert(run.status("writer") == Succeeded)
+    assert(run.vars.get("flag").contains("on"))
+    assert(run.status("c") == Skipped,
+      "a later write by an unrelated task must not flip a settled guard")
+    // …while the source's OWN writes are visible to its guards (they
+    // happen before it turns terminal)
+    val own = Dag.run(spark,
+      tasks = Seq(Task("a", ctx => ctx.set("x", "1")), Task("b", noop)),
+      edges = Seq(Edge("a", "b", OnSuccess, Some(v => v("x") == "1"))),
+      runId = "r2")
+    assert(own.status("b") == Succeeded)
+  }
+
+  test("checkpoint persists only variables committed by succeeded tasks") {
+    val cp = cpPath("varscope")
+    val healthy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def awaitVar(ctx: DagContext, k: String): Unit = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (ctx.get(k).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      require(ctx.get(k).nonEmpty, s"timed out waiting for $k")
+    }
+    def tasks = Seq(
+      Task("p", ctx =>
+        if (!healthy.get) {
+          ctx.set("partial", "leak") // live write, then the task FAILS:
+          ctx.set("p_wrote", "1")    // must never reach the checkpoint
+          awaitVar(ctx, "committed_g")
+          sys.error("dies after writing")
+        } else
+          // the restored state must carry g's committed var and must
+          // NOT carry the failed attempt's partial write
+          require(ctx.get("committed_g").contains("1") &&
+            ctx.get("partial").isEmpty,
+            s"restored vars leaked uncommitted state: ${ctx.snapshot}")),
+      Task("g", ctx => { awaitVar(ctx, "p_wrote"); ctx.set("committed_g", "1") }))
+    val first = Dag.run(spark, tasks, Nil, "run1",
+      checkpoint = Some(cp), maxParallel = 2)
+    assert(!first.succeeded && first.status("g") == Succeeded)
+    healthy.set(true)
+    val second = Dag.run(spark, tasks, Nil, "run2",
+      checkpoint = Some(cp), maxParallel = 2)
+    assert(second.succeeded,
+      s"restart must see committed-only vars: ${second.results.mkString("; ")}")
+    assert(second.status("g") == Checkpointed)
+  }
+
+  test("withErrorHandler: container-scoped OnError fires on any member failure") {
+    val handled = new AtomicInteger(0)
+    val g = Dag.foreachGroup("batch", Seq(1, 2, 3))((_, i) =>
+      if (i == 2) sys.error("item 2 down"))
+    val wired = Dag.withErrorHandler(g, Task("onError", _ => handled.incrementAndGet(): Unit))
+    val run = Dag.run(spark, wired.tasks, wired.edges, "r",
+      orJoins = wired.orJoins)
+    assert(run.status("batch#1") == Failed)
+    assert(run.status("onError") == Succeeded && handled.get == 1,
+      "the handler runs exactly once for a failure anywhere in the scope")
+
+    // clean run: the handler is skipped, everything else succeeds
+    val ok = Dag.foreachGroup("ok", Seq(1, 2))((_, _) => ())
+    val wiredOk = Dag.withErrorHandler(ok, Task("onError", _ => handled.incrementAndGet(): Unit))
+    val clean = Dag.run(spark, wiredOk.tasks, wiredOk.edges, "r2",
+      orJoins = wiredOk.orJoins)
+    assert(clean.status("onError") == Skipped && handled.get == 1)
+    assert(clean.results.filterNot(_.task == "onError")
+      .forall(_.status == Succeeded))
+  }
+
   test("independent branches run concurrently on the driver pool") {
     // rendezvous: each branch waits for the other — completes only if
     // both are genuinely in flight at once (a serial runner times out
