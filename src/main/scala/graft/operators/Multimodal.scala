@@ -385,10 +385,10 @@ object Multimodal {
 
   /** Container decode via the JDK's sampled-audio stack: bytes →
     * mono samples in [-1, 1] plus the SOURCE format's metadata.
-    * Linear PCM (8/16-bit, both endiannesses, unsigned or signed,
-    * n channels) decodes directly; non-linear encodings (A-law/µ-law)
-    * route through `AudioSystem`'s converter to 16-bit signed PCM
-    * first. Returns None for payloads no installed reader accepts —
+    * Linear PCM (8/16/24/32-bit, both endiannesses, unsigned or
+    * signed, n channels) decodes directly; non-linear encodings
+    * (A-law/µ-law) route through `AudioSystem`'s converter to 16-bit
+    * signed PCM first. Returns None for payloads no installed reader accepts —
     * the caller's raw-PCM fallback keeps the operator total.
     */
   private[operators] def decodeAudio(
@@ -415,8 +415,18 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val f0 = in.getFormat
+        // linear PCM at any whole-byte width (8/16/24/32-bit) decodes
+        // directly via the generic sample loop below — a valid 24-bit
+        // WAV must never fall through to the raw-PCM reinterpretation
+        // of its whole container; only non-linear encodings
+        // (A-law/µ-law) go through AudioSystem's converter, which the
+        // JDK is guaranteed to provide for them
+        val direct =
+          (f0.getEncoding == PCM_SIGNED || f0.getEncoding == PCM_UNSIGNED) &&
+            f0.getSampleSizeInBits % 8 == 0 &&
+            f0.getSampleSizeInBits >= 8 && f0.getSampleSizeInBits <= 32
         val (stream, fmt) =
-          if (f0.getEncoding == PCM_SIGNED || f0.getEncoding == PCM_UNSIGNED)
+          if (direct)
             (in, f0)
           else {
             val target = new AudioFormat(PCM_SIGNED, f0.getSampleRate, 16,
@@ -426,12 +436,13 @@ object Multimodal {
         val raw = stream.readAllBytes()
         val bits = fmt.getSampleSizeInBits
         val ch = fmt.getChannels
-        if (ch < 1 || (bits != 8 && bits != 16)) return None
+        if (ch < 1 || bits % 8 != 0 || bits < 8 || bits > 32) return None
         val bytesPerSample = bits / 8
         val frameBytes = bytesPerSample * ch
         val nFrames = raw.length / frameBytes
         val signed = fmt.getEncoding == PCM_SIGNED
         val big = fmt.isBigEndian
+        val scale = (1L << (bits - 1)).toDouble
         val mono = new Array[Double](nFrames)
         var i = 0
         while (i < nFrames) {
@@ -439,15 +450,19 @@ object Multimodal {
           var c = 0
           while (c < ch) {
             val off = i * frameBytes + c * bytesPerSample
-            acc += (if (bits == 8) {
-              val u = raw(off) & 0xff
-              (if (signed) raw(off).toInt else u - 128) / 128.0
-            } else {
-              val b0 = raw(off); val b1 = raw(off + 1)
-              val (loB, hiB) = if (big) (b1, b0) else (b0, b1)
-              val u = ((hiB & 0xff) << 8) | (loB & 0xff)
-              (if (signed) u.toShort.toInt else u - 32768) / 32768.0
-            })
+            // assemble the sample most-significant-byte first, then
+            // sign-extend (signed) or re-center (unsigned)
+            var u = 0L
+            var k = 0
+            while (k < bytesPerSample) {
+              val idx = off + (if (big) k else bytesPerSample - 1 - k)
+              u = (u << 8) | (raw(idx) & 0xffL)
+              k += 1
+            }
+            val v =
+              if (signed) (u << (64 - bits)) >> (64 - bits)
+              else u - (1L << (bits - 1))
+            acc += v / scale
             c += 1
           }
           mono(i) = acc / ch

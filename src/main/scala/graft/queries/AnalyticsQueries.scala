@@ -82,6 +82,10 @@ object AnalyticsQueries {
         round(element_at(qs, 1), 9).as("p50"),
         round(element_at(qs, 2), 9).as("p95"),
         round(element_at(qs, 3), 9).as("p99"))
+      // a key with NO valid values (all NULL/NaN) has an all-zero
+      // histogram here but no row at all in the oracle's rank walk —
+      // drop the n=0 groups so both sides agree on the key set
+      .filter(col("n") > 0)
       .orderBy(col("event_type"))
   }
 

@@ -151,25 +151,41 @@ object XmlIngest {
     out.result()
   }
 
-  /** The element's complexType (inline or named), or None when simple. */
+  /** The element's complexType (inline or named), or None when simple.
+    * `visiting` holds the NAMED types on the current resolution stack:
+    * a self- or mutually-recursive complexType is valid XSD but has no
+    * finite relational schema, so it must fail loudly as a validation
+    * error, not blow the stack.
+    */
   private def complexTypeOf(
       el: org.w3c.dom.Element,
-      named: Map[String, org.w3c.dom.Element]): Option[StructType] = {
-    val typeAttr = el.getAttribute("type")
+      named: Map[String, org.w3c.dom.Element],
+      visiting: Set[String] = Set.empty): Option[StructType] = {
+    val typeName = stripPrefix(el.getAttribute("type"))
     children(el, "complexType").headOption
-      .orElse(named.get(stripPrefix(typeAttr)))
-      .map(structOf(_, named))
+      .map(structOf(_, named, visiting))
+      .orElse(named.get(typeName).map { ct =>
+        require(!visiting(typeName),
+          s"recursive complexType '$typeName' (cycle through " +
+            s"${(visiting + typeName).toSeq.sorted.mkString(" -> ")}): " +
+            "XSD type recursion cannot map to a finite Spark schema")
+        structOf(ct, named, visiting + typeName)
+      })
   }
 
   private def structOf(
       ct: org.w3c.dom.Element,
-      named: Map[String, org.w3c.dom.Element]): StructType = {
+      named: Map[String, org.w3c.dom.Element],
+      visiting: Set[String] = Set.empty): StructType = {
     val body = (children(ct, "sequence") ++ children(ct, "all")).headOption
-    val elemFields = body.toSeq.flatMap(children(_, "element")).map { el =>
+    val elemFields = body.toSeq.flatMap(children(_, "element"))
+      // maxOccurs="0" PROHIBITS the element — no field, not a 0-ary array
+      .filterNot(_.getAttribute("maxOccurs") == "0")
+      .map { el =>
       val name = el.getAttribute("name")
       val nullable = el.getAttribute("minOccurs") == "0" ||
         el.getAttribute("nillable") == "true"
-      val base = complexTypeOf(el, named)
+      val base = complexTypeOf(el, named, visiting)
         .getOrElse(simpleType(stripPrefix(el.getAttribute("type"))))
       val max = el.getAttribute("maxOccurs")
       val dt =

@@ -782,6 +782,47 @@ class StreamSpec extends SparkSpec {
     assert(rawWin == Multimodal.pcmWindows("not audio at all".getBytes, 1024))
   }
 
+  test("multimodal audio: 24-bit WAV decodes sample-exact, never raw-fallback") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // same silence→nyquist program as the 16-bit test, at 24-bit depth
+    val silence = Seq.fill(1024)(0)
+    val nyquist = (0 until 1024).map(i => if (i % 2 == 0) 0x7fffff else -0x800000)
+    val samples = silence ++ nyquist
+    val pcm = new Array[Byte](samples.size * 3) // little-endian packed
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(3 * i) = s.toByte
+      pcm(3 * i + 1) = (s >> 8).toByte
+      pcm(3 * i + 2) = (s >> 16).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 24,
+      1, 3, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.size),
+      AudioFileFormat.Type.WAVE, bos)
+    val media = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, bos.toByteArray)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, true))))
+    val row = Multimodal.audioFeatures(media, windowSamples = 1024)
+      .select(col("audio"), col("decoded")).collect().head
+    val (win, meta) =
+      (row.getSeq[org.apache.spark.sql.Row](0),
+        row.getAs[org.apache.spark.sql.Row](1))
+    assert(meta != null,
+      "24-bit WAV must decode for real — NULL means the RIFF header was " +
+        "reinterpreted as PCM by the raw fallback")
+    assert(meta.getInt(2) == 24 && meta.getInt(1) == 1 &&
+      meta.getFloat(0) == 8000f)
+    assert(win.size == 2)
+    assert(win(0).getFloat(0) == 0f && win(0).getFloat(1) == 0f)
+    assert(win(1).getFloat(0) > 0.9f && win(1).getFloat(1) == 1f,
+      s"nyquist window rms=${win(1).getFloat(0)} zcr=${win(1).getFloat(1)}")
+  }
+
   test("incremental MV maintenance == full recompute (A6 State/Merge)") {
     val events = Tables.events(spark, sf)
     val keys = Seq("event_type")

@@ -102,6 +102,69 @@ class XmlSpec extends SparkSpec {
     }
   }
 
+  test("schemaFromXsd: recursive complexTypes fail loudly; maxOccurs=0 omits the field") {
+    // mutually-recursive named types — valid XSD, no finite relational
+    // schema: must be a clear validation error, not a StackOverflowError
+    val recursive =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="NodeT">
+        |    <xs:sequence>
+        |      <xs:element name="label" type="xs:string" minOccurs="0"/>
+        |      <xs:element name="next" type="LinkT" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |  <xs:complexType name="LinkT">
+        |    <xs:sequence>
+        |      <xs:element name="node" type="NodeT" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |  <xs:element name="row" type="NodeT"/>
+        |</xs:schema>""".stripMargin
+    val err = intercept[IllegalArgumentException] {
+      XmlIngest.schemaFromXsd(recursive, "row")
+    }
+    assert(err.getMessage.contains("recursive complexType"), err.getMessage)
+
+    // maxOccurs="0" prohibits the element: no field at all (and in
+    // particular not an array), per the XSD occurrence semantics
+    val prohibited =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="row">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="keep" type="xs:long"/>
+        |        <xs:element name="gone" type="xs:string" maxOccurs="0"/>
+        |      </xs:sequence>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    assert(XmlIngest.schemaFromXsd(prohibited, "row") ==
+      StructType(Seq(StructField("keep", LongType, false))))
+
+    // a named type USED TWICE without recursion is fine (diamond ≠ cycle)
+    val diamond =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="AddrT">
+        |    <xs:sequence>
+        |      <xs:element name="city" type="xs:string" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |  <xs:element name="row">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="home" type="AddrT" minOccurs="0"/>
+        |        <xs:element name="work" type="AddrT" minOccurs="0"/>
+        |      </xs:sequence>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val twice = XmlIngest.schemaFromXsd(diamond, "row")
+    assert(twice.fieldNames.toSeq == Seq("home", "work"))
+  }
+
   test("from_xml parses embedded XML payload columns") {
     val df = Seq(
       (1L, "<item><name>widget</name><amount>5.5</amount></item>")
