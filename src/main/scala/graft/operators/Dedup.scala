@@ -223,12 +223,13 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** MinHash signature. Each shingle is hashed ONCE (`xxhash64`); the
-    * `numPerms` permutations are affine maps `a_p*h + b_p` over that
-    * 64-bit value (universal hashing, wrap-around multiplication) —
-    * 1 string hash + numPerms multiply-adds per shingle instead of
-    * numPerms string hashes. Pure expressions, computed in the scan
-    * stage.
+  /** MinHash signature. Each shingle is hashed ONCE (the portable
+    * 31-bit [[graft.plans.PolyHash]]); the `numPerms` permutations are
+    * affine maps `a_p*h + b_p` over that value (universal hashing,
+    * 62-bit overflow-free) — 1 string hash + numPerms multiply-adds
+    * per shingle instead of numPerms string hashes. Pure expressions,
+    * computed in the scan stage, and bit-replayable by the DuckDB
+    * oracle.
     */
   def minhashSignature(sh: Column, numPerms: Int): Column =
     graft.plans.MinHashSig(sh, numPerms)
@@ -262,19 +263,25 @@ object Dedup {
       .select(col(idCol).as("id"),
         minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
       .persistTracked()
+    // The band key is the band's minima vector ITSELF (array<long>,
+    // rowsPerBand elements), not a second hash of it: equality joins
+    // on small fixed-width arrays shuffle a few extra bytes per row
+    // but remove band-hash collisions AND keep the whole candidate
+    // derivation replayable by the SQL oracle (Spark's murmur of an
+    // array<long> is not)
     val banded = sig
       .select(
         col("id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
-          i => hash(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand))))))
+          i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandhash")
-    val a = banded.select(col("id").as("d1"), col("band"), col("bandhash"))
+      .withColumnRenamed("col", "bandkey")
+    val a = banded.select(col("id").as("d1"), col("band"), col("bandkey"))
     val b = banded.select(col("id").as("d2"), col("band").as("band2"),
-      col("bandhash").as("bandhash2"))
+      col("bandkey").as("bandkey2"))
     val cands = a.join(b,
-        col("band") === col("band2") && col("bandhash") === col("bandhash2") &&
+        col("band") === col("band2") && col("bandkey") === col("bandkey2") &&
           col("d1") < col("d2"))
       .select("d1", "d2").dropDuplicates("d1", "d2")
     cands
@@ -288,11 +295,12 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens. MurmurHash3 (JVM-stable,
-    * seed-fixed) provides the per-token 64 bits; the signature is the
-    * sign vector of per-bit vote counts — computed by the
-    * [[graft.plans.SimHashSig]] expression, so the row never leaves
-    * the DataFrame pipeline (no encoder round-trip). Narrow, no
+  /** 62-bit SimHash over whitespace tokens. Two portable 31-bit
+    * polynomial hashes (see [[graft.plans.PolyHash]]) provide the
+    * per-token bits; the signature is the sign vector of per-bit vote
+    * counts — computed by the [[graft.plans.SimHashSig]] expression,
+    * so the row never leaves the DataFrame pipeline (no encoder
+    * round-trip), and bit-replayable by the DuckDB oracle. Narrow, no
     * shuffle beyond the 1-row-group repartition.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -16,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * arrays PER ROW and re-walks the shingle array numPerms times; this
   * kernel hashes each shingle once and keeps the numPerms running
   * minima in a single primitive array (zero transient allocation
-  * beyond the output). Same affine-permutation family as
-  * `Dedup.minhashSignature` (31-bit masked hash and coefficients ⇒
-  * overflow-free under ANSI mode).
+  * beyond the output). The shingle hash is the portable [[PolyHash]]
+  * and the permutations are affine maps with 31-bit coefficients
+  * drawn from a fixed seed, so every signature value fits in 62 bits
+  * — overflow-free under ANSI mode AND bit-replayable by the DuckDB
+  * oracle (the seed stream is inlined as literals in the oracle SQL).
   *
   * CodegenFallback is deliberate: per-row work (shingles × perms) is
   * the cost, and it runs as compiled JVM loops either way; row counts
@@ -54,10 +56,12 @@ case class MinHashSig(child: Expression, numPerms: Int)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      // 31-bit hash of the shingle bytes (same mask discipline as the
-      // expression form; exact hash family need not match — LSH is
-      // verified against true Jaccard downstream)
-      val h = (XxHashCompat.hash(s) & 0x7fffffffL)
+      // PORTABLE 31-bit hash of the shingle (see [[PolyHash]]): chosen
+      // over a byte-level murmur so the whole signature computation —
+      // hash, affine permutations, per-perm minima — replays
+      // bit-for-bit in ANSI SQL, making the LSH query oracle-gateable
+      // instead of merely recall-spec'd
+      val h = PolyHash.hash(s, PolyHash.MultA)
       var p = 0
       while (p < numPerms) {
         val v2 = as(p) * h + bs(p)
@@ -73,11 +77,37 @@ case class MinHashSig(child: Expression, numPerms: Int)
     copy(child = newChild)
 }
 
-/** 64-bit hash of a UTF8String via Spark's unsafe xxhash64. */
-private[plans] object XxHashCompat {
-  def hash(s: UTF8String): Long =
-    org.apache.spark.unsafe.hash.Murmur3_x86_32
-      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong
+/** Portable 31-bit polynomial hash over Unicode CODE POINTS —
+  * `h_0 = 7; h_{i+1} = (h_i * mult + codepoint_i) mod (2^31 - 1)` —
+  * deliberately replayable in ANSI SQL (DuckDB:
+  * `list_reduce(list_prepend(7, list_transform(string_split(s, ''),
+  * c -> unicode(c))), (a, b) -> (a*mult + b) % 2147483647)`), so the
+  * LSH signature queries built on it are full oracle gates rather
+  * than recall-only specs. Code points (not UTF-8 bytes or UTF-16
+  * units) are the one string decomposition both engines expose
+  * identically. Outputs lie in [0, 2^31-1); an affine map
+  * `a*h + b` with 31-bit coefficients then stays under 2^62 —
+  * overflow-free in the signed-64 arithmetic of BOTH engines.
+  */
+private[graft] object PolyHash {
+  final val Mod = 2147483647L // 2^31 − 1, prime
+  /** Primary multiplier (shingle hash, SimHash high half). */
+  final val MultA = 1000003L
+  /** Secondary multiplier (SimHash low half). */
+  final val MultB = 131L
+
+  def hash(s: UTF8String, mult: Long): Long = hash(s.toString, mult)
+
+  def hash(str: String, mult: Long): Long = {
+    var h = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
 }
 
 object MinHashSig {

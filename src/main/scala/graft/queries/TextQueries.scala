@@ -623,19 +623,109 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash-LSH near-dup pairs (scale path; xxhash64 signatures are
-    * not oracle-expressible — verified in the spec against the exact
-    * query instead).
+  /** MinHash-LSH near-dup pairs (scale path). FULL oracle gate: the
+    * signature hash family is the portable [[graft.plans.PolyHash]]
+    * and the band keys are the minima vectors themselves, so the
+    * oracle replays the ENTIRE candidate derivation — shingle hash,
+    * the 32 seeded affine permutations (coefficient stream inlined as
+    * literals — `java.util.Random(0x5eed)`, see MinHashSig), per-perm
+    * minima, 8×4 banding, bucket join — then the exact-Jaccard
+    * verification, bit-for-bit in DuckDB integer arithmetic.
     */
-  val minhashDedup: Q = Q.noOracle("q_minhash_dedup") { (s, dir) =>
+  val minhashDedup: Q = Q(
+    "q_minhash_dedup",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |shl AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |  FROM toks),
+      |ne AS (SELECT doc_id, s FROM shl WHERE len(s) > 0),
+      |sh AS (SELECT doc_id, unnest(list_transform(s, g -> list_reduce(
+      |    list_prepend(7::BIGINT,
+      |      list_transform(string_split(g, ''), c -> unicode(c)::BIGINT)),
+      |    (acc, cp) -> (acc*1000003 + cp) % 2147483647))) AS h
+      |  FROM ne),
+      |perms(p, a, b) AS (VALUES
+      |  (0,1455478599::BIGINT,2074639019::BIGINT),(1,1810807101::BIGINT,875253779::BIGINT),
+      |  (2,1232663031::BIGINT,1400981428::BIGINT),(3,161785851::BIGINT,1959980631::BIGINT),
+      |  (4,1340463099::BIGINT,432076399::BIGINT),(5,1762912065::BIGINT,1207753830::BIGINT),
+      |  (6,1754171867::BIGINT,1852495388::BIGINT),(7,1658820891::BIGINT,933886503::BIGINT),
+      |  (8,351850429::BIGINT,1216350823::BIGINT),(9,955005597::BIGINT,714626880::BIGINT),
+      |  (10,1297606175::BIGINT,330023097::BIGINT),(11,177861517::BIGINT,1333449886::BIGINT),
+      |  (12,2133280411::BIGINT,573589686::BIGINT),(13,667514837::BIGINT,2048372246::BIGINT),
+      |  (14,430181565::BIGINT,1212219941::BIGINT),(15,433663943::BIGINT,6105869::BIGINT),
+      |  (16,1075723013::BIGINT,1892034099::BIGINT),(17,1491822407::BIGINT,530763850::BIGINT),
+      |  (18,2038800495::BIGINT,1645002374::BIGINT),(19,1939149827::BIGINT,1063701782::BIGINT),
+      |  (20,471956661::BIGINT,1720699466::BIGINT),(21,1258905611::BIGINT,268503810::BIGINT),
+      |  (22,976463901::BIGINT,1607534592::BIGINT),(23,927848545::BIGINT,1923123667::BIGINT),
+      |  (24,1674025755::BIGINT,796639856::BIGINT),(25,705719765::BIGINT,1818955797::BIGINT),
+      |  (26,1160717025::BIGINT,1475493819::BIGINT),(27,407186219::BIGINT,1580236055::BIGINT),
+      |  (28,2045510011::BIGINT,1650275136::BIGINT),(29,1349559315::BIGINT,1353267743::BIGINT),
+      |  (30,1466536627::BIGINT,1226456460::BIGINT),(31,976484147::BIGINT,204254924::BIGINT)),
+      |mins AS (SELECT sh.doc_id, perms.p, MIN(perms.a*sh.h + perms.b) AS m
+      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mins GROUP BY 1),
+      |banded AS (SELECT doc_id, bd.band, sig[bd.band*4+1 : bd.band*4+4] AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band) bd),
+      |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT c.d1, c.d2, len(list_intersect(a.s, b.s)) AS i,
+      |    len(a.s) AS n1, len(b.s) AS n2
+      |  FROM cand c JOIN ne a ON c.d1 = a.doc_id JOIN ne b ON c.d2 = b.doc_id)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.minhashLshPairs(
       Tables.documents(s, dir), "doc_id", "text",
       n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 3, block-banded). */
-  val simhashPairs: Q = Q.noOracle("q_simhash_pairs") { (s, dir) =>
+  /** SimHash near-dup pairs (Hamming ≤ 3, block-banded). FULL oracle
+    * gate: the 62-bit signature (two portable PolyHash halves, per-bit
+    * vote signs) and the 4×16-bit pigeonhole banding replay exactly in
+    * DuckDB bit arithmetic. Null-text documents carry a null signature
+    * on the Spark side and are excluded here; empty-token documents
+    * hash to signature 0 on BOTH sides (the LEFT JOIN + COALESCE).
+    */
+  val simhashPairs: Q = Q(
+    "q_simhash_pairs",
+    """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tk
+      |  FROM docs),
+      |th AS (SELECT doc_id,
+      |    (list_reduce(list_prepend(7::BIGINT,
+      |        list_transform(string_split(tk, ''), c -> unicode(c)::BIGINT)),
+      |      (acc, cp) -> (acc*1000003 + cp) % 2147483647) << 31)
+      |    | list_reduce(list_prepend(7::BIGINT,
+      |        list_transform(string_split(tk, ''), c -> unicode(c)::BIGINT)),
+      |      (acc, cp) -> (acc*131 + cp) % 2147483647) AS h
+      |  FROM tok),
+      |bits AS (SELECT doc_id, bb.b,
+      |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM th CROSS JOIN (SELECT unnest(range(62)) AS b) bb GROUP BY 1, 2),
+      |sigagg AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY 1),
+      |sig AS (SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+      |  FROM docs d LEFT JOIN sigagg s ON d.doc_id = s.doc_id),
+      |blocks AS (SELECT doc_id, sig, bl.blk, (sig >> (bl.blk*16)) & 65535 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS blk) bl),
+      |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+      |    x.sig AS s1, y.sig AS s2
+      |  FROM blocks x JOIN blocks y
+      |    ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(s1, s2)) <= 3
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
       .orderBy(col("d1"), col("d2"))
