@@ -173,6 +173,21 @@ class PlanSpec extends SparkSpec {
         df.queryExecution.executedPlan)
   }
 
+  test("no unintended CartesianProduct/BNLJ anywhere in the catalog") {
+    // the live form of the PLANS_r*.txt dump check (graft.tools.Plans
+    // runs the same `violations` scan when writing the artifact): every
+    // catalog query's physical plan, including ones added after the
+    // last dump, is screened on every test run — the check cannot go
+    // stale with the artifact
+    val bad = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = Catalog.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      graft.tools.Plans.violations(name, plan)
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    graft.CacheScope.release()
+  }
+
   test("pre-aggregation sits below the join in the flagship mart (J5)") {
     val df = Catalog.queries("q_datamart_customer")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {
