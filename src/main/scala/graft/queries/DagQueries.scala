@@ -17,7 +17,71 @@ import graft.dag.Dag._
   */
 object DagQueries {
 
-  def all: Seq[Q] = Seq(dagAudit)
+  def all: Seq[Q] = Seq(dagAudit, dagSchedule)
+
+  /** Scheduled catch-up runs ([[graft.dag.Schedule]]): three missed
+    * logical dates run exactly once each; the middle date's validate
+    * task fails, a second scheduler invocation retries ONLY that date
+    * and resumes it from its per-date checkpoint (load is restored,
+    * not re-executed — attempt 0, row count carried by the restored
+    * variables). The audit across both invocations is fully
+    * deterministic — statuses from the schedule/checkpoint semantics,
+    * row counts from the date-sliced orders table — so DuckDB replays
+    * it from the same inputs. The Airflow `schedule_interval` +
+    * catch-up story of the reference
+    * (`Integration/Apache AirFlow/001 Intro.md:20-52`).
+    */
+  val dagSchedule: Q = Q(
+    "q_dag_schedule",
+    """WITH c AS (SELECT o_orderkey % 3 AS d, count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS invocation, CAST(0 AS BIGINT) AS logical_date,
+      |    'load' AS task, 'succeeded' AS status, CAST(1 AS BIGINT) AS attempt,
+      |    (SELECT n FROM c WHERE d = 0) AS n_rows
+      |  UNION ALL SELECT 1, 0, 'validate', 'succeeded', 1, 0
+      |  UNION ALL SELECT 1, 1, 'load', 'succeeded', 1,
+      |    (SELECT n FROM c WHERE d = 1)
+      |  UNION ALL SELECT 1, 1, 'validate', 'failed', 1, 0
+      |  UNION ALL SELECT 1, 2, 'load', 'succeeded', 1,
+      |    (SELECT n FROM c WHERE d = 2)
+      |  UNION ALL SELECT 1, 2, 'validate', 'succeeded', 1, 0
+      |  UNION ALL SELECT 2, 1, 'load', 'checkpointed', 0,
+      |    (SELECT n FROM c WHERE d = 1)
+      |  UNION ALL SELECT 2, 1, 'validate', 'succeeded', 1, 0
+      |) ORDER BY invocation, logical_date, task""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.dag.Schedule
+    val base = s"target/tmp/q_dag_schedule_${System.nanoTime()}"
+    val healthy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tasks = Seq(
+      Task("load", ctx => ctx.set("rows_load",
+        Tables.orders(ctx.spark, dir)
+          .filter(col("o_orderkey") % 3 ===
+            ctx.get("logical_date_ms").get.toLong)
+          .count().toString)),
+      Task("validate", ctx =>
+        if (!healthy.get && ctx.get("logical_date_ms").contains("1"))
+          sys.error("validation gate down for interval [1,2)")))
+    val edges = Seq(Edge("load", "validate", OnSuccess))
+    def invoke(i: Int): Seq[(Int, Long, String, String, Long, Long)] =
+      Schedule.runCatchup(s, tasks, edges, "sched",
+        startMs = 0, periodMs = 1, nowMs = 3,
+        stateFile = s"$base/state", checkpointDir = Some(s"$base/cp"))
+        .flatMap { sr =>
+          sr.run.results.map(r => (i, sr.logicalDateMs, r.task,
+            r.status.label, r.attempt.toLong,
+            if (r.task == "load")
+              sr.run.vars.get("rows_load").map(_.toLong).getOrElse(0L)
+            else 0L))
+        }
+    val first = invoke(1)
+    healthy.set(true)
+    val second = invoke(2)
+    (first ++ second)
+      .toDF("invocation", "logical_date", "task", "status", "attempt", "n_rows")
+      .orderBy(col("invocation"), col("logical_date"), col("task"))
+  }
 
   val dagAudit: Q = Q(
     "q_dag_audit",

@@ -646,42 +646,57 @@ object ScaleRehearsal {
       CacheScope.release(); spark.catalog.clearCache()
     }
 
-    // pass-interleaved so a steal burst can't poison both passes of
-    // the same (query, dir) cell
-    val times = scala.collection.mutable.Map.empty[(String, String), Double]
+    // pass-interleaved so a steal burst can't poison all passes of
+    // the same (query, dir) cell. Every pass's time is KEPT: the
+    // artifact records min/med/max per cell (VERDICT r9 item 6 — a
+    // single-pass-min ratio drifted 34.6→44.2× across rounds on
+    // untouched code; the spread makes host variance visible instead
+    // of leaving ratio movement to attribution)
+    val Passes = 3
+    val times = scala.collection.mutable
+      .Map.empty[(String, String), List[Double]]
     def run(pass: Int, tag: String, dir: String, name: String): Unit = {
       val t0 = System.nanoTime()
       val n = queryOf(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       CacheScope.release(); spark.catalog.clearCache()
       val k = (name, tag)
-      times(k) = math.min(times.getOrElse(k, Double.MaxValue), dt)
+      times(k) = dt :: times.getOrElse(k, Nil)
       println(f"pass $pass $tag $name%-20s ${dt}%8.2fs rows=$n")
     }
     val dirs = Seq("sf0.1" -> sf01, "sf1" -> sf1)
-    for (pass <- 1 to 2; (tag, dir) <- dirs; name <- Family)
+    for (pass <- 1 to Passes; (tag, dir) <- dirs; name <- Family)
       run(pass, tag, dir, name)
     // 100× tier: sf0.1 cells for its queries were measured above when
     // shared with Family; measure the rest plus the sf10 tier
-    for (pass <- 1 to 2) {
+    for (pass <- 1 to Passes) {
       for (name <- Family100 if !Family.contains(name))
         run(pass, "sf0.1", sf01, name)
       for (name <- Family100) run(pass, "sf10", sf10, name)
     }
 
-    def cell(name: String, tag: String): Double = times((name, tag))
+    // min (steal-resistant headline, same protocol as Bench) plus
+    // median/max so the recorded ratio carries its own error bars
+    def stats(name: String, tag: String): (Double, Double, Double) = {
+      val s = times((name, tag)).sorted
+      (s.head, s(s.size / 2), s.last)
+    }
+    def cellJson(tag: String, s: (Double, Double, Double)): String =
+      f""""${tag}_sec":${s._1}%.3f,"${tag}_med":${s._2}%.3f,"${tag}_max":${s._3}%.3f"""
     val entries = Family.map { name =>
-      val a = cell(name, "sf0.1"); val b = cell(name, "sf1")
-      s""""$name":{"sf0.1_sec":${f"$a%.3f"},"sf1_sec":${f"$b%.3f"},"ratio":${f"${b / a}%.2f"}}"""
+      val a = stats(name, "sf0.1"); val b = stats(name, "sf1")
+      s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf1", b)},""" +
+        f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
     val entries100 = Family100.map { name =>
-      val a = cell(name, "sf0.1"); val b = cell(name, "sf10")
-      s""""$name":{"sf0.1_sec":${f"$a%.3f"},"sf10_sec":${f"$b%.3f"},"ratio":${f"${b / a}%.2f"}}"""
+      val a = stats(name, "sf0.1"); val b = stats(name, "sf10")
+      s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf10", b)},""" +
+        f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":2,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r09.json"), json + "\n")
+      java.nio.file.Paths.get("SCALE_r10.json"), json + "\n")
     println(json)
     spark.stop()
   }
