@@ -256,27 +256,7 @@ object Dedup {
     // cost).
     val sh = shingles(df, idCol, textCol, n).persistTracked()
       .filter(size(col("sh")) > 0)
-    // Materialize the signature BEFORE banding: project collapse would
-    // inline the signature expression into the band-transform lambda,
-    // re-evaluating the whole minhash per band (×bands the hash work).
-    val sig = sh
-      .select(col(idCol).as("id"),
-        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-      .persistTracked()
-    // The band key is the band's minima vector ITSELF (array<long>,
-    // rowsPerBand elements), not a second hash of it: equality joins
-    // on small fixed-width arrays shuffle a few extra bytes per row
-    // but remove band-hash collisions AND keep the whole candidate
-    // derivation replayable by the SQL oracle (Spark's murmur of an
-    // array<long> is not)
-    val banded = sig
-      .select(
-        col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandkey")
+    val banded = bandRows(sh, idCol, bands, rowsPerBand)
     val a = banded.select(col("id").as("d1"), col("band"), col("bandkey"))
     val b = banded.select(col("id").as("d2"), col("band").as("band2"),
       col("bandkey").as("bandkey2"))
@@ -293,6 +273,90 @@ object Dedup {
           (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** (id, band, bandkey) LSH band rows over a shingle-set relation.
+    * The signature is materialized (persisted) BEFORE banding: project
+    * collapse would inline the minhash expression into the
+    * band-transform lambda, re-evaluating it per band (×bands the
+    * hash work). The band key is the band's minima vector ITSELF
+    * (array<long>, rowsPerBand elements), not a second hash of it:
+    * equality joins on small fixed-width arrays shuffle a few extra
+    * bytes per row but remove band-hash collisions AND keep the whole
+    * candidate derivation replayable by the SQL oracle (Spark's
+    * murmur of an array<long> is not).
+    */
+  private def bandRows(
+      sh: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = sh
+      .select(col(idCol).as("id"),
+        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+      .persistTracked()
+    sig
+      .select(
+        col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandkey")
+  }
+
+  /** Incremental ingest dedup — the CONTINUOUS-corpus path: classify
+    * an incoming batch against an existing base corpus with
+    * MinHash-LSH banding, returning one row per incoming document
+    * that near-duplicates some base document: (incoming id, `dup_of`
+    * = its best base match, `jaccard`). "Best" is highest TRUE
+    * Jaccard, ties broken by lowest base id — fully deterministic, so
+    * the whole derivation (portable hash family, banding, bucket
+    * join, verification, argmax) replays in the SQL oracle.
+    *
+    * This is [[minhashLshPairs]] restructured for the A-vs-B shape a
+    * training pipeline actually runs every ingest cycle: band BOTH
+    * sides, bucket-join incoming×base on (band, minima vector), then
+    * verify only the candidates. At 100 TB the base side's shingling
+    * and signatures are the dominant cost and are REUSABLE — they
+    * depend only on the base corpus, so production stores them next
+    * to the corpus and this pass prices at O(incoming batch + its
+    * bucket probes); the incoming side is typically orders of
+    * magnitude smaller, and every shuffle here is keyed on band
+    * buckets or the incoming id (the argmax window partitions on the
+    * incoming id over the already-tiny verified candidate set).
+    * Filtering the batch to ids NOT returned here (anti-join) yields
+    * the documents that survive ingest.
+    */
+  def lshDedupAgainstBase(
+      base: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    val shB = shingles(base, idCol, textCol, n).persistTracked()
+      .filter(size(col("sh")) > 0)
+    val shI = shingles(incoming, idCol, textCol, n).persistTracked()
+      .filter(size(col("sh")) > 0)
+    val bb = bandRows(shB, idCol, bands, rowsPerBand)
+      .select(col("id").as("d_base"), col("band").as("band2"),
+        col("bandkey").as("bandkey2"))
+    val bi = bandRows(shI, idCol, bands, rowsPerBand)
+      .select(col("id").as("d_new"), col("band"), col("bandkey"))
+    val cands = bi.join(bb,
+        col("band") === col("band2") && col("bandkey") === col("bandkey2"))
+      .select("d_new", "d_base").dropDuplicates("d_new", "d_base")
+    val verified = cands
+      .join(shI.select(col(idCol).as("d_new"), col("sh").as("sh1")), "d_new")
+      .join(shB.select(col(idCol).as("d_base"), col("sh").as("sh2")), "d_base")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+    verified
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d_new"))
+          .orderBy(col("jaccard").desc, col("d_base"))))
+      .filter(col("rn") === 1)
+      .select(col("d_new").as(idCol), col("d_base").as("dup_of"),
+        col("jaccard"))
   }
 
   /** 62-bit SimHash over whitespace tokens. Two portable 31-bit

@@ -13,7 +13,8 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
-    ngramJaccard, jaccardPruned, dedupClusters, minhashDedup, simhashPairs,
+    ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
+    incrementalDedup, streamNearDup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
     spanDedup, corpusMix, shardExport, freqTokens, trainingExport)
 
@@ -632,9 +633,15 @@ object TextQueries {
     * minima, 8×4 banding, bucket join — then the exact-Jaccard
     * verification, bit-for-bit in DuckDB integer arithmetic.
     */
-  val minhashDedup: Q = Q(
-    "q_minhash_dedup",
-    """WITH toks AS (SELECT doc_id,
+  /** Shared oracle CTE prefix for the MinHash-LSH queries: shingle
+    * sets → portable PolyHash shingle hashes → the 32 seeded affine
+    * permutations (coefficient stream from `java.util.Random(0x5eed)`,
+    * see MinHashSig) → per-perm minima → ordered signature → 8×4 band
+    * minima vectors. One definition so q_minhash_dedup and
+    * q_incremental_dedup provably replay the IDENTICAL hash family.
+    */
+  private val minhashBandCtes: String =
+    """toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       |  FROM documents),
       |shl AS (SELECT doc_id,
@@ -669,8 +676,12 @@ object TextQueries {
       |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
       |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mins GROUP BY 1),
       |banded AS (SELECT doc_id, bd.band, sig[bd.band*4+1 : bd.band*4+4] AS bk
-      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band) bd),
-      |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band) bd)""".stripMargin
+
+  val minhashDedup: Q = Q(
+    "q_minhash_dedup",
+    s"WITH $minhashBandCtes,\n" +
+    """cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       |  FROM banded x JOIN banded y
       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
       |pairs AS (SELECT c.d1, c.d2, len(list_intersect(a.s, b.s)) AS i,
@@ -684,6 +695,90 @@ object TextQueries {
       Tables.documents(s, dir), "doc_id", "text",
       n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Incremental ingest dedup (the continuous-corpus path): the
+    * incoming batch (doc_id ≡ 0 mod 5, ~20%) is classified against
+    * the base corpus (the rest) by MinHash-LSH — band both sides,
+    * bucket-join incoming×base, verify candidates with true Jaccard,
+    * keep each incoming document's BEST base match (highest Jaccard,
+    * ties to the lowest base id). FULL oracle gate: signatures come
+    * from the shared [[minhashBandCtes]] prefix, so candidate
+    * generation, verification, and the argmax all replay bit-for-bit
+    * in DuckDB (`QUALIFY row_number()`).
+    */
+  val incrementalDedup: Q = Q(
+    "q_incremental_dedup",
+    s"WITH $minhashBandCtes,\n" +
+    """cand AS (SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_base
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bk = y.bk
+      |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+      |pairs AS (SELECT c.d_new, c.d_base, len(list_intersect(a.s, b.s)) AS i,
+      |    len(a.s) AS n1, len(b.s) AS n2
+      |  FROM cand c JOIN ne a ON c.d_new = a.doc_id
+      |    JOIN ne b ON c.d_base = b.doc_id),
+      |scored AS (SELECT d_new, d_base,
+      |    CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) AS jaccard
+      |  FROM pairs
+      |  WHERE CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) >= 0.8)
+      |SELECT d_new AS doc_id, d_base AS dup_of, jaccard
+      |FROM scored
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY d_new ORDER BY jaccard DESC, d_base) = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.lshDedupAgainstBase(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** CONTINUOUS near-dup flagging ([[graft.streaming.Streams.nearDupStream]]):
+    * the documents table replayed as a stream (event time = epoch +
+    * doc_id seconds, so arrival order is doc-id order), each band
+    * bucket's first arrival held in GroupState, later arrivals flagged
+    * when their signature agreement is ≥ τ. FULL oracle gate — the
+    * first-arrival rule (min doc id per bucket), the agreement count
+    * over the shared portable signatures, and the τ cut all replay in
+    * DuckDB. The streaming twin of [[incrementalDedup]]: same buckets,
+    * but similarity is estimated from signature agreement (a stream
+    * cannot keep every shingle set) instead of verified exactly.
+    */
+  val streamNearDup: Q = Q(
+    "q_stream_neardup",
+    s"WITH $minhashBandCtes,\n" +
+    """firsts AS (SELECT band, bk, MIN(doc_id) AS first_id
+      |  FROM banded GROUP BY band, bk),
+      |flags AS (SELECT b.doc_id, f.first_id AS dup_of,
+      |    CAST(len(list_filter(range(1, 33),
+      |      i -> s1.sig[i] = s2.sig[i])) AS DOUBLE)/32.0 AS est_jaccard
+      |  FROM banded b
+      |  JOIN firsts f ON b.band = f.band AND b.bk = f.bk
+      |    AND b.doc_id > f.first_id
+      |  JOIN sig s1 ON s1.doc_id = b.doc_id
+      |  JOIN sig s2 ON s2.doc_id = f.first_id)
+      |SELECT DISTINCT doc_id, dup_of, est_jaccard
+      |FROM flags
+      |WHERE est_jaccard >= 0.8
+      |ORDER BY doc_id, dup_of""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val out = graft.streaming.Streams.nearDupStream(
+      src, "doc_id", "text", "ts", "10 minutes",
+      n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+    val name = s"stream_neardup_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .dropDuplicates("doc_id", "dup_of")
+      .orderBy(col("doc_id"), col("dup_of"))
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 3, block-banded). FULL oracle

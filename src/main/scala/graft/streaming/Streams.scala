@@ -166,6 +166,101 @@ object Streams {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup flagging — the continuous form of the
+    * MinHash-LSH ingest dedup ([[graft.operators.Dedup.lshDedupAgainstBase]]):
+    * each document's signature is banded, and per (band, minima-vector)
+    * bucket the FIRST arrival (event-time order, doc id tie-break) is
+    * held in `GroupState`; every later arrival in an occupied bucket
+    * is emitted as `(doc_id, dup_of = the bucket's first doc,
+    * est_jaccard)` when the signature agreement is ≥ tau. The
+    * similarity estimate is the fraction of agreeing minhash
+    * components — the unbiased streaming stand-in for true Jaccard
+    * (the batch path verifies with exact sets; a stream cannot retain
+    * every shingle set, so it verifies against the bounded-width
+    * signature instead — numPerms longs per OCCUPIED bucket, the
+    * state bound that survives an unbounded feed).
+    *
+    * State TTL: `EventTimeTimeout` at (bucket's last event time +
+    * `delay`) — once the watermark passes it the bucket forgets its
+    * first arrival, exactly [[dedupStream]]'s horizon semantics, so
+    * state is bounded by the dup-detection window, not corpus
+    * lifetime. Everything is deterministic for a bounded ordered
+    * feed: per-group rows are sorted by (ts, id), the hash family is
+    * the portable seeded one, so the full derivation (banding, first
+    * arrival, agreement count) replays in the SQL oracle.
+    */
+  def nearDupStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      delay: String, n: Int, tau: Double,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val numPerms = bands * rowsPerBand
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"month-granularity delay unsupported: $delay")
+    val delayMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val sh = array_distinct(graft.functions.Text.wordShingles(
+      graft.functions.Text.tokens(col(textCol)), n))
+    val banded = docs
+      .withColumn("sig", graft.operators.Dedup.minhashSignature(sh, numPerms))
+      .filter(col("sig").isNotNull && size(col("sig")) === numPerms)
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("pos").as("band"), col("col").as("bandkey"))
+      // the watermark is declared on the PROJECTED ts: event-time
+      // metadata does not survive a cast/re-derivation, so declaring
+      // it upstream would leave the stateful operator unwatermarked
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp, Seq[Long], Int, Seq[Long])]
+    banded
+      .groupByKey { case (_, _, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[
+          (Long, Long, Seq[Long]),           // firstId, firstTsMs, firstSig
+          (Long, Long, Double)](             // doc_id, dup_of, est_jaccard
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Seq[Long]),
+         rows: Iterator[(Long, java.sql.Timestamp, Seq[Long], Int, Seq[Long])],
+         state: GroupState[(Long, Long, Seq[Long])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var (firstId, lastTs, firstSig) = state.getOption
+                .getOrElse((-1L, 0L, Seq.empty[Long]))
+              val out = Seq.newBuilder[(Long, Long, Double)]
+              sorted.foreach { case (id, ts, sig, _, _) =>
+                if (firstId < 0) { firstId = id; firstSig = sig }
+                else if (id != firstId) {
+                  val agree = firstSig.iterator.zip(sig.iterator)
+                    .count { case (a, b) => a == b }
+                  val est = agree.toDouble / numPerms
+                  if (est >= tau) out += ((id, firstId, est))
+                }
+                lastTs = math.max(lastTs, ts.getTime)
+              }
+              state.update((firstId, lastTs, firstSig))
+              state.setTimeoutTimestamp(lastTs + delayMs)
+              out.result().iterator
+            }
+          }
+      }
+      .toDF("doc_id", "dup_of", "est_jaccard")
+    // NOTE: several bands can report the identical (doc, first) pair —
+    // deliberately NOT deduplicated here: a streaming dropDuplicates
+    // would add a second unbounded state store. Callers dedup after
+    // draining (batch dropDuplicates on the sink table).
+  }
+
   /** Streaming CDC upsert: drain the change feed in micro-batches,
     * folding each batch into the target with the idempotent
     * `Cdc.apply` (at-least-once safe). Returns the final target state.

@@ -99,6 +99,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH dedup: best-match subset of exact cross matches, recall") {
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val exact = Dedup.jaccardAgainstPairs(inc, base, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val got = Dedup.lshDedupAgainstBase(base, inc, "doc_id", "text",
+        3, 0.8, 8, 4)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == got.length,
+      "one best match per incoming doc")
+    assert(got.toSet.subsetOf(exact),
+      "verification must kill LSH false positives")
+    if (exact.nonEmpty) {
+      // recall at the DOC level (the decision that matters at ingest:
+      // is this incoming doc a dup of anything in the base corpus)
+      val recall = got.map(_._1).toSet.size.toDouble /
+        exact.map(_._1).size
+      assert(recall >= 0.8, s"incremental dedup doc-recall $recall too low")
+    }
+  }
+
+  test("incremental LSH dedup: planted near-dup found, argmax deterministic") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated text about spark shuffle partitions"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again!")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (20L, "nothing like anything in the base corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshDedupAgainstBase(base, inc, "doc_id", "text",
+        3, 0.8, 8, 4)
+      .select("doc_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, b, j) => d -> (b, j) }.toMap
+    assert(got.keySet == Set(10L), s"expected only doc 10 flagged: $got")
+    // doc 10 ties doc 1 at J=1.0 vs doc 5's J<1: argmax picks 1
+    assert(got(10L)._1 == 1L && got(10L)._2 == 1.0, s"best match: $got")
+  }
+
   test("simhash: near-identical token multisets collide, disjoint ones don't") {
     val df = Seq(
       (1L, "spark query engine shuffle partition codegen broadcast join filter"),

@@ -849,4 +849,49 @@ class StreamSpec extends SparkSpec {
     val got = df.agg(IncrementalAgg.centsSum(col("x"))).head.getDouble(0)
     assert(got == 0.6)
   }
+
+  test("nearDupStream: cross-batch first arrival, TTL expiry, bucket re-arm") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = s"target/tmp/neardup_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val x = "the quick brown fox jumps over the lazy dog tonight"
+    val y = "completely different content about shuffle partitions here"
+    val z = "yet another unrelated filler document with many words inside"
+    def write(i: Int, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.parquet(s"$dir/b=$i")
+      Thread.sleep(1100) // distinct mod times -> deterministic file order
+    }
+    // b0: doc 1 opens the x-buckets. b1: doc 2 (x, +1min) must flag
+    // against the b0 state; doc 10 (y, +180min) drags the watermark to
+    // +170min, far past the x-buckets' +11min timeout. b2: unrelated
+    // doc forces a batch in which the expired x-bucket state times out
+    // (keys with no arriving data are the ones timeout processing
+    // visits). b3: doc 3 re-opens the buckets as the NEW first (no
+    // flag), doc 4 flags against doc 3 — the re-armed state.
+    write(0, Seq((1L, x, ts(0))))
+    write(1, Seq((2L, x, ts(1)), (10L, y, ts(180))))
+    write(2, Seq((99L, z, ts(181))))
+    write(3, Seq((3L, x, ts(182)), (4L, x, ts(183))))
+    val schema = Seq((1L, x, t0)).toDF("doc_id", "text", "ts").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val out = Streams.nearDupStream(stream, "doc_id", "text", "ts",
+      "10 minutes", n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+    val name = s"neardup_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val flags = spark.table(name).select(col("doc_id"), col("dup_of"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(flags.contains((2L, 1L)), s"cross-batch flag missing: $flags")
+    assert(!flags.exists(_._1 == 3L),
+      s"doc 3 arrived after the TTL horizon and must be a NEW first: $flags")
+    assert(flags.contains((4L, 3L)), s"re-armed bucket flag missing: $flags")
+    assert(!flags.exists(f => f._1 == 10L || f._1 == 99L),
+      s"unrelated docs must not be flagged: $flags")
+  }
 }
