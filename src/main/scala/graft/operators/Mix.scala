@@ -86,4 +86,59 @@ object Mix {
       .filter(col("__rn") <= lit(maxK) && col("__rn") <= col("__k"))
       .drop("__dom", "__k", "__rn")
   }
+
+  /** TOKEN-budget mixing — the knob training mixes are actually
+    * specified in: within each weighted domain, take documents in
+    * md5-rank order until that domain's token budget
+    * (`round(weight_d · totalTokens)`) is filled. A document is kept
+    * while the budget is not yet exhausted BEFORE it (exclusive
+    * running sum < budget), so the crossing document is included and
+    * a domain always contributes at least one document when it has
+    * any — the standard greedy fill.
+    *
+    * Zero-token documents are excluded up front: they would ride any
+    * budget for free and break the scale bound below.
+    *
+    * 100 TB posture: ONE shuffle, on the domain key, for the rank
+    * window — shared by both window legs (same partitioning/order, so
+    * Catalyst plans one sort). The `row_number ≤ maxBudget` literal
+    * leg plans as a map-side WindowGroupLimit: since every surviving
+    * document carries ≥ 1 token, rank > budget can never fit, so each
+    * map task forwards at most `maxBudget` rows per domain before the
+    * shuffle — the same pruning [[sample]] gets, derived from the
+    * token bound. Dropping those rows cannot change a survivor's
+    * exclusive prefix sum (they all rank strictly after it).
+    * NOTE: Spark only rewrites rank filters whose limit is ≤
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000)
+    * into the map-side prune; for the million-token budgets of a real
+    * mix, raise that conf — the filter itself is semantically inert
+    * either way.
+    */
+  def tokenBudget(
+      df: DataFrame, domain: Column, id: Column, tokens: Column,
+      weights: Map[String, Double], totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      "weights must be non-negative and finite")
+    val budgets = weights
+      .map { case (d, wt) => d -> math.round(wt * totalTokens) }
+      .filter(_._2 > 0)
+    if (budgets.isEmpty) return df.limit(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bDf = broadcast(budgets.toSeq.toDF("__dom", "__tb"))
+    val w = Window.partitionBy(domain).orderBy(md5(id.cast("string")), id)
+    val maxB = budgets.values.max
+    df.filter(tokens > 0)
+      .join(bDf, domain === col("__dom"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(maxB))
+      .withColumn("__cum",
+        coalesce(
+          sum(tokens).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("__cum") < col("__tb"))
+      .drop("__dom", "__tb", "__rn", "__cum")
+  }
 }

@@ -16,7 +16,8 @@ object TextQueries {
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
     incrementalDedup, streamNearDup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup, corpusMix, shardExport, freqTokens, trainingExport)
+    spanDedup, corpusMix, tokenBudgetMix, shardExport, freqTokens,
+    trainingExport)
 
   /** Export-pipeline capstone (the q_corpus_select of the output
     * side): mixture resampling ([[graft.operators.Mix]]) COMPOSED with
@@ -141,6 +142,43 @@ object TextQueries {
         budget = 300L)
       .select(col("lang"), col("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** TOKEN-budget corpus mix ([[graft.operators.Mix.tokenBudget]]):
+    * greedy hash-rank fill of per-language TOKEN budgets (the unit
+    * training mixes are specified in, vs q_corpus_mix's row counts).
+    * A document is kept while its language's budget is not exhausted
+    * before it (exclusive running sum < budget), so the crossing
+    * document is included. FULL oracle gate — the md5 rank order, the
+    * whitespace token count, and the exclusive window sum all replay
+    * exactly in DuckDB.
+    */
+  val tokenBudgetMix: Q = Q(
+    "q_token_budget_mix",
+    """WITH w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.2), ('es', 0.15),
+      |    ('de', 0.1), ('fr', 0.05)),
+      |  b AS (SELECT lang, CAST(round(wt * 100000) AS BIGINT) AS tb FROM w),
+      |  t AS (SELECT doc_id, lang,
+      |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> x <> '')) AS BIGINT) AS n_tok
+      |    FROM documents),
+      |  r AS (SELECT t.doc_id, t.lang, t.n_tok, b.tb,
+      |      COALESCE(SUM(n_tok) OVER (PARTITION BY t.lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |    FROM t JOIN b ON t.lang = b.lang WHERE n_tok > 0)
+      |SELECT doc_id, lang, n_tok FROM r WHERE cum < tb
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Text
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+    graft.operators.Mix.tokenBudget(
+        docs, col("lang"), col("doc_id"), col("n_tok"),
+        weights = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15,
+          "de" -> 0.1, "fr" -> 0.05),
+        totalTokens = 100000L)
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact substring-span dedup (Lee et al. 2022 shape): repeated
