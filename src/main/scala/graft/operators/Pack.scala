@@ -47,4 +47,46 @@ object Pack {
         floor((col("__cum") - col("__w")) / budget.toDouble).cast("long"))
       .drop("__cum", "__w")
   }
+
+  /** Context-window chunking — the step between a cleaned corpus and
+    * [[pack]]: split each document's token stream into windows of
+    * `window` tokens advancing by `window - overlap` (the standard
+    * overlapping chunker in front of a fixed-context trainer). The
+    * final window may be short; a window is emitted only if it adds
+    * tokens the previous one did not already cover (`start = 0`, or
+    * `previous start + window < n`), so a short tail fully contained
+    * in its predecessor is dropped rather than re-emitted. Zero-token
+    * documents produce no chunks.
+    *
+    * Pure per-row Catalyst expressions (sequence/filter/slice/
+    * array_join inside whole-stage codegen) — NO shuffle, no UDF; the
+    * operator scales with the scan. Output: `idCol`, `chunk_id`
+    * (0-based window ordinal), `n_tok` (tokens in this chunk),
+    * `chunk_text` (the window re-joined with single spaces —
+    * tokenization is whitespace, so re-joining is lossless up to
+    * whitespace runs, same convention as the oracle).
+    */
+  def chunkWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window): $overlap vs $window")
+    val stride = window - overlap
+    val t = graft.functions.Text.tokens(col(textCol))
+    df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        explode(filter(
+          sequence(lit(0), size(col("__t")) - 1, lit(stride)),
+          s => s === 0 || (s - stride + window) < size(col("__t"))))
+          .as("__s"))
+      .select(
+        col(idCol),
+        (col("__s") / stride).cast("long").as("chunk_id"),
+        least(lit(window), size(col("__t")) - col("__s")).cast("long")
+          .as("n_tok"),
+        array_join(slice(col("__t"), col("__s") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

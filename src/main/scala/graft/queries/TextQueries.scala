@@ -16,8 +16,8 @@ object TextQueries {
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
     incrementalDedup, streamNearDup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup, corpusMix, tokenBudgetMix, shardExport, freqTokens,
-    trainingExport)
+    spanDedup, corpusMix, tokenBudgetMix, chunkWindows, shardExport,
+    freqTokens, trainingExport)
 
   /** Export-pipeline capstone (the q_corpus_select of the output
     * side): mixture resampling ([[graft.operators.Mix]]) COMPOSED with
@@ -179,6 +179,32 @@ object TextQueries {
         totalTokens = 100000L)
       .select(col("doc_id"), col("lang"), col("n_tok"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Context-window chunking ([[graft.operators.Pack.chunkWindows]]):
+    * 32-token windows advancing by 24 (8-token overlap; sized so the
+    * 10–99-token test documents genuinely produce multi-chunk
+    * overlapping output), short tail
+    * kept unless fully covered by its predecessor. FULL oracle gate —
+    * the start-position rule, integer window ordinal, clamped slice,
+    * and single-space re-join replay exactly in DuckDB.
+    */
+  val chunkWindows: Q = Q(
+    "q_chunk_windows",
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |s AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 24),
+      |    s -> s = 0 OR s - 24 + 32 < len(t))) AS s
+      |  FROM t WHERE len(t) > 0)
+      |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+      |  CAST(least(32, len(t) - s) AS BIGINT) AS n_tok,
+      |  array_to_string(t[s+1:s+32], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.operators.Pack.chunkWindows(
+        Tables.documents(s, dir), "doc_id", "text",
+        window = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** Exact substring-span dedup (Lee et al. 2022 shape): repeated

@@ -49,6 +49,32 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((1L, 0L)) && got(3L) == ((1L, 2L)))
   }
 
+  test("chunkWindows: layout, covered-tail drop, short doc, empty doc, no shuffle") {
+    import graft.operators.Pack
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, ten),            // 10 tokens
+      (2L, "w1 w2 w3"),     // shorter than one window
+      (3L, "   "),          // zero tokens -> no chunks
+      (4L, "")              // zero tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Pack.chunkWindows(df, "doc_id", "text", window = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1, stride 3: starts 0,3,6 kept; start 9 dropped — its single
+    // token is already covered by the window at 6 (tokens 7..10)
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (0L, 4L, "w1 w2 w3 w4"), (1L, 4L, "w4 w5 w6 w7"),
+      (2L, 4L, "w7 w8 w9 w10")))
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 3L, "w1 w2 w3")))
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L), "empty docs chunk-free")
+    // per-row expressions only: the chunker must not shuffle
+    val plan = Pack.chunkWindows(df, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("cohortRetention counts a user once per active week from their cohort") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
