@@ -10,8 +10,77 @@ import graft.operators.{Fuzzy, Rules, Scd}
   */
 object QualityQueries {
 
-  def all: Seq[Q] = Seq(scd2, fuzzyLookup, fuzzyGroup, fuzzyGroupCc,
-    dqsValidate, dqsSuggest, unknownMember, piiScrub)
+  def all: Seq[Q] = Seq(scd2, streamScd2, fuzzyLookup, fuzzyGroup,
+    fuzzyGroupCc, dqsValidate, dqsSuggest, unknownMember, piiScrub)
+
+  /** Streaming SCD2 ([[graft.streaming.Streams.scd2Stream]]): two
+    * dated staging snapshots (2024-06-01: every bk%5 key changes
+    * segment to `_X`; 2024-07-01: every bk%10 key changes again to
+    * `_XY`) delivered as two micro-batches (maxFilesPerTrigger=1,
+    * file order pinned by explicit mtimes, no sleeps). The drained
+    * dimension must equal the date-ordered batch application — keys
+    * changed twice carry TWO closed versions plus the `_XY` current,
+    * keys changed once keep their `_X` current, untouched keys pass
+    * through — which the oracle enumerates directly.
+    */
+  val streamScd2: Q = Q(
+    "q_stream_scd2",
+    """WITH dim AS (SELECT c_custkey AS customer_bk, c_name AS name,
+      |    c_mktsegment AS segment FROM customer)
+      |SELECT customer_bk, name, segment, is_current, start_date, end_date FROM (
+      |  SELECT customer_bk, name, segment, true AS is_current,
+      |    DATE '2020-01-01' AS start_date, CAST(NULL AS DATE) AS end_date
+      |  FROM dim WHERE customer_bk % 5 <> 0
+      |  UNION ALL
+      |  SELECT customer_bk, name, segment, false,
+      |    DATE '2020-01-01', DATE '2024-06-01'
+      |  FROM dim WHERE customer_bk % 5 = 0
+      |  UNION ALL
+      |  SELECT customer_bk, name, segment || '_X', true,
+      |    DATE '2024-06-01', NULL
+      |  FROM dim WHERE customer_bk % 5 = 0 AND customer_bk % 10 <> 0
+      |  UNION ALL
+      |  SELECT customer_bk, name, segment || '_X', false,
+      |    DATE '2024-06-01', DATE '2024-07-01'
+      |  FROM dim WHERE customer_bk % 10 = 0
+      |  UNION ALL
+      |  SELECT customer_bk, name, segment || '_XY', true,
+      |    DATE '2024-07-01', NULL
+      |  FROM dim WHERE customer_bk % 10 = 0
+      |) t
+      |ORDER BY customer_bk, start_date""".stripMargin) { (s, dir) =>
+    import graft.streaming.Streams
+    val cust = Tables.customer(s, dir)
+    val dim = cust.select(
+      col("c_custkey").as("customer_bk"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      lit(true).as("is_current"),
+      lit("2020-01-01").cast("date").as("start_date"),
+      lit(null).cast("date").as("end_date"))
+    val root = s"target/tmp/scd2_stream_${System.nanoTime()}"
+    def snap(i: Int, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      df.coalesce(1).write.parquet(s"$root/b=$i")
+      new java.io.File(s"$root/b=$i").listFiles()
+        .foreach(f => f.setLastModified(mtime))
+    }
+    snap(0, cust.filter(col("c_custkey") % 5 === 0).select(
+      col("c_custkey").as("customer_bk"), col("c_name").as("name"),
+      concat(col("c_mktsegment"), lit("_X")).as("segment"),
+      lit("2024-06-01").cast("date").as("run_date")), 1700000000000L)
+    snap(1, cust.filter(col("c_custkey") % 10 === 0).select(
+      col("c_custkey").as("customer_bk"), col("c_name").as("name"),
+      concat(col("c_mktsegment"), lit("_XY")).as("segment"),
+      lit("2024-07-01").cast("date").as("run_date")), 1700000100000L)
+    val schema = s.read.parquet(s"$root/b=0").schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(root)
+    Streams.scd2Stream(s, feed, dim,
+        "customer_bk", Seq("name", "segment"), "run_date")
+      .orderBy(col("customer_bk"), col("start_date"))
+  }
 
   /** PII redaction over the customer names (account-number shapes):
     * digits masked to '*', with a per-row redacted-character count for

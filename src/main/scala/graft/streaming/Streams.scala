@@ -261,6 +261,55 @@ object Streams {
     // draining (batch dropDuplicates on the sink table).
   }
 
+  /** Streaming SCD2 dimension maintenance — the continuous form of
+    * the warehouse-load SCD ([[graft.operators.Scd.scd2]] / q_scd2;
+    * the reference's SCD wizard + CDC-fed dimension load). The feed
+    * carries dated staging snapshots (`dateCol`); each micro-batch is
+    * applied ONE DATE AT A TIME in ascending date order, each date's
+    * rows being that date's staging snapshot — so draining a feed
+    * equals applying the same snapshots in date order in batch, and a
+    * batch boundary can fall anywhere BETWEEN dates without changing
+    * the result (within-batch disorder is sorted away).
+    *
+    * Contract: dates must be non-decreasing ACROSS batches (a
+    * snapshot feed — each file/batch holds one or more complete dated
+    * snapshots). Re-delivery is harmless: re-applying a snapshot to a
+    * dimension that already absorbed it changes nothing (unchanged
+    * rows pass through, so foreachBatch's at-least-once replay
+    * composes). The folded dimension is pinned with persist and the
+    * previous state released per fold, [[cdcUpsertStream]]-style; a
+    * production deployment would hold the dimension in the
+    * transactional table and MERGE, as the batch CDC paths do.
+    */
+  def scd2Stream(
+      spark: SparkSession, staging: DataFrame, dimInit: DataFrame,
+      bk: String, attrs: Seq[String], dateCol: String): DataFrame = {
+    import graft.operators.Scd
+    var dim = dimInit.persist()
+    dim.count()
+    val q = staging.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dates = batch
+          .select(col(dateCol).cast("date").as("__d")).distinct()
+          .orderBy(col("__d")).collect().map(_.getDate(0).toString)
+        dates.foreach { d =>
+          val snap = batch
+            .filter(col(dateCol).cast("date") === lit(d).cast("date"))
+            .drop(dateCol)
+          val next = Scd.scd2(dim, snap, bk, attrs, d).persist()
+          next.count() // materialize before releasing the prior state
+          dim.unpersist()
+          dim = next
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    dim
+  }
+
   /** Streaming CDC upsert: drain the change feed in micro-batches,
     * folding each batch into the target with the idempotent
     * `Cdc.apply` (at-least-once safe). Returns the final target state.

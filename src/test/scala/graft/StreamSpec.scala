@@ -850,6 +850,50 @@ class StreamSpec extends SparkSpec {
     assert(got == 0.6)
   }
 
+  test("scd2Stream: batch boundaries don't change the result; re-apply is a no-op") {
+    import graft.operators.Scd
+    val dim = (1L to 10L).map(k => (k, s"n$k", "A", true,
+        java.sql.Date.valueOf("2020-01-01"), null: java.sql.Date))
+      .toDF("bk", "name", "segment", "is_current", "start_date", "end_date")
+    val s1 = (1L to 10L).filter(_ % 2 == 0)
+      .map(k => (k, s"n$k", "B", java.sql.Date.valueOf("2024-06-01")))
+      .toDF("bk", "name", "segment", "run_date")
+    val s2 = (1L to 10L).filter(_ % 4 == 0)
+      .map(k => (k, s"n$k", "C", java.sql.Date.valueOf("2024-07-01")))
+      .toDF("bk", "name", "segment", "run_date")
+    def drain(maxFiles: Option[Int]): Set[(Long, String, String, Boolean, String, String)] = {
+      val root = s"target/tmp/scd2s_${System.nanoTime()}"
+      s1.coalesce(1).write.parquet(s"$root/b=0")
+      s2.coalesce(1).write.parquet(s"$root/b=1")
+      new java.io.File(s"$root/b=0").listFiles()
+        .foreach(_.setLastModified(1700000000000L))
+      new java.io.File(s"$root/b=1").listFiles()
+        .foreach(_.setLastModified(1700000100000L))
+      val rdr = spark.readStream.schema(s1.schema)
+        .option("recursiveFileLookup", "true")
+      val feed = maxFiles.fold(rdr)(m =>
+        rdr.option("maxFilesPerTrigger", m.toString)).parquet(root)
+      graft.streaming.Streams
+        .scd2Stream(spark, feed, dim, "bk", Seq("name", "segment"), "run_date")
+        .select(col("bk"), col("name"), col("segment"), col("is_current"),
+          col("start_date").cast("string"), col("end_date").cast("string"))
+        .as[(Long, String, String, Boolean, String, String)].collect().toSet
+    }
+    val twoBatches = drain(Some(1))
+    val oneBatch = drain(None) // both dates in a single batch
+    assert(twoBatches == oneBatch, "per-date fold must erase batch boundaries")
+    // the %4 keys carry A(closed) -> B(closed) -> C(current)
+    assert(twoBatches.count(_._1 == 4L) == 3)
+    assert(twoBatches((4L, "n4", "C", true, "2024-07-01", null)))
+    // re-applying an absorbed snapshot changes nothing (at-least-once
+    // replay safety): fold s1's date twice in batch form
+    val once = Scd.scd2(dim, s1.drop("run_date"), "bk",
+      Seq("name", "segment"), "2024-06-01")
+    val twice = Scd.scd2(once, s1.drop("run_date"), "bk",
+      Seq("name", "segment"), "2024-06-01")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
   test("nearDupStream: cross-batch first arrival, TTL expiry, bucket re-arm") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = s"target/tmp/neardup_${System.nanoTime()}"
