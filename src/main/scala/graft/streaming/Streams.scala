@@ -204,18 +204,31 @@ object Streams {
     val delayMs = iv.days * 86400000L + iv.microseconds / 1000L
     val sh = array_distinct(graft.functions.Text.wordShingles(
       graft.functions.Text.tokens(col(textCol)), n))
+    // Band via a TYPED flatMap, not a transform/posexplode over the
+    // sig column: a streaming plan cannot persist the signature the
+    // way the batch path does, and CollapseProject would inline the
+    // whole minhash expression into the band lambda — re-evaluating
+    // it per band (measured ~5x the query). The encoder boundary
+    // materializes each signature exactly once; banding is then cheap
+    // Scala slicing.
     val banded = docs
-      .withColumn("sig", graft.operators.Dedup.minhashSignature(sh, numPerms))
-      .filter(col("sig").isNotNull && size(col("sig")) === numPerms)
+      // single-file stream sources scan as ONE partition, which would
+      // run the whole tokenize+shingle+minhash single-threaded — the
+      // same reason the batch path's shingles() repartitions first
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("ts"),
-        col("sig"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("doc_id"), col("ts"), col("sig"),
-        col("pos").as("band"), col("col").as("bandkey"))
+        graft.operators.Dedup.minhashSignature(sh, numPerms).as("sig"))
+      .as[(Long, java.sql.Timestamp, Seq[Long])]
+      .flatMap { case (id, t, sig) =>
+        if (sig == null || sig.length != numPerms) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          (id, t, sig, b,
+            sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+        }
+      }
+      .toDF("doc_id", "ts", "sig", "band", "bandkey")
       // the watermark is declared on the PROJECTED ts: event-time
       // metadata does not survive a cast/re-derivation, so declaring
       // it upstream would leave the stateful operator unwatermarked
