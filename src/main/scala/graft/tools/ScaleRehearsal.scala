@@ -135,7 +135,17 @@ object ScaleRehearsal {
     // distinct keys prune the scan to ≤64 of 256 buckets at the
     // manifest). The pair's gap IS the MorDmlRuntimeFiltering
     // measurement, and it must WIDEN with table size.
-    "x_mor_trickle_full", "x_mor_trickle_pruned")
+    "x_mor_trickle_full", "x_mor_trickle_pruned",
+    // round-10 pipeline additions: batch-vs-corpus LSH dedup (both
+    // sides scale), streaming near-dup (10× docs ⇒ 10× band-bucket
+    // state), token-budget mix (FIXED budget, so cost must track the
+    // scan+window, with the selection constant), context-window
+    // chunking (pure per-row codegen — must ride the scan).
+    // q_stream_scd2 is deliberately absent: customer is a FIXED
+    // dimension in the scale tiers (the co-bucket contract), so its
+    // ratio would measure nothing.
+    "q_incremental_dedup", "q_stream_neardup", "q_token_budget_mix",
+    "q_chunk_windows")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
@@ -146,7 +156,11 @@ object ScaleRehearsal {
     "q_mor_update", "q_mor_merge", "q_spj_partial", "q_dedup_clusters",
     "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
     "x_sql_merge", "x_sql_mor",
-    "x_mor_trickle_full", "x_mor_trickle_pruned")
+    "x_mor_trickle_full", "x_mor_trickle_pruned",
+    // round-10: the LSH ingest-dedup and the streaming near-dup at
+    // 100× docs — the two new operators whose state/candidate growth
+    // could in principle turn superlinear
+    "q_incremental_dedup", "q_stream_neardup")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
