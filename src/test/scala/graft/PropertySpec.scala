@@ -290,4 +290,36 @@ class PropertySpec extends SparkSpec {
         s"hot key occupied $spread partitions (factor=$factor)")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("property: chunkWindows reconstructs the token stream exactly") {
+    // invariant: chunk 0 plus every later chunk's post-overlap suffix
+    // re-concatenates to the full token stream — which also proves the
+    // covered-tail drop rule loses nothing (a tail is only dropped
+    // when its predecessor already reached the end)
+    import graft.operators.Pack
+    val cases = for (_ <- 1 to 12) yield
+      (rnd.nextInt(40), 2 + rnd.nextInt(8), rnd.nextInt(4))
+    for ((t, w, oRaw) <- cases; o = math.min(oRaw, w - 1)) {
+      val toks = (0 until t).map(i => s"w$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Pack.chunkWindows(df, "doc_id", "text", w, o)
+        .orderBy(col("chunk_id"))
+        .select(col("chunk_id"), col("n_tok"), col("chunk_text"))
+        .as[(Long, Long, String)].collect()
+      if (t == 0) assert(chunks.isEmpty)
+      else {
+        // ordinals are the kept starts' stride multiples — strictly
+        // increasing but possibly with the final one(s) absent
+        assert(chunks.map(_._1).toSeq == chunks.map(_._1).toSeq.sorted)
+        chunks.foreach { case (_, n, txt) =>
+          assert(txt.split(" ").length == n)
+        }
+        val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, txt), i) =>
+          val ts = txt.split(" ").toSeq
+          if (i == 0) ts else ts.drop(o)
+        }
+        assert(rebuilt.toSeq == toks, s"t=$t w=$w o=$o: ${rebuilt.toSeq} vs $toks")
+      }
+    }
+  }
 }
