@@ -850,6 +850,43 @@ class StreamSpec extends SparkSpec {
     assert(got == 0.6)
   }
 
+  test("nearDupStream: checkpoint restart restores bucket state, no re-emission") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = s"target/tmp/neardup_cp_${System.nanoTime()}"
+    val cp = s"$root/checkpoint"
+    val data = s"$root/data"
+    val x = "the quick brown fox jumps over the lazy dog tonight"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val schema = Seq((1L, x, t0)).toDF("doc_id", "text", "ts").schema
+    val sinkDir = s"$root/out"
+    def drainOnce(): Set[(Long, Long)] = {
+      val feed = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(data)
+      val out = Streams.nearDupStream(feed, "doc_id", "text", "ts",
+        "10 minutes", n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      // file sink: the memory sink cannot recover from a checkpoint
+      val q = out.writeStream.outputMode("append").format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sinkDir).select(col("doc_id"), col("dup_of"))
+        .distinct().as[(Long, Long)].collect().toSet
+    }
+    Seq((1L, x, ts(0))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$data/b=0")
+    val first = drainOnce()
+    assert(first.isEmpty, s"first arrival must not be flagged: $first")
+    // second INVOCATION (fresh query, same checkpoint): only the new
+    // file is read — the flag against doc 1 can only come from state
+    // RESTORED from the checkpoint, and batch 0 is not re-emitted
+    Seq((2L, x, ts(1))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$data/b=1")
+    val second = drainOnce()
+    assert(second == Set((2L, 1L)),
+      s"restart must flag doc 2 against checkpoint-restored doc 1: $second")
+  }
+
   test("scd2Stream: batch boundaries don't change the result; re-apply is a no-op") {
     import graft.operators.Scd
     val dim = (1L to 10L).map(k => (k, s"n$k", "A", true,
