@@ -828,9 +828,13 @@ object TextQueries {
       |WHERE est_jaccard >= 0.8
       |ORDER BY doc_id, dup_of""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.streaming.Trigger
+    // point the stream at the table PATH itself: a glob filter over
+    // the parent dir breaks when the table is a directory of part
+    // files (the scaled rehearsal tiers) instead of a single file
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/documents.parquet")
       .withColumn("ts",
         timestamp_seconds(lit(1704067200L) + col("doc_id")))
     val out = graft.streaming.Streams.nearDupStream(
