@@ -16,8 +16,8 @@ object TextQueries {
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
     incrementalDedup, streamNearDup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
-    spanDedup, corpusMix, tokenBudgetMix, chunkWindows, shardExport,
-    freqTokens, trainingExport)
+    spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
+    shardExport, freqTokens, trainingExport)
 
   /** Export-pipeline capstone (the q_corpus_select of the output
     * side): mixture resampling ([[graft.operators.Mix]]) COMPOSED with
@@ -205,6 +205,50 @@ object TextQueries {
         Tables.documents(s, dir), "doc_id", "text",
         window = 32, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Chunk→pack composition — the training-sequence tail in one
+    * query: context-window chunking ([[graft.operators.Pack.chunkWindows]])
+    * feeding greedy sequence packing ([[graft.operators.Pack.pack]]),
+    * aggregated per (shard, pack). Proves the two stages compose
+    * deterministically: the oracle replays chunking, the numeric
+    * chunk key, the sharded running-sum pack assignment, and the
+    * rollup in a single statement.
+    */
+  val chunkPack: Q = Q(
+    "q_chunk_pack",
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |s AS (SELECT doc_id, t, unnest(list_filter(range(0, len(t), 24),
+      |    s -> s = 0 OR s - 24 + 32 < len(t))) AS s
+      |  FROM t WHERE len(t) > 0),
+      |c AS (SELECT doc_id * 1000 + (s // 24) AS chunk_key,
+      |    CAST(least(32, len(t) - s) AS BIGINT) AS n_tok
+      |  FROM s),
+      |p AS (SELECT chunk_key, n_tok, chunk_key % 8 AS shard,
+      |    SUM(n_tok) OVER (PARTITION BY chunk_key % 8 ORDER BY chunk_key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c)
+      |SELECT shard, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS tokens
+      |FROM p
+      |GROUP BY 1, 2
+      |ORDER BY shard, pack_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Pack
+    val chunks = Pack.chunkWindows(
+        Tables.documents(s, dir), "doc_id", "text",
+        window = 32, overlap = 8)
+      // stable numeric chunk key: chunk ordinal is < 1000 by the
+      // window/stride geometry at any document length the corpus has;
+      // pack() shards and orders by this key
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+        col("n_tok"))
+    Pack.pack(chunks, "chunk_key", col("n_tok"),
+        budget = 2048L, numShards = 8)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("tokens"))
+      .orderBy(col("shard"), col("pack_id"))
   }
 
   /** Exact substring-span dedup (Lee et al. 2022 shape): repeated
