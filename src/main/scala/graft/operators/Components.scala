@@ -46,9 +46,12 @@ object Components {
     while (!converged && it < maxIters) {
       val nbrMin = sym.join(labels, col("__b") === col("__id"))
         .groupBy(col("__a")).agg(min(col("__lbl")).as("__nlbl"))
+      // __prev rides along so convergence is a FILTER on the round's
+      // own checkpointed output instead of a join back against the
+      // previous labels — one join and one shuffle fewer per round
       val stepped = labels
         .join(nbrMin, col("__id") === col("__a"), "left")
-        .select(col("__id"),
+        .select(col("__id"), col("__lbl").as("__prev"),
           least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl"))
       // pointer jump: lbl ← label(lbl). Every label value is itself a
       // node id (labels are only ever ids propagated by min), so the
@@ -58,14 +61,11 @@ object Components {
         .select(col("__id").as("__jid"), col("__lbl").as("__jlbl"))
       val jumped = stepped
         .join(jumpMap, col("__lbl") === col("__jid"), "left")
-        .select(col("__id"),
+        .select(col("__id"), col("__prev"),
           least(col("__lbl"), coalesce(col("__jlbl"), col("__lbl"))).as("__lbl"))
         .localCheckpoint(true)
-      converged = jumped
-        .join(labels.select(col("__id"), col("__lbl").as("__prev")), "__id")
-        .filter(col("__lbl") < col("__prev"))
-        .isEmpty
-      labels = jumped
+      converged = jumped.filter(col("__lbl") < col("__prev")).isEmpty
+      labels = jumped.select(col("__id"), col("__lbl"))
       it += 1
     }
     require(converged,
