@@ -77,4 +77,45 @@ object Rules {
     val removed = length(c) - length(regexp_replace(c, pattern, ""))
     (masked, removed.cast("long"))
   }
+
+  /** Per-group IQR outlier screen (Tukey fences) — the numeric-column
+    * half of DQ screening, next to [[validate]]'s rule checks: rows
+    * whose value falls outside `[q1 − k·IQR, q3 + k·IQR]` of their
+    * group are flagged. Quartiles are EXACT (`percentile`, the same
+    * linear interpolation as DuckDB's `quantile_cont`, proven
+    * bit-equal by q_percentile) and the fence arithmetic mirrors the
+    * oracle expression order, so flags replay exactly.
+    *
+    * NULL/NaN values neither enter the quartiles nor get flagged —
+    * callers screening a column with NaNs filter them first (they are
+    * a different defect class than outliers).
+    *
+    * 100 TB shape: the quartile aggregate shuffles once on the group
+    * key; the per-group fences are group-cardinality-sized and
+    * BROADCAST back, so the fact side is flagged in a map-side join —
+    * no second fact shuffle.
+    */
+  def outliers(
+      df: DataFrame, group: Column, value: Column,
+      k: Double = 1.5): DataFrame = {
+    val stats = df
+      .filter(value.isNotNull && !isnan(value))
+      .groupBy(group.as("__g"))
+      .agg(
+        percentile(value, lit(0.25)).as("__q1"),
+        percentile(value, lit(0.75)).as("__q3"))
+    val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
+    val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
+    df.join(broadcast(stats), group === col("__g"), "left")
+      .withColumn("lo_fence", lo)
+      .withColumn("hi_fence", hi)
+      // coalesce: a group with NO valid values has no fences (left
+      // join misses) — its rows are not outliers, not unknowns
+      .withColumn("is_outlier",
+        coalesce(
+          value.isNotNull && !isnan(value) &&
+            (value < lo || value > hi),
+          lit(false)))
+      .drop("__g", "__q1", "__q3")
+  }
 }

@@ -11,7 +11,45 @@ import graft.operators.{Fuzzy, Rules, Scd}
 object QualityQueries {
 
   def all: Seq[Q] = Seq(scd2, streamScd2, fuzzyLookup, fuzzyGroup,
-    fuzzyGroupCc, dqsValidate, dqsSuggest, unknownMember, piiScrub)
+    fuzzyGroupCc, dqsValidate, dqsSuggest, unknownMember, piiScrub,
+    outlierIqr)
+
+  /** Per-group IQR outlier screen ([[graft.operators.Rules.outliers]],
+    * Tukey fences at k=1.5) over event values, rolled up per type:
+    * fences + outlier counts. Exact quartiles (`percentile` ≡ DuckDB
+    * `quantile_cont`, the q_percentile-proven pair) and fence
+    * arithmetic mirrored expression-for-expression, so the flags
+    * replay bit-exactly. NULL/NaN screened upfront on BOTH sides —
+    * they are a different defect class than outliers.
+    */
+  val outlierIqr: Q = Q(
+    "q_outlier_iqr",
+    """WITH v AS (SELECT event_type, value FROM events
+      |  WHERE value IS NOT NULL AND NOT isnan(value)),
+      |s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.75) AS q3
+      |  FROM v GROUP BY 1)
+      |SELECT v.event_type,
+      |  MIN(s.q1 - 1.5*(s.q3 - s.q1)) AS lo_fence,
+      |  MIN(s.q3 + 1.5*(s.q3 - s.q1)) AS hi_fence,
+      |  CAST(SUM(CASE WHEN v.value < s.q1 - 1.5*(s.q3 - s.q1)
+      |      OR v.value > s.q3 + 1.5*(s.q3 - s.q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+      |  COUNT(*) AS n_total
+      |FROM v JOIN s USING (event_type)
+      |GROUP BY v.event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    graft.operators.Rules.outliers(ev, col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("lo_fence")).as("lo_fence"),
+        min(col("hi_fence")).as("hi_fence"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_out"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("event_type"))
+  }
 
   /** Streaming SCD2 ([[graft.streaming.Streams.scd2Stream]]): two
     * dated staging snapshots (2024-06-01: every bk%5 key changes

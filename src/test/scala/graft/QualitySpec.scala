@@ -200,4 +200,31 @@ class QualitySpec extends SparkSpec {
       .select("okey", "sk").as[(Long, Long)].collect().toMap
     assert(got == Map(100L -> 10L, 101L -> -1L))
   }
+
+  test("Rules.outliers flags planted extremes per group; NaN/null excluded") {
+    import graft.operators.Rules
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0), ("b", 13.0),
+      ("b", Double.NaN),
+      ("c", Double.NaN) // group with NO valid values: no fences
+    ).toDF("g", "v")
+      .unionByName(Seq(("b", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "v"))
+    val got = Rules.outliers(df, col("g"), col("v"))
+      .select(col("g"), col("v"), col("is_outlier"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getBoolean(2)))
+    // group a: quartiles of (1,2,3,4,100) make 100 the lone outlier
+    assert(got.filter(_._1 == "a").count(_._3) == 1)
+    assert(got.find(r => r._1 == "a" && r._2.contains(100.0)).exists(_._3))
+    // group b: tight cluster — nothing flagged, NaN/null land false
+    assert(got.filter(_._1 == "b").forall(!_._3))
+    // group c (all NaN): left-join miss coalesces to false, not null
+    assert(got.filter(_._1 == "c").forall(!_._3))
+    // fences come back per-row via a BROADCAST of the tiny stats side
+    val plan = Rules.outliers(df, col("g"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
