@@ -11,19 +11,32 @@ import org.apache.spark.sql.SparkSession
   * measures the queries, not classloading.
   *
   * SELF-DIAGNOSING against VM contention: the full catalog is timed
-  * TWICE and every query reports its per-pass MIN. This box shows
-  * CPU-steal bursts that inflate individual timings 20-60× for
-  * minutes at a time (BENCH_r2/r4 were poisoned end-to-end); a burst
-  * overlaps at most one of two well-separated passes of the same
-  * query, so the MIN is the honest per-query cost and the artifact
-  * itself proves steal (a big pass-A/pass-B spread on code-untouched
-  * queries) instead of requiring forensic re-measurement afterwards.
-  * Both raw passes land in target/bench.json.
+  * over THREE interleaved passes and every query reports its per-pass
+  * MIN, MEDIAN, and MAX (the SCALE_r10 spread protocol, VERDICT r10
+  * item 7). This box shows CPU-steal bursts that inflate individual
+  * timings 20-60× for minutes at a time (BENCH_r2/r4 were poisoned
+  * end-to-end; same-code r10 runs spread 90-115s); a burst overlaps
+  * at most one of the well-separated passes of a given query, so the
+  * MIN is the honest per-query cost, and the min/med/max spread in
+  * the artifact itself distinguishes a host window (wide spread on
+  * code-untouched queries) from a real regression (tight spread at a
+  * higher level) without forensic re-measurement. All raw passes land
+  * in target/bench.json.
   */
 object Bench {
-  private val Passes = 2
+  private val Passes = 3
 
   def main(args: Array[String]): Unit = {
+    // Optional args = query-name subset: bench-identical config and
+    // protocol over just those queries, for targeted spread
+    // measurements (e.g. the CC family). The driver calls with no
+    // args → full catalog, contract unchanged.
+    val subset: Option[Set[String]] =
+      if (args.isEmpty) None else Some(args.toSet)
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -37,11 +50,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      CacheScope.release()
-      spark.catalog.clearCache()
-    }
+    SparkEntry.queries
+      .filter { case (n, _) => subset.forall(_(n)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        CacheScope.release()
+        spark.catalog.clearCache()
+      }
 
     // A query that throws records the sentinel -1 (not a plausible
     // wall-clock) for that pass; failed passes are excluded from MIN
@@ -53,6 +68,7 @@ object Bench {
     // (its MIN is a real wall-clock from the passing run).
     val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => subset.forall(_(n)))
     def onePass(): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -68,10 +84,14 @@ object Bench {
         name -> dt
       }.toMap
     val passes = (1 to Passes).map(_ => onePass())
-    val best = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
+    def agg(f: Seq[Double] => Double): Seq[(String, Double)] =
+      names.map { n =>
+        val ts = passes.map(_(n)).filter(_ >= 0)
+        n -> (if (ts.isEmpty) -1.0 else f(ts))
+      }
+    val best = agg(_.min)
+    val med = agg(ts => ts.sorted.apply((ts.size - 1) / 2))
+    val worst = agg(_.max)
     def qjson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def strArr(ss: Iterable[String]): String =
@@ -89,7 +109,8 @@ object Bench {
     // a line truncated mid-number), so the machine-readable contract
     // is: short final line on stdout, full detail in target/bench.json.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,""" +
-      s""""queries":${qjson(best)},"raw_passes":$passJson,"errors":$errJson,""" +
+      s""""queries":${qjson(best)},"queries_med":${qjson(med)},""" +
+      s""""queries_max":${qjson(worst)},"raw_passes":$passJson,"errors":$errJson,""" +
       s""""flaky":$flakyJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")

@@ -40,6 +40,36 @@ object CacheScope {
     tracked.clear()
   }
 
+  /** Eager `localCheckpoint(true)` that does NOT carry the source
+    * plan's inferred constraint set into the checkpointed LogicalRDD.
+    *
+    * `Dataset.localCheckpoint` truncates the logical plan and the RDD
+    * lineage, but it also REWRITES the optimized plan's `constraints`
+    * onto the new LogicalRDD (`LogicalRDD.fromDataset` →
+    * `rewriteStatsAndConstraints`). For an ITERATIVE fold — scd2 over
+    * a sequence of snapshot dates, connected-components rounds — the
+    * constraint EXPRESSIONS compound across iterations even though the
+    * plan stays flat: a union's common-constraint merge ORs the legs'
+    * constraint sets, each leg carries the previous iteration's
+    * constraint through the checkpointed base, and the per-iteration
+    * expression size DOUBLES (measured: 3 constraints growing 187 →
+    * 10M chars by fold 15 of a 25-date scd2 backfill, then OOM inside
+    * the optimizer copying EqualNullSafe trees). Scoping
+    * `spark.sql.constraintPropagation.enabled=false` around the
+    * checkpoint makes the captured set empty — the fold boundary is a
+    * clean slate, which is exactly what checkpointing promises. The
+    * flag only gates constraint INFERENCE (an optimization), never
+    * results.
+    */
+  private[graft] def localCheckpointTruncated(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.constraintPropagation.enabled"
+    val old = conf.get(key)
+    conf.set(key, "false")
+    try df.localCheckpoint(true)
+    finally conf.set(key, old)
+  }
+
   /** Currently tracked block count (diagnostics / tests). */
   def trackedCount: Int = synchronized(tracked.size)
 

@@ -175,14 +175,18 @@ object Dag {
     // one cached verdict per guarded edge, fixed when its source
     // becomes terminal (see Edge doc)
     val guardVerdicts = TrieMap.empty[Int, Boolean]
-    def settleGuards(source: String): Unit =
+    // `snap` is the variable state at the source's settle moment —
+    // captured in the worker for executed tasks, at the driver's
+    // decision point for Skipped/Checkpointed ones (which never ran,
+    // so their terminal moment IS the decision)
+    def settleGuards(source: String, snap: Map[String, String]): Unit =
       outgoing.getOrElse(source, Nil).foreach { case (e, i) =>
         e.guard.foreach { g =>
           // a guard that THROWS is an unsatisfied constraint, not a
           // runner crash (SSIS: expression evaluation failure fails
           // the constraint) — the downstream task skips, visibly
           guardVerdicts.getOrElseUpdate(i,
-            try g(ctx.snapshot) catch { case _: Exception => false })
+            try g(snap) catch { case _: Exception => false })
         }
       }
 
@@ -197,14 +201,21 @@ object Dag {
     cpDone.foreach { name =>
       state.put(name, TaskResult(name, Checkpointed, 0, -1L, -1L, None))
     }
-    cpDone.foreach(settleGuards) // restored vars are the source snapshot
+    cpDone.foreach(n => // restored vars are the source snapshot
+      settleGuards(n, ctx.snapshot))
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, maxParallel))
-    // Right((result, varDelta)) per settled task; Left(fatal) when an
-    // attempt hit a VirtualMachineError/interrupt — rethrown below
+    // Right((result, varDelta, settleSnapshot)) per settled task;
+    // Left(fatal) when an attempt hit a VirtualMachineError/interrupt
+    // — rethrown below. The snapshot is captured IN THE WORKER the
+    // moment the task settles (not when the driver dequeues the
+    // completion), so guards on this task's outgoing edges can never
+    // absorb writes made in the settle→dequeue window by concurrently
+    // running tasks — the Edge doc's "snapshot at the moment the
+    // source becomes terminal", made literal.
     val completions = new java.util.concurrent.LinkedBlockingQueue[
-      Either[Throwable, (TaskResult, Map[String, String])]]()
+      Either[Throwable, (TaskResult, Map[String, String], Map[String, String])]]()
     try {
       var running = Set.empty[String]
       var continue = true
@@ -221,13 +232,15 @@ object Dag {
                   running += name
                   val task = byName(name)
                   pool.execute { () =>
-                    try completions.put(Right(execute(task, ctx)))
-                    catch { case t: Throwable => completions.put(Left(t)) }
+                    try {
+                      val (res, delta) = execute(task, ctx)
+                      completions.put(Right((res, delta, ctx.snapshot)))
+                    } catch { case t: Throwable => completions.put(Left(t)) }
                   }
                 case JoinDead =>
                   state.put(name,
                     TaskResult(name, Skipped, 0, -1L, -1L, None))
-                  settleGuards(name)
+                  settleGuards(name, ctx.snapshot)
                   progressed = true // may decide downstream fates
                 case JoinPending => ()
               }
@@ -241,10 +254,10 @@ object Dag {
             // surface the error to the caller, not the audit table
             pool.shutdownNow()
             throw fatal
-          case Right((done, delta)) =>
+          case Right((done, delta, settleSnap)) =>
             running -= done.task
             state.put(done.task, done)
-            settleGuards(done.task)
+            settleGuards(done.task, settleSnap)
             if (done.status == Succeeded) {
               delta.foreach { case (k, v) => committed.put(k, v) }
               checkpoint.foreach(cp => writeCheckpoint(spark, cp,

@@ -38,9 +38,8 @@ object Components {
     val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
       .persistTracked() // reused every round
-    var labels = nodes
-      .select(col(idCol).as("__id"), col(idCol).as("__lbl"))
-      .localCheckpoint(true)
+    var labels = graft.CacheScope.localCheckpointTruncated(nodes
+      .select(col(idCol).as("__id"), col(idCol).as("__lbl")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -59,11 +58,13 @@ object Components {
       // the empty-graph edge case.
       val jumpMap = stepped
         .select(col("__id").as("__jid"), col("__lbl").as("__jlbl"))
-      val jumped = stepped
+      // constraint-truncated checkpoint: the per-round constraint
+      // expressions would otherwise compound across rounds (see
+      // CacheScope.localCheckpointTruncated)
+      val jumped = graft.CacheScope.localCheckpointTruncated(stepped
         .join(jumpMap, col("__lbl") === col("__jid"), "left")
         .select(col("__id"), col("__prev"),
-          least(col("__lbl"), coalesce(col("__jlbl"), col("__lbl"))).as("__lbl"))
-        .localCheckpoint(true)
+          least(col("__lbl"), coalesce(col("__jlbl"), col("__lbl"))).as("__lbl")))
       converged = jumped.filter(col("__lbl") < col("__prev")).isEmpty
       labels = jumped.select(col("__id"), col("__lbl"))
       it += 1
@@ -73,5 +74,84 @@ object Components {
         "the graph is pathologically deep; raise maxIters only if the " +
         "component structure is genuinely expected")
     labels.select(col("__id").as(idCol), col("__lbl").as("component"))
+  }
+
+  /** Relabel maps above this row count fall back from a forced
+    * broadcast to a shuffled join (same guard family as
+    * `Dict.MaxLiteralRows` / `Rules.MaxBroadcastGroups`). */
+  val MaxBroadcastRemap = 1000000
+
+  /** INCREMENTAL connected components — fold one ingest cycle's delta
+    * into an existing labeling without recomputing the corpus.
+    *
+    * `baseLabels` is a prior [[connected]] fixpoint over the base
+    * graph (so `componentCol` = min node id of each base component);
+    * `newNodes`/`deltaEdges` are the cycle's additions (new–new and
+    * new–base edges; edges between existing base nodes belong to the
+    * base graph by construction of an append-only corpus). The
+    * algorithm is component CONTRACTION: map every delta endpoint to
+    * its base component label (new ids map to themselves), run the
+    * [[connected]] fixpoint on that REDUCED graph — whose size is
+    * proportional to the delta and the components it touches, never
+    * the corpus — then push the (old label → new label) remap back
+    * over the base labeling with one broadcast-guarded join.
+    *
+    * Exactness: every base label is the min id of its base component,
+    * and the reduced fixpoint takes mins over those labels and raw
+    * new ids, so the composed label is the min id over the MERGED
+    * component — precisely what [[connected]] from scratch over
+    * (base ∪ new) produces (oracle-gated by q_incremental_cc; the
+    * two-cycle equivalence is spec-checked in DedupSpec).
+    *
+    * 100 TB shape: the corpus-sized `baseLabels` is touched by
+    * exactly two narrow passes — the endpoint-mapping join against
+    * the (small) delta edges, and the final remap join whose build
+    * side holds one row per CHANGED component label, broadcast when
+    * under [[MaxBroadcastRemap]] and shuffled (answers unchanged)
+    * when a pathological batch merges more than that.
+    */
+  def connectedIncremental(
+      baseLabels: DataFrame, idCol: String, componentCol: String,
+      newNodes: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30,
+      maxBroadcastRemap: Int = MaxBroadcastRemap): DataFrame = {
+    val lbl = baseLabels
+      .select(col(idCol).as("__bid"), col(componentCol).as("__bcomp"))
+      .persistTracked() // endpoint mapping + final remap both scan it
+    val mapped = deltaEdges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .join(lbl.select(col("__bid").as("__sid"), col("__bcomp").as("__scomp")),
+        col("__s") === col("__sid"), "left")
+      .join(lbl.select(col("__bid").as("__tid"), col("__bcomp").as("__tcomp")),
+        col("__t") === col("__tid"), "left")
+      .select(coalesce(col("__scomp"), col("__s")).as("__ca"),
+        coalesce(col("__tcomp"), col("__t")).as("__cb"))
+      .persistTracked() // reduced-graph edges: reused every CC round
+    val rnodes = mapped.select(col("__ca").as("__n"))
+      .unionByName(mapped.select(col("__cb").as("__n")))
+      .unionByName(newNodes.select(col(idCol).as("__n")))
+      .distinct()
+    val reduced = connected(rnodes, "__n", mapped, "__ca", "__cb", maxIters)
+      .persistTracked()
+    // one row per label that actually moved — delta-sized, not corpus
+    val remap = reduced.filter(col("__n") =!= col("component"))
+      .select(col("__n").as("__from"), col("component").as("__to"))
+      .persistTracked()
+    val remapSide =
+      if (remap.limit(maxBroadcastRemap + 1).count() <= maxBroadcastRemap)
+        broadcast(remap)
+      else remap
+    val baseOut = lbl
+      .join(remapSide, col("__bcomp") === col("__from"), "left")
+      .select(col("__bid").as(idCol),
+        coalesce(col("__to"), col("__bcomp")).as(componentCol))
+    // isolated new nodes are in rnodes (own id = own label); the
+    // coalesce is belt for an empty reduced graph
+    val newOut = newNodes.select(col(idCol))
+      .join(reduced, col(idCol) === col("__n"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as(componentCol))
+    baseOut.unionByName(newOut)
   }
 }

@@ -329,6 +329,27 @@ object Dedup {
   def lshDedupAgainstBase(
       base: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String,
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int): DataFrame =
+    lshPairsAgainstBase(base, incoming, idCol, textCol,
+      n, tau, bands, rowsPerBand)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d_new"))
+          .orderBy(col("jaccard").desc, col("d_base"))))
+      .filter(col("rn") === 1)
+      .select(col("d_new").as(idCol), col("d_base").as("dup_of"),
+        col("jaccard"))
+
+  /** ALL verified incoming×base near-dup pairs — the pair-set form of
+    * [[lshDedupAgainstBase]] (which keeps only each incoming doc's
+    * best match). This is the edge feed for INCREMENTAL cluster
+    * maintenance ([[Components.connectedIncremental]]): together with
+    * [[minhashLshPairs]] over the incoming batch alone, it supplies
+    * exactly the delta edges an append-only corpus adds per ingest
+    * cycle. Returns (`d_new`, `d_base`, `jaccard`).
+    */
+  def lshPairsAgainstBase(
+      base: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int): DataFrame = {
     val shB = shingles(base, idCol, textCol, n).persistTracked()
       .filter(size(col("sh")) > 0)
@@ -342,7 +363,7 @@ object Dedup {
     val cands = bi.join(bb,
         col("band") === col("band2") && col("bandkey") === col("bandkey2"))
       .select("d_new", "d_base").dropDuplicates("d_new", "d_base")
-    val verified = cands
+    cands
       .join(shI.select(col(idCol).as("d_new"), col("sh").as("sh1")), "d_new")
       .join(shB.select(col(idCol).as("d_base"), col("sh").as("sh2")), "d_base")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
@@ -350,13 +371,7 @@ object Dedup {
         col("inter").cast("double") /
           (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
-    verified
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("d_new"))
-          .orderBy(col("jaccard").desc, col("d_base"))))
-      .filter(col("rn") === 1)
-      .select(col("d_new").as(idCol), col("d_base").as("dup_of"),
-        col("jaccard"))
+      .select(col("d_new"), col("d_base"), col("jaccard"))
   }
 
   /** 62-bit SimHash over whitespace tokens. Two portable 31-bit

@@ -55,6 +55,42 @@ object Knn {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** PORTABLE Rademacher (±1) hyperplanes — sign-random-projection
+    * needs only a symmetric component distribution, so ±1 entries
+    * estimate angles exactly as Gaussian ones do (Charikar STOC'02
+    * §3; Achlioptas JCSS'03 for the ±1 projection family), and they
+    * buy two things Gaussians can't:
+    *
+    *  1. the component stream derives from the integer
+    *     [[graft.plans.PolyHash]] family (`hb = polyhash(t, bit)`,
+    *     then per component a squared-LCG mix — all mod 2^31−1, every
+    *     intermediate under 2^62), so the EXACT same plane replays in
+    *     ANSI SQL and the SRP bucket query is a full DuckDB oracle
+    *     gate instead of a recall-only spec;
+    *  2. multiplying by ±1.0 is IEEE-exact, so each product is just a
+    *     possibly-negated double-cast of the input component — the
+    *     sequential-fold determinism contract of [[Vec.dot]] holds
+    *     with zero rounding introduced by the plane itself.
+    *
+    * The squared mix (`x² mod M`) is what breaks the adjacency of
+    * consecutive component indices: `x` steps by 1 per component, but
+    * `x²` steps by `2x+1` — a large, index-dependent jump — so the
+    * threshold bit `x² < M/2` is pseudo-random per component rather
+    * than alternating or running.
+    */
+  def portablePlanes(numTables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    import graft.plans.PolyHash.{Mod, MultA}
+    (0 until numTables).map { t =>
+      (0 until bits).map { b =>
+        val hb = ((7L * MultA + t) % Mod * MultA + b) % Mod
+        (0 until dim).map { i =>
+          val x = (hb * MultA + i) % Mod
+          if (x * x % Mod * 2 < Mod) 1.0 else -1.0
+        }
+      }
+    }
+  }
+
   /** All hyperplane tables as ONE nested-array literal
     * (`array<array<array<double>>>`): a single Literal node instead of
     * numTables×bits×dim `lit` nodes. The flattened form measured a 7×
@@ -178,6 +214,11 @@ object Knn {
     * false positives, recall bounded by the (numTables, bitsPerTable)
     * LSH family exactly as in `annTopK`. `cosinePairs` below stays
     * the exact oracle baseline at small scale.
+    *
+    * Planes are the PORTABLE ±1 family ([[portablePlanes]]): signs,
+    * buckets, candidate pairs, and the cosine verify all replay
+    * bit-for-bit in ANSI SQL, so q_embed_srp_pairs is a full
+    * rows+schema+hash oracle gate, not a recall-only spec.
     */
   def cosinePairsBucketed(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
@@ -186,17 +227,8 @@ object Knn {
     if (dimOpt.isEmpty) // empty corpus: no pairs, not a crash
       return df.select(col(idCol).as("d1"), col(idCol).as("d2"),
         lit(0.0).as("cosine")).limit(0)
-    val dim = dimOpt.get
-    val tables = (0 until numTables).map(t =>
-      hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val bk = df.select(col(idCol), col(vecCol)).repartition(par)
-      .select(col(idCol).as("id"),
-        transform(tableDots(col(vecCol), planesLit(tables)),
-          dots => bucketFromDots(dots, bitsPerTable)).as("bks"))
-      .persistTracked() // bucket arrays materialize before the explode
-    val e = bk.select(col("id"), posexplode(col("bks")))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val tables = portablePlanes(numTables, bitsPerTable, dimOpt.get)
+    val e = srpBuckets(df, idCol, vecCol, tables, bitsPerTable)
     val a = e.select(col("id").as("d1"), col("tbl"), col("bucket"))
     val b = e.select(col("id").as("d2"), col("tbl").as("tbl2"),
       col("bucket").as("bucket2"))
@@ -210,6 +242,71 @@ object Knn {
       .withColumn("cosine", Vec.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= tau)
       .select(col("d1"), col("d2"), col("cosine"))
+  }
+
+  /** (`id`, `tbl`, `bucket`) sign-bucket keys, one row per (row ×
+    * table) — the shared SRP banding step. The pre-explode bucket
+    * arrays persist so project collapse can't re-evaluate every
+    * hyperplane dot per exploded row (see `annTopK`).
+    */
+  private def srpBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], bits: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol), col(vecCol)).repartition(par)
+      .select(col(idCol).as("id"),
+        transform(tableDots(col(vecCol), planesLit(tables)),
+          dots => bucketFromDots(dots, bits)).as("bks"))
+      .persistTracked() // bucket arrays materialize before the explode
+      .select(col("id"), posexplode(col("bks")))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+  }
+
+  /** INCREMENTAL embedding near-dup: all verified incoming×base pairs
+    * with cosine ≥ tau — the embedding-space twin of
+    * [[Dedup.lshPairsAgainstBase]], and the per-ingest-cycle pass of
+    * a growing corpus: band the (small) incoming batch and the base
+    * with the SAME portable plane family, bucket-join incoming×base
+    * (never base×base — the corpus-sized self-join belongs to the
+    * one-time [[cosinePairsBucketed]] backfill), verify candidates
+    * with exact cosine. Together with [[cosinePairsBucketed]] over the
+    * batch alone it supplies the delta edge set
+    * [[Components.connectedIncremental]] folds into standing cluster
+    * assignments.
+    *
+    * 100 TB shape: base-side sign buckets depend only on the base and
+    * the fixed plane family, so a production deployment computes them
+    * once per corpus and reuses them every cycle (recompute here keeps
+    * the operator self-contained); candidates travel as narrow id
+    * pairs; vectors re-attach by id-equi join only for verification.
+    * Fully oracle-gated (q_embed_incremental): the ±1 planes replay in
+    * ANSI SQL, so buckets, candidates, and cosines match bit-for-bit.
+    */
+  def srpPairsAgainstBase(
+      base: DataFrame, incoming: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+    val dimOpt = incoming.select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) // empty batch: no pairs, not a crash
+      return incoming.select(col(idCol).as("d_new"), col(idCol).as("d_base"),
+        lit(0.0).as("cosine")).limit(0)
+    val tables = portablePlanes(numTables, bitsPerTable, dimOpt.get)
+    val bi = srpBuckets(incoming, idCol, vecCol, tables, bitsPerTable)
+      .withColumnsRenamed(Map("id" -> "d_new"))
+    val bb = srpBuckets(base, idCol, vecCol, tables, bitsPerTable)
+      .withColumnsRenamed(
+        Map("id" -> "d_base", "tbl" -> "tbl2", "bucket" -> "bucket2"))
+    val cands = bi.join(bb,
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2"))
+      .select("d_new", "d_base").dropDuplicates("d_new", "d_base")
+    cands
+      .join(incoming.select(col(idCol).as("d_new"), col(vecCol).as("v1")),
+        "d_new")
+      .join(base.select(col(idCol).as("d_base"), col(vecCol).as("v2")),
+        "d_base")
+      .withColumn("cosine", Vec.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= tau)
+      .select(col("d_new"), col("d_base"), col("cosine"))
   }
 
   /** Cross-corpus embedding decontamination: flag corpus rows whose

@@ -113,6 +113,19 @@ object Mix {
     * into the map-side prune; for the million-token budgets of a real
     * mix, raise that conf — the filter itself is semantically inert
     * either way.
+    *
+    * SKEW BOUND: each domain's window runs in ONE reduce task, so a
+    * domain holding most of the corpus is the straggler case — but
+    * the rank pre-prune bounds that task's INPUT at
+    * `(#map tasks) × maxBudget` rows (each map task forwards at most
+    * maxBudget rows per domain), independent of the domain's corpus
+    * share. With the budget fixed, corpus growth only grows the
+    * linear scan, never the hot reducer — measured by the
+    * `x_token_budget_skew` rehearsal entry (~95% of documents in one
+    * domain, ratio ≈ scan). A budget so large that tasks×maxBudget
+    * itself overwhelms one reducer means the OUTPUT is corpus-scale —
+    * re-cut it per shard/date upstream; no two-phase prefix-sum here
+    * would shrink an output-sized result.
     */
   def tokenBudget(
       df: DataFrame, domain: Column, id: Column, tokens: Column,

@@ -92,21 +92,37 @@ object Rules {
     *
     * 100 TB shape: the quartile aggregate shuffles once on the group
     * key; the per-group fences are group-cardinality-sized and
-    * BROADCAST back, so the fact side is flagged in a map-side join —
-    * no second fact shuffle.
+    * BROADCAST back (map-side flagging, no second fact shuffle) —
+    * GUARDED: the broadcast hint bypasses autoBroadcastJoinThreshold,
+    * so a high-cardinality group column (the one parameter mistake
+    * that could OOM the driver here) is detected with a bounded
+    * `limit(N+1).count()` probe over the persisted fence table and
+    * falls back to a plain shuffled join, answers unchanged.
     */
+  /** Fence tables above this group count take the shuffled-join path
+    * instead of a forced broadcast (same guard family as
+    * `Dict.MaxLiteralRows` / `Mix.MaxDomains`). */
+  val MaxBroadcastGroups = 1000000
+
   def outliers(
       df: DataFrame, group: Column, value: Column,
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5,
+      maxBroadcastGroups: Int = MaxBroadcastGroups): DataFrame = {
+    import graft.CacheScope.TrackedDataFrame
     val stats = df
       .filter(value.isNotNull && !isnan(value))
       .groupBy(group.as("__g"))
       .agg(
         percentile(value, lit(0.25)).as("__q1"),
         percentile(value, lit(0.75)).as("__q3"))
+      .persistTracked() // the probe's work feeds the join, not a rerun
+    val statsSide =
+      if (stats.limit(maxBroadcastGroups + 1).count() <= maxBroadcastGroups)
+        broadcast(stats)
+      else stats
     val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
     val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
-    df.join(broadcast(stats), group === col("__g"), "left")
+    df.join(statsSide, group === col("__g"), "left")
       .withColumn("lo_fence", lo)
       .withColumn("hi_fence", hi)
       // coalesce: a group with NO valid values has no fences (left

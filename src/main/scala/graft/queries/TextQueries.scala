@@ -14,7 +14,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
-    incrementalDedup, streamNearDup, simhashPairs,
+    incrementalDedup, incrementalCc, streamNearDup, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
     shardExport, freqTokens, trainingExport)
@@ -840,6 +840,63 @@ object TextQueries {
       docs.filter(col("doc_id") % 5 =!= 0),
       docs.filter(col("doc_id") % 5 === 0),
       "doc_id", "text", n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL cluster maintenance
+    * ([[graft.operators.Components.connectedIncremental]]): the base
+    * corpus (doc_id ≢ 0 mod 5) is clustered from its own MinHash-LSH
+    * pair set, then ONE ingest cycle folds the incoming batch (doc_id
+    * ≡ 0 mod 5) in by contracting touched components and running the
+    * fixpoint on the delta-sized reduced graph only. Because LSH pair
+    * membership is a PAIRWISE property (two docs share a band bucket
+    * or not, regardless of corpus), base-base ∪ new-base ∪ new-new
+    * pairs is exactly the full-corpus pair set — so the oracle, which
+    * recomputes clusters FROM SCRATCH over the whole corpus (shared
+    * [[minhashBandCtes]] signatures + recursive reachability), proves
+    * incremental ≡ from-scratch, including isolated docs and
+    * batch-induced merges of previously-distinct base components.
+    */
+  val incrementalCc: Q = Q(
+    "q_incremental_cc",
+    s"WITH RECURSIVE $minhashBandCtes,\n" +
+    """cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT c.d1, c.d2, len(list_intersect(a.s, b.s)) AS i,
+      |    len(a.s) AS n1, len(b.s) AS n2
+      |  FROM cand c JOIN ne a ON c.d1 = a.doc_id JOIN ne b ON c.d2 = b.doc_id),
+      |edges AS (SELECT d1, d2 FROM pairs
+      |  WHERE CAST(i AS DOUBLE)/CAST(n1 + n2 - i AS DOUBLE) >= 0.8),
+      |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+      |  UNION ALL SELECT d2, d1 FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src)
+      |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+      |  MIN(dst) = src AS is_canonical
+      |FROM reach GROUP BY src
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Components
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val baseLabels = Components.connected(
+      base.select(col("doc_id")), "doc_id",
+      Dedup.minhashLshPairs(base, "doc_id", "text",
+        n = 3, tau = 0.8, bands = 8, rowsPerBand = 4), "d1", "d2")
+    val delta = Dedup.lshPairsAgainstBase(base, incoming, "doc_id", "text",
+        n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      .select(col("d_new").as("d1"), col("d_base").as("d2"))
+      .unionByName(Dedup.minhashLshPairs(incoming, "doc_id", "text",
+          n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+        .select(col("d1"), col("d2")))
+    Components.connectedIncremental(
+        baseLabels, "doc_id", "component",
+        incoming.select(col("doc_id")), delta, "d1", "d2")
+      .select(col("doc_id"), col("component").as("cluster_id"),
+        (col("doc_id") === col("component")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
 

@@ -11,19 +11,8 @@ import graft.operators.Knn
   */
 object VectorQueries {
 
-  def all: Seq[Q] = Seq(cosinePairs, srpPairs, knnBrute, knnAnn, knnIvf,
-    embedDecontaminate)
-
-  /** SRP-bucketed near-dup pairs — the catalog's SCALE default for
-    * whole-corpus embedding dedup (the exact `q_embed_cosine_pairs`
-    * stays the small-scale oracle gate). Subset-of-exact + recall
-    * proven in the spec.
-    */
-  val srpPairs: Q = Q.noOracle("q_embed_srp_pairs") { (s, dir) =>
-    Knn.cosinePairsBucketed(
-      Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
-      .orderBy(col("d1"), col("d2"))
-  }
+  def all: Seq[Q] = Seq(cosinePairs, srpPairs, embedIncremental, knnBrute,
+    knnAnn, knnIvf, embedDecontaminate)
 
   /** IVF (centroid-bucketed) ANN top-5 — the second scale path;
     * recall vs brute force measured in the spec.
@@ -54,6 +43,91 @@ object VectorQueries {
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Knn.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SRP-bucketed near-dup pairs — the catalog's SCALE default for
+    * whole-corpus embedding dedup (`q_embed_cosine_pairs` stays the
+    * brute-force baseline; the DedupSpec proves subset-of-exact +
+    * recall). A FULL oracle gate since the planes moved to the
+    * portable ±1 family ([[Knn.portablePlanes]]): the oracle rebuilds
+    * every plane from the same PolyHash integer recurrence
+    * (`hb = polyhash(t, bit)`; per component `x = (hb·A + i) mod M`,
+    * sign = `x² mod M < M/2`), multiplication by ±1.0 is IEEE-exact,
+    * and both engines fold the products sequentially — so buckets,
+    * candidate pairs, and cosines replay bit-for-bit.
+    */
+  /** The portable-plane sign-bucket pipeline as DuckDB CTEs (`p` =
+    * planes, `dots` = per-(row, table, bit) margins, `bk` = per-(row,
+    * table) sign buckets) — shared by the whole-corpus and incremental
+    * SRP oracle gates; mirrors `Knn.portablePlanes` + the Spark
+    * bucketing bit-for-bit.
+    */
+  private val srpBucketCtes =
+    """p AS (
+      |  SELECT t.range AS t, b.range AS b,
+      |    ((CAST(7 AS BIGINT)*1000003 + t.range) % 2147483647 * 1000003 + b.range) % 2147483647 AS hb
+      |  FROM range(0, 8) t, range(0, 6) b
+      |), dots AS (
+      |  SELECT e.vec_id AS id, p.t, p.b,
+      |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) *
+      |        (CASE WHEN ((p.hb*1000003 + i - 1) % 2147483647)
+      |                   * ((p.hb*1000003 + i - 1) % 2147483647)
+      |                   % 2147483647 * 2 < 2147483647
+      |              THEN 1.0 ELSE -1.0 END)),
+      |      (x, y) -> x + y) AS d
+      |  FROM embeddings e CROSS JOIN p
+      |), bk AS (
+      |  SELECT id, t, SUM(CASE WHEN d > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM dots GROUP BY id, t
+      |)""".stripMargin
+
+  val srpPairs: Q = Q(
+    "q_embed_srp_pairs",
+    s"""WITH $srpBucketCtes, cand AS (
+       |  SELECT DISTINCT a.id AS d1, b2.id AS d2
+       |  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.id < b2.id
+       |)
+       |SELECT c.d1, c.d2,
+       |  ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} AS cosine
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.d1
+       |JOIN embeddings eb ON eb.vec_id = c.d2
+       |WHERE ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} >= 0.4
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Knn.cosinePairsBucketed(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** INCREMENTAL embedding near-dup ([[Knn.srpPairsAgainstBase]]):
+    * one ingest cycle's batch (vec_id ≡ 0 mod 5) banded against the
+    * standing corpus (vec_id ≢ 0 mod 5) — bucket-join incoming×base,
+    * exact-cosine verify, never a base×base self-join. Same portable
+    * plane family as q_embed_srp_pairs, so the oracle replays the full
+    * pipeline (planes → signs → buckets → candidates → cosines)
+    * bit-for-bit and this is a rows+schema+hash gate.
+    */
+  val embedIncremental: Q = Q(
+    "q_embed_incremental",
+    s"""WITH $srpBucketCtes, cand AS (
+       |  SELECT DISTINCT a.id AS d_new, b2.id AS d_base
+       |  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       |  WHERE a.id % 5 = 0 AND b2.id % 5 <> 0
+       |)
+       |SELECT c.d_new, c.d_base,
+       |  ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} AS cosine
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.d_new
+       |JOIN embeddings eb ON eb.vec_id = c.d_base
+       |WHERE ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} >= 0.4
+       |ORDER BY d_new, d_base""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Knn.srpPairsAgainstBase(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", 0.4)
+      .orderBy(col("d_new"), col("d_base"))
   }
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10):

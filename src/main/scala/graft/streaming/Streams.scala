@@ -222,7 +222,14 @@ object Streams {
         graft.operators.Dedup.minhashSignature(sh, numPerms).as("sig"))
       .as[(Long, java.sql.Timestamp, Seq[Long])]
       .flatMap { case (id, t, sig) =>
-        if (sig == null || sig.length != numPerms) Iterator.empty
+        // A doc with < n tokens has an EMPTY shingle set; its minima
+        // are all Long.MaxValue (no affine value reaches 2^63−1, so
+        // sig(0) == MaxValue ⇔ empty set). Skipping here mirrors the
+        // batch paths' size(sh) > 0 filter — without it every short
+        // doc shares every band bucket and they all flag each other
+        // with est_jaccard = 1.0 (false-positive data loss).
+        if (sig == null || sig.length != numPerms ||
+            sig.headOption.contains(Long.MaxValue)) Iterator.empty
         else (0 until bands).iterator.map { b =>
           (id, t, sig, b,
             sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
@@ -286,20 +293,34 @@ object Streams {
     *
     * Contract: dates must be non-decreasing ACROSS batches (a
     * snapshot feed — each file/batch holds one or more complete dated
-    * snapshots). Re-delivery is harmless: re-applying a snapshot to a
+    * snapshots) — ENFORCED: a feed that delivers an older snapshot
+    * after a newer one fails loudly instead of silently folding in
+    * overlapping/regressed version intervals. Re-delivery of the SAME
+    * date is harmless and allowed: re-applying a snapshot to a
     * dimension that already absorbed it changes nothing (unchanged
     * rows pass through, so foreachBatch's at-least-once replay
-    * composes). The folded dimension is pinned with persist and the
-    * previous state released per fold, [[cdcUpsertStream]]-style; a
-    * production deployment would hold the dimension in the
+    * composes). Each fold is pinned with `localCheckpoint(true)` (the
+    * [[graft.operators.Components]] fixpoint idiom): the plan of date
+    * N is a flat scan of date N−1's materialized blocks, NOT a chain
+    * referencing every earlier fold — so a long backfill neither grows
+    * the plan unboundedly nor replays the whole history on cache
+    * eviction. A production deployment would hold the dimension in the
     * transactional table and MERGE, as the batch CDC paths do.
     */
   def scd2Stream(
       spark: SparkSession, staging: DataFrame, dimInit: DataFrame,
       bk: String, attrs: Seq[String], dateCol: String): DataFrame = {
     import graft.operators.Scd
-    var dim = dimInit.persist()
-    dim.count()
+    // Bound the checkpointed partition count per fold: each scd2 pass
+    // UNIONs pass-through and changed legs, so without this the fold-N
+    // dimension carries O(N · shuffle.partitions) partitions and a
+    // long backfill degenerates into a quadratic task storm. coalesce
+    // is NARROW (merges the union legs, no extra shuffle); the next
+    // fold's join reshuffles on the business key regardless.
+    val par = spark.sparkContext.defaultParallelism
+    var dim = graft.CacheScope.localCheckpointTruncated(dimInit.coalesce(par))
+    // ISO yyyy-MM-dd compares correctly as a string; empty = no fold yet
+    var lastApplied = ""
     val q = staging.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -308,13 +329,19 @@ object Streams {
           .select(col(dateCol).cast("date").as("__d")).distinct()
           .orderBy(col("__d")).collect().map(_.getDate(0).toString)
         dates.foreach { d =>
+          require(d >= lastApplied,
+            s"scd2Stream: snapshot date $d arrived after $lastApplied — " +
+              "dates must be non-decreasing across batches (regressed " +
+              "feed would corrupt the dimension's version intervals)")
           val snap = batch
             .filter(col(dateCol).cast("date") === lit(d).cast("date"))
             .drop(dateCol)
-          val next = Scd.scd2(dim, snap, bk, attrs, d).persist()
-          next.count() // materialize before releasing the prior state
-          dim.unpersist()
-          dim = next
+          // eager localCheckpoint: materializes AND truncates lineage
+          // (constraint-truncated — see localCheckpointTruncated: the
+          // captured constraint set would otherwise DOUBLE per fold)
+          dim = graft.CacheScope.localCheckpointTruncated(
+            Scd.scd2(dim, snap, bk, attrs, d).coalesce(par))
+          lastApplied = d
         }
         ()
       }

@@ -57,6 +57,11 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val outIdx = args.indexOf("--out")
+    if (outIdx >= 0 && outIdx + 1 >= args.length) {
+      System.err.println(
+        "usage: graft.tools.Plans [all | query names…] [--out <path>]")
+      sys.exit(2)
+    }
     val outPath = if (outIdx >= 0) Some(args(outIdx + 1)) else None
     val rest = args.zipWithIndex
       .filterNot { case (_, i) => i == outIdx || i == outIdx + 1 }.map(_._1)

@@ -190,6 +190,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"SRP pair recall $recall too low")
   }
 
+  test("srpPairsAgainstBase ≡ whole-corpus SRP pairs restricted to cross pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val incoming = emb.filter(col("vec_id") % 5 === 0)
+    val inc = Knn.srpPairsAgainstBase(
+        base, incoming, "vec_id", "embedding", 0.4)
+      .select("d_new", "d_base", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, b, c) => ((math.min(n, b), math.max(n, b)), c) }.toMap
+    // sign buckets depend only on (vector, plane family), so the
+    // incremental bucket-join finds EXACTLY the whole-corpus pairs
+    // with one endpoint in the batch — same candidates, same cosines
+    val whole = Knn.cosinePairsBucketed(emb, "vec_id", "embedding", 0.4)
+      .select("d1", "d2", "cosine").as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(inc == whole)
+    assert(inc.nonEmpty, "fixture must contain cross near-dup pairs")
+    graft.CacheScope.release()
+  }
+
   test("decontaminate equals the brute-force pair aggregate") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.filter(col("vec_id") % 20 =!= 0)
@@ -361,5 +382,78 @@ class DedupSpec extends SparkSpec {
       assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
         "every frame tracked at release() time is unpersisted")
     }
+  }
+
+  test("connectedIncremental: two ingest cycles ≡ from-scratch, merges included") {
+    import graft.operators.Components
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "component").as[(Long, Long)].collect().toMap
+    val baseNodes = spark.range(0, 10).toDF("id")
+    val baseEdges = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("src", "dst")
+    val base = Components.connected(baseNodes, "id", baseEdges, "src", "dst")
+
+    // cycle 1: node 100 MERGES the {0,1,2} and {4,5} base components;
+    // 101 arrives isolated
+    val new1 = Seq(100L, 101L).toDF("id")
+    val delta1 = Seq((100L, 2L), (100L, 5L)).toDF("src", "dst")
+    val inc1 = Components.connectedIncremental(
+      base, "id", "component", new1, delta1, "src", "dst")
+    val scratch1 = Components.connected(
+      baseNodes.unionByName(new1), "id",
+      baseEdges.unionByName(delta1), "src", "dst")
+    assert(labels(inc1) == labels(scratch1))
+    assert(labels(inc1)(4L) == 0L, "batch-induced merge of two base components")
+    assert(labels(inc1)(101L) == 101L, "isolated new node keeps its id")
+
+    // cycle 2 folds onto cycle 1's OUTPUT: 200 links base-isolated 7
+    // with cycle-1's 101
+    val new2 = Seq(200L).toDF("id")
+    val delta2 = Seq((200L, 7L), (200L, 101L)).toDF("src", "dst")
+    val inc2 = Components.connectedIncremental(
+      inc1, "id", "component", new2, delta2, "src", "dst")
+    val scratch2 = Components.connected(
+      baseNodes.unionByName(new1).unionByName(new2), "id",
+      baseEdges.unionByName(delta1).unionByName(delta2), "src", "dst")
+    assert(labels(inc2) == labels(scratch2))
+    assert(labels(inc2)(200L) == 7L && labels(inc2)(101L) == 7L)
+
+    // the remap broadcast guard: forcing the shuffled fallback must
+    // not change any label
+    val incShuffled = Components.connectedIncremental(
+      base, "id", "component", new1, delta1, "src", "dst",
+      maxBroadcastRemap = 0)
+    assert(labels(incShuffled) == labels(scratch1))
+    graft.CacheScope.release()
+  }
+
+  test("connectedIncremental over LSH delta feeds ≡ from-scratch clustering") {
+    import graft.operators.Components
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val baseLabels = Components.connected(
+      base.select(col("doc_id")), "doc_id",
+      Dedup.minhashLshPairs(base, "doc_id", "text", 3, 0.8, 8, 4),
+      "d1", "d2")
+    val delta = Dedup.lshPairsAgainstBase(
+        base, incoming, "doc_id", "text", 3, 0.8, 8, 4)
+      .select(col("d_new").as("d1"), col("d_base").as("d2"))
+      .unionByName(
+        Dedup.minhashLshPairs(incoming, "doc_id", "text", 3, 0.8, 8, 4)
+          .select(col("d1"), col("d2")))
+    val inc = Components.connectedIncremental(
+        baseLabels, "doc_id", "component",
+        incoming.select(col("doc_id")), delta, "d1", "d2")
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    // from-scratch: the full-corpus LSH pair set (pair membership is
+    // pairwise, so base-base ∪ new-base ∪ new-new = full corpus)
+    val scratch = Components.connected(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8, 8, 4),
+        "d1", "d2")
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(inc == scratch)
+    assert(inc.exists { case (id, c) => id != c },
+      "fixture must contain at least one non-trivial cluster")
+    graft.CacheScope.release()
   }
 }

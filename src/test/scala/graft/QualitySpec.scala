@@ -227,4 +227,33 @@ class QualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("Rules.outliers: high-cardinality group falls back off the forced broadcast") {
+    import graft.operators.Rules
+    val df = (1L to 200L).map(i =>
+        (s"g${i % 5}", if (i % 50 == 0) i.toDouble * 100 else (i % 20).toDouble))
+      .toDF("g", "v")
+    def flags(maxGroups: Int): Set[(String, Double, Boolean)] =
+      Rules.outliers(df, col("g"), col("v"), maxBroadcastGroups = maxGroups)
+        .select(col("g"), col("v"), col("is_outlier"))
+        .as[(String, Double, Boolean)].collect().toSet
+    val viaBroadcast = flags(Rules.MaxBroadcastGroups)
+    val viaShuffle = flags(2) // 5 groups > 2 → guard trips
+    assert(viaBroadcast == viaShuffle, "fallback must not change answers")
+    assert(viaBroadcast.exists(_._3), "planted extremes must still flag")
+    // with size-based auto-broadcast off, only the FORCED hint could
+    // broadcast — the tripped guard genuinely plans a non-broadcast join
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thr)
+    try {
+      spark.conf.set(thr, "-1")
+      val forced = Rules.outliers(df, col("g"), col("v"))
+        .queryExecution.executedPlan.toString
+      val guarded = Rules.outliers(df, col("g"), col("v"), maxBroadcastGroups = 2)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"), forced)
+      assert(!guarded.contains("BroadcastHashJoin"), guarded)
+    } finally spark.conf.set(thr, old)
+    graft.CacheScope.release()
+  }
 }

@@ -975,4 +975,103 @@ class StreamSpec extends SparkSpec {
     assert(!flags.exists(f => f._1 == 10L || f._1 == 99L),
       s"unrelated docs must not be flagged: $flags")
   }
+
+  test("nearDupStream: sub-n-token docs never flag (no empty-shingle buckets)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val x = "the quick brown fox jumps over the lazy dog tonight"
+    // three docs below the 3-token shingle order (incl. empty) — their
+    // minima are all Long.MaxValue; without the skip they would share
+    // every band bucket and flag each other with est_jaccard = 1.0
+    val rows = Seq(
+      (1L, "hello", ts(0)), (2L, "world", ts(1)), (3L, "", ts(2)),
+      (4L, "two words", ts(3)),
+      (5L, x, ts(4)), (6L, x, ts(5))) // a REAL dup pair still flags
+    val dir = s"target/tmp/neardup_short_${System.nanoTime()}"
+    rows.toDF("doc_id", "text", "ts").coalesce(1).write.parquet(dir)
+    val feed = spark.readStream.schema(rows.toDF("doc_id", "text", "ts").schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val out = Streams.nearDupStream(feed, "doc_id", "text", "ts",
+      "10 minutes", n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+    val name = s"neardup_short_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val flags = spark.table(name).select(col("doc_id"), col("dup_of"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(flags == Set((6L, 5L)),
+      s"only the real dup pair may flag; short docs must be invisible: $flags")
+  }
+
+  test("scd2Stream: a 25-date backfill keeps the dimension's plan flat") {
+    val dim = Seq((1L, "n1", "s0", true,
+        java.sql.Date.valueOf("2020-01-01"), null: java.sql.Date))
+      .toDF("bk", "name", "segment", "is_current", "start_date", "end_date")
+    val dates = (1 to 25).map(d => f"2024-03-$d%02d")
+    val staging = dates.zipWithIndex.map { case (d, i) =>
+      (1L, "n1", s"s$i", java.sql.Date.valueOf(d))
+    }.toDF("bk", "name", "segment", "run_date")
+    val root = s"target/tmp/scd2s_long_${System.nanoTime()}"
+    staging.coalesce(1).write.parquet(root)
+    val feed = spark.readStream.schema(staging.schema)
+      .option("recursiveFileLookup", "true").parquet(root)
+    val out = graft.streaming.Streams
+      .scd2Stream(spark, feed, dim, "bk", Seq("name", "segment"), "run_date")
+    // per-fold localCheckpoint: the RETURNED dimension is a flat scan
+    // of materialized blocks, not a 25-deep join/union chain — cache
+    // eviction can never replay the whole backfill history
+    val planLines =
+      out.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(planLines <= 3,
+      s"dimension plan must not grow with fold count ($planLines lines):\n" +
+        out.queryExecution.optimizedPlan.numberedTreeString)
+    // ...and neither may the checkpoint-captured CONSTRAINT set: the
+    // union/filter constraint expressions double per fold if carried
+    // through the checkpoint (measured 187 chars → 10M by fold 15,
+    // then optimizer OOM) — localCheckpointTruncated captures none
+    val constraintChars = out.queryExecution.optimizedPlan.constraints
+      .map(_.toString.length).sum
+    assert(constraintChars < 10000,
+      s"constraint set must not compound across folds ($constraintChars chars)")
+    // and the fold itself is right: the first snapshot (s0) matches the
+    // initial dimension → unchanged; the other 24 each close a version
+    // — 24 closed + 1 current
+    val rows = out.select(col("segment"), col("is_current"))
+      .as[(String, Boolean)].collect()
+    assert(rows.length == 25)
+    assert(rows.count(_._2) == 1 && rows.find(_._2).get._1 == "s24")
+  }
+
+  test("scd2Stream: a regressed snapshot date fails loudly, not silently") {
+    val dim = Seq((1L, "n1", "A", true,
+        java.sql.Date.valueOf("2020-01-01"), null: java.sql.Date))
+      .toDF("bk", "name", "segment", "is_current", "start_date", "end_date")
+    val root = s"target/tmp/scd2s_regress_${System.nanoTime()}"
+    Seq((1L, "n1", "B", java.sql.Date.valueOf("2024-07-01")))
+      .toDF("bk", "name", "segment", "run_date")
+      .coalesce(1).write.parquet(s"$root/b=0")
+    Seq((1L, "n1", "C", java.sql.Date.valueOf("2024-06-01"))) // OLDER
+      .toDF("bk", "name", "segment", "run_date")
+      .coalesce(1).write.parquet(s"$root/b=1")
+    new java.io.File(s"$root/b=0").listFiles()
+      .foreach(_.setLastModified(1700000000000L))
+    new java.io.File(s"$root/b=1").listFiles()
+      .foreach(_.setLastModified(1700000100000L))
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$root/b=0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(root)
+    val e = intercept[Exception] {
+      graft.streaming.Streams.scd2Stream(
+        spark, feed, dim, "bk", Seq("name", "segment"), "run_date")
+    }
+    var c: Throwable = e
+    var found = false
+    while (c != null && !found) {
+      if (Option(c.getMessage).exists(_.contains("non-decreasing"))) found = true
+      c = c.getCause
+    }
+    assert(found, s"expected the date-regression guard to fire: $e")
+  }
 }
