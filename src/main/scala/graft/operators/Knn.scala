@@ -46,15 +46,6 @@ object Knn {
         col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic random hyperplanes: `numPlanes` × `dim` doubles
-    * from a fixed-seed RNG (data-independent, identical on every
-    * executor because they ship as literals).
-    */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
-
   /** PORTABLE Rademacher (±1) hyperplanes — sign-random-projection
     * needs only a symmetric component distribution, so ±1 entries
     * estimate angles exactly as Gaussian ones do (Charikar STOC'02
@@ -153,14 +144,19 @@ object Knn {
     * through the exchange would dominate the job) and vectors
     * re-attach via two id-equi joins only for the deduped candidates.
     * The spec measures recall against `bruteForceTopK`.
+    *
+    * Planes are the PORTABLE ±1 family ([[portablePlanes]]), so the
+    * whole pipeline — signs, base buckets, weakest-bit probe flips,
+    * candidate join, cosine verify, top-k ranking — replays
+    * bit-for-bit in ANSI SQL and q_knn_ann is a full
+    * rows+schema+hash oracle gate.
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int,
       numTables: Int = 8, bitsPerTable: Int = 6,
       probes: Int = 2): DataFrame = {
-    val tables = (0 until numTables).map(t =>
-      hyperplanes(bitsPerTable, dim, seed = 42L + 1000L * t))
+    val tables = portablePlanes(numTables, bitsPerTable, dim)
     val planes = planesLit(tables)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     // dot ARRAYS persist before the explode: project collapse would

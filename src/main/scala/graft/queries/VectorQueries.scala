@@ -152,9 +152,42 @@ object VectorQueries {
   }
 
   /** SRP-LSH bucketed ANN top-5 (scale path; recall measured in the
-    * spec against the brute-force baseline).
+    * spec against the brute-force baseline). A FULL oracle gate since
+    * annTopK moved to the portable ±1 plane family: the oracle replays
+    * planes → margins → base sign buckets → the 2 weakest-|margin|
+    * probe flips (ties by bit value, matching the struct sort) →
+    * bucket-join candidates → exact cosine → per-query top-5, all
+    * bit-for-bit in DuckDB SQL.
     */
-  val knnAnn: Q = Q.noOracle("q_knn_ann") { (s, dir) =>
+  val knnAnn: Q = Q(
+    "q_knn_ann",
+    s"""WITH $srpBucketCtes, probes AS (
+       |  SELECT d.id, d.t, CAST(power(2, d.b) AS BIGINT) AS bitval,
+       |    ROW_NUMBER() OVER (PARTITION BY d.id, d.t
+       |      ORDER BY abs(d.d), power(2, d.b)) AS rn
+       |  FROM dots d WHERE d.id < 10
+       |), qb AS (
+       |  SELECT id, t, CAST(bucket AS BIGINT) AS bucket FROM bk WHERE id < 10
+       |  UNION
+       |  SELECT p.id, p.t, xor(CAST(b.bucket AS BIGINT), p.bitval)
+       |  FROM probes p JOIN bk b ON b.id = p.id AND b.t = p.t
+       |  WHERE p.rn <= 2
+       |), cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+       |  FROM qb q JOIN bk c ON q.t = c.t AND q.bucket = CAST(c.bucket AS BIGINT)
+       |    AND q.id <> c.id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.query_id
+       |  JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     Knn.annTopK(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",

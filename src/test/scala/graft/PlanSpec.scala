@@ -67,7 +67,9 @@ class PlanSpec extends SparkSpec {
     // Before the fix, project collapse inlined it into the Generate
     // child and the plan carried one copy per probe/band expansion.
     val plan = formatted(Catalog.queries("q_knn_ann")(spark, sf))
-    val marker = "[[[1.1419053154730547"
+    // the first plane's leading sign pattern identifies the literal
+    val p0 = graft.operators.Knn.portablePlanes(8, 6, 64).head.head
+    val marker = "[[[" + p0.take(12).mkString(",")
     val n = plan.sliding(marker.length).count(_ == marker)
     assert(n == 2, s"hyperplane literal appears $n times (want 2: qD + cB)")
   }
