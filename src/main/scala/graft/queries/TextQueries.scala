@@ -882,15 +882,19 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val base = docs.filter(col("doc_id") % 5 =!= 0)
     val incoming = docs.filter(col("doc_id") % 5 === 0)
+    // ONE LshSide per relation: the base side's shingles+signatures
+    // feed both the base labeling and the cross pairs (at 100 TB the
+    // corpus side is the expensive half and is reusable across cycles)
+    val sideB = Dedup.lshSide(base, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4)
+    val sideI = Dedup.lshSide(incoming, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4)
     val baseLabels = Components.connected(
       base.select(col("doc_id")), "doc_id",
-      Dedup.minhashLshPairs(base, "doc_id", "text",
-        n = 3, tau = 0.8, bands = 8, rowsPerBand = 4), "d1", "d2")
-    val delta = Dedup.lshPairsAgainstBase(base, incoming, "doc_id", "text",
-        n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      Dedup.minhashLshPairs(sideB, tau = 0.8), "d1", "d2")
+    val delta = Dedup.lshPairsAgainstBase(sideB, sideI, tau = 0.8)
       .select(col("d_new").as("d1"), col("d_base").as("d2"))
-      .unionByName(Dedup.minhashLshPairs(incoming, "doc_id", "text",
-          n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      .unionByName(Dedup.minhashLshPairs(sideI, tau = 0.8)
         .select(col("d1"), col("d2")))
     Components.connectedIncremental(
         baseLabels, "doc_id", "component",
