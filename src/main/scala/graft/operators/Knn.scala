@@ -63,11 +63,18 @@ object Knn {
     *     sequential-fold determinism contract of [[Vec.dot]] holds
     *     with zero rounding introduced by the plane itself.
     *
-    * The squared mix (`x² mod M`) is what breaks the adjacency of
-    * consecutive component indices: `x` steps by 1 per component, but
-    * `x²` steps by `2x+1` — a large, index-dependent jump — so the
-    * threshold bit `x² < M/2` is pseudo-random per component rather
-    * than alternating or running.
+    * The squared-affine mix (`x ← (x² mod M)·A + x mod M`) breaks the
+    * adjacency of consecutive component indices (`x` steps by 1 per
+    * component but `x²` steps by `2x+1`) AND the cross-plane
+    * correlation a bare squaring leaves behind: two planes' `x`
+    * streams differ by a constant offset, and `(x+c)²` shares the
+    * `x²` term, so sign streams stay correlated and sign BUCKETS pile
+    * up — measured on the 10× embeddings tier, one bare squaring put
+    * 164M candidate pairs in the bucket join (max bucket 5,823 of
+    * 20k rows) where Gaussian planes produce 26.7M; the affine
+    * recombination restores 26.5M / max bucket 576, at or better than
+    * the Gaussian balance. Every intermediate stays under 2^62, so
+    * the exact stream replays in ANSI SQL BIGINTs.
     */
   def portablePlanes(numTables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     import graft.plans.PolyHash.{Mod, MultA}
@@ -75,8 +82,9 @@ object Knn {
       (0 until bits).map { b =>
         val hb = ((7L * MultA + t) % Mod * MultA + b) % Mod
         (0 until dim).map { i =>
-          val x = (hb * MultA + i) % Mod
-          if (x * x % Mod * 2 < Mod) 1.0 else -1.0
+          val x0 = (hb * MultA + i) % Mod
+          val x1 = (x0 * x0 % Mod * MultA + x0) % Mod
+          if (x1 * 2 < Mod) 1.0 else -1.0
         }
       }
     }

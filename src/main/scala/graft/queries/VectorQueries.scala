@@ -62,25 +62,28 @@ object VectorQueries {
     * SRP oracle gates; mirrors `Knn.portablePlanes` + the Spark
     * bucketing bit-for-bit.
     */
-  private val srpBucketCtes =
-    """p AS (
-      |  SELECT t.range AS t, b.range AS b,
-      |    ((CAST(7 AS BIGINT)*1000003 + t.range) % 2147483647 * 1000003 + b.range) % 2147483647 AS hb
-      |  FROM range(0, 8) t, range(0, 6) b
-      |), dots AS (
-      |  SELECT e.vec_id AS id, p.t, p.b,
-      |    list_reduce(list_transform(range(1, len(e.embedding)+1),
-      |      i -> CAST(e.embedding[i] AS DOUBLE) *
-      |        (CASE WHEN ((p.hb*1000003 + i - 1) % 2147483647)
-      |                   * ((p.hb*1000003 + i - 1) % 2147483647)
-      |                   % 2147483647 * 2 < 2147483647
-      |              THEN 1.0 ELSE -1.0 END)),
-      |      (x, y) -> x + y) AS d
-      |  FROM embeddings e CROSS JOIN p
-      |), bk AS (
-      |  SELECT id, t, SUM(CASE WHEN d > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bucket
-      |  FROM dots GROUP BY id, t
-      |)""".stripMargin
+  private val srpBucketCtes = {
+    // x0 = polyhash component seed; x1 = squared-affine mix — must
+    // repeat x0 textually (SQL has no local binding inside a lambda)
+    val x0 = "((p.hb*1000003 + i - 1) % 2147483647)"
+    val x1 = s"(($x0 * $x0 % 2147483647) * 1000003 + $x0) % 2147483647"
+    s"""p AS (
+       |  SELECT t.range AS t, b.range AS b,
+       |    ((CAST(7 AS BIGINT)*1000003 + t.range) % 2147483647 * 1000003 + b.range) % 2147483647 AS hb
+       |  FROM range(0, 8) t, range(0, 6) b
+       |), dots AS (
+       |  SELECT e.vec_id AS id, p.t, p.b,
+       |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) *
+       |        (CASE WHEN ($x1) * 2 < 2147483647
+       |              THEN 1.0 ELSE -1.0 END)),
+       |      (x, y) -> x + y) AS d
+       |  FROM embeddings e CROSS JOIN p
+       |), bk AS (
+       |  SELECT id, t, SUM(CASE WHEN d > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY id, t
+       |)""".stripMargin
+  }
 
   val srpPairs: Q = Q(
     "q_embed_srp_pairs",
