@@ -716,6 +716,19 @@ object ScaleRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
+    // Optional args = rehearsal-entry subset: identical protocol over
+    // just those entries, for targeted attribution runs (e.g. one
+    // 100×-tier query under two heap sizes). No args → full families,
+    // artifact written to SCALE_r11.json; subset runs print the JSON
+    // but do NOT overwrite the round artifact.
+    val subset: Option[Set[String]] =
+      if (args.isEmpty) None else Some(args.toSet)
+    subset.foreach { s =>
+      val unknown = s -- (Family ++ Family100).toSet
+      require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
+    }
+    def picked(family: Seq[String]): Seq[String] =
+      family.filter(n => subset.forall(_(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -734,7 +747,7 @@ object ScaleRehearsal {
     scaleUp100(spark, sf01, sf10)
 
     // JVM/codegen warm-up on the small dir, like Bench
-    (Family ++ Family100).distinct.foreach { name =>
+    (picked(Family) ++ picked(Family100)).distinct.foreach { name =>
       try queryOf(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       CacheScope.release(); spark.catalog.clearCache()
@@ -759,14 +772,14 @@ object ScaleRehearsal {
       println(f"pass $pass $tag $name%-20s ${dt}%8.2fs rows=$n")
     }
     val dirs = Seq("sf0.1" -> sf01, "sf1" -> sf1)
-    for (pass <- 1 to Passes; (tag, dir) <- dirs; name <- Family)
+    for (pass <- 1 to Passes; (tag, dir) <- dirs; name <- picked(Family))
       run(pass, tag, dir, name)
     // 100× tier: sf0.1 cells for its queries were measured above when
     // shared with Family; measure the rest plus the sf10 tier
     for (pass <- 1 to Passes) {
-      for (name <- Family100 if !Family.contains(name))
+      for (name <- picked(Family100) if !Family.contains(name))
         run(pass, "sf0.1", sf01, name)
-      for (name <- Family100) run(pass, "sf10", sf10, name)
+      for (name <- picked(Family100)) run(pass, "sf10", sf10, name)
     }
 
     // min (steal-resistant headline, same protocol as Bench) plus
@@ -777,20 +790,21 @@ object ScaleRehearsal {
     }
     def cellJson(tag: String, s: (Double, Double, Double)): String =
       f""""${tag}_sec":${s._1}%.3f,"${tag}_med":${s._2}%.3f,"${tag}_max":${s._3}%.3f"""
-    val entries = Family.map { name =>
+    val entries = picked(Family).map { name =>
       val a = stats(name, "sf0.1"); val b = stats(name, "sf1")
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf1", b)},""" +
         f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
-    val entries100 = Family100.map { name =>
+    val entries100 = picked(Family100).map { name =>
       val a = stats(name, "sf0.1"); val b = stats(name, "sf10")
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf10", b)},""" +
         f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
     val json =
       s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r11.json"), json + "\n")
+    if (subset.isEmpty) // subset runs never overwrite the artifact
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_r11.json"), json + "\n")
     println(json)
     spark.stop()
   }
