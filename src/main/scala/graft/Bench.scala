@@ -90,7 +90,14 @@ object Bench {
         n -> (if (ts.isEmpty) -1.0 else f(ts))
       }
     val best = agg(_.min)
-    val med = agg(ts => ts.sorted.apply((ts.size - 1) / 2))
+    // true median: average the two middle values for even counts (a
+    // failed pass leaves 2 valid timings — the lower-middle element
+    // would equal the min and understate the spread)
+    val med = agg { ts =>
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val worst = agg(_.max)
     def qjson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

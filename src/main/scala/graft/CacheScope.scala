@@ -64,11 +64,29 @@ object CacheScope {
   private[graft] def localCheckpointTruncated(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     val key = "spark.sql.constraintPropagation.enabled"
-    val old = conf.get(key)
-    conf.set(key, "false")
+    // The flag is SESSION-global and graft folds can overlap on one
+    // SparkSession (Dag runs tasks concurrently): a naive get/set/
+    // restore pair interleaved across two threads can restore the
+    // wrong value and leave constraint propagation disabled for the
+    // rest of the session. A nesting counter serializes save/restore:
+    // the FIRST entering call saves the ambient value, the LAST
+    // leaving call restores it, and the flag being off while any
+    // checkpoint is in flight only skips an optimization for queries
+    // that compile inside that window — never changes results.
+    cpLock.synchronized {
+      if (cpDepth == 0) { cpSaved = conf.get(key); conf.set(key, "false") }
+      cpDepth += 1
+    }
     try df.localCheckpoint(true)
-    finally conf.set(key, old)
+    finally cpLock.synchronized {
+      cpDepth -= 1
+      if (cpDepth == 0) conf.set(key, cpSaved)
+    }
   }
+
+  private val cpLock = new Object
+  private var cpDepth = 0
+  private var cpSaved: String = "true"
 
   /** Currently tracked block count (diagnostics / tests). */
   def trackedCount: Int = synchronized(tracked.size)

@@ -259,7 +259,8 @@ object Dedup {
     * cycle.
     */
   final case class LshSide private[operators] (
-      idCol: String, sh: DataFrame, banded: DataFrame)
+      idCol: String, sh: DataFrame, banded: DataFrame,
+      n: Int, bands: Int, rowsPerBand: Int)
 
   /** Build an [[LshSide]].
     *
@@ -279,8 +280,24 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int): LshSide = {
     val sh = shingles(df, idCol, textCol, n).persistTracked()
       .filter(size(col("sh")) > 0)
-    LshSide(idCol, sh, bandRows(sh, idCol, bands, rowsPerBand))
+    LshSide(idCol, sh, bandRows(sh, idCol, bands, rowsPerBand),
+      n, bands, rowsPerBand)
   }
+
+  /** Rehydrate an [[LshSide]] from MATERIALIZED state — the 100 TB
+    * reuse contract made loadable: a production deployment stores the
+    * corpus side's shingle sets (`idCol`, `sh`) and band rows (`id`,
+    * `band`, `bandkey`) next to the corpus and pays only the batch
+    * side per ingest cycle ([[graft.streaming.Streams]]' continuous
+    * clustering persists exactly these two frames per micro-batch).
+    * The caller declares the (n, bands, rowsPerBand) the state was
+    * built with; the cross-side join then REQUIREs both sides agree.
+    */
+  def lshSideFromStored(
+      sh: DataFrame, banded: DataFrame, idCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): LshSide =
+    LshSide(idCol, sh.persistTracked(), banded.persistTracked(),
+      n, bands, rowsPerBand)
 
   /** Within-relation LSH near-dup pairs from a precomputed side. */
   def minhashLshPairs(side: LshSide, tau: Double): DataFrame = {
@@ -388,6 +405,17 @@ object Dedup {
     */
   def lshPairsAgainstBase(
       base: LshSide, incoming: LshSide, tau: Double): DataFrame = {
+    // sides built with different parameters would not FAIL — they
+    // would silently return empty or wrong pairs (mismatched
+    // rowsPerBand band keys never join; mismatched n changes shingles
+    // and hence every Jaccard) — so the mismatch is a loud error
+    require(
+      (base.n, base.bands, base.rowsPerBand) ==
+        (incoming.n, incoming.bands, incoming.rowsPerBand),
+      s"lshPairsAgainstBase: parameter mismatch — base " +
+        s"(n=${base.n}, bands=${base.bands}, rows=${base.rowsPerBand}) " +
+        s"vs incoming (n=${incoming.n}, bands=${incoming.bands}, " +
+        s"rows=${incoming.rowsPerBand})")
     val idCol = base.idCol
     val bb = base.banded
       .select(col("id").as("d_base"), col("band").as("band2"),

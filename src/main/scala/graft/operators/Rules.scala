@@ -78,6 +78,11 @@ object Rules {
     (masked, removed.cast("long"))
   }
 
+  /** Fence tables above this group count take the shuffled-join path
+    * instead of a forced broadcast (same guard family as
+    * `Dict.MaxLiteralRows` / `Mix.MaxDomains`). */
+  val MaxBroadcastGroups = 1000000
+
   /** Per-group IQR outlier screen (Tukey fences) — the numeric-column
     * half of DQ screening, next to [[validate]]'s rule checks: rows
     * whose value falls outside `[q1 − k·IQR, q3 + k·IQR]` of their
@@ -99,11 +104,6 @@ object Rules {
     * `limit(N+1).count()` probe over the persisted fence table and
     * falls back to a plain shuffled join, answers unchanged.
     */
-  /** Fence tables above this group count take the shuffled-join path
-    * instead of a forced broadcast (same guard family as
-    * `Dict.MaxLiteralRows` / `Mix.MaxDomains`). */
-  val MaxBroadcastGroups = 1000000
-
   def outliers(
       df: DataFrame, group: Column, value: Column,
       k: Double = 1.5,

@@ -311,29 +311,16 @@ object ScaleRehearsal {
     // fixpoint on the delta-sized reduced graph
     "x_incremental_cc_fold" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      import graft.operators.{Components, Dedup}
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val lblPath = s"target/tmp/ccfold_${tag}_labels"
-      val edgePath = s"target/tmp/ccfold_${tag}_edges"
-      val docs = graft.Tables.documents(s, dir)
-      val base = docs.filter(col("doc_id") % 5 =!= 0)
-      val incoming = docs.filter(col("doc_id") % 5 === 0)
-      if (!ccFoldPrepped.contains(dir)) {
-        Components.connected(
-            base.select(col("doc_id")), "doc_id",
-            Dedup.minhashLshPairs(base, "doc_id", "text", 3, 0.8, 8, 4),
-            "d1", "d2")
-          .write.mode("overwrite").parquet(lblPath)
-        Dedup.lshPairsAgainstBase(base, incoming, "doc_id", "text", 3, 0.8, 8, 4)
-          .select(col("d_new").as("d1"), col("d_base").as("d2"))
-          .unionByName(
-            Dedup.minhashLshPairs(incoming, "doc_id", "text", 3, 0.8, 8, 4)
-              .select(col("d1"), col("d2")))
-          .write.mode("overwrite").parquet(edgePath)
-        graft.CacheScope.release()
-        ccFoldPrepped += dir
-      }
-      Components.connectedIncremental(
+      import graft.queries.TextQueries
+      // the one-time prep (base labeling + delta edge set) is ALSO
+      // triggered from main's warm-up loop, so every TIMED pass of
+      // this entry measures the fold alone (a prep inside the first
+      // timed pass would record as that cell's _max and read as a
+      // host-contention window under the spread protocol)
+      val (lblPath, edgePath) = TextQueries.ccFoldPrep(s, dir)
+      val incoming = graft.Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+      graft.operators.Components.connectedIncremental(
         s.read.parquet(lblPath), "doc_id", "component",
         incoming.select(col("doc_id")),
         s.read.parquet(edgePath), "d1", "d2")
@@ -482,7 +469,6 @@ object ScaleRehearsal {
     * frame is a 1-row literal — the merge cost is the measurement,
     * not a table re-read.
     */
-  private val ccFoldPrepped = scala.collection.mutable.Set.empty[String]
   private val trickleKeys = scala.collection.mutable.Map.empty[String, Seq[Long]]
   private var trickleRun = 0
 
@@ -752,6 +738,18 @@ object ScaleRehearsal {
       catch { case _: Throwable => () }
       CacheScope.release(); spark.catalog.clearCache()
     }
+    // build the fold entries' one-time prep (base labeling + delta
+    // edges) for every dir they will be timed at, so all timed passes
+    // measure the per-cycle fold only
+    val foldDirs =
+      (if (picked(Family).contains("x_incremental_cc_fold")) Seq(sf01, sf1)
+       else Nil) ++
+      (if (picked(Family100).contains("x_incremental_cc_fold")) Seq(sf01, sf10)
+       else Nil)
+    foldDirs.distinct.foreach { dir =>
+      graft.queries.TextQueries.ccFoldPrep(spark, dir)
+      CacheScope.release(); spark.catalog.clearCache()
+    }
 
     // pass-interleaved so a steal burst can't poison all passes of
     // the same (query, dir) cell. Every pass's time is KEPT: the
@@ -804,7 +802,7 @@ object ScaleRehearsal {
       s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r11.json"), json + "\n")
+        java.nio.file.Paths.get("SCALE_r12.json"), json + "\n")
     println(json)
     spark.stop()
   }
