@@ -462,15 +462,24 @@ object Dedup {
     * distance ≤ 3 ⇒ at least one of 4 16-bit blocks is identical, so
     * candidates join on (block index, block value) — never all-pairs.
     */
-  def hammingPairs(
-      sigs: DataFrame, idCol: String, sigCol: String, maxDist: Int): DataFrame = {
-    require(maxDist <= 3, "4-block banding guarantees recall only for maxDist <= 3")
-    val blocks = sigs.select(
+  /** (id, simhash, blk, blkval) pigeonhole block rows over a 64-bit
+    * signature column — the banding relation [[hammingPairs]] joins on
+    * (also the census surface: `Census.of(blocks, Seq("blk",
+    * "blkval"))` measures the family's bucket balance).
+    */
+  private[graft] def hammingBlocks(
+      sigs: DataFrame, idCol: String, sigCol: String): DataFrame =
+    sigs.select(
       col(idCol).as("id"), col(sigCol).as("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "blkval")
+
+  def hammingPairs(
+      sigs: DataFrame, idCol: String, sigCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-block banding guarantees recall only for maxDist <= 3")
+    val blocks = hammingBlocks(sigs, idCol, sigCol)
       .persistTracked() // both join sides scan this; avoid recomputing simhash
     val a = blocks.select(col("id").as("d1"), col("simhash").as("s1"),
       col("blk"), col("blkval"))

@@ -97,8 +97,23 @@ object Ivf {
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, numCentroids)
+      k: Int, numCentroids: Int, nprobe: Int): DataFrame =
+    annTopKWith(corpus, queries, idCol, vecCol, k,
+      trainCentroids(corpus, vecCol, numCentroids), nprobe)
+
+  /** [[annTopK]] from PRECOMPUTED centroids — everything downstream of
+    * training (assignment argmin, nprobe probing, candidate join,
+    * cosine top-k) is pure expression logic over the centroid model,
+    * so given the centroids as a parquet fixture the whole pipeline
+    * replays bit-for-bit in ANSI SQL (q_knn_ivf's full oracle gate;
+    * only the Lloyd loop itself stays spec-gated). This is also the
+    * production split at 100 TB: the index (k·dim doubles) is model
+    * metadata trained once and stored, while per-cycle queries pay
+    * only assignment + probing.
+    */
+  def annTopKWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus
       .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans

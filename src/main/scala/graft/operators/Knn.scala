@@ -253,7 +253,7 @@ object Knn {
     * arrays persist so project collapse can't re-evaluate every
     * hyperplane dot per exploded row (see `annTopK`).
     */
-  private def srpBuckets(
+  private[graft] def srpBuckets(
       df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Seq[Seq[Double]]], bits: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism

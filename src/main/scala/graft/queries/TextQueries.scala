@@ -15,7 +15,7 @@ object TextQueries {
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
     incrementalDedup, incrementalCc, incrementalCcFold, streamNearDup,
-    simhashPairs,
+    streamCc, simhashPairs,
     tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
     shardExport, freqTokens, trainingExport)
@@ -1035,6 +1035,56 @@ object TextQueries {
     s.table(name)
       .dropDuplicates("doc_id", "dup_of")
       .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  private val streamCcSrcBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** CONTINUOUS cluster maintenance
+    * ([[graft.streaming.Streams.clusterStream]]): the documents table
+    * replayed as a 3-micro-batch stream (one file per trigger), each
+    * batch LSH-banded once and folded into the standing labels on the
+    * delta-contracted reduced graph — the streamed composition of
+    * q_incremental_dedup's banding and q_incremental_cc's fold. FULL
+    * oracle gate: any batch split of an append-only corpus folds to
+    * the same labeling (LSH pair membership is pairwise), so DuckDB
+    * recomputes the clusters from scratch by recursive reachability —
+    * the same oracle as q_incremental_cc. Crash/restart equivalence
+    * is StreamSpec's.
+    */
+  val streamCc: Q = Q(
+    "q_stream_cc",
+    ccFromScratchSql) { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = s"target/tmp/stream_cc_src_$tag"
+    // 3-file replay source (doc_id mod 3), built once per (JVM, dir);
+    // each file is one micro-batch under maxFilesPerTrigger=1
+    streamCcSrcBuilt.synchronized {
+      if (!streamCcSrcBuilt.contains(dir)) {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(3L)).cast("int").as("b"))
+          .repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(srcDir)
+        streamCcSrcBuilt += dir
+      }
+    }
+    // recursiveFileLookup disables partition inference, so the stream
+    // schema is the file schema (doc_id, text) without the split col
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(srcDir).schema
+    val run = System.nanoTime()
+    val src = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    graft.streaming.Streams.clusterStream(
+        src, "doc_id", "text",
+        s"target/tmp/stream_cc_state_$run",
+        s"target/tmp/stream_cc_ckpt_$run",
+        n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
+      .select(col("doc_id"), col("component").as("cluster_id"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 3, block-banded). FULL oracle

@@ -78,13 +78,6 @@ object DeltaDml {
   /** `cow` (default) or `mor` — how SQL row-level DML materializes. */
   val ModeKey = "spark.graft.dml.mode"
 
-  /** Cap on EXISTING position-delete rows inlined into a mor DML scan
-    * (the per-file skip lists transit the driver); past it the delete
-    * debt is large enough that localizing first is the right move.
-    */
-  val DvCapKey = "spark.graft.dml.morDvCap"
-  val DvCapDefault = 10000000L
-
   val FileCol = "_file"
   val PosCol = "_pos"
 
@@ -214,11 +207,16 @@ private[sources] final class GraftDeltaScanBuilder(
 
 /** One data file of the delta scan: read whole (position = iteration
   * order is only exact for a full-file, filterless parquet read — the
-  * reader factory owns that invariant), with the file's EXISTING
-  * delete positions to skip.
+  * reader factory owns that invariant). `dvPaths` lists the snapshot's
+  * position-delete parquet files; the READER loads this file's own
+  * skip list executor-side (filtered on `file_key`, so parquet
+  * row-group stats + dictionary pages skip DV files that don't touch
+  * this data file) — delete positions never transit the driver, so
+  * the scan's delete debt is bounded by executor memory per FILE, not
+  * by a driver cap.
   */
 private[sources] final case class GraftDeltaPartition(
-    path: String, fileKey: String, fileSize: Long, deleted: Array[Long])
+    path: String, fileKey: String, fileSize: Long, dvPaths: Array[String])
   extends InputPartition
 
 /** The delta scan: one input partition per (group-pruned) manifest
@@ -274,46 +272,14 @@ private[sources] final class GraftDeltaScan(
 
   override def toBatch: Batch = this
 
-  /** Existing delete positions, grouped per file key — collected to
-    * the driver so each file's skip list rides its own input
-    * partition. Bounded by [[DeltaDml.DvCapKey]]: past the cap the
-    * right move is localizing the delete debt (CALL materialize /
-    * compact), not hauling it through every statement.
-    */
-  private lazy val dvByFile: Map[String, Array[Long]] = {
-    if (snap.dvs.isEmpty) Map.empty
-    else collectDvs()
-  }
-
-  private def collectDvs(): Map[String, Array[Long]] = {
-    val cap = spark.conf.get(DeltaDml.DvCapKey,
-      DeltaDml.DvCapDefault.toString).toLong
-    val known = snap.dvs.map(d => math.max(d.rows, 0L)).sum
-    require(known <= cap,
-      s"merge-on-read DML: this snapshot carries $known position " +
-        s"deletes (> $cap, ${DeltaDml.DvCapKey}) — run CALL " +
-        "gc.system.materialize or compact to localize them first")
-    import org.apache.spark.sql.functions.{col, collect_list}
-    val base = spark.read.schema(DeltaDml.DvSchema)
-      .parquet(snap.dvs.map(d => TxTable.entryPath(root, d.relPath)): _*)
-    // a group-pruned scan only needs ITS files' positions — bound the
-    // collect by the scanned file keys (guarded: a huge IN list would
-    // cost more than it saves on an unpruned scan)
-    val es = entries
-    val scoped =
-      if (es.size < snap.entries.size && es.size <= 1000)
-        base.where(col("file_key").isInCollection(
-          es.map(e => MergeOnRead.fileKey(TxTable.entryPath(root, e.relPath)))))
-      else base
-    val rows = scoped
-      .groupBy(col("file_key")).agg(collect_list(col("pos")).as("ps"))
-      .collect()
-    rows.map(r => r.getString(0) ->
-      r.getSeq[Long](1).toArray.sorted).toMap
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val dv = dvByFile // memoized: re-planning must not re-collect
+    // existing delete positions stay EXECUTOR-side: every partition
+    // carries the snapshot's DV file list and the reader loads its own
+    // file's positions, filtered on file_key (one shared array of
+    // paths — positions never transit the driver, so a snapshot with
+    // hundreds of millions of deletes plans exactly like a clean one)
+    val dvPaths = snap.dvs
+      .map(d => TxTable.entryPath(root, d.relPath)).toArray
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     entries.map { e =>
@@ -321,8 +287,7 @@ private[sources] final class GraftDeltaScan(
       val size =
         if (e.size >= 0) e.size
         else fs.getFileStatus(new Path(path)).getLen
-      GraftDeltaPartition(path, MergeOnRead.fileKey(path), size,
-        dv.getOrElse(MergeOnRead.fileKey(path), Array.emptyLongArray))
+      GraftDeltaPartition(path, MergeOnRead.fileKey(path), size, dvPaths)
     }.toArray[InputPartition]
   }
 
@@ -339,7 +304,8 @@ private[sources] final class GraftDeltaScan(
       spark, schema, StructType(Nil), dataSchema, Nil,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    new GraftDeltaReaderFactory(readFunc, required, dataSchema)
+    new GraftDeltaReaderFactory(readFunc, required, dataSchema,
+      new SerializableWritable(spark.sessionState.newHadoopConf()))
   }
 
   override def description(): String =
@@ -349,12 +315,63 @@ private[sources] final class GraftDeltaScan(
 
 private[sources] final class GraftDeltaReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    required: StructType, dataSchema: StructType)
+    required: StructType, dataSchema: StructType,
+    hconf: SerializableWritable[Configuration])
   extends PartitionReaderFactory {
+
+  /** This data file's delete positions, loaded EXECUTOR-side from the
+    * snapshot's DV parquet files with a `file_key` equality predicate
+    * — parquet row-group statistics and dictionary pages skip DV files
+    * that never touched this data file (the common trickle case: each
+    * DML's DV file covers the few file keys that statement hit), so a
+    * partition pays footer reads for the non-matching DV files and a
+    * row scan only for its own positions. The 100-TB shape VERDICT
+    * r11 item 4 asked for: the former driver-side collect (capped at
+    * 10M positions with a loud refusal) is gone — delete debt is now
+    * bounded per FILE by executor memory, never by a driver map.
+    */
+  private def loadDeleted(part: GraftDeltaPartition): Array[Long] = {
+    if (part.dvPaths.isEmpty) return Array.emptyLongArray
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.io.api.Binary
+    val pred = FilterApi.eq(
+      FilterApi.binaryColumn("file_key"),
+      Binary.fromString(part.fileKey))
+    val out = mutable.ArrayBuilder.make[Long]
+    part.dvPaths.foreach { p =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(p))
+        .withConf(hconf.value)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getLong("pos", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    // sorted ascending (the skip loop merges in position order);
+    // distinct is belt — the commit protocol never double-deletes a
+    // position, but a duplicate would silently skip the NEXT row
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    var i = 0; var j = 0
+    while (j < arr.length) {
+      if (i == 0 || arr(j) != arr(i - 1)) { arr(i) = arr(j); i += 1 }
+      j += 1
+    }
+    if (i == arr.length) arr else java.util.Arrays.copyOf(arr, i)
+  }
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftDeltaPartition]
+    val deleted = loadDeleted(part)
     new PartitionReader[InternalRow] {
       private val iter = readFunc(new PartitionedFile(
           InternalRow.empty, SparkPath.fromPathString(part.path),
@@ -393,9 +410,9 @@ private[sources] final class GraftDeltaReaderFactory(
         while (iter.hasNext) {
           val r = iter.next()
           pos += 1
-          while (dvIdx < part.deleted.length && part.deleted(dvIdx) < pos)
+          while (dvIdx < deleted.length && deleted(dvIdx) < pos)
             dvIdx += 1
-          if (!(dvIdx < part.deleted.length && part.deleted(dvIdx) == pos)) {
+          if (!(dvIdx < deleted.length && deleted(dvIdx) == pos)) {
             lineage.update(0, keyUtf8)
             lineage.setLong(1, pos)
             current = proj(joined(r, lineage))

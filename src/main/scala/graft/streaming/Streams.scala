@@ -536,4 +536,118 @@ object Streams {
   def readSketchMv(spark: SparkSession, mvRoot: String, keys: Seq[String]): DataFrame =
     graft.operators.Sketches.estimateDistinct(
       graft.sources.TxTable.read(spark, mvRoot), keys)
+
+  /** CONTINUOUS duplicate-cluster maintenance — the streamed
+    * composition of the r10 ingest-dedup banding and the r11
+    * incremental fold (VERDICT r11 item 6): each micro-batch of
+    * documents is LSH-banded ONCE, its delta edges (batch×corpus
+    * bucket join + batch×batch pairs, both exact-Jaccard verified)
+    * folded into the standing labels with
+    * [[graft.operators.Components.connectedIncremental]] — per cycle
+    * the corpus is touched by the two narrow fold joins, never a
+    * corpus×corpus pass. Durable state under `stateDir`:
+    *
+    *   - `sh/b<id>`, `banded/b<id>` — the batch's LSH side, written
+    *     once and never rewritten (per-cycle state write ∝ batch: the
+    *     reusable-corpus-side contract of [[graft.operators.Dedup
+    *     .lshSide]] made durable; the standing side is the union of
+    *     committed batch sides, rehydrated via `lshSideFromStored`);
+    *   - `labels/v<id>` — the folded whole-corpus labeling after
+    *     batch <id> (∝ corpus, the fold's own output size; a
+    *     production deployment would MERGE the delta-sized remap into
+    *     a transactional table instead of rewriting);
+    *   - `commits/<id>` — written LAST, making the fold IDEMPOTENT
+    *     under foreachBatch's at-least-once replay: a crash between
+    *     the state writes and Spark's checkpoint commit replays the
+    *     batch, which overwrites the same per-batch paths and
+    *     re-commits — never a double fold.
+    *
+    * Restartable: resuming with the same `checkpoint` + `stateDir`
+    * continues from the last committed batch (StreamSpec injects a
+    * crash via `afterBatch` and proves the restarted drain equals the
+    * uninterrupted one). Result invariance: LSH pair membership is
+    * pairwise, so the union over batches of (batch×earlier ∪
+    * batch×batch) pair sets is exactly the whole-corpus pair set and
+    * the folded labels equal a from-scratch
+    * [[graft.operators.Components.connected]] — q_stream_cc's oracle
+    * recomputes them in DuckDB by recursive reachability over the
+    * full corpus. Document ids must be unique across the feed (an
+    * append-only corpus).
+    *
+    * Returns the final labeling (`idCol`, `component`).
+    */
+  def clusterStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      stateDir: String, checkpoint: String,
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int,
+      afterBatch: Long => Unit = _ => ()): DataFrame = {
+    val spark = docs.sparkSession
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clusterFold(spark, batch, batchId, idCol, textCol, stateDir,
+          n, tau, bands, rowsPerBand)
+        afterBatch(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val last = committedBatches(spark, stateDir)
+    require(last.nonEmpty,
+      "clusterStream: no batch committed — empty feed has no labeling")
+    spark.read.parquet(s"$stateDir/labels/v${last.max}")
+  }
+
+  private def committedBatches(
+      spark: SparkSession, stateDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
+  }
+
+  /** One micro-batch's fold (see [[clusterStream]]). */
+  private def clusterFold(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, stateDir: String,
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int): Unit = {
+    import graft.operators.{Components, Dedup}
+    val done = committedBatches(spark, stateDir)
+    if (done.contains(batchId)) return // committed replay: skip wholesale
+    if (batch.isEmpty) return          // nothing to fold, no state burned
+    val prevIds = done.filter(_ < batchId)
+    val side = Dedup.lshSide(batch.select(col(idCol), col(textCol)),
+      idCol, textCol, n, bands, rowsPerBand)
+    side.sh.write.mode("overwrite").parquet(s"$stateDir/sh/b$batchId")
+    side.banded.write.mode("overwrite")
+      .parquet(s"$stateDir/banded/b$batchId")
+    val labels =
+      if (prevIds.isEmpty)
+        Components.connected(
+          batch.select(col(idCol)), idCol,
+          Dedup.minhashLshPairs(side, tau), "d1", "d2")
+      else {
+        val prevLbl = spark.read.parquet(s"$stateDir/labels/v${prevIds.max}")
+        val baseSide = Dedup.lshSideFromStored(
+          spark.read.parquet(prevIds.map(i => s"$stateDir/sh/b$i"): _*),
+          spark.read.parquet(prevIds.map(i => s"$stateDir/banded/b$i"): _*),
+          idCol, n, bands, rowsPerBand)
+        val delta = Dedup.lshPairsAgainstBase(baseSide, side, tau)
+          .select(col("d_new").as("d1"), col("d_base").as("d2"))
+          .unionByName(Dedup.minhashLshPairs(side, tau)
+            .select(col("d1"), col("d2")))
+        Components.connectedIncremental(prevLbl, idCol, "component",
+          batch.select(col(idCol)), delta, "d1", "d2")
+      }
+    labels.write.mode("overwrite").parquet(s"$stateDir/labels/v$batchId")
+    graft.CacheScope.release()
+    // marker LAST: per-batch state is complete iff the marker exists
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/commits/$batchId"),
+      true).close()
+  }
 }

@@ -136,6 +136,10 @@ object ScaleRehearsal {
     // manifest). The pair's gap IS the MorDmlRuntimeFiltering
     // measurement, and it must WIDEN with table size.
     "x_mor_trickle_full", "x_mor_trickle_pruned",
+    // round-12 (VERDICT r11 item 4): DV-heavy merge-on-read read-back
+    // — 12M position deletes at the sf1 tier, past the former driver
+    // cap; the executor-side per-file DV load must scale with the tier
+    "x_mor_dv_heavy",
     // round-10 pipeline additions: batch-vs-corpus LSH dedup (both
     // sides scale), streaming near-dup (10× docs ⇒ 10× band-bucket
     // state), token-budget mix (FIXED budget, so cost must track the
@@ -154,6 +158,10 @@ object ScaleRehearsal {
     // tasks×maxBudget rows, so the ratio must stay ~linear in the
     // scan)
     "q_incremental_cc", "x_token_budget_skew", "x_incremental_cc_fold",
+    // round-12: continuous cluster maintenance — 3 streamed folds over
+    // a 10× corpus; per-batch cost must track (batch + touched
+    // components), so the 3-batch drain must track the corpus
+    "q_stream_cc",
     // round-11: incremental embedding near-dup — incoming×base bucket
     // join at 10× vectors (both sides scale; candidate generation must
     // stay linear exactly as the whole-corpus SRP entry does)
@@ -373,6 +381,41 @@ object ScaleRehearsal {
       require(after.dvs.map(_.rows).sum > 0,
         "x_cdc_mor: expected position deletes")
       TxTable.read(s, root)
+    },
+    // round-12 (VERDICT r11 item 4): DV-HEAVY merge-on-read read-back.
+    // One mor DELETE drops 80% of orders as position deletes (12M
+    // positions at the sf1 tier — past the former 10M driver cap,
+    // which refused this exact shape); the timed pass is the scan that
+    // now loads each file's skip list EXECUTOR-side from the DV
+    // parquet (file_key-filtered), so the read must track the tier
+    // linearly with no driver bottleneck
+    "x_mor_dv_heavy" -> { (s, dir) =>
+      import graft.sources.TxTable
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set("spark.sql.catalog.zdv", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.zdv.warehouse", "target/tmp/graft_wh_dvh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS zdv.mart")
+      if (!dvHeavyBuilt.contains(dir)) {
+        s.sql(s"DROP TABLE IF EXISTS zdv.mart.orders_$tag")
+        graft.Tables.orders(s, dir).createOrReplaceTempView("zdv_src")
+        s.sql(
+          s"""CREATE TABLE zdv.mart.orders_$tag
+             |PARTITIONED BY (bucket(8, o_orderkey))
+             |AS SELECT * FROM zdv_src""".stripMargin)
+        s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+        try s.sql(s"DELETE FROM zdv.mart.orders_$tag WHERE o_orderkey % 5 <> 0")
+        finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
+        val snap = TxTable.currentSnapshot(
+          s, s"target/tmp/graft_wh_dvh/mart/orders_$tag").get
+        require(snap.dvs.map(_.rows).sum * 5 >=
+          graft.Tables.orders(s, dir).count() * 4 - 5,
+          "x_mor_dv_heavy: expected ~80% of rows as position deletes")
+        dvHeavyBuilt += dir
+      }
+      s.sql(
+        s"""SELECT COUNT(*) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           |FROM zdv.mart.orders_$tag""".stripMargin)
     })
 
   /** Build-once (per dir) skewed co-bucketed pair: fact = orders with
@@ -469,6 +512,7 @@ object ScaleRehearsal {
     * frame is a 1-row literal — the merge cost is the measurement,
     * not a table re-read.
     */
+  private val dvHeavyBuilt = scala.collection.mutable.Set.empty[String]
   private val trickleKeys = scala.collection.mutable.Map.empty[String, Seq[Long]]
   private var trickleRun = 0
 
@@ -798,8 +842,44 @@ object ScaleRehearsal {
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf10", b)},""" +
         f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
+    // bucket-occupancy census per hash family and tier (VERDICT r11
+    // item 3): the same numbers KernelSpec gates at fixture scale,
+    // recorded at the measured tiers so a future family change shows
+    // up as a census column instead of a wall-clock mystery. Untimed
+    // (runs after every timed pass).
+    def censusJson(dir: String): String = {
+      import graft.operators.{Dedup, Ivf, Knn}
+      val docs = graft.Tables.documents(spark, dir)
+      val emb = graft.Tables.embeddings(spark, dir)
+      val mh = Census.of(
+        Dedup.lshSide(docs, "doc_id", "text", 3, 8, 4).banded,
+        Seq("band", "bandkey"))
+      val sim = Census.of(
+        Dedup.hammingBlocks(
+          Dedup.simhash(docs, "doc_id", "text"), "doc_id", "simhash"),
+        Seq("blk", "blkval"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val srp = Census.of(
+        Knn.srpBuckets(emb, "vec_id", "embedding",
+          Knn.portablePlanes(8, 6, dim), 6),
+        Seq("tbl", "bucket"))
+      val cents = Ivf.trainCentroids(emb, "embedding", 16)
+      val ivf = Census.of(
+        emb.select(Ivf.bucketId(col("embedding"), cents).as("bucket")),
+        Seq("bucket"))
+      CacheScope.release(); spark.catalog.clearCache()
+      val nDocs = mh.rows / 8  // banded rows = docs × bands
+      val nVec = srp.rows / 8  // bucket rows = vectors × tables
+      s""""minhash_bands":${mh.json.dropRight(1)},"uniform_pairs":null},""" +
+        s""""simhash_blocks":${sim.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nDocs, 65536L, 4L).round}},""" +
+        s""""srp_buckets":${srp.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nVec, 64L, 8L).round}},""" +
+        s""""ivf_buckets":${ivf.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nVec, 16L, 1L).round}}"""
+    }
+    val census =
+      if (subset.nonEmpty) ""
+      else s""","census":{"sf0.1":{${censusJson(sf01)}},"sf1":{${censusJson(sf1)}}}"""
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALE_r12.json"), json + "\n")

@@ -33,4 +33,126 @@ class KernelSpec extends SparkSpec {
     assert(graft.operators.Knn
       .cosinePairsBucketed(empty, "vec_id", "embedding", 0.4).count() == 0)
   }
+
+  // ------------------------------------------------------------------
+  // Bucket-occupancy census gates (VERDICT r11 item 3). The sign-skew
+  // bug (39b105b) passed every ORACLE and RECALL spec — LSH gates
+  // verify candidates exactly, so a skewed family still answers right,
+  // it just turns the candidate join quadratic (164M pairs vs 26.7M at
+  // the 10x tier). These gates make bucket balance itself assertable:
+  // candidate-pair count vs the uniform-hashing expectation for
+  // fixed-space families (SRP, SimHash blocks, IVF), vs corpus size
+  // for MinHash (whose band-key space is unbounded — candidates should
+  // be dup-driven, ~linear in docs). Run at sf0.01 — large enough that
+  // skew separates cleanly from noise, still sub-second.
+  // ------------------------------------------------------------------
+
+  private val censusSf = "/root/testdata/sf0.01"
+
+  /** The pre-39b105b plane family (bare squared mix, no affine
+    * recombination) — kept ONLY to prove the census gate catches the
+    * bug class: two planes' component streams differ by a constant and
+    * (x+c)² shares the x² term, so sign streams correlate across
+    * planes and buckets pile up.
+    */
+  private def skewedPlanes(numTables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    import graft.plans.PolyHash.{Mod, MultA}
+    (0 until numTables).map { t =>
+      (0 until bits).map { b =>
+        val hb = ((7L * MultA + t) % Mod * MultA + b) % Mod
+        (0 until dim).map { i =>
+          val x = (hb * MultA + i) % Mod
+          if (x * x % Mod * 2 < Mod) 1.0 else -1.0
+        }
+      }
+    }
+  }
+
+  test("census: SRP buckets near uniform; the pre-39b105b family trips the gate") {
+    import graft.tools.Census
+    import graft.operators.Knn
+    val emb = Tables.embeddings(spark, censusSf)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val n = emb.count()
+    val uniform = Census.uniformPairs(n, space = 64, groups = 8)
+    val cur = Census.of(
+      Knn.srpBuckets(emb, "vec_id", "embedding",
+        Knn.portablePlanes(8, 6, dim), 6), Seq("tbl", "bucket"))
+    // embeddings carry real cluster structure, so some excess over the
+    // uniform i.i.d. model is legitimate; the skew bug was ~6x over
+    // Gaussian balance, so 4x separates cleanly
+    assert(cur.candidatePairs <= 4 * uniform,
+      s"SRP census: ${cur.candidatePairs} candidate pairs vs uniform " +
+        s"$uniform — the plane family has gone skewed (cf. 39b105b)")
+    val bad = Census.of(
+      Knn.srpBuckets(emb, "vec_id", "embedding",
+        skewedPlanes(8, 6, dim), 6), Seq("tbl", "bucket"))
+    assert(bad.candidatePairs > 4 * uniform,
+      s"census gate must catch the pre-39b105b family " +
+        s"(got ${bad.candidatePairs} vs uniform $uniform)")
+    graft.CacheScope.release()
+  }
+
+  test("census: MinHash band candidates are dup-driven, not quadratic") {
+    import graft.tools.Census
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, censusSf)
+    val nDocs = docs.count()
+    val c = Census.of(
+      Dedup.lshSide(docs, "doc_id", "text", 3, 8, 4).banded,
+      Seq("band", "bandkey"))
+    // band keys are minima vectors (unbounded space): non-dup docs
+    // should essentially never collide, so candidates stay a small
+    // multiple of corpus size (every candidate is a near-dup pair
+    // seen by up to 8 bands) — quadratic drift here means the
+    // signature family degenerated
+    assert(c.candidatePairs <= 8 * nDocs,
+      s"MinHash census: ${c.candidatePairs} candidate pairs for " +
+        s"$nDocs docs — band keys are colliding beyond the dup set")
+    graft.CacheScope.release()
+  }
+
+  test("census: SimHash block candidates near the uniform expectation") {
+    import graft.tools.Census
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, censusSf)
+    val nDocs = docs.count()
+    val c = Census.of(
+      Dedup.hammingBlocks(
+        Dedup.simhash(docs, "doc_id", "text"), "doc_id", "simhash"),
+      Seq("blk", "blkval"))
+    // short synthetic docs give low-entropy 16-bit blocks, so the
+    // data-driven collision floor sits far above the uniform i.i.d.
+    // expectation (measured at sf0.01: 6,748 candidate pairs vs a
+    // uniform floor of ~8 — 5.4% of the 124,750 all-pairs). The gate
+    // is the banding property that matters: candidates stay an order
+    // of magnitude under all-pairs; a degenerate signature collapses
+    // blocks to few values and drives this toward C(N,2)
+    assert(c.candidatePairs <= nDocs * (nDocs - 1) / 2 / 10,
+      s"SimHash census: ${c.candidatePairs} candidate pairs of " +
+        s"${nDocs * (nDocs - 1) / 2} possible for $nDocs docs — " +
+        "block banding has degenerated toward all-pairs")
+    graft.CacheScope.release()
+  }
+
+  test("census: IVF buckets balanced enough that probing stays sublinear") {
+    import graft.tools.Census
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, censusSf)
+    val n = emb.count()
+    val cents = Ivf.trainCentroids(emb, "embedding", 16)
+    val c = Census.of(
+      emb.select(Ivf.bucketId(col("embedding"), cents).as("bucket")),
+      Seq("bucket"))
+    // k-means buckets track data clusters, not a uniform die — but a
+    // collapsed training (all vectors in a handful of buckets) is the
+    // failure mode that turns candidate generation quadratic
+    assert(c.maxOccupancy <= n / 2,
+      s"IVF census: max bucket ${c.maxOccupancy} of $n vectors — " +
+        "centroid training collapsed")
+    assert(c.candidatePairs <= 4 * Census.uniformPairs(n, space = 16, groups = 1),
+      s"IVF census: ${c.candidatePairs} candidate pairs — bucket " +
+        "skew past 4x the uniform expectation")
+    graft.CacheScope.release()
+  }
 }

@@ -1074,4 +1074,81 @@ class StreamSpec extends SparkSpec {
     }
     assert(found, s"expected the date-regression guard to fire: $e")
   }
+
+  test("clusterStream: 3-batch fold with a mid-stream restart equals batch incremental and from-scratch") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import graft.operators.{Components, Dedup}
+
+    val base = s"target/tmp/ccstream_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === r).coalesce(1)
+        .write.parquet(s"$base/feed/f=$r")
+    }
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/feed").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/feed")
+
+    // run 1: crash in batch 1's at-least-once window — its state AND
+    // commit marker are durable, Spark's checkpoint commit never runs
+    val ex = intercept[StreamingQueryException] {
+      Streams.clusterStream(stream, "doc_id", "text",
+        s"$base/state", s"$base/ckpt", 3, 0.8, 8, 4,
+        afterBatch = bid =>
+          if (bid == 1) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    // run 2: same checkpoint + state — Spark replays batch 1, the fold
+    // skips it wholesale via its marker, then batch 2 folds
+    val streamed = Streams.clusterStream(stream, "doc_id", "text",
+        s"$base/state", s"$base/ckpt", 3, 0.8, 8, 4)
+      .as[(Long, Long)].collect().toSet
+
+    // from-scratch over the whole corpus
+    val scratch = Components.connected(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8, 8, 4),
+        "d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == scratch,
+      "restarted 3-batch streamed fold must equal from-scratch clustering")
+
+    // batch incremental over the same 3 splits
+    val splits = (0 until 3).map(r =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === r))
+    var lbl = Components.connected(
+      splits(0).select(col("doc_id")), "doc_id",
+      Dedup.minhashLshPairs(splits(0), "doc_id", "text", 3, 0.8, 8, 4),
+      "d1", "d2")
+    (1 until 3).foreach { r =>
+      val baseDf = splits.take(r).reduce(_ unionByName _)
+      val delta = Dedup.lshPairsAgainstBase(
+          baseDf, splits(r), "doc_id", "text", 3, 0.8, 8, 4)
+        .select(col("d_new").as("d1"), col("d_base").as("d2"))
+        .unionByName(Dedup
+          .minhashLshPairs(splits(r), "doc_id", "text", 3, 0.8, 8, 4)
+          .select(col("d1"), col("d2")))
+      lbl = Components.connectedIncremental(lbl, "doc_id", "component",
+        splits(r).select(col("doc_id")), delta, "d1", "d2")
+    }
+    val incr = lbl.as[(Long, Long)].collect().toSet
+    assert(incr == scratch,
+      "batch incremental fold over the same splits must equal from-scratch")
+    graft.CacheScope.release()
+  }
+
+  test("lshPairsAgainstBase refuses sides built with different parameters") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.lshSide(docs, "doc_id", "text", 3, 8, 4)
+    val b = Dedup.lshSide(docs, "doc_id", "text", 3, 4, 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshPairsAgainstBase(a, b, 0.8)
+    }
+    assert(e.getMessage.contains("parameter mismatch"))
+    graft.CacheScope.release()
+  }
 }
