@@ -78,6 +78,14 @@ object DeltaDml {
   /** `cow` (default) or `mor` — how SQL row-level DML materializes. */
   val ModeKey = "spark.graft.dml.mode"
 
+  /** Max distinct file keys a DV writer records on its manifest entry
+    * — past it the statement touched "many" files and the entry
+    * records no key list (unknown → every partition probes it). 64
+    * covers the trickle-DML case the scoping exists for, while keeping
+    * manifest lines bounded.
+    */
+  val DvKeyCap = 64
+
   val FileCol = "_file"
   val PosCol = "_pos"
 
@@ -273,21 +281,30 @@ private[sources] final class GraftDeltaScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // existing delete positions stay EXECUTOR-side: every partition
-    // carries the snapshot's DV file list and the reader loads its own
-    // file's positions, filtered on file_key (one shared array of
-    // paths — positions never transit the driver, so a snapshot with
-    // hundreds of millions of deletes plans exactly like a clean one)
-    val dvPaths = snap.dvs
-      .map(d => TxTable.entryPath(root, d.relPath)).toArray
+    // existing delete positions stay EXECUTOR-side: each partition
+    // carries the DV files that can touch it and the reader loads its
+    // own file's positions, filtered on file_key — positions never
+    // transit the driver, so a snapshot with hundreds of millions of
+    // deletes plans exactly like a clean one. Manifest key lists
+    // (DvEntry.keys, recorded by trickle-sized DMLs) scope the list
+    // per partition at the MANIFEST, so a long trickle history costs
+    // a partition only the delete files that actually hit it; entries
+    // without a key list (big DMLs, pre-key manifests) go to every
+    // partition and prune at the parquet footer instead.
+    val scoped = snap.dvs.map(d =>
+      (d.keys.toSet, TxTable.entryPath(root, d.relPath)))
+    val unscoped = scoped.collect { case (ks, p) if ks.isEmpty => p }
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     entries.map { e =>
       val path = TxTable.entryPath(root, e.relPath)
+      val key = MergeOnRead.fileKey(path)
       val size =
         if (e.size >= 0) e.size
         else fs.getFileStatus(new Path(path)).getLen
-      GraftDeltaPartition(path, MergeOnRead.fileKey(path), size, dvPaths)
+      val dvPaths =
+        (unscoped ++ scoped.collect { case (ks, p) if ks(key) => p }).toArray
+      GraftDeltaPartition(path, key, size, dvPaths)
     }.toArray[InputPartition]
   }
 
@@ -533,6 +550,10 @@ private[sources] final class GraftDeltaRowWriter(
   private var dvWriter: ParquetWriter[InternalRow] = _
   private var dvPath: Path = _
   private var dvRows = 0L
+  // distinct file keys this task's deletes touch, tracked up to
+  // DvKeyCap+1 (past the cap the manifest records "unknown") — O(cap)
+  // memory, preserving the writer's O(1)-per-row contract
+  private val dvKeys = scala.collection.mutable.LinkedHashSet.empty[String]
   private val dvRow = new GenericInternalRow(2)
   private var done = false
 
@@ -546,6 +567,8 @@ private[sources] final class GraftDeltaRowWriter(
     // rowId order is the operation's rowId(): (_file, _pos); the
     // projecting row is reused — ParquetWriteSupport serializes
     // immediately, so no copy is needed
+    if (dvKeys.size <= DeltaDml.DvKeyCap)
+      dvKeys += id.getUTF8String(0).toString
     dvRow.update(0, id.getUTF8String(0))
     dvRow.setLong(1, id.getLong(1))
     dvWriter.write(dvRow)
@@ -571,8 +594,10 @@ private[sources] final class GraftDeltaRowWriter(
       else {
         dvWriter.close()
         val f = dvPath.getFileSystem(conf)
+        val keys =
+          if (dvKeys.size > DeltaDml.DvKeyCap) Nil else dvKeys.toSeq
         Some(TxTable.DvEntry(s"$dvRel/${dvPath.getName}",
-          f.getFileStatus(dvPath).getLen, dvRows))
+          f.getFileStatus(dvPath).getLen, dvRows, keys))
       }
     GraftDeltaCommitMessage(dataMsg.files, dv)
   }

@@ -286,6 +286,25 @@ object MergeOnRead {
     val rel = s"deletes/${java.util.UUID.randomUUID()}"
     val dir = s"$root/$rel"
     positions.write.parquet(dir)
+    // per-file covered-key lists for the manifest (DvEntry.keys): one
+    // distinct pass over the just-written deletes, collect bounded at
+    // DvKeyCap+1 per file — past the cap the entry records "unknown"
+    // and readers fall back to footer pruning. Cost ∝ this statement's
+    // deletes, paid once at write so every future scan plans scoped.
+    import org.apache.spark.sql.functions.{col, collect_set, input_file_name}
+    val cap = DeltaDml.DvKeyCap
+    val keysByFile: Map[String, Seq[String]] = spark.read
+      .schema(DvSchema).parquet(dir)
+      .select(input_file_name().as("__f"), col("file_key"))
+      .distinct()
+      .groupBy(col("__f"))
+      .agg(collect_set(col("file_key")).as("__ks"))
+      .collect()
+      .map { r =>
+        val name = r.getString(0).split("/").last
+        val ks = r.getSeq[String](1)
+        name -> (if (ks.size > cap) Nil else ks.sorted)
+      }.toMap
     val f = new Path(root).getFileSystem(conf)
     val it = f.listFiles(new Path(dir), true)
     val out = scala.collection.mutable.Buffer.empty[TxTable.DvEntry]
@@ -295,7 +314,8 @@ object MergeOnRead {
         val rows = Try(
           FileStats.forFile(conf, st.getPath).rows).getOrElse(-1L)
         out += TxTable.DvEntry(s"$rel/${st.getPath.getName}",
-          st.getLen, rows)
+          st.getLen, rows,
+          keysByFile.getOrElse(st.getPath.getName, Nil))
       }
     }
     (dir, out.toSeq.filter(_.rows != 0L))

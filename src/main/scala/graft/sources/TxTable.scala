@@ -69,7 +69,18 @@ object TxTable {
     * rows, not table size — the copy-on-write complement.
     * `rows`/`size` are carried for accounting (-1 = unknown).
     */
-  final case class DvEntry(relPath: String, size: Long = -1L, rows: Long = -1L)
+  /** One position-delete parquet file of a snapshot. `keys` lists the
+    * data-file keys its rows cover when the writer could track them
+    * cheaply (bounded at [[DeltaDml.DvKeyCap]] — the trickle-DML case,
+    * where one statement touches few files); empty = unknown, the
+    * conservative "may cover any file". The delta scan uses it to
+    * scope each partition's executor-side DV load to the delete files
+    * that can actually touch it, so a long trickle history doesn't
+    * cost every partition a footer probe per delete file.
+    */
+  final case class DvEntry(
+      relPath: String, size: Long = -1L, rows: Long = -1L,
+      keys: Seq[String] = Nil)
 
   /** `txns` is the cumulative streaming-transaction watermark map
     * (txnId → highest applied batchId), carried forward by every
@@ -348,13 +359,22 @@ object TxTable {
     val ts = meta.collectFirst {
       case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong
     }.getOrElse(-1L)
-    // `#dv=<urlenc relPath>:<size>:<rows>` — the merge-on-read
-    // position-delete files of this snapshot (absent pre-DV: empty)
+    // `#dv=<urlenc relPath>:<size>:<rows>[:<urlenc key1,urlenc key2…>]`
+    // — the merge-on-read position-delete files of this snapshot
+    // (absent pre-DV: empty; the optional 4th field is the covered
+    // file-key list, absent on pre-key manifests → unknown/all)
     val dvs = meta.collect {
       case l if l.startsWith("#dv=") =>
-        val Array(rel, size, rows) = l.stripPrefix("#dv=").split(":", 3)
-        DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
-          Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L))
+        l.stripPrefix("#dv=").split(":", 4) match {
+          case Array(rel, size, rows, keys) =>
+            DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
+              Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L),
+              keys.split(",").toSeq.filter(_.nonEmpty)
+                .map(java.net.URLDecoder.decode(_, "UTF-8")))
+          case Array(rel, size, rows) =>
+            DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
+              Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L))
+        }
     }
     // `#alias=<urlenc current>:<urlenc old1,old2>` — rename history
     val aliases = meta.collect {
@@ -638,9 +658,14 @@ object TxTable {
           s"#check=${java.net.URLEncoder.encode(n, "UTF-8")}:" +
             s"${java.net.URLEncoder.encode(sql, "UTF-8")}\n"
         }.mkString +
-        dvs.map(d =>
+        dvs.map { d =>
+          val keys =
+            if (d.keys.isEmpty) ""
+            else ":" + d.keys
+              .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
           s"#dv=${java.net.URLEncoder.encode(d.relPath, "UTF-8")}:" +
-            s"${d.size}:${d.rows}\n").mkString +
+            s"${d.size}:${d.rows}$keys\n"
+        }.mkString +
         aliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
           s"#alias=${java.net.URLEncoder.encode(cur, "UTF-8")}:" +
             olds.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") +

@@ -445,6 +445,57 @@ class DeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("DV manifest entries record covered file keys and scope the scan exactly") {
+    val root = mkBucketTable("dvkeys")
+    // trickle DELETE: two specific keys → ≤ 2 data files touched
+    withMor { spark.sql("DELETE FROM gd.m.dvkeys WHERE k IN (3, 7)") }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.nonEmpty)
+    // every DV entry carries its covered key list (trickle ≤ cap), and
+    // the list survived a manifest write→parse round trip
+    // (currentSnapshot re-reads the manifest from disk)
+    assert(snap.dvs.forall(_.keys.nonEmpty),
+      s"trickle DV entries must record covered file keys: ${snap.dvs}")
+    val allKeys = snap.dvs.flatMap(_.keys).toSet
+    assert(allKeys.size <= 2, s"2 deleted keys touch <= 2 files: $allKeys")
+    assert(allKeys.forall(k => snap.entries.exists(e =>
+      graft.sources.MergeOnRead.fileKey(e.relPath) == k)),
+      "recorded keys must be real data-file keys of the snapshot")
+    // scoping must stay EXACT: the masked rows are gone, all others
+    // present — a key-scoping bug would resurrect 3 or 7 here
+    val back = spark.sql("SELECT k FROM gd.m.dvkeys").as[Long].collect().toSet
+    assert(back == (1L to 100L).toSet -- Set(3L, 7L))
+    // a second statement composes: its entry is scoped independently
+    withMor { spark.sql("DELETE FROM gd.m.dvkeys WHERE k IN (8)") }
+    val snap2 = TxTable.currentSnapshot(spark, root).get
+    assert(snap2.dvs.size > snap.dvs.size && snap2.dvs.forall(_.keys.nonEmpty))
+    assert(spark.sql("SELECT k FROM gd.m.dvkeys").as[Long].collect().toSet
+      == (1L to 100L).toSet -- Set(3L, 7L, 8L))
+  }
+
+  test("pre-key #dv manifest lines stay readable (unscoped fallback)") {
+    val root = mkBucketTable("dvcompat")
+    withMor { spark.sql("DELETE FROM gd.m.dvcompat WHERE k IN (11, 12)") }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.nonEmpty && snap.dvs.forall(_.keys.nonEmpty))
+    // rewrite the manifest exactly as a pre-key engine wrote it:
+    // 3-field #dv lines (this simulates reading an OLD table)
+    val mp = java.nio.file.Paths.get(s"$root/_manifest/v${snap.version}.manifest")
+    val stripped = java.nio.file.Files.readString(mp)
+      .split("\n", -1).map { l =>
+        if (l.startsWith("#dv=")) l.split(":", 4).take(3).mkString(":")
+        else l
+      }.mkString("\n")
+    java.nio.file.Files.writeString(mp, stripped)
+    val snap2 = TxTable.currentSnapshot(spark, root).get
+    assert(snap2.dvs.nonEmpty && snap2.dvs.forall(_.keys.isEmpty),
+      "pre-key lines must parse as unknown coverage")
+    // unknown coverage = conservative: every partition probes the DV
+    // file, masked rows stay masked
+    assert(spark.sql("SELECT k FROM gd.m.dvcompat").as[Long].collect().toSet
+      == (1L to 100L).toSet -- Set(11L, 12L))
+  }
+
   test("mor DML stays correct after CALL compact localizes the delete debt") {
     val root = mkBucketTable("loc")
     withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 3 = 0") }
