@@ -1043,6 +1043,38 @@ class StreamSpec extends SparkSpec {
     assert(rows.count(_._2) == 1 && rows.find(_._2).get._1 == "s24")
   }
 
+  test("localCheckpointTruncated: overlapping calls restore the session flag") {
+    // ADVICE r11: a naive get/set/restore pair interleaved across two
+    // threads can restore a stale value and leave constraint
+    // propagation disabled for the REST OF THE SESSION. The nesting
+    // counter makes the last leaving call restore the ambient value —
+    // assert it under real overlap (Dag runs tasks concurrently on one
+    // SparkSession, so this is a production interleaving).
+    val key = "spark.sql.constraintPropagation.enabled"
+    val ambient = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = (0 until 16).map { i =>
+        Future {
+          graft.CacheScope
+            .localCheckpointTruncated(spark.range(100 + i).toDF("id"))
+            .count()
+        }
+      }
+      Await.result(Future.sequence(fs), 180.seconds)
+      assert(spark.conf.get(key) == "true",
+        "overlapping checkpoints must restore the ambient flag")
+    } finally {
+      pool.shutdown()
+      spark.conf.set(key, ambient)
+    }
+  }
+
   test("scd2Stream: a regressed snapshot date fails loudly, not silently") {
     val dim = Seq((1L, "n1", "A", true,
         java.sql.Date.valueOf("2020-01-01"), null: java.sql.Date))
