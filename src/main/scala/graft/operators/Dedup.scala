@@ -458,27 +458,61 @@ object Dedup {
     hammingPairs(sigs, idCol, "simhash", maxDist)
 
   /** Near-dup pairs over ANY 64-bit signature column (SimHash, image
-    * dHash, …) with Hamming distance ≤ maxDist. Banding by pigeonhole:
-    * distance ≤ 3 ⇒ at least one of 4 16-bit blocks is identical, so
-    * candidates join on (block index, block value) — never all-pairs.
+    * dHash, …) with Hamming distance ≤ maxDist. Banding by pigeonhole
+    * over 3-of-6 block COMBINATIONS (~31-bit keys, see [[HamCombos]]):
+    * distance ≤ 3 ⇒ some combination of three blocks is identical, so
+    * candidates join on (combination index, block-value triple) —
+    * never all-pairs, and the key space is wide enough that
+    * candidates stay dup-driven at 10⁸-doc corpora.
     */
-  /** (id, simhash, blk, blkval) pigeonhole block rows over a 64-bit
-    * signature column — the banding relation [[hammingPairs]] joins on
-    * (also the census surface: `Census.of(blocks, Seq("blk",
-    * "blkval"))` measures the family's bucket balance).
+  /** The Hamming-banding block geometry (Manku et al., "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3): the 62-bit
+    * signature splits into SIX blocks (widths 11,11,10,10,10,10), and
+    * a candidate key is a COMBINATION of three block values — C(6,3) =
+    * 20 combinations, each a ~31-bit key. Pigeonhole: Hamming ≤ 3
+    * touches at most 3 blocks, so at least 3 blocks survive intact and
+    * some 3-combination matches exactly — zero false negatives.
+    *
+    * Why combinations instead of the single-block 4×16-bit banding:
+    * the key SPACE. A 16-bit block saturates — the r12 bucket census
+    * measured single-block candidates growing ~27× at 10× docs
+    * (643k → 17.2M pairs, uniform floor 763 → 76k) because data-driven
+    * collisions trend quadratic once the corpus approaches the 65k
+    * block space. A 31-bit combination key pushes the saturation point
+    * out by ~2^15: the uniform floor at 10⁶ docs is ~5k pairs, so
+    * candidates stay dup-driven at corpus sizes where single blocks
+    * have long since gone quadratic — at the cost of 20 banding rows
+    * per doc instead of 4 (constant factor, the LSH trade).
+    */
+  private[graft] val HamWidths: Seq[Int] = Seq(11, 11, 10, 10, 10, 10)
+  private[graft] val HamOffsets: Seq[Int] =
+    HamWidths.scanLeft(0)(_ + _).init
+  private[graft] val HamCombos: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
+  /** (id, simhash, blk, blkval) combination-banding rows over a 64-bit
+    * signature column — the relation [[hammingPairs]] joins on; `blk`
+    * is the combination index, `blkval` the three block values as an
+    * equality-joinable array<long> (also the census surface:
+    * `Census.of(blocks, Seq("blk", "blkval"))`).
     */
   private[graft] def hammingBlocks(
-      sigs: DataFrame, idCol: String, sigCol: String): DataFrame =
+      sigs: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    def block(i: Int): Column =
+      shiftright(col(sigCol), HamOffsets(i))
+        .bitwiseAND(lit((1L << HamWidths(i)) - 1))
     sigs.select(
       col(idCol).as("id"), col(sigCol).as("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(HamCombos.map(c =>
+        array(block(c(0)), block(c(1)), block(c(2)))): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "blkval")
+  }
 
   def hammingPairs(
       sigs: DataFrame, idCol: String, sigCol: String, maxDist: Int): DataFrame = {
-    require(maxDist <= 3, "4-block banding guarantees recall only for maxDist <= 3")
+    require(maxDist <= 3,
+      "6-block/20-combination banding guarantees recall only for maxDist <= 3")
     val blocks = hammingBlocks(sigs, idCol, sigCol)
       .persistTracked() // both join sides scan this; avoid recomputing simhash
     val a = blocks.select(col("id").as("d1"), col("simhash").as("s1"),

@@ -1087,12 +1087,27 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 3, block-banded). FULL oracle
-    * gate: the 62-bit signature (two portable PolyHash halves, per-bit
-    * vote signs) and the 4×16-bit pigeonhole banding replay exactly in
-    * DuckDB bit arithmetic. Null-text documents carry a null signature
-    * on the Spark side and are excluded here; empty-token documents
-    * hash to signature 0 on BOTH sides (the LEFT JOIN + COALESCE).
+  /** The 6-block/20-combination Hamming banding as DuckDB CASE arms,
+    * generated from the SAME constants the Spark side bands with
+    * ([[Dedup.HamCombos]]/HamOffsets/HamWidths) — the two derivations
+    * cannot drift.
+    */
+  private lazy val hamComboCase: String =
+    Dedup.HamCombos.zipWithIndex.map { case (c, i) =>
+      val parts = c.map(b =>
+        s"(sig >> ${Dedup.HamOffsets(b)}) & ${(1L << Dedup.HamWidths(b)) - 1}")
+      s"WHEN $i THEN [${parts.mkString(", ")}]"
+    }.mkString(" ")
+
+  /** SimHash near-dup pairs (Hamming ≤ 3, combination-banded). FULL
+    * oracle gate: the 62-bit signature (two portable PolyHash halves,
+    * per-bit vote signs) and the 3-of-6-block combination banding
+    * (Manku WWW'07 pigeonhole — ~31-bit keys, the census-driven
+    * replacement for saturating 16-bit blocks) replay exactly in
+    * DuckDB bit/list arithmetic. Null-text documents carry a null
+    * signature on the Spark side and are excluded here; empty-token
+    * documents hash to signature 0 on BOTH sides (the LEFT JOIN +
+    * COALESCE).
     */
   val simhashPairs: Q = Q(
     "q_simhash_pairs",
@@ -1117,8 +1132,10 @@ object TextQueries {
       |  FROM bits GROUP BY 1),
       |sig AS (SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
       |  FROM docs d LEFT JOIN sigagg s ON d.doc_id = s.doc_id),
-      |blocks AS (SELECT doc_id, sig, bl.blk, (sig >> (bl.blk*16)) & 65535 AS bv
-      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS blk) bl),
+      |blocks AS (SELECT doc_id, sig, bl.blk,
+      |""".stripMargin +
+    s"    CASE bl.blk $hamComboCase END AS bv\n" +
+    """  FROM sig CROSS JOIN (SELECT unnest(range(20)) AS blk) bl),
       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
       |    x.sig AS s1, y.sig AS s2
       |  FROM blocks x JOIN blocks y

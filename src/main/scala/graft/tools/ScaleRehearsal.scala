@@ -921,7 +921,7 @@ object ScaleRehearsal {
       val nDocs = mh.rows / 8  // banded rows = docs × bands
       val nVec = srp.rows / 8  // bucket rows = vectors × tables
       s""""minhash_bands":${mh.json.dropRight(1)},"uniform_pairs":null},""" +
-        s""""simhash_blocks":${sim.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nDocs, 65536L, 4L).round}},""" +
+        s""""simhash_blocks":${sim.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nDocs, 1L << 31, 20L).round}},""" +
         s""""srp_buckets":${srp.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nVec, 64L, 8L).round}},""" +
         s""""ivf_buckets":${ivf.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nVec, 16L, 1L).round}}"""
     }

@@ -165,6 +165,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("hammingPairs: 3-of-6 combination banding is LOSSLESS vs brute force") {
+    // Manku pigeonhole: Hamming ≤ 3 touches ≤ 3 of the 6 blocks, so
+    // some 3-combination survives intact — banded candidates must
+    // contain EVERY true pair (and the verify filter makes the sets
+    // equal, not just ⊇)
+    val sigs = Dedup.simhash(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text")
+    val banded = Dedup.simhashPairs(sigs, "doc_id", 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    val brute = a.join(b, col("d1") < col("d2"))
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banding lost ${(brute -- banded).size} true pairs / " +
+        s"invented ${(banded -- brute).size}")
+    graft.CacheScope.release()
+  }
+
   test("ANN recall vs brute force on the embeddings fixture") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 20)

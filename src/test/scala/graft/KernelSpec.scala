@@ -112,7 +112,7 @@ class KernelSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
-  test("census: SimHash block candidates near the uniform expectation") {
+  test("census: SimHash combination-band candidates are dup-driven") {
     import graft.tools.Census
     import graft.operators.Dedup
     val docs = Tables.documents(spark, censusSf)
@@ -121,17 +121,16 @@ class KernelSpec extends SparkSpec {
       Dedup.hammingBlocks(
         Dedup.simhash(docs, "doc_id", "text"), "doc_id", "simhash"),
       Seq("blk", "blkval"))
-    // short synthetic docs give low-entropy 16-bit blocks, so the
-    // data-driven collision floor sits far above the uniform i.i.d.
-    // expectation (measured at sf0.01: 6,748 candidate pairs vs a
-    // uniform floor of ~8 — 5.4% of the 124,750 all-pairs). The gate
-    // is the banding property that matters: candidates stay an order
-    // of magnitude under all-pairs; a degenerate signature collapses
-    // blocks to few values and drives this toward C(N,2)
-    assert(c.candidatePairs <= nDocs * (nDocs - 1) / 2 / 10,
-      s"SimHash census: ${c.candidatePairs} candidate pairs of " +
-        s"${nDocs * (nDocs - 1) / 2} possible for $nDocs docs — " +
-        "block banding has degenerated toward all-pairs")
+    // the 3-of-6-block combination keys are ~31 bits wide, so the
+    // uniform collision floor is ~0 and surviving candidates are
+    // signature-driven: near-dups colliding in up to 20 combinations
+    // plus the low-entropy tail of short docs. The r12 predecessor
+    // (single 16-bit blocks) measured 6,748 candidate pairs here —
+    // 5.4% of all-pairs and trending quadratic with corpus size; the
+    // combination scheme must stay a small multiple of corpus size
+    assert(c.candidatePairs <= 30 * nDocs,
+      s"SimHash census: ${c.candidatePairs} candidate pairs for " +
+        s"$nDocs docs — combination keys are colliding beyond the dup set")
     graft.CacheScope.release()
   }
 
