@@ -260,7 +260,7 @@ object Multimodal {
   /** Image near-dup pairs: dHash each decodable payload, then reuse
     * the generic 64-bit Hamming banding join
     * ([[graft.operators.Dedup.hammingPairs]]) — candidates meet on an
-    * identical 16-bit block, never all-pairs. Output
+    * identical 3-of-6 block combination, never all-pairs. Output
     * (d1, d2, hamming) with d1 < d2.
     */
   def imageNearDupPairs(

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * per-bit vote counts (ties vote 0 → bit unset). The hash family is
   * deliberately SQL-replayable, making the SimHash pair query a full
   * oracle gate; 62 vs 64 bits costs nothing for Hamming banding (the
-  * 4×16-bit pigeonhole still covers every bit). As an Expression it
+  * 3-of-6-block pigeonhole still covers every bit). As an Expression it
   * stays inside the DataFrame pipeline (no encoder round-trip per
   * row) and composes with any projection. CodegenFallback is fine
   * here for the same reason as [[MinHashSig]]: the per-row token loop
