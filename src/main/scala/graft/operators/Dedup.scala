@@ -558,22 +558,7 @@ object Dedup {
   def spanDedup(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, "spanDedup: n-gram order must be >= 2")
-    val base = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("arr"))
-      // 1-row-group parquet scans as ONE partition; spread the string
-      // work across cores (same rationale as shingles())
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("nw", size(col("arr")))
-      .persistTracked() // words, grams, and the final rebuild all scan this
-    // positional words and grams, both narrow (pos is 1-based)
-    val words = base.select(col("doc_id"),
-      posexplode(col("arr")).as(Seq("pos0", "w")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
-    val grams = base.filter(col("nw") >= n).select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(1, size(arr) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(arr, i, $n)))")).as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    val (base, words, grams) = wordGrams(df, idCol, textCol, n)
     // globally-first occurrence per gram value: min-struct groupBy
     // (map-side combine), NOT a window — then every occurrence that
     // is not its gram's first is a duplicate span start
@@ -582,8 +567,77 @@ object Dedup {
     val dups = grams.join(firsts, "g")
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"))
-    // covered word positions: bounded n-fold explode → equi-anti-join
-    val rm = dups.select(col("doc_id"),
+    scrubSpans(base, words, dups, n)
+  }
+
+  /** SPAN-LEVEL cross-corpus decontamination — the n-gram SCRUB of
+    * LLM data pipelines (Brown et al. 2020, appendix C: remove the
+    * overlapping spans, keep the rest of the document): every corpus
+    * word-n-gram occurrence that appears ANYWHERE in `benchmark` has
+    * its n covering word positions deleted, and each corpus document
+    * is reassembled from its surviving words (possibly empty). The
+    * doc-LEVEL screens ([[jaccardAgainstPairs]] / q_decontaminate,
+    * `Knn.decontaminate`) answer "which documents are contaminated";
+    * this is the surgical remedy that keeps the document.
+    *
+    * Output: one row per corpus document — `doc_id`, `text_clean`,
+    * `n_kept`, `n_removed`.
+    *
+    * Scale shape: the benchmark side is tiny by nature (eval suites,
+    * not corpora) and reduces to its DISTINCT gram set — the
+    * semi-join's build side (AQE broadcasts it while small); corpus
+    * grams stream as narrow (doc, pos, gram) rows; covered positions
+    * explode ≤ n rows per HIT and anti-join the words; reassembly is
+    * one groupBy per doc. Same bounded shuffle keys as [[spanDedup]]
+    * (gram value, (doc, pos), doc) — nothing quadratic.
+    */
+  def spanScrub(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "spanScrub: n-gram order must be >= 2")
+    val (base, words, grams) = wordGrams(corpus, idCol, textCol, n)
+    val (_, _, bGrams) = wordGrams(benchmark, idCol, textCol, n)
+    val contaminated = grams
+      .join(bGrams.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    scrubSpans(base, words, contaminated, n)
+  }
+
+  /** Shared gram derivation of the span operators: `base` (doc_id,
+    * arr, nw — persisted: words, grams, and the rebuild all scan it),
+    * positional `words` (doc_id, pos, w; pos 1-based) and word-n-gram
+    * starts `grams` (doc_id, pos, g).
+    */
+  private def wordGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("arr"))
+      // 1-row-group parquet scans as ONE partition; spread the string
+      // work across cores (same rationale as shingles())
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("nw", size(col("arr")))
+      .persistTracked()
+    val words = base.select(col("doc_id"),
+      posexplode(col("arr")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+    val grams = base.filter(col("nw") >= n).select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(1, size(arr) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(arr, i, $n)))")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    (base, words, grams)
+  }
+
+  /** Shared span-deletion tail: delete the n covering word positions
+    * of every span start in `spanStarts` (doc_id, pos), reassemble
+    * each document from the survivors — bounded n-fold explode →
+    * equi-anti-join → one groupBy per doc.
+    */
+  private def scrubSpans(
+      base: DataFrame, words: DataFrame, spanStarts: DataFrame,
+      n: Int): DataFrame = {
+    val rm = spanStarts.select(col("doc_id"),
       explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos")).distinct()
     val kept = words.join(rm, Seq("doc_id", "pos"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id")).agg(

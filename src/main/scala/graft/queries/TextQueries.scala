@@ -16,7 +16,8 @@ object TextQueries {
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
     incrementalDedup, incrementalCc, incrementalCcFold, streamNearDup,
     streamCc, simhashPairs,
-    tokenRegex, decontaminate, repetition, packSequences, corpusSelect,
+    tokenRegex, decontaminate, spanDecontaminate, repetition,
+    packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
     shardExport, freqTokens, trainingExport)
 
@@ -291,6 +292,56 @@ object TextQueries {
       |LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** SPAN-LEVEL cross-corpus decontamination
+    * ([[graft.operators.Dedup.spanScrub]] — the n-gram scrub of LLM
+    * data pipelines): every corpus (doc_id % 20 ≠ 0) word-8-gram that
+    * appears anywhere in the benchmark slice (doc_id % 20 = 0) has
+    * its covering words deleted; documents are reassembled from the
+    * survivors. The doc-level q_decontaminate flags; this removes.
+    * The oracle replays gram extraction, the benchmark gram set, the
+    * position-cover rule, and the ordered reassembly from first
+    * principles.
+    */
+  val spanDecontaminate: Q = Q(
+    "q_span_decontaminate",
+    """WITH bdocs AS (SELECT string_split(text, ' ') AS arr
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |bgrams AS (SELECT DISTINCT array_to_string(arr[i : i + 7], ' ') AS g
+      |  FROM bdocs, unnest(range(1, greatest(len(arr) - 6, 1))) AS t(i)),
+      |docs AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents WHERE doc_id % 20 <> 0),
+      |words AS (
+      |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w FROM docs),
+      |nw AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, array_to_string(arr[i : i + 7], ' ') AS g
+      |  FROM docs, unnest(range(1, greatest(len(arr) - 6, 1))) AS t(i)),
+      |hits AS (SELECT DISTINCT doc_id, pos FROM grams JOIN bgrams USING (g)),
+      |rm AS (SELECT DISTINCT doc_id, pos + o AS rmpos
+      |  FROM hits, unnest(range(0, 8)) AS t(o)),
+      |kept AS (
+      |  SELECT w.doc_id, w.pos, w.w FROM words w
+      |  LEFT JOIN rm ON w.doc_id = rm.doc_id AND w.pos = rm.rmpos
+      |  WHERE rm.doc_id IS NULL),
+      |agg AS (
+      |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_clean,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  nw.nw - coalesce(a.n_kept, 0) AS n_removed
+      |FROM documents d JOIN nw ON d.doc_id = nw.doc_id
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |WHERE d.doc_id % 20 <> 0
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.spanScrub(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", 8)
       .orderBy(col("doc_id"))
   }
 

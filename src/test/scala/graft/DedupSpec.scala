@@ -165,6 +165,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("spanScrub removes exactly the benchmark spans, keeps the rest") {
+    val bench = Seq((100L, "q w e r t y u i")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 8-gram mid-document → those 8 words go
+      (1L, "a b q w e r t y u i c d"),
+      // clean document → untouched
+      (2L, "alpha beta gamma delta"),
+      // IS the benchmark text → fully deleted
+      (3L, "q w e r t y u i"),
+      // shares a 7-word prefix only (no full 8-gram) → untouched
+      (4L, "q w e r t y u X")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .spanScrub(corpus, bench, "doc_id", "text", 8)
+      .select("doc_id", "text_clean", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b c d", 4L, 8L)))
+    assert(got(2L) == (("alpha beta gamma delta", 4L, 0L)))
+    assert(got(3L) == (("", 0L, 8L)))
+    assert(got(4L) == (("q w e r t y u X", 8L, 0L)))
+    graft.CacheScope.release()
+  }
+
   test("hammingPairs: 3-of-6 combination banding is LOSSLESS vs brute force") {
     // Manku pigeonhole: Hamming ≤ 3 touches ≤ 3 of the 6 blocks, so
     // some 3-combination survives intact — banded candidates must
