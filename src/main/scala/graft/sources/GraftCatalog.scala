@@ -357,8 +357,12 @@ final class GraftCatalog
     defaults.foreach { u =>
       require(u.fieldNames.length == 1,
         "graft ALTER COLUMN DEFAULT is top-level only")
+      // newCurrentDefault replaces the deprecated newDefaultValue
+      // (Spark 4.1): the DefaultValue's SQL text is what the engine
+      // stores and re-parses; a DROP DEFAULT arrives as null
       TxTable.setColumnDefault(spark, root, u.fieldNames.head,
-        Option(u.newDefaultValue()).filter(_.nonEmpty))
+        Option(u.newCurrentDefault())
+          .flatMap(v => Option(v.getSql)).filter(_.nonEmpty))
     }
     loadTable(ident)
   }
