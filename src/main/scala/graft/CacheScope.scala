@@ -62,7 +62,8 @@ object CacheScope {
     * results.
     */
   private[graft] def localCheckpointTruncated(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
+    val sess = df.sparkSession
+    val conf = sess.conf
     val key = "spark.sql.constraintPropagation.enabled"
     // The flag is SESSION-global and graft folds can overlap on one
     // SparkSession (Dag runs tasks concurrently): a naive get/set/
@@ -73,20 +74,35 @@ object CacheScope {
     // leaving call restores it, and the flag being off while any
     // checkpoint is in flight only skips an optimization for queries
     // that compile inside that window — never changes results.
+    // The counter and saved value are keyed PER SparkSession (ADVICE
+    // r12): the conf is per-session state, so overlapping folds on two
+    // sessions (newSession() per thread) must not restore one
+    // session's ambient value into the other — a JVM-global pair did
+    // exactly that.
     cpLock.synchronized {
-      if (cpDepth == 0) { cpSaved = conf.get(key); conf.set(key, "false") }
-      cpDepth += 1
+      cpState.get(sess) match {
+        case Some((d, saved)) => cpState(sess) = (d + 1, saved)
+        case None =>
+          val ambient = conf.get(key)
+          conf.set(key, "false")
+          cpState(sess) = (1, ambient)
+      }
     }
     try df.localCheckpoint(true)
     finally cpLock.synchronized {
-      cpDepth -= 1
-      if (cpDepth == 0) conf.set(key, cpSaved)
+      val (d, saved) = cpState(sess)
+      if (d == 1) { conf.set(key, saved); cpState.remove(sess) }
+      else cpState(sess) = (d - 1, saved)
     }
   }
 
   private val cpLock = new Object
-  private var cpDepth = 0
-  private var cpSaved: String = "true"
+  // per-SparkSession (nesting depth, saved ambient value); entries are
+  // removed when the last nested call leaves, so the map never retains
+  // a session past its in-flight checkpoints
+  private val cpState =
+    scala.collection.mutable.Map.empty[
+      org.apache.spark.sql.SparkSession, (Int, String)]
 
   /** Currently tracked block count (diagnostics / tests). */
   def trackedCount: Int = synchronized(tracked.size)

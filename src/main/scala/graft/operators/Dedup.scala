@@ -305,10 +305,15 @@ object Dedup {
     val a = banded.select(col("id").as("d1"), col("band"), col("bandkey"))
     val b = banded.select(col("id").as("d2"), col("band").as("band2"),
       col("bandkey").as("bandkey2"))
-    val cands = a.join(b,
-        col("band") === col("band2") && col("bandkey") === col("bandkey2") &&
-          col("d1") < col("d2"))
-      .select("d1", "d2").dropDuplicates("d1", "d2")
+    // candidate count observed for the bench artifact (VERDICT r12
+    // item 5): the rows materialized by the banding join, the number
+    // the bucket census predicts
+    val cands = graft.tools.RunMetrics.observedCount("cand_minhash",
+        a.join(b,
+          col("band") === col("band2") && col("bandkey") === col("bandkey2") &&
+            col("d1") < col("d2"))
+        .select("d1", "d2"))
+      .dropDuplicates("d1", "d2")
     cands
       .join(sh.select(col(idCol).as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col(idCol).as("d2"), col("sh").as("sh2")), "d2")
@@ -422,9 +427,11 @@ object Dedup {
         col("bandkey").as("bandkey2"))
     val bi = incoming.banded
       .select(col("id").as("d_new"), col("band"), col("bandkey"))
-    val cands = bi.join(bb,
-        col("band") === col("band2") && col("bandkey") === col("bandkey2"))
-      .select("d_new", "d_base").dropDuplicates("d_new", "d_base")
+    val cands = graft.tools.RunMetrics.observedCount("cand_minhash_cross",
+        bi.join(bb,
+          col("band") === col("band2") && col("bandkey") === col("bandkey2"))
+        .select("d_new", "d_base"))
+      .dropDuplicates("d_new", "d_base")
     cands
       .join(incoming.sh.select(col(idCol).as("d_new"), col("sh").as("sh1")),
         "d_new")
@@ -519,10 +526,12 @@ object Dedup {
       col("blk"), col("blkval"))
     val b = blocks.select(col("id").as("d2"), col("simhash").as("s2"),
       col("blk").as("blk2"), col("blkval").as("blkval2"))
-    a.join(b,
-        col("blk") === col("blk2") && col("blkval") === col("blkval2") &&
-          col("d1") < col("d2"))
-      .select("d1", "d2", "s1", "s2").dropDuplicates("d1", "d2")
+    graft.tools.RunMetrics.observedCount("cand_hamming",
+        a.join(b,
+          col("blk") === col("blk2") && col("blkval") === col("blkval2") &&
+            col("d1") < col("d2"))
+        .select("d1", "d2", "s1", "s2"))
+      .dropDuplicates("d1", "d2")
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
@@ -607,11 +616,19 @@ object Dedup {
     * arr, nw — persisted: words, grams, and the rebuild all scan it),
     * positional `words` (doc_id, pos, w; pos 1-based) and word-n-gram
     * starts `grams` (doc_id, pos, g).
+    *
+    * NULL-text documents are EXCLUDED here (so from both operators'
+    * outputs): a null text has no words, no spans, and nothing to
+    * scrub — emitting it would carry null `nw`/`n_removed` through the
+    * rebuild join (ADVICE r12: the oracles' inner join on the word
+    * counts drops such docs; the two sides must agree, and exclusion
+    * is the semantics both can state plainly).
     */
   private def wordGrams(
       df: DataFrame, idCol: String, textCol: String,
       n: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("arr"))
       // 1-row-group parquet scans as ONE partition; spread the string
       // work across cores (same rationale as shingles())

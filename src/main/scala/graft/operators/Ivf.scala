@@ -130,9 +130,12 @@ object Ivf {
       probeBuckets(col(vecCol), centroids, nprobe).as("qbuckets")).persistTracked()
     val q = qB.select(col("query_id"), col("qvec"), col("qn"),
       explode(col("qbuckets")).as("qbucket"))
-    val scored = c.join(q,
-        col("bucket") === col("qbucket") &&
-          col("query_id") =!= col("neighbor_id"))
+    // candidate count observed for the bench artifact (VERDICT r12
+    // item 5): rows materialized by the probe-bucket join
+    val scored = graft.tools.RunMetrics.observedCount("cand_ivf",
+        c.join(q,
+          col("bucket") === col("qbucket") &&
+            col("query_id") =!= col("neighbor_id")))
       .withColumn("cosine",
         Vec.dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("query_id"))

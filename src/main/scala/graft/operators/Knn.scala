@@ -189,10 +189,11 @@ object Knn {
           dots => bucketFromDots(dots, bitsPerTable)).as("bks")).persistTracked()
     val c = cB.select(col("neighbor_id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "ctbl", "col" -> "cbucket"))
-    val cands = c.join(q,
-        col("tbl") === col("ctbl") && col("bucket") === col("cbucket") &&
-          col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
+    val cands = graft.tools.RunMetrics.observedCount("cand_ann_probe",
+        c.join(q,
+          col("tbl") === col("ctbl") && col("bucket") === col("cbucket") &&
+            col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
@@ -236,10 +237,15 @@ object Knn {
     val a = e.select(col("id").as("d1"), col("tbl"), col("bucket"))
     val b = e.select(col("id").as("d2"), col("tbl").as("tbl2"),
       col("bucket").as("bucket2"))
-    val cands = a.join(b,
-        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          col("d1") < col("d2"))
-      .select("d1", "d2").dropDuplicates("d1", "d2")
+    // candidate count observed for the bench artifact (VERDICT r12
+    // item 5): the rows MATERIALIZED by the banding join — the number
+    // the bucket census predicts (Σ C(n_b,2) over buckets)
+    val cands = graft.tools.RunMetrics.observedCount("cand_srp",
+        a.join(b,
+          col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+            col("d1") < col("d2"))
+        .select("d1", "d2"))
+      .dropDuplicates("d1", "d2")
     cands
       .join(df.select(col(idCol).as("d1"), col(vecCol).as("v1")), "d1")
       .join(df.select(col(idCol).as("d2"), col(vecCol).as("v2")), "d2")
@@ -300,9 +306,11 @@ object Knn {
     val bb = srpBuckets(base, idCol, vecCol, tables, bitsPerTable)
       .withColumnsRenamed(
         Map("id" -> "d_base", "tbl" -> "tbl2", "bucket" -> "bucket2"))
-    val cands = bi.join(bb,
-        col("tbl") === col("tbl2") && col("bucket") === col("bucket2"))
-      .select("d_new", "d_base").dropDuplicates("d_new", "d_base")
+    val cands = graft.tools.RunMetrics.observedCount("cand_srp_cross",
+        bi.join(bb,
+          col("tbl") === col("tbl2") && col("bucket") === col("bucket2"))
+        .select("d_new", "d_base"))
+      .dropDuplicates("d_new", "d_base")
     cands
       .join(incoming.select(col(idCol).as("d_new"), col(vecCol).as("v1")),
         "d_new")

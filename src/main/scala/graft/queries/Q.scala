@@ -7,16 +7,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet. Column names MUST agree between `run`'s output and the
   * oracle's SELECT list — the correctness gate sorts columns by name
   * before hashing.
+  *
+  * The oracle is held as a THUNK and rendered when [[oracle]] is read
+  * (Verify dumps oracle_sql.json AFTER running every query), so an
+  * oracle that replays a query-written fixture (q_knn_ivf's centroid
+  * parquet) can embed the path of the dataset dir the query actually
+  * ran against instead of one global path two interleaved dirs would
+  * clobber (ADVICE r12). Oracle expressions must stay pure apart from
+  * such run-recorded paths.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracleFn: Option[() => String]) {
+  def oracle: Option[String] = oracleFn.map(_())
+}
 
 object Q {
-  def apply(name: String, oracle: String)(
+  def apply(name: String, oracle: => String)(
       run: (SparkSession, String) => DataFrame): Q =
-    Q(name, run, Some(oracle))
+    Q(name, run, Some(() => oracle))
 
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)

@@ -263,7 +263,8 @@ object TextQueries {
     */
   val spanDedup: Q = Q(
     "q_span_dedup",
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents WHERE text IS NOT NULL),
       |words AS (
       |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w FROM docs),
       |nw AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
@@ -308,11 +309,11 @@ object TextQueries {
   val spanDecontaminate: Q = Q(
     "q_span_decontaminate",
     """WITH bdocs AS (SELECT string_split(text, ' ') AS arr
-      |  FROM documents WHERE doc_id % 20 = 0),
+      |  FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL),
       |bgrams AS (SELECT DISTINCT array_to_string(arr[i : i + 7], ' ') AS g
       |  FROM bdocs, unnest(range(1, greatest(len(arr) - 6, 1))) AS t(i)),
       |docs AS (SELECT doc_id, string_split(text, ' ') AS arr
-      |  FROM documents WHERE doc_id % 20 <> 0),
+      |  FROM documents WHERE doc_id % 20 <> 0 AND text IS NOT NULL),
       |words AS (
       |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w FROM docs),
       |nw AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),

@@ -16,13 +16,19 @@ object VectorQueries {
 
   /** The trained IVF centroid fixture's location — ABSOLUTE so the
     * DuckDB oracle (whose working directory is the driver's, not
-    * sbt's) reads the exact doubles the Spark query indexed with. The
-    * query run (re)writes it before returning its lazy result, and the
-    * driver's verify→oracle compare runs as one step, so the fixture
-    * the oracle replays is the one the compared output used.
+    * sbt's) reads the exact doubles the Spark query indexed with, and
+    * TAGGED with the dataset dir (ADVICE r12: one global path could be
+    * overwritten by an interleaved run against another dir between the
+    * query run and the oracle replay). The oracle SQL is a thunk
+    * rendered AFTER the queries ran (see [[graft.queries.Q]]), so it
+    * embeds the tag of the dir q_knn_ivf actually ran against —
+    * recorded in [[ivfCentroidTag]] by the query run; the default is
+    * the driver's verify dir.
     */
-  private val IvfCentroidDir =
-    new java.io.File("target/tmp/ivf_centroids").getAbsolutePath
+  @volatile private var ivfCentroidTag = "_root_testdata_sf0_01"
+
+  private def ivfCentroidDir(tag: String): String =
+    new java.io.File(s"target/tmp/ivf_centroids_$tag").getAbsolutePath
 
   /** IVF (centroid-bucketed) ANN top-5 — the second scale path. A FULL
     * oracle gate since VERDICT r11 item 2: training is deterministic
@@ -37,7 +43,7 @@ object VectorQueries {
   val knnIvf: Q = Q(
     "q_knn_ivf",
     s"""WITH cent AS (
-       |  SELECT cid, c FROM read_parquet('$IvfCentroidDir/*.parquet')
+       |  SELECT cid, c FROM read_parquet('${ivfCentroidDir(ivfCentroidTag)}/*.parquet')
        |), dist AS (
        |  SELECT e.vec_id AS id, ct.cid,
        |    list_reduce(list_transform(range(1, len(e.embedding)+1),
@@ -71,10 +77,12 @@ object VectorQueries {
     val emb = Tables.embeddings(s, dir)
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 16)
     import s.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "c")
-      .coalesce(1).write.mode("overwrite").parquet(IvfCentroidDir)
+      .coalesce(1).write.mode("overwrite").parquet(ivfCentroidDir(tag))
+    ivfCentroidTag = tag
     Ivf.annTopKWith(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, centroids, nprobe = 4)

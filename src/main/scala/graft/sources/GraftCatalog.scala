@@ -359,10 +359,21 @@ final class GraftCatalog
         "graft ALTER COLUMN DEFAULT is top-level only")
       // newCurrentDefault replaces the deprecated newDefaultValue
       // (Spark 4.1): the DefaultValue's SQL text is what the engine
-      // stores and re-parses; a DROP DEFAULT arrives as null
-      TxTable.setColumnDefault(spark, root, u.fieldNames.head,
-        Option(u.newCurrentDefault())
-          .flatMap(v => Option(v.getSql)).filter(_.nonEmpty))
+      // stores and re-parses; a DROP DEFAULT arrives as null. A
+      // DefaultValue WITHOUT SQL text (legal for expression-only
+      // defaults from non-SQL V2 clients) must fail loudly — silently
+      // treating it as DROP DEFAULT would discard the user's intent
+      // (ADVICE r12).
+      val sqlText = Option(u.newCurrentDefault()).map { v =>
+        val s = Option(v.getSql).map(_.trim).getOrElse("")
+        require(s.nonEmpty,
+          s"ALTER COLUMN ${u.fieldNames.head} SET DEFAULT: the " +
+            "DefaultValue carries no SQL text (expression-only V2 " +
+            "default) — graft stores defaults as re-parsable SQL; " +
+            "provide the SQL form")
+        s
+      }
+      TxTable.setColumnDefault(spark, root, u.fieldNames.head, sqlText)
     }
     loadTable(ident)
   }

@@ -189,6 +189,32 @@ class DedupSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("span operators EXCLUDE null-text documents (oracle agreement)") {
+    // ADVICE r12: a null text has no words and nothing to scrub; the
+    // oracles' inner join on word counts drops such docs, so the Spark
+    // side must exclude them too — not emit a null-nw row
+    val bench = Seq((100L, Some("q w e r t y u i"))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, Some("a b q w e r t y u i c d")),
+      (2L, None: Option[String]),
+      (3L, Some("alpha beta gamma delta"))
+    ).toDF("doc_id", "text")
+    val scrubIds = graft.operators.Dedup
+      .spanScrub(corpus, bench, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scrubIds == Set(1L, 3L), s"null-text doc must be excluded: $scrubIds")
+    val dedupIds = Dedup.spanDedup(corpus, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dedupIds == Set(1L, 3L), s"null-text doc must be excluded: $dedupIds")
+    // a null-text BENCHMARK side is likewise inert, not an error
+    val nullBench = Seq((100L, None: Option[String])).toDF("doc_id", "text")
+    val untouched = graft.operators.Dedup
+      .spanScrub(corpus, nullBench, "doc_id", "text", 8)
+      .filter(col("n_removed") > 0).count()
+    assert(untouched == 0L)
+    graft.CacheScope.release()
+  }
+
   test("hammingPairs: 3-of-6 combination banding is LOSSLESS vs brute force") {
     // Manku pigeonhole: Hamming ≤ 3 touches ≤ 3 of the 6 blocks, so
     // some 3-combination survives intact — banded candidates must

@@ -1075,6 +1075,38 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("localCheckpointTruncated: per-SESSION state across two sessions") {
+    // ADVICE r12: the flag is per-SparkSession while a JVM-global
+    // nesting pair would restore one session's saved value into the
+    // other. Two sessions with DIFFERENT ambient values checkpoint
+    // concurrently; each must get ITS OWN ambient back.
+    val key = "spark.sql.constraintPropagation.enabled"
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    s1.conf.set(key, "true")
+    s2.conf.set(key, "false")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = (0 until 16).map { i =>
+        val s = if (i % 2 == 0) s1 else s2
+        Future {
+          graft.CacheScope
+            .localCheckpointTruncated(s.range(50 + i).toDF("id"))
+            .count()
+        }
+      }
+      Await.result(Future.sequence(fs), 180.seconds)
+      assert(s1.conf.get(key) == "true",
+        "session 1 must get its own ambient value back")
+      assert(s2.conf.get(key) == "false",
+        "session 2 must get its own ambient value back")
+    } finally pool.shutdown()
+  }
+
   test("scd2Stream: a regressed snapshot date fails loudly, not silently") {
     val dim = Seq((1L, "n1", "A", true,
         java.sql.Date.valueOf("2020-01-01"), null: java.sql.Date))
