@@ -69,14 +69,35 @@ object Bench {
     val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => subset.forall(_(n)))
+    // diagnostic extras harvested per (query, pass): banding-join
+    // candidate counts (RunMetrics.observedCount in the operators) and
+    // per-micro-batch streaming fold timings — merged across passes by
+    // MIN (counts are pass-invariant; timings follow the protocol's
+    // steal-resistant min). VERDICT r12 items 4+5: a family/parameter
+    // change that inflates candidates now shows in every round's bench
+    // artifact, and q_stream_cc's per-cycle fold cost is separated
+    // from the 3-batch drain constant.
+    graft.tools.RunMetrics.install(spark)
+    val extras = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Map[String, Double]]
     def onePass(): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
+        graft.tools.RunMetrics.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable =>
                    failCounts(name) = failCounts.getOrElse(name, 0) + 1; false }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) {
+          val got = graft.tools.RunMetrics.harvested(spark)
+          if (got.nonEmpty) {
+            val m = extras.getOrElseUpdate(name,
+              scala.collection.mutable.Map.empty[String, Double])
+            got.foreach { case (k, v) =>
+              m(k) = m.get(k).fold(v)(math.min(_, v)) }
+          }
+        }
         // operators persist() blocking intermediates; release them so a
         // 65-query pass doesn't accumulate cached blocks across queries
         CacheScope.release()
@@ -115,10 +136,13 @@ object Bench {
     // harness's tail window (BENCH_r1..r3 all show "parsed": null from
     // a line truncated mid-number), so the machine-readable contract
     // is: short final line on stdout, full detail in target/bench.json.
+    val extrasJson = extras.map { case (q, m) =>
+      "\"" + q + "\":" + qjson(m.toSeq.sortBy(_._1))
+    }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,""" +
       s""""queries":${qjson(best)},"queries_med":${qjson(med)},""" +
       s""""queries_max":${qjson(worst)},"raw_passes":$passJson,"errors":$errJson,""" +
-      s""""flaky":$flakyJson,"sf":"$sfDir"}"""
+      s""""flaky":$flakyJson,"extras":$extrasJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")
     catch { case _: Throwable => () }

@@ -608,8 +608,24 @@ object Streams {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
   }
 
-  /** One micro-batch's fold (see [[clusterStream]]). */
+  /** One micro-batch's fold (see [[clusterStream]]). Wall-clock is
+    * recorded per batch in [[graft.tools.RunMetrics]]
+    * (`stream_cc_fold_b<id>`) so the bench artifact prices the
+    * PER-CYCLE fold separately from the drain's start/stop constant
+    * (VERDICT r12 item 4).
+    */
   private def clusterFold(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, stateDir: String,
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int): Unit = {
+    val t0 = System.nanoTime()
+    clusterFoldInner(spark, batch, batchId, idCol, textCol, stateDir,
+      n, tau, bands, rowsPerBand)
+    graft.tools.RunMetrics.put(
+      s"stream_cc_fold_b$batchId", (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def clusterFoldInner(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, stateDir: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int): Unit = {

@@ -41,6 +41,11 @@ object RunMetrics {
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Double]
+  // full observation names (suffix included) — lets a test pin THE
+  // observation its own plan carries even when concurrently-running
+  // suites emit the same family key
+  private val regRaw =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
 
   /** Count the rows flowing through `df` under `key` (summed with any
     * other observation of the same key harvested in this window).
@@ -63,15 +68,20 @@ object RunMetrics {
     }
   }
 
-  def reset(): Unit = reg.clear()
+  def reset(): Unit = { reg.clear(); regRaw.clear() }
 
   def snapshot: Map[String, Double] = reg.readOnlySnapshot().toMap
+
+  /** Snapshot keyed by FULL observation name (unique suffix included);
+    * see [[regRaw]]. Test-facing.
+    */
+  private[graft] def rawSnapshot: Map[String, Double] =
+    regRaw.readOnlySnapshot().toMap
 
   // ---- listener install (idempotent per session) ----
 
   private val installed =
-    java.util.Collections.synchronizedSet(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]().keySet())
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   /** Register the harvesting [[QueryExecutionListener]] on `spark`
     * (once per session). Harvest is on the ASYNC listener bus — flush
@@ -79,15 +89,17 @@ object RunMetrics {
     */
   def install(spark: SparkSession): Unit = {
     val fresh = installed.synchronized {
-      if (installed.contains(spark)) false else { installed.add(spark); true }
+      if (installed.containsKey(spark)) false
+      else { installed.put(spark, java.lang.Boolean.TRUE); true }
     }
     if (fresh) spark.listenerManager.register(new QueryExecutionListener {
       private def harvest(
           qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith(ObsPrefix)) {
-            val key = name.stripPrefix(ObsPrefix).split("__").head
-            if (!row.isNullAt(0)) add(key, row.getLong(0).toDouble)
+          if (name.startsWith(ObsPrefix) && !row.isNullAt(0)) {
+            val full = name.stripPrefix(ObsPrefix)
+            add(full.split("__").head, row.getLong(0).toDouble)
+            regRaw.put(full, row.getLong(0).toDouble)
           }
         }
       override def onSuccess(

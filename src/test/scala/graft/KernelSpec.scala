@@ -154,4 +154,61 @@ class KernelSpec extends SparkSpec {
         "skew past 4x the uniform expectation")
     graft.CacheScope.release()
   }
+
+  // ------------------------------------------------------------------
+  // Candidate-count OBSERVATION gates (VERDICT r12 item 5): the census
+  // above predicts the banding join's output from bucket occupancy;
+  // the operators now observe() the count the join ACTUALLY
+  // materializes (RunMetrics.observedCount), and Bench records it per
+  // family query in the artifact. These gates pin the two derivations
+  // to each other: harvested count == Σ C(n_b,2) over buckets, exactly.
+  // ------------------------------------------------------------------
+
+  /** The full observation names carried by `df`'s plan — lets the
+    * assertion target ITS OWN query even when concurrently-running
+    * suites emit the same family key.
+    */
+  private def obsNames(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+          if c.name.startsWith("graft_m_") =>
+        c.name.stripPrefix("graft_m_")
+    }
+
+  test("observed MinHash banding candidates equal the census prediction") {
+    import graft.tools.{Census, RunMetrics}
+    import graft.operators.Dedup
+    RunMetrics.install(spark)
+    val docs = Tables.documents(spark, censusSf)
+    val side = Dedup.lshSide(docs, "doc_id", "text", 3, 8, 4)
+    val predicted = Census.of(side.banded, Seq("band", "bandkey"))
+      .candidatePairs
+    val pairs = Dedup.minhashLshPairs(side, tau = 0.8)
+    val names = obsNames(pairs).filter(_.startsWith("cand_minhash__"))
+    assert(names.size == 1, s"expected one cand_minhash observation: $names")
+    pairs.count()
+    val got = { RunMetrics.harvested(spark); RunMetrics.rawSnapshot }
+    assert(got.get(names.head).map(_.toLong).contains(predicted),
+      s"harvested ${got.get(names.head)} != census-predicted $predicted")
+    graft.CacheScope.release()
+  }
+
+  test("observed SimHash combination-banding candidates equal the census prediction") {
+    import graft.tools.{Census, RunMetrics}
+    import graft.operators.Dedup
+    RunMetrics.install(spark)
+    val sigs = Dedup.simhash(
+      Tables.documents(spark, censusSf), "doc_id", "text")
+    val predicted = Census.of(
+      Dedup.hammingBlocks(sigs, "doc_id", "simhash"),
+      Seq("blk", "blkval")).candidatePairs
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", 3)
+    val names = obsNames(pairs).filter(_.startsWith("cand_hamming__"))
+    assert(names.size == 1, s"expected one cand_hamming observation: $names")
+    pairs.count()
+    val got = { RunMetrics.harvested(spark); RunMetrics.rawSnapshot }
+    assert(got.get(names.head).map(_.toLong).contains(predicted),
+      s"harvested ${got.get(names.head)} != census-predicted $predicted")
+    graft.CacheScope.release()
+  }
 }
