@@ -551,28 +551,48 @@ object Streams {
     *     once and never rewritten (per-cycle state write ∝ batch: the
     *     reusable-corpus-side contract of [[graft.operators.Dedup
     *     .lshSide]] made durable; the standing side is the union of
-    *     committed batch sides, rehydrated via `lshSideFromStored`);
+    *     the consolidated base plus the batch sides committed since,
+    *     rehydrated via `lshSideFromStored`);
+    *   - `base/sh/v<id>`, `base/banded/v<id>` — the CONSOLIDATED side
+    *     covering every batch ≤ <id>, rewritten by compaction every
+    *     `compactEvery` committed batches (VERDICT r12 item 1: without
+    *     it a fold re-opened ALL previous batches' directories —
+    *     per-fold listing/open cost O(batches), cumulative O(batches²);
+    *     a day of one-minute micro-batches is a 1,440-directory
+    *     listing storm. With it a fold reads ≤ 1 base + compactEvery
+    *     batch directories);
+    *   - `compacts/<id>` — compaction marker, written AFTER the
+    *     consolidated base (marker-last, like the fold commit);
+    *     superseded markers, batch sides covered by the base, older
+    *     base versions, pruned labels, and commit markers below the
+    *     compaction point are deleted AFTER the marker — a crash
+    *     mid-cleanup leaves stale directories the read path ignores
+    *     and the next compaction sweeps;
     *   - `labels/v<id>` — the folded whole-corpus labeling after
     *     batch <id> (∝ corpus, the fold's own output size; a
     *     production deployment would MERGE the delta-sized remap into
-    *     a transactional table instead of rewriting);
+    *     a transactional table instead of rewriting); compaction
+    *     prunes all but the latest;
     *   - `commits/<id>` — written LAST, making the fold IDEMPOTENT
     *     under foreachBatch's at-least-once replay: a crash between
     *     the state writes and Spark's checkpoint commit replays the
     *     batch, which overwrites the same per-batch paths and
-    *     re-commits — never a double fold.
+    *     re-commits — never a double fold. Markers below the latest
+    *     compaction point are pruned (micro-batch ids are contiguous,
+    *     so the compaction point witnesses every earlier commit);
+    *     replay can only touch the tail batch, never a pruned id.
     *
     * Restartable: resuming with the same `checkpoint` + `stateDir`
     * continues from the last committed batch (StreamSpec injects a
-    * crash via `afterBatch` and proves the restarted drain equals the
-    * uninterrupted one). Result invariance: LSH pair membership is
-    * pairwise, so the union over batches of (batch×earlier ∪
-    * batch×batch) pair sets is exactly the whole-corpus pair set and
-    * the folded labels equal a from-scratch
-    * [[graft.operators.Components.connected]] — q_stream_cc's oracle
-    * recomputes them in DuckDB by recursive reachability over the
-    * full corpus. Document ids must be unique across the feed (an
-    * append-only corpus).
+    * crash via `afterBatch` — including across a compaction boundary —
+    * and proves the restarted drain equals the uninterrupted one).
+    * Result invariance: LSH pair membership is pairwise, so the union
+    * over batches of (batch×earlier ∪ batch×batch) pair sets is
+    * exactly the whole-corpus pair set and the folded labels equal a
+    * from-scratch [[graft.operators.Components.connected]] —
+    * q_stream_cc's oracle recomputes them in DuckDB by recursive
+    * reachability over the full corpus. Document ids must be unique
+    * across the feed (an append-only corpus).
     *
     * Returns the final labeling (`idCol`, `component`).
     */
@@ -580,13 +600,16 @@ object Streams {
       docs: DataFrame, idCol: String, textCol: String,
       stateDir: String, checkpoint: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int,
+      compactEvery: Int = 8,
       afterBatch: Long => Unit = _ => ()): DataFrame = {
+    require(compactEvery >= 1, "clusterStream: compactEvery must be >= 1")
     val spark = docs.sparkSession
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompact(spark, stateDir, compactEvery)
         clusterFold(spark, batch, batchId, idCol, textCol, stateDir,
           n, tau, bands, rowsPerBand)
         afterBatch(batchId)
@@ -600,12 +623,97 @@ object Streams {
     spark.read.parquet(s"$stateDir/labels/v${last.max}")
   }
 
+  private def listLongDir(
+      spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName.toLong)
+  }
+
   private def committedBatches(
-      spark: SparkSession, stateDir: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/commits")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
+      spark: SparkSession, stateDir: String): Seq[Long] =
+    listLongDir(spark, s"$stateDir/commits")
+
+  /** Latest compaction point: every batch ≤ it is consolidated into
+    * `base/{sh,banded}/v<it>`.
+    */
+  private def latestCompact(
+      spark: SparkSession, stateDir: String): Option[Long] = {
+    val ids = listLongDir(spark, s"$stateDir/compacts")
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** The standing corpus side's directories for a fold whose committed
+    * predecessors are `prevIds`: the consolidated base (if any) plus
+    * the batch sides committed since — ≤ 1 + compactEvery directories
+    * by the compaction schedule, regardless of drain length.
+    */
+  private def baseSidePaths(
+      stateDir: String, compact: Option[Long],
+      prevIds: Seq[Long], sub: String): Seq[String] =
+    compact.map(v => s"$stateDir/base/$sub/v$v").toSeq ++
+      prevIds.filter(i => compact.forall(i > _))
+        .map(i => s"$stateDir/$sub/b$i")
+
+  /** Consolidate per-batch LSH sides into one base every `k` committed
+    * batches. Idempotent and marker-last: the consolidated side is
+    * written to a deterministic version path, the `compacts/` marker
+    * follows, and ONLY then are covered batch directories, older base
+    * versions, superseded labels, and stale commit markers deleted —
+    * a crash anywhere re-runs to the same result, and readers ignore
+    * anything a crashed cleanup left behind.
+    */
+  private def maybeCompact(
+      spark: SparkSession, stateDir: String, k: Int): Unit = {
+    val done = committedBatches(spark, stateDir)
+    if (done.isEmpty) return
+    val c = latestCompact(spark, stateDir)
+    val pending = done.filter(i => c.forall(i > _))
+    if (pending.size < k) return
+    val t0 = System.nanoTime()
+    val b = pending.max
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def del(path: String): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq("sh", "banded").foreach { sub =>
+      spark.read
+        .parquet(baseSidePaths(stateDir, c, pending, sub): _*)
+        .write.mode("overwrite").parquet(s"$stateDir/base/$sub/v$b")
+    }
+    // marker LAST: the consolidated base exists iff its marker does
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/compacts/$b"), true).close()
+    // cleanup (post-marker, idempotent): covered batch sides — the
+    // listing also sweeps leftovers of a previously crashed cleanup
+    listDirIds(spark, s"$stateDir/sh").filter(_ <= b)
+      .foreach(i => del(s"$stateDir/sh/b$i"))
+    listDirIds(spark, s"$stateDir/banded").filter(_ <= b)
+      .foreach(i => del(s"$stateDir/banded/b$i"))
+    listDirIds(spark, s"$stateDir/base/sh").filter(_ < b)
+      .foreach(j => del(s"$stateDir/base/sh/v$j"))
+    listDirIds(spark, s"$stateDir/base/banded").filter(_ < b)
+      .foreach(j => del(s"$stateDir/base/banded/v$j"))
+    listLongDir(spark, s"$stateDir/compacts").filter(_ < b)
+      .foreach(j => del(s"$stateDir/compacts/$j"))
+    // superseded labelings and commit markers below the compaction
+    // point (ids are contiguous: the marker at b witnesses them)
+    listDirIds(spark, s"$stateDir/labels").filter(_ < done.max)
+      .foreach(i => del(s"$stateDir/labels/v$i"))
+    listLongDir(spark, s"$stateDir/commits").filter(_ < b)
+      .foreach(i => del(s"$stateDir/commits/$i"))
+    graft.tools.RunMetrics.put(
+      s"stream_cc_compact_v$b", (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Ids of `b<id>`/`v<id>`-named child directories. */
+  private def listDirIds(
+      spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName.drop(1).toLong)
   }
 
   /** One micro-batch's fold (see [[clusterStream]]). Wall-clock is
@@ -646,9 +754,17 @@ object Streams {
           Dedup.minhashLshPairs(side, tau), "d1", "d2")
       else {
         val prevLbl = spark.read.parquet(s"$stateDir/labels/v${prevIds.max}")
+        // standing side = consolidated base + batch sides since — the
+        // directory count is bounded by the compaction schedule, never
+        // by drain length (recorded so the spec can gate it)
+        val compact = latestCompact(spark, stateDir)
+        val shPaths = baseSidePaths(stateDir, compact, prevIds, "sh")
+        graft.tools.RunMetrics.put(
+          s"stream_cc_dirs_b$batchId", shPaths.size.toDouble)
         val baseSide = Dedup.lshSideFromStored(
-          spark.read.parquet(prevIds.map(i => s"$stateDir/sh/b$i"): _*),
-          spark.read.parquet(prevIds.map(i => s"$stateDir/banded/b$i"): _*),
+          spark.read.parquet(shPaths: _*),
+          spark.read.parquet(
+            baseSidePaths(stateDir, compact, prevIds, "banded"): _*),
           idCol, n, bands, rowsPerBand)
         val delta = Dedup.lshPairsAgainstBase(baseSide, side, tau)
           .select(col("d_new").as("d1"), col("d_base").as("d2"))
@@ -665,5 +781,11 @@ object Streams {
     fs.create(
       new org.apache.hadoop.fs.Path(s"$stateDir/commits/$batchId"),
       true).close()
+    // prune superseded labelings (post-marker: every future reader —
+    // the next fold, the drain's final read, a crash-replay — uses
+    // labels/v<latest committed> and that is now this batch's), so
+    // labels/ holds ONE labeling, not one per batch of the drain
+    listDirIds(spark, s"$stateDir/labels").filter(_ < batchId).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/labels/v$i"), true))
   }
 }

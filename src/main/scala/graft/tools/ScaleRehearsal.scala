@@ -798,7 +798,7 @@ object ScaleRehearsal {
     val subset: Option[Set[String]] =
       if (args.isEmpty) None else Some(args.toSet)
     subset.foreach { s =>
-      val unknown = s -- (Family ++ Family100).toSet
+      val unknown = s -- (Family ++ Family100).toSet - "x_stream_cc_drain20"
       require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
     }
     def picked(family: Seq[String]): Seq[String] =
@@ -892,6 +892,78 @@ object ScaleRehearsal {
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf10", b)},""" +
         f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
+    // 20-batch streaming-cluster drain (VERDICT r12 item 1): the claim
+    // is per-FOLD flatness in BATCH COUNT — compaction every 5 batches
+    // bounds the standing-side read at ≤ 1 base + 5 batch directories,
+    // so late folds must cost what early folds cost (the pre-compaction
+    // layout read O(batches) dirs and trended O(batches²) cumulative).
+    // One tier (sf0.1): the cross-TIER ratio is q_stream_cc's claim;
+    // this entry's axis is drain length, measured by the per-fold
+    // timings inside ONE drain. 2 passes, min per fold.
+    val drainSection =
+      if (!subset.forall(_("x_stream_cc_drain20"))) ""
+      else {
+        val srcDir = "target/tmp/x_stream_cc_drain20_src"
+        val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
+        val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(done)) {
+          val docs = graft.Tables.documents(spark, sf01)
+            .select(col("doc_id"), col("text"))
+          (0 until 20).foreach { r =>
+            docs.filter(pmod(col("doc_id"), lit(20L)) === r).coalesce(1)
+              .write.mode("overwrite").parquet(s"$srcDir/f=$r")
+          }
+          fs.create(done, true).close()
+        }
+        val schema = spark.read.option("recursiveFileLookup", "true")
+          .parquet(srcDir).schema
+        val folds = scala.collection.mutable.Map.empty[String, Double]
+        val compacts = scala.collection.mutable.Map.empty[String, Double]
+        var dirsMax = 0.0
+        var totalMin = Double.MaxValue
+        for (pass <- 1 to 2) {
+          graft.tools.RunMetrics.reset()
+          val run = System.nanoTime()
+          val src = spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          val t0 = System.nanoTime()
+          val n = graft.streaming.Streams.clusterStream(
+            src, "doc_id", "text",
+            s"target/tmp/x_drain20_state_$run",
+            s"target/tmp/x_drain20_ckpt_$run",
+            n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
+            compactEvery = 5).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          totalMin = math.min(totalMin, dt)
+          val got = graft.tools.RunMetrics.snapshot
+          got.foreach {
+            case (k, v) if k.startsWith("stream_cc_fold_") =>
+              folds(k) = folds.get(k).fold(v)(math.min(_, v))
+            case (k, v) if k.startsWith("stream_cc_compact_") =>
+              compacts(k) = compacts.get(k).fold(v)(math.min(_, v))
+            case (k, v) if k.startsWith("stream_cc_dirs_") =>
+              dirsMax = math.max(dirsMax, v)
+            case _ => ()
+          }
+          CacheScope.release(); spark.catalog.clearCache()
+          println(f"pass $pass sf0.1 x_stream_cc_drain20  ${dt}%8.2fs rows=$n")
+        }
+        val foldJson = folds.toSeq
+          .sortBy(_._1.stripPrefix("stream_cc_fold_b").toLong)
+          .map { case (k, v) =>
+            f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
+          .mkString("{", ",", "}")
+        val compactJson = compacts.toSeq
+          .sortBy(_._1.stripPrefix("stream_cc_compact_v").toLong)
+          .map { case (k, v) =>
+            f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
+          .mkString("{", ",", "}")
+        f""","stream_cc_drain20":{"sf0.1_sec":$totalMin%.3f,""" +
+          f""""dirs_opened_max":${dirsMax.round},"folds":$foldJson,""" +
+          f""""compactions":$compactJson}"""
+      }
+
     // bucket-occupancy census per hash family and tier (VERDICT r11
     // item 3): the same numbers KernelSpec gates at fixture scale,
     // recorded at the measured tiers so a future family change shows
@@ -929,7 +1001,7 @@ object ScaleRehearsal {
       if (subset.nonEmpty) ""
       else s""","census":{"sf0.1":{${censusJson(sf01)}},"sf1":{${censusJson(sf1)}}}"""
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain20 = 20-micro-batch clusterStream drain at sf0.1 with compactEvery=5: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$drainSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALE_r12.json"), json + "\n")
