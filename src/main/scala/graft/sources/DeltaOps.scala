@@ -346,9 +346,17 @@ private[sources] final class GraftDeltaReaderFactory(
     * r11 item 4 asked for: the former driver-side collect (capped at
     * 10M positions with a loud refusal) is gone — delete debt is now
     * bounded per FILE by executor memory, never by a driver map.
+    *
+    * Positions land in a [[PosBitmap]] (VERDICT r12 item 2): ~8 KiB
+    * per occupied 64k-position chunk at worst instead of 8 B per
+    * deleted position — a half-deleted 128M-row file costs ~16 MB of
+    * task memory, not ~512 MB. Duplicates (never written by the commit
+    * protocol, but formerly a silent next-row skip hazard) are
+    * absorbed by set semantics. Size/cardinality are recorded in
+    * [[graft.tools.RunMetrics]] for the rehearsal's memory evidence.
     */
-  private def loadDeleted(part: GraftDeltaPartition): Array[Long] = {
-    if (part.dvPaths.isEmpty) return Array.emptyLongArray
+  private def loadDeleted(part: GraftDeltaPartition): PosBitmap = {
+    if (part.dvPaths.isEmpty) return PosBitmap.empty
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.hadoop.ParquetReader
@@ -357,7 +365,7 @@ private[sources] final class GraftDeltaReaderFactory(
     val pred = FilterApi.eq(
       FilterApi.binaryColumn("file_key"),
       Binary.fromString(part.fileKey))
-    val out = mutable.ArrayBuilder.make[Long]
+    val b = new PosBitmap.Builder
     part.dvPaths.foreach { p =>
       val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(p))
@@ -367,22 +375,19 @@ private[sources] final class GraftDeltaReaderFactory(
       try {
         var g = reader.read()
         while (g != null) {
-          out += g.getLong("pos", 0)
+          b.add(g.getLong("pos", 0))
           g = reader.read()
         }
       } finally reader.close()
     }
-    // sorted ascending (the skip loop merges in position order);
-    // distinct is belt — the commit protocol never double-deletes a
-    // position, but a duplicate would silently skip the NEXT row
-    val arr = out.result()
-    java.util.Arrays.sort(arr)
-    var i = 0; var j = 0
-    while (j < arr.length) {
-      if (i == 0 || arr(j) != arr(i - 1)) { arr(i) = arr(j); i += 1 }
-      j += 1
+    val dv = b.result()
+    if (!dv.isEmpty) {
+      graft.tools.RunMetrics.maxOf("dv_file_positions_max",
+        dv.cardinality.toDouble)
+      graft.tools.RunMetrics.maxOf("dv_file_bitmap_bytes_max",
+        dv.sizeBytes.toDouble)
     }
-    if (i == arr.length) arr else java.util.Arrays.copyOf(arr, i)
+    dv
   }
 
   override def createReader(
@@ -420,16 +425,16 @@ private[sources] final class GraftDeltaReaderFactory(
       private val lineage = new GenericInternalRow(2)
       private val keyUtf8 = UTF8String.fromString(part.fileKey)
       private var pos = -1L
-      private var dvIdx = 0
+      // monotone bitmap cursor: pos increments by one per row, the
+      // cursor's ascending-probe contract
+      private val dvCur = deleted.cursor
       private var current: InternalRow = _
 
       override def next(): Boolean = {
         while (iter.hasNext) {
           val r = iter.next()
           pos += 1
-          while (dvIdx < deleted.length && deleted(dvIdx) < pos)
-            dvIdx += 1
-          if (!(dvIdx < deleted.length && deleted(dvIdx) == pos)) {
+          if (!dvCur.contains(pos)) {
             lineage.update(0, keyUtf8)
             lineage.setLong(1, pos)
             current = proj(joined(r, lineage))

@@ -58,12 +58,17 @@ object RunMetrics {
   def put(key: String, v: Double): Unit = reg.put(key, v)
 
   /** Accumulate into a driver-side scalar. */
-  def add(key: String, v: Double): Unit = {
+  def add(key: String, v: Double): Unit = merge(key, v, _ + _)
+
+  /** Keep the maximum seen (per-task recordings racing is fine). */
+  def maxOf(key: String, v: Double): Unit = merge(key, v, math.max)
+
+  private def merge(key: String, v: Double, f: (Double, Double) => Double): Unit = {
     var done = false
     while (!done) {
       reg.putIfAbsent(key, v) match {
         case None => done = true
-        case Some(old) => done = reg.replace(key, old, old + v)
+        case Some(old) => done = reg.replace(key, old, f(old, v))
       }
     }
   }

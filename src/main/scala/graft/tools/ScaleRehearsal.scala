@@ -892,6 +892,23 @@ object ScaleRehearsal {
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf10", b)},""" +
         f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
     }
+    // per-file DV memory evidence (VERDICT r12 item 2): the delta
+    // reader records, for the heaviest file it decoded, the position
+    // count and the PosBitmap's retained bytes — x_mor_dv_heavy's ~80%
+    // delete at the sf1 tier is exactly the shape that cost 8 B per
+    // position as a raw Array[Long]. Snapshot BEFORE the drain section
+    // resets the registry.
+    val dvStats = graft.tools.RunMetrics.snapshot
+      .filter(_._1.startsWith("dv_file_"))
+    val dvSection =
+      if (dvStats.isEmpty) ""
+      else {
+        val pos = dvStats.getOrElse("dv_file_positions_max", 0.0).round
+        val bytes = dvStats.getOrElse("dv_file_bitmap_bytes_max", 0.0).round
+        s""","dv_bitmap":{"file_positions_max":$pos,""" +
+          s""""file_bitmap_bytes_max":$bytes,"raw_longs_bytes":${pos * 8}}"""
+      }
+
     // 20-batch streaming-cluster drain (VERDICT r12 item 1): the claim
     // is per-FOLD flatness in BATCH COUNT — compaction every 5 batches
     // bounds the standing-side read at ≤ 1 base + 5 batch directories,
@@ -1001,7 +1018,7 @@ object ScaleRehearsal {
       if (subset.nonEmpty) ""
       else s""","census":{"sf0.1":{${censusJson(sf01)}},"sf1":{${censusJson(sf1)}}}"""
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain20 = 20-micro-batch clusterStream drain at sf0.1 with compactEvery=5: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$drainSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain20 = 20-micro-batch clusterStream drain at sf0.1 with compactEvery=5: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALE_r12.json"), json + "\n")
