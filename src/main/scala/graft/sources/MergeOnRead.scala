@@ -293,7 +293,13 @@ object MergeOnRead {
     // deletes, paid once at write so every future scan plans scoped.
     import org.apache.spark.sql.functions.{col, collect_set, input_file_name}
     val cap = DeltaDml.DvKeyCap
-    val keysByFile: Map[String, Seq[String]] = spark.read
+    // (exact keys, bloom) per file: key lists up to the cap, a DvBloom
+    // past it (VERDICT r12 item 3 — a wide DML used to record
+    // "unknown" and ship its DV to every partition). The collect is
+    // bounded either way: distinct keys per DV file cannot exceed this
+    // statement's touched files, and the bloom is built driver-side
+    // from the exact set.
+    val keysByFile: Map[String, (Seq[String], Option[String])] = spark.read
       .schema(DvSchema).parquet(dir)
       .select(input_file_name().as("__f"), col("file_key"))
       .distinct()
@@ -303,7 +309,8 @@ object MergeOnRead {
       .map { r =>
         val name = r.getString(0).split("/").last
         val ks = r.getSeq[String](1)
-        name -> (if (ks.size > cap) Nil else ks.sorted)
+        name -> (if (ks.size > cap) (Nil, Some(DvBloom.encode(DvBloom.ofKeys(ks))))
+                 else (ks.sorted, None))
       }.toMap
     val f = new Path(root).getFileSystem(conf)
     val it = f.listFiles(new Path(dir), true)
@@ -313,9 +320,10 @@ object MergeOnRead {
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rows = Try(
           FileStats.forFile(conf, st.getPath).rows).getOrElse(-1L)
+        val (ks, bloom) =
+          keysByFile.getOrElse(st.getPath.getName, (Nil, None))
         out += TxTable.DvEntry(s"$rel/${st.getPath.getName}",
-          st.getLen, rows,
-          keysByFile.getOrElse(st.getPath.getName, Nil))
+          st.getLen, rows, ks, bloom)
       }
     }
     (dir, out.toSeq.filter(_.rows != 0L))

@@ -72,15 +72,20 @@ object TxTable {
   /** One position-delete parquet file of a snapshot. `keys` lists the
     * data-file keys its rows cover when the writer could track them
     * cheaply (bounded at [[DeltaDml.DvKeyCap]] — the trickle-DML case,
-    * where one statement touches few files); empty = unknown, the
-    * conservative "may cover any file". The delta scan uses it to
+    * where one statement touches few files); past the cap the writer
+    * records `bloom` instead (encoded [[DvBloom]] over the covered
+    * keys — VERDICT r12 item 3: a wide MERGE used to record "unknown"
+    * and ship its DV to every partition). Both empty = unknown, the
+    * conservative "may cover any file". The delta scan uses them to
     * scope each partition's executor-side DV load to the delete files
-    * that can actually touch it, so a long trickle history doesn't
-    * cost every partition a footer probe per delete file.
+    * that can actually touch it — exact for key lists,
+    * false-positive-only for blooms (extra footer probes, never a
+    * missed delete) — so a long DML history doesn't cost every
+    * partition a probe per delete file.
     */
   final case class DvEntry(
       relPath: String, size: Long = -1L, rows: Long = -1L,
-      keys: Seq[String] = Nil)
+      keys: Seq[String] = Nil, bloom: Option[String] = None)
 
   /** `txns` is the cumulative streaming-transaction watermark map
     * (txnId → highest applied batchId), carried forward by every
@@ -362,10 +367,17 @@ object TxTable {
     // `#dv=<urlenc relPath>:<size>:<rows>[:<urlenc key1,urlenc key2…>]`
     // — the merge-on-read position-delete files of this snapshot
     // (absent pre-DV: empty; the optional 4th field is the covered
-    // file-key list, absent on pre-key manifests → unknown/all)
+    // file-key list, absent on pre-key manifests → unknown/all). A 4th
+    // field starting with `~` is instead a base64 [[DvBloom]] over the
+    // covered keys (wide DMLs past DvKeyCap — base64 never starts
+    // with `~`, and url-encoded keys never contain it).
     val dvs = meta.collect {
       case l if l.startsWith("#dv=") =>
         l.stripPrefix("#dv=").split(":", 4) match {
+          case Array(rel, size, rows, keys) if keys.startsWith("~") =>
+            DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
+              Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L),
+              Nil, Some(keys.drop(1)))
           case Array(rel, size, rows, keys) =>
             DvEntry(java.net.URLDecoder.decode(rel, "UTF-8"),
               Try(size.toLong).getOrElse(-1L), Try(rows.toLong).getOrElse(-1L),
@@ -660,9 +672,10 @@ object TxTable {
         }.mkString +
         dvs.map { d =>
           val keys =
-            if (d.keys.isEmpty) ""
-            else ":" + d.keys
-              .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+            if (d.keys.nonEmpty)
+              ":" + d.keys
+                .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+            else d.bloom.map(b => s":~$b").getOrElse("")
           s"#dv=${java.net.URLEncoder.encode(d.relPath, "UTF-8")}:" +
             s"${d.size}:${d.rows}$keys\n"
         }.mkString +

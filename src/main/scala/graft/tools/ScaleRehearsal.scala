@@ -143,6 +143,13 @@ object ScaleRehearsal {
     // round-12: trickle-HISTORY read-back — 32 small DV files, the
     // manifest key lists scope each partition's DV probes
     "x_mor_dv_trickle_read",
+    // round-13 (VERDICT r12 item 3): WIDE-DML read-back — 4 mor MERGEs
+    // each touching >64 files of a bucket(256) table, so every DV entry
+    // records a DvBloom instead of "unknown"; the timed pass is a
+    // full-table delta scan whose per-file DV probes the blooms scope
+    // to ~true coverage (the REQUIRE gates probes/files well under
+    // the unknown-coverage dvs-per-file)
+    "x_mor_dv_wide",
     // round-10 pipeline additions: batch-vs-corpus LSH dedup (both
     // sides scale), streaming near-dup (10× docs ⇒ 10× band-bucket
     // state), token-budget mix (FIXED budget, so cost must track the
@@ -428,6 +435,75 @@ object ScaleRehearsal {
     // the read-side certification of DvEntry.keys under a long DML
     // history. Keys live in [1, 600000] (the sf0.1 domain every tier
     // contains), so the deleted set is FIXED while the table grows.
+    // round-13 (VERDICT r12 item 3): four wide mor MERGEs (each task's
+    // DV covering >64 of 256 bucket files → DvBloom entries), then a
+    // timed full-table delta scan (no-match mor DELETE) whose per-file
+    // DV probe list the blooms scope to ~statement coverage instead of
+    // all 8 DV files. Keys live in [1, 600000] (the sf0.1 domain every
+    // tier contains), so the DV geometry is FIXED while the table
+    // grows — the tier ratio prices the scoped scan, not the DML.
+    "x_mor_dv_wide" -> { (s, dir) =>
+      import graft.sources.TxTable
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set("spark.sql.catalog.zdw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.zdw.warehouse", "target/tmp/graft_wh_dvw")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS zdw.mart")
+      if (!dvWideBuilt.contains(dir)) {
+        s.sql(s"DROP TABLE IF EXISTS zdw.mart.orders_$tag")
+        graft.Tables.orders(s, dir).createOrReplaceTempView("zdw_src")
+        s.sql(
+          s"""CREATE TABLE zdw.mart.orders_$tag
+             |PARTITIONED BY (bucket(256, o_orderkey))
+             |AS SELECT * FROM zdw_src""".stripMargin)
+        s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+        val shuffleBefore = s.conf.get("spark.sql.shuffle.partitions")
+        val bcastBefore = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        // ONE writer task per statement covering ~175 of 256 buckets
+        // (orderkeys are ~25% dense, so 1200 candidates match ~300) —
+        // far past DvKeyCap, forcing the bloom path
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try (0 until 4).foreach { r =>
+          val keys = (0 until 1200).map(j => 1 + r * 131 + j * 499)
+          s.sql(
+            s"""MERGE INTO zdw.mart.orders_$tag t
+               |USING (SELECT explode(array(${keys.mkString(",")})) AS k) src
+               |ON t.o_orderkey = src.k
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+        } finally {
+          s.conf.unset(graft.sources.DeltaDml.ModeKey)
+          s.conf.set("spark.sql.shuffle.partitions", shuffleBefore)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+        }
+        val snap = TxTable.currentSnapshot(
+          s, s"target/tmp/graft_wh_dvw/mart/orders_$tag").get
+        require(snap.dvs.nonEmpty && snap.dvs.forall(d =>
+            d.bloom.isDefined && d.keys.isEmpty),
+          s"x_mor_dv_wide: expected bloom-scoped wide DV entries, got " +
+            s"${snap.dvs.map(d => (d.keys.size, d.bloom.isDefined))}")
+        dvWideBuilt += dir
+      }
+      // timed: full delta scan through the wide DVs (no-match DELETE —
+      // nothing commits, so passes are identical); the probe ratio is
+      // measured as a DELTA so this entry never resets the registry
+      import graft.tools.RunMetrics
+      def cell(k: String) = RunMetrics.snapshot.getOrElse(k, 0.0)
+      val (p0, f0) = (cell("dv_files_probed"), cell("dv_scan_files"))
+      s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+      try s.sql(s"DELETE FROM zdw.mart.orders_$tag WHERE o_totalprice < 0")
+      finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
+      val (p1, f1) = (cell("dv_files_probed"), cell("dv_scan_files"))
+      val snap = TxTable.currentSnapshot(
+        s, s"target/tmp/graft_wh_dvw/mart/orders_$tag").get
+      val ratio = (p1 - p0) / math.max(f1 - f0, 1.0)
+      require(ratio < 0.8 * snap.dvs.size,
+        s"x_mor_dv_wide: bloom scoping must beat unknown coverage " +
+          s"(${snap.dvs.size} probes/file): got $ratio")
+      s.sql(
+        s"""SELECT COUNT(*) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           |FROM zdw.mart.orders_$tag""".stripMargin)
+    },
     "x_mor_dv_trickle_read" -> { (s, dir) =>
       import graft.sources.TxTable
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -557,6 +633,7 @@ object ScaleRehearsal {
     */
   private val dvHeavyBuilt = scala.collection.mutable.Set.empty[String]
   private val dvTrickleBuilt = scala.collection.mutable.Set.empty[String]
+  private val dvWideBuilt = scala.collection.mutable.Set.empty[String]
   private val trickleKeys = scala.collection.mutable.Map.empty[String, Seq[Long]]
   private var trickleRun = 0
 
@@ -833,7 +910,8 @@ object ScaleRehearsal {
     // first timed pass would record as that cell's _max and read as a
     // host-contention window under the spread protocol (ADVICE r11)
     val prepBearing =
-      Seq("x_incremental_cc_fold", "x_mor_dv_heavy", "x_mor_dv_trickle_read")
+      Seq("x_incremental_cc_fold", "x_mor_dv_heavy", "x_mor_dv_trickle_read",
+        "x_mor_dv_wide")
     val prepRuns =
       prepBearing.filter(picked(Family).contains).flatMap(n =>
         Seq((n, sf01), (n, sf1))) ++

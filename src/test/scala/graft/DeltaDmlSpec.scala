@@ -496,6 +496,72 @@ class DeltaDmlSpec extends SparkSpec {
       == (1L to 100L).toSet -- Set(11L, 12L))
   }
 
+  test("wide mor DML records a DvBloom past DvKeyCap and scopes the scan") {
+    // VERDICT r12 item 3: a DML touching > DvKeyCap (64) files used to
+    // record "unknown" coverage — its DV shipped to EVERY partition.
+    // A wide MERGE-delete over a bucket(128) table now records a bloom
+    // over the covered file keys: scoping stays false-positive-only
+    // (extra footer probes possible, missed deletes impossible) at any
+    // statement width.
+    cat
+    spark.sql("CREATE TABLE gd.m.wide (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(128, k))")
+    (1 to 2000).map(k => (k.toLong, k * 1.5)).toDF("k", "v")
+      .writeTo("gd.m.wide").append()
+    val root = s"$wh/m/wide"
+    val nFiles = entryPaths(root).size
+    assert(nFiles > 100, s"fixture needs ~128 data files, got $nFiles")
+    // one writer task (shuffle join at 1 partition — broadcast off so
+    // the join doesn't inherit the 100+-file scan partitioning) sees
+    // every matched file -> its DV covers ~100 distinct keys > DvKeyCap
+    (1 to 200).map(_.toLong).toDF("mk").createOrReplaceTempView("wide_src")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withMor {
+      spark.sql(
+        """MERGE INTO gd.m.wide t USING wide_src s ON t.k = s.mk
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+    }
+    val snap = TxTable.currentSnapshot(spark, root).get
+    assert(snap.dvs.nonEmpty)
+    val wide = snap.dvs.filter(_.bloom.isDefined)
+    assert(wide.nonEmpty && wide.forall(_.keys.isEmpty),
+      s"expected bloom-scoped wide DV entries, got ${snap.dvs}")
+    assert(snap.dvs.map(_.rows).sum == 200L)
+    // correctness: every matched row masked, nothing else
+    assert(spark.sql("SELECT count(*) FROM gd.m.wide").as[Long].head()
+      == 1800L)
+    assert(spark.sql("SELECT count(*) FROM gd.m.wide WHERE k <= 200")
+      .as[Long].head() == 0L)
+    // scoping: the next mor DML's scan (a SELECT merges DVs via the
+    // anti-join path — the delta SCAN is where per-partition DV lists
+    // matter) hands each data file only the DV files whose bloom
+    // (maybe-)covers it. The wide MERGE hit ~100 of 128 buckets, so
+    // probes/files must land strictly under dvs-per-file=1 ("unknown"
+    // coverage) but well above 0 — bloom hits are the true coverage
+    // plus a ~0 false-positive tail.
+    graft.tools.RunMetrics.reset()
+    withMor { spark.sql("DELETE FROM gd.m.wide WHERE v < 0") } // no match
+    val m = graft.tools.RunMetrics.snapshot
+    val probed = m.getOrElse("dv_files_probed", -1.0)
+    val files = m.getOrElse("dv_scan_files", -1.0)
+    assert(files >= nFiles - 1,
+      s"expected a full-table delta scan to plan, got $files files")
+    val ratio = probed / files
+    assert(ratio > 0.3 && ratio < 0.95,
+      s"bloom scoping must beat unknown coverage (ratio 1.0): " +
+        s"probed=$probed files=$files ratio=$ratio")
+    // and the no-match DELETE read THROUGH the bloom-scoped DV
+    // correctly: nothing changed
+    assert(spark.sql("SELECT count(*) FROM gd.m.wide").as[Long].head()
+      == 1800L)
+  }
+
   test("mor DML stays correct after CALL compact localizes the delete debt") {
     val root = mkBucketTable("loc")
     withMor { spark.sql("DELETE FROM gd.m.loc WHERE k % 3 = 0") }
