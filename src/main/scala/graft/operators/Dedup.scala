@@ -465,10 +465,11 @@ object Dedup {
     hammingPairs(sigs, idCol, "simhash", maxDist)
 
   /** Near-dup pairs over ANY 64-bit signature column (SimHash, image
-    * dHash, …) with Hamming distance ≤ maxDist. Banding by pigeonhole
-    * over 3-of-6 block COMBINATIONS (~31-bit keys, see [[HamCombos]]):
-    * distance ≤ 3 ⇒ some combination of three blocks is identical, so
-    * candidates join on (combination index, block-value triple) —
+    * dHash, …) with Hamming distance ≤ maxDist (≤ 6). Banding by
+    * pigeonhole over r-of-m block COMBINATIONS ([[hamGeometryFor]]:
+    * 3-of-6 for d ≤ 3, 4-of-8 for d = 4, 4-of-10 for d ≤ 6): distance
+    * ≤ m − r ⇒ some combination of r blocks is identical, so
+    * candidates join on (combination index, block-value tuple) —
     * never all-pairs, and the key space is wide enough that
     * candidates stay dup-driven at 10⁸-doc corpora.
     */
@@ -497,30 +498,70 @@ object Dedup {
   private[graft] val HamCombos: Seq[Seq[Int]] =
     (0 until 6).combinations(3).map(_.toSeq).toSeq
 
+  /** An r-of-m combination-banding geometry: the signature splits into
+    * `widths.length` = m blocks; a candidate key is a combination of
+    * `r` block values. Pigeonhole recall: distance d touches ≤ d
+    * blocks, so with d ≤ m − r some r-combination survives intact —
+    * zero false negatives up to [[maxDist]]. Key width = the r widest
+    * blocks' sum; combination count = C(m, r) banding rows per doc —
+    * the usual LSH trade (wider radius ⇒ more rows and narrower keys,
+    * the census gates the saturation).
+    */
+  private[graft] final case class HamGeometry(widths: Seq[Int], r: Int) {
+    val offsets: Seq[Int] = widths.scanLeft(0)(_ + _).init
+    val combos: Seq[Seq[Int]] =
+      widths.indices.combinations(r).map(_.toSeq).toSeq
+    def maxDist: Int = widths.length - r
+  }
+
+  /** d ≤ 3: the established 3-of-6 geometry (Manku WWW'07) — MUST stay
+    * bit-identical to [[HamWidths]]/[[HamOffsets]]/[[HamCombos]], which
+    * the q_simhash_pairs/q_image_neardup oracles regenerate from.
+    */
+  private[graft] val HamGeo3 = HamGeometry(HamWidths, 3)
+
+  /** d = 4: 4-of-8 (C(8,4) = 70 combinations, ~31-bit keys). */
+  private[graft] val HamGeo4 = HamGeometry(Seq(8, 8, 8, 8, 8, 8, 7, 7), 4)
+
+  /** d = 5..6: 4-of-10 (C(10,4) = 210 combinations, ~25-bit keys) —
+    * image-dHash radii (VERDICT r12 item 6). Past d = 6 the key space
+    * thins below usefulness at corpus scale; fail loudly instead.
+    */
+  private[graft] val HamGeo6 =
+    HamGeometry(Seq(7, 7, 6, 6, 6, 6, 6, 6, 6, 6), 4)
+
+  private[graft] def hamGeometryFor(maxDist: Int): HamGeometry = {
+    require(maxDist >= 0 && maxDist <= 6,
+      s"combination banding supports Hamming radius <= 6 (got $maxDist); " +
+        "wider radii need a custom HamGeometry with m - r >= radius " +
+        "and a census check of its key-space saturation")
+    if (maxDist <= 3) HamGeo3 else if (maxDist == 4) HamGeo4 else HamGeo6
+  }
+
   /** (id, simhash, blk, blkval) combination-banding rows over a 64-bit
     * signature column — the relation [[hammingPairs]] joins on; `blk`
-    * is the combination index, `blkval` the three block values as an
-    * equality-joinable array<long> (also the census surface:
+    * is the combination index, `blkval` the combination's block values
+    * as an equality-joinable array<long> (also the census surface:
     * `Census.of(blocks, Seq("blk", "blkval"))`).
     */
   private[graft] def hammingBlocks(
-      sigs: DataFrame, idCol: String, sigCol: String): DataFrame = {
+      sigs: DataFrame, idCol: String, sigCol: String,
+      geo: HamGeometry = HamGeo3): DataFrame = {
     def block(i: Int): Column =
-      shiftright(col(sigCol), HamOffsets(i))
-        .bitwiseAND(lit((1L << HamWidths(i)) - 1))
+      shiftright(col(sigCol), geo.offsets(i))
+        .bitwiseAND(lit((1L << geo.widths(i)) - 1))
     sigs.select(
       col(idCol).as("id"), col(sigCol).as("simhash"),
-      posexplode(array(HamCombos.map(c =>
-        array(block(c(0)), block(c(1)), block(c(2)))): _*)))
+      posexplode(array(geo.combos.map(c =>
+        array(c.map(block): _*)): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "blkval")
   }
 
   def hammingPairs(
       sigs: DataFrame, idCol: String, sigCol: String, maxDist: Int): DataFrame = {
-    require(maxDist <= 3,
-      "6-block/20-combination banding guarantees recall only for maxDist <= 3")
-    val blocks = hammingBlocks(sigs, idCol, sigCol)
+    val geo = hamGeometryFor(maxDist)
+    val blocks = hammingBlocks(sigs, idCol, sigCol, geo)
       .persistTracked() // both join sides scan this; avoid recomputing simhash
     val a = blocks.select(col("id").as("d1"), col("simhash").as("s1"),
       col("blk"), col("blkval"))

@@ -235,6 +235,47 @@ class DedupSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("hammingPairs: radius-5 4-of-10 banding is LOSSLESS vs brute force") {
+    // VERDICT r12 item 6: image-dHash use cases want radius 4-6; the
+    // r-of-m pigeonhole (d <= m - r, here 10 - 4 = 6) must keep exact
+    // recall at radius 5 exactly as 3-of-6 does at radius 3
+    val sigs = Dedup.simhash(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text")
+      .persist()
+    val banded = Dedup.hammingPairs(sigs, "doc_id", "simhash", 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    val brute = a.join(b, col("d1") < col("d2"))
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"radius-5 banding lost ${(brute -- banded).size} true pairs / " +
+        s"invented ${(banded -- brute).size}")
+    // synthetic exactness at the radius boundary: flips of 5 bits are
+    // found, flips of 6 are not (maxDist=5 cut), flips of 7 would
+    // exceed the 4-of-10 geometry's recall anyway
+    val baseSig = 0x2D5A96C3E1B47A5L
+    def flip(n: Int): Long =
+      (0 until n).foldLeft(baseSig)((s, i) => s ^ (1L << (i * 9)))
+    val fixture = Seq((1L, baseSig), (2L, flip(5)), (3L, flip(6)))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.hammingPairs(fixture, "doc_id", "simhash", 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && !got.contains((1L, 3L)))
+    sigs.unpersist()
+    graft.CacheScope.release()
+  }
+
+  test("hammingPairs refuses radii past the geometry table") {
+    val fixture = Seq((1L, 0L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(fixture, "doc_id", "simhash", 7)
+    }
+    assert(e.getMessage.contains("radius <= 6"))
+    graft.CacheScope.release()
+  }
+
   test("ANN recall vs brute force on the embeddings fixture") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 20)

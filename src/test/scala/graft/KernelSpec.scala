@@ -134,6 +134,26 @@ class KernelSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("census: radius-6 4-of-10 combination bands stay dup-driven") {
+    import graft.tools.Census
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, censusSf)
+    val nDocs = docs.count()
+    val c = Census.of(
+      Dedup.hammingBlocks(
+        Dedup.simhash(docs, "doc_id", "text"), "doc_id", "simhash",
+        Dedup.HamGeo6),
+      Seq("blk", "blkval"))
+    // ~25-bit keys over 210 combinations: the uniform floor is still
+    // ~0 at fixture scale, so candidates must stay a small multiple of
+    // corpus size — the saturation gate for the wide-radius geometry
+    // (r12's single 16-bit blocks measured 5.4% of all-pairs here)
+    assert(c.candidatePairs <= 300 * nDocs,
+      s"HamGeo6 census: ${c.candidatePairs} candidate pairs for " +
+        s"$nDocs docs — 4-of-10 keys are colliding beyond the dup set")
+    graft.CacheScope.release()
+  }
+
   test("census: IVF buckets balanced enough that probing stays sublinear") {
     import graft.tools.Census
     import graft.operators.Ivf
