@@ -113,14 +113,42 @@ object Ivf {
     */
   def annTopKWith(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    annTopKAssigned(assignCorpus(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, centroids, nprobe)
+
+  /** The corpus half of the IVF index: each row assigned to its
+    * nearest centroid bucket, with the vector and its norm carried for
+    * verification — (`neighbor_id`, `nvec`, `nn`, `bucket`). At 100 TB
+    * this is STORED INDEX STATE next to the centroids: it changes only
+    * when the corpus does, so a production deployment materializes it
+    * once per corpus version and every query cycle pays only
+    * [[annTopKAssigned]] (probing + candidate join + top-k), never
+    * re-assignment (the x_ivf_query_only rehearsal entry prices
+    * exactly this split).
+    */
+  def assignCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus
+    corpus
       .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
       .select(
         col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         Vec.norm(col(vecCol)).as("nn"),
         bucketId(col(vecCol), centroids).as("bucket"))
+  }
+
+  /** The query half: probe the `nprobe` nearest buckets of a
+    * PRE-ASSIGNED corpus ([[assignCorpus]]'s output, freshly computed
+    * or read back from storage), score candidates by exact cosine,
+    * top-k per query. Same expressions as the fused [[annTopKWith]],
+    * so results are bit-identical either way.
+    */
+  def annTopKAssigned(
+      assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val c = assigned
     // probe-bucket array persists before the explode so the centroid
     // distance expressions aren't re-evaluated per exploded row
     // (project collapse — see Dedup.jaccardPairs)

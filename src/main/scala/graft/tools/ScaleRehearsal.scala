@@ -185,6 +185,13 @@ object ScaleRehearsal {
     "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
     "q_mor_update", "q_mor_merge", "q_spj_partial", "q_dedup_clusters",
     "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
+    // round-13 (VERDICT r12 item 7): the IVF production split at index
+    // scale — centroids trained ONCE per tier and the assigned corpus
+    // stored; the timed pass is the QUERY-ONLY path (probe + candidate
+    // join + top-k over the stored index), so the ratio prices what a
+    // query cycle pays against a standing 100-TB index, with training
+    // and assignment amortized to corpus updates
+    "x_ivf_query_only",
     "x_sql_merge", "x_sql_mor",
     "x_mor_trickle_full", "x_mor_trickle_pruned",
     // round-10: the LSH ingest-dedup and the streaming near-dup at
@@ -435,6 +442,34 @@ object ScaleRehearsal {
     // the read-side certification of DvEntry.keys under a long DML
     // history. Keys live in [1, 600000] (the sf0.1 domain every tier
     // contains), so the deleted set is FIXED while the table grows.
+    // round-13 (VERDICT r12 item 7): IVF query-only cycles against a
+    // STORED index — prep trains the centroids on the tier's own
+    // embeddings and materializes the assigned corpus (bucket ids +
+    // norms) to parquet once per (JVM, dir); the timed pass reads the
+    // index back and runs probing + candidate join + exact-cosine
+    // top-5 for the fixed query slice. Under the min-over-passes
+    // protocol each cell is a pure query cycle: near-flat across
+    // passes, and the tier ratio is the candidate join's share
+    // (~corpus × nprobe / k), never re-training or re-assignment.
+    "x_ivf_query_only" -> { (s, dir) =>
+      import graft.operators.Ivf
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxPath = s"target/tmp/ivf_idx_$tag"
+      ivfIdxBuilt.synchronized {
+        if (!ivfIdxBuilt.contains(dir)) {
+          val emb = graft.Tables.embeddings(s, dir)
+          val cents = Ivf.trainCentroids(emb, "embedding", 16)
+          ivfIdxCentroids(dir) = cents
+          Ivf.assignCorpus(emb, "vec_id", "embedding", cents)
+            .write.mode("overwrite").parquet(idxPath)
+          ivfIdxBuilt += dir
+        }
+      }
+      Ivf.annTopKAssigned(
+        s.read.parquet(idxPath),
+        graft.Tables.embeddings(s, dir).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, ivfIdxCentroids(dir), nprobe = 4)
+    },
     // round-13 (VERDICT r12 item 3): four wide mor MERGEs (each task's
     // DV covering >64 of 256 bucket files → DvBloom entries), then a
     // timed full-table delta scan (no-match mor DELETE) whose per-file
@@ -634,6 +669,9 @@ object ScaleRehearsal {
   private val dvHeavyBuilt = scala.collection.mutable.Set.empty[String]
   private val dvTrickleBuilt = scala.collection.mutable.Set.empty[String]
   private val dvWideBuilt = scala.collection.mutable.Set.empty[String]
+  private val ivfIdxBuilt = scala.collection.mutable.Set.empty[String]
+  private val ivfIdxCentroids =
+    scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
   private val trickleKeys = scala.collection.mutable.Map.empty[String, Seq[Long]]
   private var trickleRun = 0
 
@@ -911,7 +949,7 @@ object ScaleRehearsal {
     // host-contention window under the spread protocol (ADVICE r11)
     val prepBearing =
       Seq("x_incremental_cc_fold", "x_mor_dv_heavy", "x_mor_dv_trickle_read",
-        "x_mor_dv_wide")
+        "x_mor_dv_wide", "x_ivf_query_only")
     val prepRuns =
       prepBearing.filter(picked(Family).contains).flatMap(n =>
         Seq((n, sf01), (n, sf1))) ++
