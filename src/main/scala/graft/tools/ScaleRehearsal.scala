@@ -140,6 +140,11 @@ object ScaleRehearsal {
     // — 12M position deletes at the sf1 tier, past the former driver
     // cap; the executor-side per-file DV load must scale with the tier
     "x_mor_dv_heavy",
+    // round-13: the SAME heavy table read through the delta SCAN (a
+    // no-match mor DML) — every file's ~80%-deleted skip list loads
+    // executor-side as a PosBitmap; the artifact's dv_bitmap section
+    // records the heaviest file's positions and retained bytes
+    "x_mor_dv_heavy_dml",
     // round-12: trickle-HISTORY read-back — 32 small DV files, the
     // manifest key lists scope each partition's DV probes
     "x_mor_dv_trickle_read",
@@ -407,32 +412,30 @@ object ScaleRehearsal {
     // parquet (file_key-filtered), so the read must track the tier
     // linearly with no driver bottleneck
     "x_mor_dv_heavy" -> { (s, dir) =>
-      import graft.sources.TxTable
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      s.conf.set("spark.sql.catalog.zdv", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.zdv.warehouse", "target/tmp/graft_wh_dvh")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS zdv.mart")
-      if (!dvHeavyBuilt.contains(dir)) {
-        s.sql(s"DROP TABLE IF EXISTS zdv.mart.orders_$tag")
-        graft.Tables.orders(s, dir).createOrReplaceTempView("zdv_src")
-        s.sql(
-          s"""CREATE TABLE zdv.mart.orders_$tag
-             |PARTITIONED BY (bucket(8, o_orderkey))
-             |AS SELECT * FROM zdv_src""".stripMargin)
-        s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
-        try s.sql(s"DELETE FROM zdv.mart.orders_$tag WHERE o_orderkey % 5 <> 0")
-        finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
-        val snap = TxTable.currentSnapshot(
-          s, s"target/tmp/graft_wh_dvh/mart/orders_$tag").get
-        require(snap.dvs.map(_.rows).sum * 5 >=
-          graft.Tables.orders(s, dir).count() * 4 - 5,
-          "x_mor_dv_heavy: expected ~80% of rows as position deletes")
-        dvHeavyBuilt += dir
-      }
+      val tag = ensureDvHeavy(s, dir)
       s.sql(
         s"""SELECT COUNT(*) AS n,
            |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
            |FROM zdv.mart.orders_$tag""".stripMargin)
+    },
+    // round-13 (VERDICT r12 item 2's memory evidence): a mor DML's
+    // delta SCAN over the heavy table — unlike the SELECT above (which
+    // merges DVs with a distributed anti-join), the row-level scan
+    // loads EVERY file's ~80%-deleted skip list executor-side, which
+    // is exactly the shape that cost 8 B/position as a raw Array[Long]
+    // and is now a PosBitmap (~1 bit/slot dense). The reader records
+    // the heaviest file's position count and retained bytes
+    // (dv_file_positions_max / dv_file_bitmap_bytes_max → the
+    // artifact's dv_bitmap section); the no-match DELETE commits
+    // nothing, so passes are identical.
+    "x_mor_dv_heavy_dml" -> { (s, dir) =>
+      val tag = ensureDvHeavy(s, dir)
+      s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+      try s.sql(s"DELETE FROM zdv.mart.orders_$tag WHERE o_totalprice < 0")
+      finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
+      s.sql(
+        s"""SELECT COUNT(*) AS n
+           |FROM zdv.mart.orders_$tag WHERE o_orderkey % 97 = 0""".stripMargin)
     },
     // round-12: TRICKLE-HISTORY read-back — 32 scattered mor DELETEs
     // (8 keys each) leave 32 small DV files behind; the timed pass is
@@ -667,6 +670,38 @@ object ScaleRehearsal {
     * not a table re-read.
     */
   private val dvHeavyBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** Build-once (per JVM, dir) DV-heavy table: bucket(8) orders with
+    * ~80% of rows position-deleted through the mor path. Shared by
+    * x_mor_dv_heavy (SELECT read-back — the anti-join path) and
+    * x_mor_dv_heavy_dml (delta-scan read-back — the PosBitmap path).
+    * Returns the dir tag.
+    */
+  private def ensureDvHeavy(s: SparkSession, dir: String): String = {
+    import graft.sources.TxTable
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set("spark.sql.catalog.zdv", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.zdv.warehouse", "target/tmp/graft_wh_dvh")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS zdv.mart")
+    if (!dvHeavyBuilt.contains(dir)) {
+      s.sql(s"DROP TABLE IF EXISTS zdv.mart.orders_$tag")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("zdv_src")
+      s.sql(
+        s"""CREATE TABLE zdv.mart.orders_$tag
+           |PARTITIONED BY (bucket(8, o_orderkey))
+           |AS SELECT * FROM zdv_src""".stripMargin)
+      s.conf.set(graft.sources.DeltaDml.ModeKey, "mor")
+      try s.sql(s"DELETE FROM zdv.mart.orders_$tag WHERE o_orderkey % 5 <> 0")
+      finally s.conf.unset(graft.sources.DeltaDml.ModeKey)
+      val snap = TxTable.currentSnapshot(
+        s, s"target/tmp/graft_wh_dvh/mart/orders_$tag").get
+      require(snap.dvs.map(_.rows).sum * 5 >=
+        graft.Tables.orders(s, dir).count() * 4 - 5,
+        "x_mor_dv_heavy: expected ~80% of rows as position deletes")
+      dvHeavyBuilt += dir
+    }
+    tag
+  }
   private val dvTrickleBuilt = scala.collection.mutable.Set.empty[String]
   private val dvWideBuilt = scala.collection.mutable.Set.empty[String]
   private val ivfIdxBuilt = scala.collection.mutable.Set.empty[String]
@@ -948,8 +983,8 @@ object ScaleRehearsal {
     // first timed pass would record as that cell's _max and read as a
     // host-contention window under the spread protocol (ADVICE r11)
     val prepBearing =
-      Seq("x_incremental_cc_fold", "x_mor_dv_heavy", "x_mor_dv_trickle_read",
-        "x_mor_dv_wide", "x_ivf_query_only")
+      Seq("x_incremental_cc_fold", "x_mor_dv_heavy", "x_mor_dv_heavy_dml",
+        "x_mor_dv_trickle_read", "x_mor_dv_wide", "x_ivf_query_only")
     val prepRuns =
       prepBearing.filter(picked(Family).contains).flatMap(n =>
         Seq((n, sf01), (n, sf1))) ++
@@ -1137,7 +1172,7 @@ object ScaleRehearsal {
       s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain20 = 20-micro-batch clusterStream drain at sf0.1 with compactEvery=5: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r12.json"), json + "\n")
+        java.nio.file.Paths.get("SCALE_r13.json"), json + "\n")
     println(json)
     spark.stop()
   }
