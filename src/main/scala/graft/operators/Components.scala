@@ -116,6 +116,48 @@ object Components {
       deltaEdges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 30,
       maxBroadcastRemap: Int = MaxBroadcastRemap): DataFrame = {
+    val p = incrementalParts(baseLabels, idCol, componentCol, newNodes,
+      deltaEdges, srcCol, dstCol, maxIters, maxBroadcastRemap)
+    val baseOut = p.lbl
+      .join(p.remapSide, col("__bcomp") === col("__from"), "left")
+      .select(col("__bid").as(idCol),
+        coalesce(col("__to"), col("__bcomp")).as(componentCol))
+    baseOut.unionByName(p.newOut)
+  }
+
+  /** The incremental fold's DELTA: one row per document whose label
+    * CHANGES this cycle — the new nodes plus exactly the base rows in
+    * touched components. MERGE-ing it into a stored labeling (`idCol`
+    * matched → set `componentCol`; unmatched → insert) yields
+    * precisely [[connectedIncremental]]'s output — this is the
+    * persistence form a 100 TB deployment wants: per-cycle WRITE ∝
+    * delta + touched components, never ∝ corpus (the
+    * whole-corpus-rewrite cost [[graft.streaming.Streams
+    * .clusterStream]]'s labels-as-table mode eliminates).
+    */
+  def connectedIncrementalDelta(
+      baseLabels: DataFrame, idCol: String, componentCol: String,
+      newNodes: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30,
+      maxBroadcastRemap: Int = MaxBroadcastRemap): DataFrame = {
+    val p = incrementalParts(baseLabels, idCol, componentCol, newNodes,
+      deltaEdges, srcCol, dstCol, maxIters, maxBroadcastRemap)
+    // INNER join: only rows whose component label moved
+    val baseChanged = p.lbl
+      .join(p.remapSide, col("__bcomp") === col("__from"))
+      .select(col("__bid").as(idCol), col("__to").as(componentCol))
+    baseChanged.unionByName(p.newOut)
+  }
+
+  private final case class IncrementalParts(
+      lbl: DataFrame, remapSide: DataFrame, newOut: DataFrame)
+
+  private def incrementalParts(
+      baseLabels: DataFrame, idCol: String, componentCol: String,
+      newNodes: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, maxBroadcastRemap: Int): IncrementalParts = {
     val lbl = baseLabels
       .select(col(idCol).as("__bid"), col(componentCol).as("__bcomp"))
       .persistTracked() // endpoint mapping + final remap both scan it
@@ -142,16 +184,12 @@ object Components {
       if (remap.limit(maxBroadcastRemap + 1).count() <= maxBroadcastRemap)
         broadcast(remap)
       else remap
-    val baseOut = lbl
-      .join(remapSide, col("__bcomp") === col("__from"), "left")
-      .select(col("__bid").as(idCol),
-        coalesce(col("__to"), col("__bcomp")).as(componentCol))
     // isolated new nodes are in rnodes (own id = own label); the
     // coalesce is belt for an empty reduced graph
     val newOut = newNodes.select(col(idCol))
       .join(reduced, col(idCol) === col("__n"), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as(componentCol))
-    baseOut.unionByName(newOut)
+    IncrementalParts(lbl, remapSide, newOut)
   }
 }

@@ -601,6 +601,7 @@ object Streams {
       stateDir: String, checkpoint: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int,
       compactEvery: Int = 8,
+      labelsAsTable: Boolean = false,
       afterBatch: Long => Unit = _ => ()): DataFrame = {
     require(compactEvery >= 1, "clusterStream: compactEvery must be >= 1")
     val spark = docs.sparkSession
@@ -609,9 +610,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maybeCompact(spark, stateDir, compactEvery)
+        maybeCompact(spark, stateDir, compactEvery, labelsAsTable)
         clusterFold(spark, batch, batchId, idCol, textCol, stateDir,
-          n, tau, bands, rowsPerBand)
+          n, tau, bands, rowsPerBand, labelsAsTable)
         afterBatch(batchId)
         ()
       }
@@ -620,8 +621,31 @@ object Streams {
     val last = committedBatches(spark, stateDir)
     require(last.nonEmpty,
       "clusterStream: no batch committed — empty feed has no labeling")
-    spark.read.parquet(s"$stateDir/labels/v${last.max}")
+    if (labelsAsTable)
+      spark.read.format("graft").load(labelsTablePath(stateDir))
+        .select(col(idCol), col("component"))
+    else spark.read.parquet(s"$stateDir/labels/v${last.max}")
   }
+
+  /** labels-as-TABLE mode: the standing labeling lives in a graft
+    * transactional table under the state dir instead of a
+    * whole-corpus parquet rewritten per fold. Each fold MERGEs only
+    * the DELTA — [[graft.operators.Components.connectedIncrementalDelta]]:
+    * one row per NEW document plus the base documents in touched
+    * components — through the merge-on-read path, so the per-cycle
+    * labels WRITE is ∝ delta + touched components (position-delete
+    * files + post-images), never ∝ corpus. Replay idempotence rides
+    * the table's own transaction watermark (`txn = (streamTxnId,
+    * batchId)` — the exactly-once contract of `txnAppend`), so a crash
+    * between the MERGE commit and the fold's marker re-runs to a
+    * watermark no-op. Compaction additionally MATERIALIZEs the
+    * table's accumulated delete debt every cycle boundary (cost ∝
+    * DV-affected files, amortized 1/compactEvery per batch).
+    */
+  private def labelsTablePath(stateDir: String): String =
+    s"$stateDir/labels_tbl"
+
+  private val LabelsTxnId = "graft_cluster_stream_labels"
 
   private def listLongDir(
       spark: SparkSession, dir: String): Seq[Long] = {
@@ -665,7 +689,8 @@ object Streams {
     * anything a crashed cleanup left behind.
     */
   private def maybeCompact(
-      spark: SparkSession, stateDir: String, k: Int): Unit = {
+      spark: SparkSession, stateDir: String, k: Int,
+      labelsAsTable: Boolean = false): Unit = {
     val done = committedBatches(spark, stateDir)
     if (done.isEmpty) return
     val c = latestCompact(spark, stateDir)
@@ -703,6 +728,13 @@ object Streams {
       .foreach(i => del(s"$stateDir/labels/v$i"))
     listLongDir(spark, s"$stateDir/commits").filter(_ < b)
       .foreach(i => del(s"$stateDir/commits/$i"))
+    // labels-as-table mode: pay down the labeling table's merge-on-read
+    // delete debt on the same cadence (cost ∝ DV-affected files,
+    // amortized 1/compactEvery per batch)
+    if (labelsAsTable &&
+        graft.sources.TxTable
+          .currentSnapshot(spark, labelsTablePath(stateDir)).isDefined)
+      graft.sources.MergeOnRead.materialize(spark, labelsTablePath(stateDir))
     graft.tools.RunMetrics.put(
       s"stream_cc_compact_v$b", (System.nanoTime() - t0) / 1e9)
   }
@@ -725,10 +757,11 @@ object Streams {
   private def clusterFold(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, stateDir: String,
-      n: Int, tau: Double, bands: Int, rowsPerBand: Int): Unit = {
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int,
+      labelsAsTable: Boolean): Unit = {
     val t0 = System.nanoTime()
     clusterFoldInner(spark, batch, batchId, idCol, textCol, stateDir,
-      n, tau, bands, rowsPerBand)
+      n, tau, bands, rowsPerBand, labelsAsTable)
     graft.tools.RunMetrics.put(
       s"stream_cc_fold_b$batchId", (System.nanoTime() - t0) / 1e9)
   }
@@ -736,7 +769,8 @@ object Streams {
   private def clusterFoldInner(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, stateDir: String,
-      n: Int, tau: Double, bands: Int, rowsPerBand: Int): Unit = {
+      n: Int, tau: Double, bands: Int, rowsPerBand: Int,
+      labelsAsTable: Boolean): Unit = {
     import graft.operators.{Components, Dedup}
     val done = committedBatches(spark, stateDir)
     if (done.contains(batchId)) return // committed replay: skip wholesale
@@ -747,33 +781,55 @@ object Streams {
     side.sh.write.mode("overwrite").parquet(s"$stateDir/sh/b$batchId")
     side.banded.write.mode("overwrite")
       .parquet(s"$stateDir/banded/b$batchId")
-    val labels =
-      if (prevIds.isEmpty)
-        Components.connected(
-          batch.select(col(idCol)), idCol,
-          Dedup.minhashLshPairs(side, tau), "d1", "d2")
-      else {
-        val prevLbl = spark.read.parquet(s"$stateDir/labels/v${prevIds.max}")
-        // standing side = consolidated base + batch sides since — the
-        // directory count is bounded by the compaction schedule, never
-        // by drain length (recorded so the spec can gate it)
-        val compact = latestCompact(spark, stateDir)
-        val shPaths = baseSidePaths(stateDir, compact, prevIds, "sh")
-        graft.tools.RunMetrics.put(
-          s"stream_cc_dirs_b$batchId", shPaths.size.toDouble)
-        val baseSide = Dedup.lshSideFromStored(
-          spark.read.parquet(shPaths: _*),
-          spark.read.parquet(
-            baseSidePaths(stateDir, compact, prevIds, "banded"): _*),
-          idCol, n, bands, rowsPerBand)
-        val delta = Dedup.lshPairsAgainstBase(baseSide, side, tau)
-          .select(col("d_new").as("d1"), col("d_base").as("d2"))
-          .unionByName(Dedup.minhashLshPairs(side, tau)
-            .select(col("d1"), col("d2")))
-        Components.connectedIncremental(prevLbl, idCol, "component",
+    if (prevIds.isEmpty) {
+      val labels = Components.connected(
+        batch.select(col(idCol)), idCol,
+        Dedup.minhashLshPairs(side, tau), "d1", "d2")
+      if (labelsAsTable) {
+        val tbl = labelsTablePath(stateDir)
+        if (graft.sources.TxTable.currentSnapshot(spark, tbl).isEmpty)
+          graft.sources.TxTable.createEmpty(spark, tbl, labels.schema)
+        graft.sources.MergeOnRead.mergeInto(spark, tbl, labels,
+          keys = Seq(idCol), txn = Some((LabelsTxnId, batchId)))
+      } else
+        labels.write.mode("overwrite").parquet(s"$stateDir/labels/v$batchId")
+    } else {
+      val prevLbl =
+        if (labelsAsTable)
+          spark.read.format("graft").load(labelsTablePath(stateDir))
+        else spark.read.parquet(s"$stateDir/labels/v${prevIds.max}")
+      // standing side = consolidated base + batch sides since — the
+      // directory count is bounded by the compaction schedule, never
+      // by drain length (recorded so the spec can gate it)
+      val compact = latestCompact(spark, stateDir)
+      val shPaths = baseSidePaths(stateDir, compact, prevIds, "sh")
+      graft.tools.RunMetrics.put(
+        s"stream_cc_dirs_b$batchId", shPaths.size.toDouble)
+      val baseSide = Dedup.lshSideFromStored(
+        spark.read.parquet(shPaths: _*),
+        spark.read.parquet(
+          baseSidePaths(stateDir, compact, prevIds, "banded"): _*),
+        idCol, n, bands, rowsPerBand)
+      val delta = Dedup.lshPairsAgainstBase(baseSide, side, tau)
+        .select(col("d_new").as("d1"), col("d_base").as("d2"))
+        .unionByName(Dedup.minhashLshPairs(side, tau)
+          .select(col("d1"), col("d2")))
+      if (labelsAsTable) {
+        // per-cycle labels WRITE ∝ delta: only the rows whose label
+        // changes this cycle MERGE into the standing table (the txn
+        // watermark makes a crash-replay a no-op)
+        val changed = Components.connectedIncrementalDelta(
+          prevLbl, idCol, "component",
           batch.select(col(idCol)), delta, "d1", "d2")
+        graft.sources.MergeOnRead.mergeInto(spark,
+          labelsTablePath(stateDir), changed,
+          keys = Seq(idCol), txn = Some((LabelsTxnId, batchId)))
+      } else {
+        val labels = Components.connectedIncremental(prevLbl, idCol,
+          "component", batch.select(col(idCol)), delta, "d1", "d2")
+        labels.write.mode("overwrite").parquet(s"$stateDir/labels/v$batchId")
       }
-    labels.write.mode("overwrite").parquet(s"$stateDir/labels/v$batchId")
+    }
     graft.CacheScope.release()
     // marker LAST: per-batch state is complete iff the marker exists
     val fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -785,7 +841,8 @@ object Streams {
     // the next fold, the drain's final read, a crash-replay — uses
     // labels/v<latest committed> and that is now this batch's), so
     // labels/ holds ONE labeling, not one per batch of the drain
-    listDirIds(spark, s"$stateDir/labels").filter(_ < batchId).foreach(i =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/labels/v$i"), true))
+    if (!labelsAsTable)
+      listDirIds(spark, s"$stateDir/labels").filter(_ < batchId).foreach(i =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/labels/v$i"), true))
   }
 }

@@ -1085,51 +1085,59 @@ object ScaleRehearsal {
         }
         val schema = spark.read.option("recursiveFileLookup", "true")
           .parquet(srcDir).schema
-        val folds = scala.collection.mutable.Map.empty[String, Double]
-        val compacts = scala.collection.mutable.Map.empty[String, Double]
-        var dirsMax = 0.0
-        var totalMin = Double.MaxValue
-        for (pass <- 1 to 2) {
-          graft.tools.RunMetrics.reset()
-          val run = System.nanoTime()
-          val src = spark.readStream.schema(schema)
-            .option("recursiveFileLookup", "true")
-            .option("maxFilesPerTrigger", "1").parquet(srcDir)
-          val t0 = System.nanoTime()
-          val n = graft.streaming.Streams.clusterStream(
-            src, "doc_id", "text",
-            s"target/tmp/x_drain20_state_$run",
-            s"target/tmp/x_drain20_ckpt_$run",
-            n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
-            compactEvery = 5).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          totalMin = math.min(totalMin, dt)
-          val got = graft.tools.RunMetrics.snapshot
-          got.foreach {
-            case (k, v) if k.startsWith("stream_cc_fold_") =>
-              folds(k) = folds.get(k).fold(v)(math.min(_, v))
-            case (k, v) if k.startsWith("stream_cc_compact_") =>
-              compacts(k) = compacts.get(k).fold(v)(math.min(_, v))
-            case (k, v) if k.startsWith("stream_cc_dirs_") =>
-              dirsMax = math.max(dirsMax, v)
-            case _ => ()
+        def drain(mode: String, asTable: Boolean): String = {
+          val folds = scala.collection.mutable.Map.empty[String, Double]
+          val compacts = scala.collection.mutable.Map.empty[String, Double]
+          var dirsMax = 0.0
+          var totalMin = Double.MaxValue
+          for (pass <- 1 to 2) {
+            graft.tools.RunMetrics.reset()
+            val run = System.nanoTime()
+            val src = spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            val t0 = System.nanoTime()
+            val n = graft.streaming.Streams.clusterStream(
+              src, "doc_id", "text",
+              s"target/tmp/x_drain20_state_$run",
+              s"target/tmp/x_drain20_ckpt_$run",
+              n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
+              compactEvery = 5, labelsAsTable = asTable).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            totalMin = math.min(totalMin, dt)
+            val got = graft.tools.RunMetrics.snapshot
+            got.foreach {
+              case (k, v) if k.startsWith("stream_cc_fold_") =>
+                folds(k) = folds.get(k).fold(v)(math.min(_, v))
+              case (k, v) if k.startsWith("stream_cc_compact_") =>
+                compacts(k) = compacts.get(k).fold(v)(math.min(_, v))
+              case (k, v) if k.startsWith("stream_cc_dirs_") =>
+                dirsMax = math.max(dirsMax, v)
+              case _ => ()
+            }
+            CacheScope.release(); spark.catalog.clearCache()
+            println(
+              f"pass $pass sf0.1 x_stream_cc_drain20[$mode]  ${dt}%8.2fs rows=$n")
           }
-          CacheScope.release(); spark.catalog.clearCache()
-          println(f"pass $pass sf0.1 x_stream_cc_drain20  ${dt}%8.2fs rows=$n")
+          val foldJson = folds.toSeq
+            .sortBy(_._1.stripPrefix("stream_cc_fold_b").toLong)
+            .map { case (k, v) =>
+              f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
+            .mkString("{", ",", "}")
+          val compactJson = compacts.toSeq
+            .sortBy(_._1.stripPrefix("stream_cc_compact_v").toLong)
+            .map { case (k, v) =>
+              f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
+            .mkString("{", ",", "}")
+          f""""$mode":{"sf0.1_sec":$totalMin%.3f,""" +
+            f""""dirs_opened_max":${dirsMax.round},"folds":$foldJson,""" +
+            f""""compactions":$compactJson}"""
         }
-        val foldJson = folds.toSeq
-          .sortBy(_._1.stripPrefix("stream_cc_fold_b").toLong)
-          .map { case (k, v) =>
-            f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
-          .mkString("{", ",", "}")
-        val compactJson = compacts.toSeq
-          .sortBy(_._1.stripPrefix("stream_cc_compact_v").toLong)
-          .map { case (k, v) =>
-            f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
-          .mkString("{", ",", "}")
-        f""","stream_cc_drain20":{"sf0.1_sec":$totalMin%.3f,""" +
-          f""""dirs_opened_max":${dirsMax.round},"folds":$foldJson,""" +
-          f""""compactions":$compactJson}"""
+        // both labels persistences over the same 20-batch feed: the
+        // default whole-labeling rewrite and the delta-MERGE table
+        // mode (per-fold labels write ∝ delta + touched components)
+        s""","stream_cc_drain20":{${drain("rewrite", asTable = false)},""" +
+          s"""${drain("labels_table", asTable = true)}}"""
       }
 
     // bucket-occupancy census per hash family and tier (VERDICT r11

@@ -567,4 +567,46 @@ class DedupSpec extends SparkSpec {
       "fixture must contain at least one non-trivial cluster")
     graft.CacheScope.release()
   }
+
+  test("connectedIncrementalDelta: applying the delta to base labels ≡ full fold") {
+    // the MERGE-persistence form (clusterStream labelsAsTable):
+    // base ← delta-upserted must equal connectedIncremental's output,
+    // and the delta must be STRICTLY smaller than the corpus (rows ∝
+    // batch + touched components)
+    import graft.operators.Components
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val baseLabels = Components.connected(
+        base.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(base, "doc_id", "text", 3, 0.8, 8, 4),
+        "d1", "d2")
+      .persist()
+    val delta = Dedup.lshPairsAgainstBase(
+        base, incoming, "doc_id", "text", 3, 0.8, 8, 4)
+      .select(col("d_new").as("d1"), col("d_base").as("d2"))
+      .unionByName(
+        Dedup.minhashLshPairs(incoming, "doc_id", "text", 3, 0.8, 8, 4)
+          .select(col("d1"), col("d2")))
+      .persist()
+    val full = Components.connectedIncremental(
+        baseLabels, "doc_id", "component",
+        incoming.select(col("doc_id")), delta, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    val changed = Components.connectedIncrementalDelta(
+        baseLabels, "doc_id", "component",
+        incoming.select(col("doc_id")), delta, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    val baseMap = baseLabels.as[(Long, Long)].collect().toMap
+    assert((baseMap ++ changed) == full,
+      "delta upserted over base labels must equal the full fold")
+    assert(changed.size < full.size,
+      s"delta (${changed.size}) must be smaller than the corpus (${full.size})")
+    // every delta row is a real change: a new doc or a moved label
+    changed.foreach { case (id, c) =>
+      assert(!baseMap.contains(id) || baseMap(id) != c,
+        s"delta carries an unchanged base row: $id -> $c")
+    }
+    baseLabels.unpersist(); delta.unpersist()
+    graft.CacheScope.release()
+  }
 }

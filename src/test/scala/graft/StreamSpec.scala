@@ -1287,4 +1287,65 @@ class StreamSpec extends SparkSpec {
       s"a fold opened more than 1+compactEvery directories: $dirCounts")
     graft.CacheScope.release()
   }
+
+  test("clusterStream labelsAsTable: delta-MERGEd labeling with crash-restart equals from-scratch") {
+    // the 100-TB persistence form: the standing labeling lives in a
+    // graft transactional table; each fold MERGEs only the rows whose
+    // label changes (connectedIncrementalDelta), so the per-cycle
+    // labels write is ∝ delta, never ∝ corpus. Crash at batch 7 lands
+    // the restart across a compaction boundary (compactEvery=4 —
+    // which, in this mode, also materializes the table's delete debt);
+    // replay idempotence rides the table's own txn watermark.
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import graft.operators.{Components, Dedup}
+
+    val base = s"target/tmp/ccstreamtbl_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    (0 until 12).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(12L)) === r).coalesce(1)
+        .write.parquet(s"$base/feed/f=$r")
+    }
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/feed").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/feed")
+
+    val ex = intercept[StreamingQueryException] {
+      Streams.clusterStream(stream, "doc_id", "text",
+        s"$base/state", s"$base/ckpt", 3, 0.8, 8, 4, compactEvery = 4,
+        labelsAsTable = true,
+        afterBatch = bid =>
+          if (bid == 7) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    val streamed = Streams.clusterStream(stream, "doc_id", "text",
+        s"$base/state", s"$base/ckpt", 3, 0.8, 8, 4, compactEvery = 4,
+        labelsAsTable = true)
+      .as[(Long, Long)].collect()
+    val scratch = Components.connected(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8, 8, 4),
+        "d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.length == streamed.toSet.size,
+      "the labeling table must hold exactly one row per document")
+    assert(streamed.toSet == scratch,
+      "table-backed crash-restarted drain must equal from-scratch")
+    // no whole-corpus labels/v* rewrites exist in this mode
+    assert(!new java.io.File(s"$base/state/labels").exists(),
+      "labelsAsTable must not write per-batch labeling parquet")
+    // the table's standing data is ~one row per doc after the
+    // compaction-cadence materialize (not one copy per batch)
+    val snap = graft.sources.TxTable.currentSnapshot(
+      spark, s"$base/state/labels_tbl").get
+    val liveRows = snap.entries.map(e =>
+      graft.sources.FileStats.decode(e.stats).rows).sum -
+      snap.dvs.map(_.rows).sum
+    assert(liveRows == docs.count(),
+      s"labels table must hold one live row per document, got $liveRows")
+    graft.CacheScope.release()
+  }
 }
