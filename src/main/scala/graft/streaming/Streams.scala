@@ -602,8 +602,11 @@ object Streams {
       n: Int, tau: Double, bands: Int, rowsPerBand: Int,
       compactEvery: Int = 8,
       labelsAsTable: Boolean = false,
+      labelsTableBuckets: Int = 16,
       afterBatch: Long => Unit = _ => ()): DataFrame = {
     require(compactEvery >= 1, "clusterStream: compactEvery must be >= 1")
+    require(labelsTableBuckets >= 1,
+      "clusterStream: labelsTableBuckets must be >= 1")
     val spark = docs.sparkSession
     val q = docs.writeStream
       .outputMode("append")
@@ -612,7 +615,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maybeCompact(spark, stateDir, compactEvery, labelsAsTable)
         clusterFold(spark, batch, batchId, idCol, textCol, stateDir,
-          n, tau, bands, rowsPerBand, labelsAsTable)
+          n, tau, bands, rowsPerBand, labelsAsTable, labelsTableBuckets)
         afterBatch(batchId)
         ()
       }
@@ -758,10 +761,10 @@ object Streams {
       spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, stateDir: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int,
-      labelsAsTable: Boolean): Unit = {
+      labelsAsTable: Boolean, labelsTableBuckets: Int): Unit = {
     val t0 = System.nanoTime()
     clusterFoldInner(spark, batch, batchId, idCol, textCol, stateDir,
-      n, tau, bands, rowsPerBand, labelsAsTable)
+      n, tau, bands, rowsPerBand, labelsAsTable, labelsTableBuckets)
     graft.tools.RunMetrics.put(
       s"stream_cc_fold_b$batchId", (System.nanoTime() - t0) / 1e9)
   }
@@ -770,7 +773,7 @@ object Streams {
       spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, stateDir: String,
       n: Int, tau: Double, bands: Int, rowsPerBand: Int,
-      labelsAsTable: Boolean): Unit = {
+      labelsAsTable: Boolean, labelsTableBuckets: Int): Unit = {
     import graft.operators.{Components, Dedup}
     val done = committedBatches(spark, stateDir)
     if (done.contains(batchId)) return // committed replay: skip wholesale
@@ -787,8 +790,13 @@ object Streams {
         Dedup.minhashLshPairs(side, tau), "d1", "d2")
       if (labelsAsTable) {
         val tbl = labelsTablePath(stateDir)
+        // bucket-laid by the id: every future trickle MERGE's position
+        // scan prunes at the MANIFEST to the batch's candidate buckets
+        // (MergeOnRead.candidateEntries), and post-images place into
+        // their bucket groups
         if (graft.sources.TxTable.currentSnapshot(spark, tbl).isEmpty)
-          graft.sources.TxTable.createEmpty(spark, tbl, labels.schema)
+          graft.sources.TxTable.createEmpty(spark, tbl, labels.schema,
+            layout = Some(s"bucket($labelsTableBuckets, $idCol)"))
         graft.sources.MergeOnRead.mergeInto(spark, tbl, labels,
           keys = Seq(idCol), txn = Some((LabelsTxnId, batchId)))
       } else
