@@ -83,14 +83,19 @@ object Bench {
     def onePass(): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
-        graft.tools.RunMetrics.reset()
+        // flush-then-reset: a failed prior query skipped its harvest;
+        // its in-flight observations must land (and be discarded)
+        // before this query's window opens (ADVICE r13)
+        graft.tools.RunMetrics.flushAndReset(spark)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable =>
                    failCounts(name) = failCounts.getOrElse(name, 0) + 1; false }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         if (ok) {
-          val got = graft.tools.RunMetrics.harvested(spark)
+          // observation families deduped by full name: internal driver
+          // actions re-fire the same CollectMetrics instance (ADVICE r13)
+          val got = graft.tools.RunMetrics.harvestedDeduped(spark)
           if (got.nonEmpty) {
             val m = extras.getOrElseUpdate(name,
               scala.collection.mutable.Map.empty[String, Double])

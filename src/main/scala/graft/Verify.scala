@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle thunks that replay run-recorded state (fixture paths,
+    // derived LSH bit counts) render for THIS dir
+    graft.queries.Q.renderDir = sfDir
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

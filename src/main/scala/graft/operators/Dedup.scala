@@ -472,6 +472,20 @@ object Dedup {
     * candidates join on (combination index, block-value tuple) —
     * never all-pairs, and the key space is wide enough that
     * candidates stay dup-driven at 10⁸-doc corpora.
+    *
+    * Block coverage is bits 0..61 — the 62-bit SimHash layout all
+    * three geometries share (ADVICE r13). RECALL for true 64-bit
+    * signatures (image dHash) is still exact: a flip in bits 62-63
+    * never breaks a block-combination equality (those bits are in no
+    * block), and the final `bit_count` filter measures all 64 bits —
+    * so uncovered flips only consume distance budget, never hide a
+    * pair. The cost is selectivity, not correctness: bits 62-63
+    * contribute nothing to the banding key, so two signatures equal
+    * on 0..61 but apart on 62-63 still become a candidate and are
+    * dropped by the exact filter. A signature family with real
+    * entropy in the top 2 bits that measures candidate inflation in
+    * the census should band with a custom 64-bit-covering
+    * [[HamGeometry]] instead.
     */
   /** The Hamming-banding block geometry (Manku et al., "Detecting
     * Near-Duplicates for Web Crawling", WWW'07 §3): the 62-bit

@@ -31,19 +31,42 @@ object Ivf {
     * rows, which on a sorted/partitioned corpus biases every centroid
     * to one region of the space.
     */
+  /** CORPUS-ADAPTIVE centroid count: nlist ≈ √n, floored at 16 and
+    * capped (the r13 census proved the fixed k = 16 saturates exactly
+    * like fixed SRP bits: by 20k vectors the probe join's candidate
+    * count reaches the uniform floor n²·nprobe/k — quadratic in
+    * corpus from there). √n keeps per-bucket occupancy ≈ √n too, so
+    * candidates per query ≈ nprobe·√n — sublinear in corpus. The cap
+    * bounds the driver-side Lloyd cost and the centroid literal; past
+    * it (n > ~16M vectors) training belongs on executors (hierarchical
+    * / mini-batch k-means over a sampled frame — the documented seam),
+    * not in a bigger driver loop.
+    */
+  def adaptiveNlist(n: Long, cap: Int = 4096): Int =
+    math.max(16L, math.min(cap.toLong,
+      math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+
+  /** `iters`/`sampleSize` ≤ 0 = derive from k: sample 8 points per
+    * centroid (floor 2000 — the fixed pre-adaptive default, so k ≤ 250
+    * trains on the identical sample) and trade Lloyd rounds for k
+    * (8 rounds at dictionary-size k, 4 past it — the driver-side
+    * budget stays ~O(sample·k·dim) either way).
+    */
   def trainCentroids(
       df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 8, sampleSize: Int = 2000): Array[Array[Double]] = {
+      iters: Int = 0, sampleSize: Int = 0): Array[Array[Double]] = {
+    val nIters = if (iters > 0) iters else if (k <= 64) 8 else 4
+    val nSample = if (sampleSize > 0) sampleSize else math.max(2000, 8 * k)
     val sample = df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)))
-      .limit(sampleSize)
+      .limit(nSample)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     // k-means++-lite init: evenly strided sample points (deterministic)
     var centroids = Array.tabulate(k)(i => sample((i * sample.length / k) % sample.length).clone())
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to nIters) {
       val sums = Array.fill(k, dim)(0.0)
       val counts = Array.fill(k)(0L)
       sample.foreach { v =>
@@ -66,12 +89,21 @@ object Ivf {
     centroids
   }
 
-  private def centroidLit(c: Array[Double]): Column =
-    array(c.map(lit).toIndexedSeq: _*)
+  /** All centroids as ONE nested-array literal — a single Literal
+    * node instead of k×dim `lit` nodes (the same Catalyst-tree lesson
+    * as Knn.planesLit: at adaptive nlist a per-component literal
+    * forest is ~100k nodes and analysis dominates the query).
+    */
+  private def centroidsLit(cs: Array[Array[Double]]): Column =
+    typedlit(cs.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]])
 
-  /** Squared distance of `vec` to each centroid, as an array column. */
+  /** Squared distance of `vec` to each centroid, as an array column
+    * (same sequential fold per centroid as before — `transform` over
+    * the literal changes the tree shape, not the arithmetic, so the
+    * DuckDB replay stays bit-identical).
+    */
   private def distances(vec: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c => Vec.l2sq(vec, centroidLit(c))).toIndexedSeq: _*)
+    transform(centroidsLit(centroids), c => Vec.l2sq(vec, c))
 
   /** Nearest-centroid bucket id (argmin over the distance array). */
   def bucketId(vec: Column, centroids: Array[Array[Double]]): Column = {

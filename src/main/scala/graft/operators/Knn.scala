@@ -46,6 +46,48 @@ object Knn {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Target mean rows-per-bucket for the adaptive SRP geometry: small
+    * enough that a bucket's within-bucket pair count (≈ occ²/2) stays
+    * cheap, large enough that true neighbors keep colliding.
+    */
+  val SrpTargetOccupancy = 32L
+
+  /** CORPUS-ADAPTIVE bits per SRP table: the smallest `bits` with
+    * `n / 2^bits ≤ targetOccupancy` (floored/capped). A FIXED bit
+    * count is a scale-killer the r13 census measured directly: at 8
+    * tables × 6 bits the candidate set reaches the uniform floor
+    * n²/2^bits by ~20k vectors — candidates quadratic in corpus from
+    * there up (SCALE_r13 srp census: sf0.1→sf1 candidates grew 100×
+    * for 10× data). Deriving bits from a cheap corpus count keeps
+    * expected occupancy — and so candidates-per-row ≈
+    * tables × occupancy/2 — CONSTANT across tiers: the candidate
+    * join stays linear in n at any corpus size. The floor keeps the
+    * fixture-scale geometry (and every recorded oracle) identical to
+    * the pre-adaptive 6-bit family below ~2k rows; the cap bounds the
+    * plane literal (numTables × bits × dim doubles). Recall at fixed
+    * table count decays as bits grow — the standard LSH trade; raise
+    * `numTables`/`probes` to buy it back, never bits down (the census
+    * gate in KernelSpec pins the occupancy envelope, and the
+    * rehearsal's cross-tier slope gate pins candidates-per-row flat).
+    */
+  def adaptiveBits(
+      n: Long, targetOccupancy: Long = SrpTargetOccupancy,
+      floor: Int = 6, cap: Int = 24): Int = {
+    require(targetOccupancy >= 1, "adaptiveBits: occupancy must be >= 1")
+    require(floor >= 1 && cap >= floor, "adaptiveBits: need 1 <= floor <= cap")
+    var bits = floor
+    while (bits < cap && (n >> bits) > targetOccupancy) bits += 1
+    bits
+  }
+
+  /** Sentinel for `bitsPerTable` parameters: derive via
+    * [[adaptiveBits]] from a count of the corpus side.
+    */
+  val AutoBits = 0
+
+  private def resolveBits(bitsPerTable: Int, corpus: => Long): Int =
+    if (bitsPerTable == AutoBits) adaptiveBits(corpus) else bitsPerTable
+
   /** PORTABLE Rademacher (±1) hyperplanes — sign-random-projection
     * needs only a symmetric component distribution, so ±1 entries
     * estimate angles exactly as Gaussian ones do (Charikar STOC'02
@@ -162,9 +204,10 @@ object Knn {
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int,
-      numTables: Int = 8, bitsPerTable: Int = 6,
+      numTables: Int = 8, bitsPerTable: Int = AutoBits,
       probes: Int = 2): DataFrame = {
-    val tables = portablePlanes(numTables, bitsPerTable, dim)
+    val bits = resolveBits(bitsPerTable, corpus.count())
+    val tables = portablePlanes(numTables, bits, dim)
     val planes = planesLit(tables)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     // dot ARRAYS persist before the explode: project collapse would
@@ -179,14 +222,14 @@ object Knn {
         tableDots(col(vecCol), planes).as("dts")).persistTracked()
     val q = qD.select(col("query_id"), posexplode(col("dts")))
       .select(col("query_id"), col("pos").as("tbl"),
-        probeFromDots(col("col"), bitsPerTable, probes).as("buckets"))
+        probeFromDots(col("col"), bits, probes).as("buckets"))
       .select(col("query_id"), col("tbl"), explode(col("buckets")).as("bucket"))
     val cB = corpus
       .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
       .select(
         col(idCol).as("neighbor_id"),
         transform(tableDots(col(vecCol), planes),
-          dots => bucketFromDots(dots, bitsPerTable)).as("bks")).persistTracked()
+          dots => bucketFromDots(dots, bits)).as("bks")).persistTracked()
     val c = cB.select(col("neighbor_id"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "ctbl", "col" -> "cbucket"))
     val cands = graft.tools.RunMetrics.observedCount("cand_ann_probe",
@@ -227,13 +270,14 @@ object Knn {
     */
   def cosinePairsBucketed(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = AutoBits): DataFrame = {
     val dimOpt = df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
     if (dimOpt.isEmpty) // empty corpus: no pairs, not a crash
       return df.select(col(idCol).as("d1"), col(idCol).as("d2"),
         lit(0.0).as("cosine")).limit(0)
-    val tables = portablePlanes(numTables, bitsPerTable, dimOpt.get)
-    val e = srpBuckets(df, idCol, vecCol, tables, bitsPerTable)
+    val bits = resolveBits(bitsPerTable, df.count())
+    val tables = portablePlanes(numTables, bits, dimOpt.get)
+    val e = srpBuckets(df, idCol, vecCol, tables, bits)
     val a = e.select(col("id").as("d1"), col("tbl"), col("bucket"))
     val b = e.select(col("id").as("d2"), col("tbl").as("tbl2"),
       col("bucket").as("bucket2"))
@@ -294,16 +338,19 @@ object Knn {
     */
   def srpPairsAgainstBase(
       base: DataFrame, incoming: DataFrame, idCol: String, vecCol: String,
-      tau: Double, numTables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+      tau: Double, numTables: Int = 8, bitsPerTable: Int = AutoBits): DataFrame = {
     val dimOpt = incoming.select(size(col(vecCol)))
       .head(1).headOption.map(_.getInt(0))
     if (dimOpt.isEmpty) // empty batch: no pairs, not a crash
       return incoming.select(col(idCol).as("d_new"), col(idCol).as("d_base"),
         lit(0.0).as("cosine")).limit(0)
-    val tables = portablePlanes(numTables, bitsPerTable, dimOpt.get)
-    val bi = srpBuckets(incoming, idCol, vecCol, tables, bitsPerTable)
+    // bits derive from the STANDING corpus (the base side): the batch
+    // is small by nature and must band with the base's geometry
+    val bits = resolveBits(bitsPerTable, base.count())
+    val tables = portablePlanes(numTables, bits, dimOpt.get)
+    val bi = srpBuckets(incoming, idCol, vecCol, tables, bits)
       .withColumnsRenamed(Map("id" -> "d_new"))
-    val bb = srpBuckets(base, idCol, vecCol, tables, bitsPerTable)
+    val bb = srpBuckets(base, idCol, vecCol, tables, bits)
       .withColumnsRenamed(
         Map("id" -> "d_base", "tbl" -> "tbl2", "bucket" -> "bucket2"))
     val cands = graft.tools.RunMetrics.observedCount("cand_srp_cross",

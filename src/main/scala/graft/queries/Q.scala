@@ -24,6 +24,16 @@ final case class Q(
 }
 
 object Q {
+  /** The dataset dir oracle thunks render for. Set by [[graft.Verify]]
+    * (and by any test that renders oracles) BEFORE reading `oracle`,
+    * so an oracle that replays run-recorded state (q_knn_ivf's
+    * centroid fixture, the SRP queries' derived bit count) reads the
+    * record keyed by THIS dir instead of a last-run-wins global —
+    * fully interleaved runs against two dirs can no longer clobber
+    * each other's replay parameters (ADVICE r13).
+    */
+  @volatile var renderDir: String = "/root/testdata/sf0.01"
+
   def apply(name: String, oracle: => String)(
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(() => oracle))

@@ -17,18 +17,35 @@ object VectorQueries {
   /** The trained IVF centroid fixture's location — ABSOLUTE so the
     * DuckDB oracle (whose working directory is the driver's, not
     * sbt's) reads the exact doubles the Spark query indexed with, and
-    * TAGGED with the dataset dir (ADVICE r12: one global path could be
-    * overwritten by an interleaved run against another dir between the
-    * query run and the oracle replay). The oracle SQL is a thunk
-    * rendered AFTER the queries ran (see [[graft.queries.Q]]), so it
-    * embeds the tag of the dir q_knn_ivf actually ran against —
-    * recorded in [[ivfCentroidTag]] by the query run; the default is
-    * the driver's verify dir.
+    * keyed DETERMINISTICALLY by the dataset dir: the oracle thunk
+    * renders the path for [[Q.renderDir]] (set by Verify/tests to the
+    * dir the replay is FOR), so interleaved runs against two dirs
+    * each read their own fixture — no last-run-wins slot to clobber
+    * (ADVICE r13).
     */
-  @volatile private var ivfCentroidTag = "_root_testdata_sf0_01"
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
 
   private def ivfCentroidDir(tag: String): String =
     new java.io.File(s"target/tmp/ivf_centroids_$tag").getAbsolutePath
+
+  /** SRP bits/table the queries RAN with, per dataset dir — recorded
+    * at run time, read back by the oracle thunks for [[Q.renderDir]]
+    * so the replay regenerates the exact plane family the adaptive
+    * geometry chose for that corpus (fallback: derive from nothing =
+    * the fixture-scale floor of 6).
+    */
+  private val srpBitsByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def recordSrpBits(dir: String, n: Long): Int = {
+    val bits = Knn.adaptiveBits(n)
+    srpBitsByDir.put(dir, bits)
+    bits
+  }
+
+  private def srpBitsForRender: Int =
+    srpBitsByDir.getOrElse(Q.renderDir, 6)
 
   /** IVF (centroid-bucketed) ANN top-5 — the second scale path. A FULL
     * oracle gate since VERDICT r11 item 2: training is deterministic
@@ -43,7 +60,7 @@ object VectorQueries {
   val knnIvf: Q = Q(
     "q_knn_ivf",
     s"""WITH cent AS (
-       |  SELECT cid, c FROM read_parquet('${ivfCentroidDir(ivfCentroidTag)}/*.parquet')
+       |  SELECT cid, c FROM read_parquet('${ivfCentroidDir(dirTag(Q.renderDir))}/*.parquet')
        |), dist AS (
        |  SELECT e.vec_id AS id, ct.cid,
        |    list_reduce(list_transform(range(1, len(e.embedding)+1),
@@ -75,14 +92,16 @@ object VectorQueries {
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.Ivf
     val emb = Tables.embeddings(s, dir)
-    val centroids = Ivf.trainCentroids(emb, "embedding", k = 16)
+    // nlist ≈ √n (adaptive — a fixed k is the saturation class the
+    // r13 census measured; the oracle reads whatever centroid count
+    // the fixture carries, so no SQL change rides along)
+    val centroids = Ivf.trainCentroids(
+      emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
     import s.implicits._
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "c")
-      .coalesce(1).write.mode("overwrite").parquet(ivfCentroidDir(tag))
-    ivfCentroidTag = tag
+      .coalesce(1).write.mode("overwrite").parquet(ivfCentroidDir(dirTag(dir)))
     Ivf.annTopKWith(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, centroids, nprobe = 4)
@@ -128,7 +147,7 @@ object VectorQueries {
     * SRP oracle gates; mirrors `Knn.portablePlanes` + the Spark
     * bucketing bit-for-bit.
     */
-  private val srpBucketCtes = {
+  private def srpBucketCtes(bits: Int): String = {
     // x0 = polyhash component seed; x1 = squared-affine mix — must
     // repeat x0 textually (SQL has no local binding inside a lambda)
     val x0 = "((p.hb*1000003 + i - 1) % 2147483647)"
@@ -136,7 +155,7 @@ object VectorQueries {
     s"""p AS (
        |  SELECT t.range AS t, b.range AS b,
        |    ((CAST(7 AS BIGINT)*1000003 + t.range) % 2147483647 * 1000003 + b.range) % 2147483647 AS hb
-       |  FROM range(0, 8) t, range(0, 6) b
+       |  FROM range(0, 8) t, range(0, $bits) b
        |), dots AS (
        |  SELECT e.vec_id AS id, p.t, p.b,
        |    list_reduce(list_transform(range(1, len(e.embedding)+1),
@@ -153,7 +172,7 @@ object VectorQueries {
 
   val srpPairs: Q = Q(
     "q_embed_srp_pairs",
-    s"""WITH $srpBucketCtes, cand AS (
+    s"""WITH ${srpBucketCtes(srpBitsForRender)}, cand AS (
        |  SELECT DISTINCT a.id AS d1, b2.id AS d2
        |  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.id < b2.id
        |)
@@ -164,8 +183,9 @@ object VectorQueries {
        |JOIN embeddings eb ON eb.vec_id = c.d2
        |WHERE ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} >= 0.4
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    Knn.cosinePairsBucketed(
-      Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+    val emb = Tables.embeddings(s, dir)
+    Knn.cosinePairsBucketed(emb, "vec_id", "embedding", 0.4,
+        bitsPerTable = recordSrpBits(dir, emb.count()))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -179,7 +199,7 @@ object VectorQueries {
     */
   val embedIncremental: Q = Q(
     "q_embed_incremental",
-    s"""WITH $srpBucketCtes, cand AS (
+    s"""WITH ${srpBucketCtes(srpBitsForRender)}, cand AS (
        |  SELECT DISTINCT a.id AS d_new, b2.id AS d_base
        |  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket
        |  WHERE a.id % 5 = 0 AND b2.id % 5 <> 0
@@ -192,10 +212,14 @@ object VectorQueries {
        |WHERE ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} >= 0.4
        |ORDER BY d_new, d_base""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
+    // the oracle's CTEs band the WHOLE table with one bit count, so
+    // the split sides band with bits derived from the full corpus —
+    // the same record q_embed_srp_pairs/q_knn_ann write for this dir
+    val bits = recordSrpBits(dir, emb.count())
     Knn.srpPairsAgainstBase(
       emb.filter(col("vec_id") % 5 =!= 0),
       emb.filter(col("vec_id") % 5 === 0),
-      "vec_id", "embedding", 0.4)
+      "vec_id", "embedding", 0.4, bitsPerTable = bits)
       .orderBy(col("d_new"), col("d_base"))
   }
 
@@ -230,7 +254,7 @@ object VectorQueries {
     */
   val knnAnn: Q = Q(
     "q_knn_ann",
-    s"""WITH $srpBucketCtes, probes AS (
+    s"""WITH ${srpBucketCtes(srpBitsForRender)}, probes AS (
        |  SELECT d.id, d.t, CAST(power(2, d.b) AS BIGINT) AS bitval,
        |    ROW_NUMBER() OVER (PARTITION BY d.id, d.t
        |      ORDER BY abs(d.d), power(2, d.b)) AS rn
@@ -260,7 +284,8 @@ object VectorQueries {
     val emb = Tables.embeddings(s, dir)
     Knn.annTopK(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, dim = 64)
+      k = 5, dim = 64,
+      bitsPerTable = recordSrpBits(dir, emb.count()))
       .orderBy(col("query_id"), col("rank"))
   }
 

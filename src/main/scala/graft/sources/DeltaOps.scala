@@ -363,7 +363,15 @@ private[sources] final class GraftDeltaReaderFactory(
     * task memory, not ~512 MB. Duplicates (never written by the commit
     * protocol, but formerly a silent next-row skip hazard) are
     * absorbed by set semantics. Size/cardinality are recorded in
-    * [[graft.tools.RunMetrics]] for the rehearsal's memory evidence.
+    * [[graft.tools.RunMetrics]] for the rehearsal's memory evidence —
+    * NOTE (ADVICE r13): RunMetrics is a driver-JVM singleton and this
+    * code runs in tasks, so the dv_file_* evidence exists only where
+    * tasks share the driver JVM (local mode — exactly where the
+    * rehearsal runs). On a real cluster the recordings land in each
+    * executor's own registry and the artifact section reads empty; a
+    * deployment that wants them fleet-wide would route these two
+    * scalars through a max-merge accumulator. Diagnostic only — no
+    * operator reads them.
     */
   private def loadDeleted(part: GraftDeltaPartition): PosBitmap = {
     if (part.dvPaths.isEmpty) return PosBitmap.empty

@@ -125,4 +125,35 @@ object RunMetrics {
     org.apache.spark.GraftSparkBridge.flushListenerBus(spark.sparkContext)
     snapshot
   }
+
+  /** [[harvested]] with observation families DEDUPED by full
+    * observation name (ADVICE r13): an operator's INTERNAL driver
+    * action (e.g. the broadcast-remap guard's `limit().count()`) runs
+    * a plan containing the same CollectMetrics nodes the final action
+    * runs, so the family-key SUM in [[reg]] can count one observation
+    * instance twice. `regRaw` holds exactly one (last) value per full
+    * name, so summing IT per family counts each instantiation once —
+    * distinct instantiations in one plan (e.g. an incremental fold's
+    * base-cross + within-batch legs) still sum. Driver-side scalars
+    * ([[put]]/[[add]] keys, never observation-named) pass through.
+    */
+  def harvestedDeduped(spark: SparkSession): Map[String, Double] = {
+    org.apache.spark.GraftSparkBridge.flushListenerBus(spark.sparkContext)
+    val byFamily = regRaw.readOnlySnapshot().toSeq
+      .groupBy(_._1.split("__").head)
+      .map { case (fam, kvs) => fam -> kvs.map(_._2).sum }
+    snapshot.filterNot { case (k, _) => byFamily.contains(k) } ++ byFamily
+  }
+
+  /** Flush the async bus, THEN clear — consumers call this between
+    * runs so a prior (possibly failed) run's in-flight observations
+    * land and are discarded before the next window opens, instead of
+    * leaking into it (ADVICE r13: a query that fails skips its
+    * harvest, and its late observations would otherwise be attributed
+    * to the next query).
+    */
+  def flushAndReset(spark: SparkSession): Unit = {
+    org.apache.spark.GraftSparkBridge.flushListenerBus(spark.sparkContext)
+    reset()
+  }
 }

@@ -74,10 +74,14 @@ class KernelSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, censusSf)
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val n = emb.count()
-    val uniform = Census.uniformPairs(n, space = 64, groups = 8)
+    // the ADAPTIVE geometry the operators derive for this corpus
+    // (= the floor 6 at fixture scale — the gate follows the derived
+    // bits if the fixture ever grows)
+    val bits = Knn.adaptiveBits(n)
+    val uniform = Census.uniformPairs(n, space = 1L << bits, groups = 8)
     val cur = Census.of(
       Knn.srpBuckets(emb, "vec_id", "embedding",
-        Knn.portablePlanes(8, 6, dim), 6), Seq("tbl", "bucket"))
+        Knn.portablePlanes(8, bits, dim), bits), Seq("tbl", "bucket"))
     // embeddings carry real cluster structure, so some excess over the
     // uniform i.i.d. model is legitimate; the skew bug was ~6x over
     // Gaussian balance, so 4x separates cleanly
@@ -86,7 +90,7 @@ class KernelSpec extends SparkSpec {
         s"$uniform — the plane family has gone skewed (cf. 39b105b)")
     val bad = Census.of(
       Knn.srpBuckets(emb, "vec_id", "embedding",
-        skewedPlanes(8, 6, dim), 6), Seq("tbl", "bucket"))
+        skewedPlanes(8, bits, dim), bits), Seq("tbl", "bucket"))
     assert(bad.candidatePairs > 4 * uniform,
       s"census gate must catch the pre-39b105b family " +
         s"(got ${bad.candidatePairs} vs uniform $uniform)")
@@ -159,7 +163,8 @@ class KernelSpec extends SparkSpec {
     import graft.operators.Ivf
     val emb = Tables.embeddings(spark, censusSf)
     val n = emb.count()
-    val cents = Ivf.trainCentroids(emb, "embedding", 16)
+    val k = Ivf.adaptiveNlist(n) // the count q_knn_ivf derives here
+    val cents = Ivf.trainCentroids(emb, "embedding", k)
     val c = Census.of(
       emb.select(Ivf.bucketId(col("embedding"), cents).as("bucket")),
       Seq("bucket"))
@@ -169,10 +174,63 @@ class KernelSpec extends SparkSpec {
     assert(c.maxOccupancy <= n / 2,
       s"IVF census: max bucket ${c.maxOccupancy} of $n vectors — " +
         "centroid training collapsed")
-    assert(c.candidatePairs <= 4 * Census.uniformPairs(n, space = 16, groups = 1),
+    assert(c.candidatePairs <= 4 * Census.uniformPairs(n, space = k, groups = 1),
       s"IVF census: ${c.candidatePairs} candidate pairs — bucket " +
         "skew past 4x the uniform expectation")
     graft.CacheScope.release()
+  }
+
+  // ------------------------------------------------------------------
+  // ADAPTIVE-GEOMETRY envelope gates (VERDICT r13 item 1): the r13
+  // census proved the FIXED 8×6-bit SRP family saturates by ~20k
+  // vectors (candidates at the uniform floor n²/2^bits — quadratic in
+  // corpus from there). The within-tier balance gates above cannot see
+  // saturation (a saturated-but-uniform family passes); these gates
+  // pin the GROWTH LAW of the derived geometry itself: expected
+  // occupancy, and so candidates-per-row, must stay ~constant as the
+  // corpus grows. The rehearsal's cross-tier census records the
+  // measured slope at sf0.1/sf1/sf10.
+  // ------------------------------------------------------------------
+
+  test("adaptiveBits: expected occupancy (and so candidates/row) flat in corpus size") {
+    import graft.operators.Knn
+    import graft.tools.Census
+    val tiers = Seq(500L, 2000L, 20000L, 200000L, 2000000L, 16000000L)
+    for (n <- tiers) {
+      val bits = Knn.adaptiveBits(n)
+      val occ = n.toDouble / (1L << bits)
+      assert(occ <= 2 * Knn.SrpTargetOccupancy,
+        s"adaptiveBits($n) = $bits leaves occupancy $occ — " +
+          "the derived family is saturating (quadratic candidates)")
+      // candidates-per-row at the uniform expectation: 8 tables,
+      // space 2^bits — must stay bounded by the occupancy target,
+      // i.e. FLAT across tiers, not n/2^fixedBits
+      val candPerRow = Census.uniformPairs(n, 1L << bits, 8L) / n
+      assert(candPerRow <= 8 * Knn.SrpTargetOccupancy,
+        s"adaptiveBits($n): uniform candidates/row $candPerRow grows " +
+          "with corpus — geometry not tracking n")
+    }
+    // fixture-scale floor: the recorded sf0.01/sf0.1 oracles band at
+    // exactly the pre-adaptive 6-bit family
+    assert(Knn.adaptiveBits(500) == 6 && Knn.adaptiveBits(2000) == 6)
+    // monotone: a bigger corpus never derives a smaller key space
+    assert(tiers.map(Knn.adaptiveBits(_)) == tiers.map(Knn.adaptiveBits(_)).sorted)
+  }
+
+  test("adaptiveNlist: nlist tracks sqrt(n) so probe candidates stay sublinear") {
+    import graft.operators.Ivf
+    assert(Ivf.adaptiveNlist(500) == 23)     // ceil(sqrt(500))
+    assert(Ivf.adaptiveNlist(100) == 16)     // floor
+    assert(Ivf.adaptiveNlist(2000000) == 1415)
+    assert(Ivf.adaptiveNlist(1L << 60) == 4096) // cap: past it training
+                                                // moves off the driver
+    // per-query candidate work ≈ nprobe · n / nlist ≈ nprobe·√n:
+    // sublinear in corpus at every tier
+    for (n <- Seq(2000L, 200000L, 2000000L)) {
+      val k = Ivf.adaptiveNlist(n)
+      assert(n.toDouble / k <= 2 * math.sqrt(n.toDouble),
+        s"adaptiveNlist($n) = $k — bucket occupancy n/k not ~sqrt(n)")
+    }
   }
 
   // ------------------------------------------------------------------
