@@ -15,7 +15,7 @@ object TextQueries {
     textStats, tokenTopK, langId, qualityScore, fingerprintDup,
     ngramJaccard, jaccardPruned, dedupClusters, minhashDedup,
     incrementalDedup, incrementalCc, incrementalCcFold, streamNearDup,
-    streamCc, streamCcTbl, simhashPairs,
+    streamCc, simhashPairs,
     tokenRegex, decontaminate, spanDecontaminate, repetition,
     packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
@@ -1096,12 +1096,19 @@ object TextQueries {
     * replayed as a 3-micro-batch stream (one file per trigger), each
     * batch LSH-banded once and folded into the standing labels on the
     * delta-contracted reduced graph — the streamed composition of
-    * q_incremental_dedup's banding and q_incremental_cc's fold. FULL
-    * oracle gate: any batch split of an append-only corpus folds to
-    * the same labeling (LSH pair membership is pairwise), so DuckDB
-    * recomputes the clusters from scratch by recursive reachability —
-    * the same oracle as q_incremental_cc. Crash/restart equivalence
-    * is StreamSpec's.
+    * q_incremental_dedup's banding and q_incremental_cc's fold. Runs
+    * the PRODUCTION persistence (the r14 default `labelsAsTable`):
+    * the standing labeling is a graft transactional table each fold
+    * MERGEs its delta into ([[graft.operators.Components
+    * .connectedIncrementalDelta]] — write ∝ delta + touched
+    * components), with history vacuumed/pruned on the compaction
+    * cadence. FULL oracle gate: any batch split of an append-only
+    * corpus folds to the same labeling (LSH pair membership is
+    * pairwise), so DuckDB recomputes the clusters from scratch by
+    * recursive reachability — the same oracle as q_incremental_cc.
+    * Crash/restart equivalence (both persistences) is StreamSpec's;
+    * the rewrite option is priced next to this mode in the
+    * rehearsal's drain entry.
     */
   val streamCc: Q = Q(
     "q_stream_cc",
@@ -1134,51 +1141,6 @@ object TextQueries {
         s"target/tmp/stream_cc_state_$run",
         s"target/tmp/stream_cc_ckpt_$run",
         n = 3, tau = 0.8, bands = 8, rowsPerBand = 4)
-      .select(col("doc_id"), col("component").as("cluster_id"),
-        (col("doc_id") === col("component")).as("is_canonical"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** [[streamCc]] with the PRODUCTION labels persistence
-    * (`labelsAsTable = true`): the standing labeling lives in a graft
-    * transactional table and each fold MERGEs only the delta
-    * ([[graft.operators.Components.connectedIncrementalDelta]] — one
-    * row per new doc + base docs in touched components) through the
-    * merge-on-read path, so the per-cycle labels WRITE is ∝ delta
-    * instead of rewriting the corpus-sized labeling parquet every
-    * micro-batch. Same FULL from-scratch reachability oracle — the
-    * mode changes persistence, never the labeling; StreamSpec adds
-    * the crash-across-compaction restart proof (the table's txn
-    * watermark makes replays no-ops).
-    */
-  val streamCcTbl: Q = Q(
-    "q_stream_cc_tbl",
-    ccFromScratchSql) { (s, dir) =>
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcDir = s"target/tmp/stream_cc_src_$tag"
-    streamCcSrcBuilt.synchronized {
-      if (!streamCcSrcBuilt.contains(dir)) {
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"),
-            pmod(col("doc_id"), lit(3L)).cast("int").as("b"))
-          .repartition(col("b"))
-          .write.mode("overwrite").partitionBy("b").parquet(srcDir)
-        streamCcSrcBuilt += dir
-      }
-    }
-    val schema = s.read.option("recursiveFileLookup", "true")
-      .parquet(srcDir).schema
-    val run = System.nanoTime()
-    val src = s.readStream.schema(schema)
-      .option("recursiveFileLookup", "true")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-    graft.streaming.Streams.clusterStream(
-        src, "doc_id", "text",
-        s"target/tmp/stream_cctbl_state_$run",
-        s"target/tmp/stream_cctbl_ckpt_$run",
-        n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
-        labelsAsTable = true)
       .select(col("doc_id"), col("component").as("cluster_id"),
         (col("doc_id") === col("component")).as("is_canonical"))
       .orderBy(col("doc_id"))

@@ -235,6 +235,17 @@ object TxTable {
     * minute = half a million manifests a year) every read-path resolve
     * goes through here; [[versions]] stays for the history-enumerating
     * ops (vacuum, time travel listing) that genuinely need all of it.
+    * History LENGTH is bounded operationally by [[pruneHistory]] on a
+    * maintenance cadence. Manifest WIDTH (one text line per live file,
+    * parsed into one driver-side `Entry` each) is the remaining
+    * O(live files) driver state — `history`'s `manifest_bytes` column
+    * and the rehearsal's manifest-width entry record where that
+    * ceiling sits; the sharding seam when a table outgrows it is this
+    * function and [[parseManifest]]: a `v<N>.manifest` that lists
+    * child shard files (hash-ranged by file key, rewritten
+    * copy-on-write only for shards a commit touches) keeps the commit
+    * point a single atomic rename while planning reads only the
+    * shards a query's pruning needs.
     */
   def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val f = fs(spark, root)
@@ -303,11 +314,25 @@ object TxTable {
   /** DESCRIBE HISTORY: one row per committed version — version,
     * live-file count, live bytes (-1 sizes counted as 0), files/bytes
     * added vs the previous version, streaming watermarks and CHECK
-    * constraints as sorted `k=v` strings. Driver work is O(history),
-    * the documented cost of every history-enumerating op here.
+    * constraints as sorted `k=v` strings, and the manifest's own byte
+    * size (`manifest_bytes` — the driver-state ceiling tripwire: the
+    * manifest text re-lists every live file, so this column is the
+    * number that grows toward the single-file-manifest seam at very
+    * wide tables; see the sharding note on [[currentSnapshot]]).
+    * Driver work is O(history), the documented cost of every
+    * history-enumerating op here.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    val f = fs(spark, root)
+    val manifestBytes: Map[Long, Long] =
+      if (!f.exists(manifestDir(root))) Map.empty
+      else f.listStatus(manifestDir(root)).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case ManifestRe(n) => Some(n.toLong -> st.getLen)
+          case _ => None
+        }
+      }.toMap
     val snaps = versions(spark, root).map(v => snapshot(spark, root, v))
     val rows = snaps.zip(None +: snaps.map(Some(_))).map { case (s, prev) =>
       val prevPaths = prev.map(_.entries.map(_.relPath).toSet).getOrElse(Set.empty)
@@ -322,10 +347,11 @@ object TxTable {
         // the creation sidecar applies; a relayout is visible as the
         // version where this flips)
         s.layout.orNull,
-        s.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+        s.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+        manifestBytes.getOrElse(s.version, 0L))
     }
     rows.toDF("version", "files", "bytes", "files_added", "bytes_added",
-      "txns", "checks", "ts_millis", "layout", "props")
+      "txns", "checks", "ts_millis", "layout", "props", "manifest_bytes")
   }
 
   private def parseManifest(version: Long, text: String, root: String): Snapshot = {
@@ -1788,5 +1814,34 @@ object TxTable {
     }
     doomed.foreach(p => f.delete(p, false))
     doomed.size
+  }
+
+  /** Drop committed MANIFESTS below `keepFromVersion` (the current
+    * version always survives: `keepFrom` is clamped to it). [[vacuum]]
+    * reclaims unreachable DATA files but leaves every manifest behind,
+    * and both [[currentSnapshot]]'s directory listing and the
+    * manifest-file count are O(versions) — a one-minute streaming
+    * MERGE cadence is ~half a million manifests a year, which turns
+    * every read-path resolve into a six-figure listing (the r13
+    * labels-table drain measured fold cost CLIMBING with batch index
+    * from exactly this accretion). Retention semantics: versions below
+    * `keepFrom` stop being time-travelable/restorable — the same
+    * contract as vacuuming their files, which is why the two run
+    * together on a maintenance cadence ([[graft.streaming.Streams]]
+    * compaction; callers wanting time travel keep a window, e.g.
+    * `pruneHistory(root, versionAt(root, now - 7d))`). Single-writer
+    * assumption as with [[recover]]: the streaming watermark (`#txn`)
+    * and CHECKs are carried forward in every manifest, so replay
+    * idempotence survives pruning. Returns versions dropped.
+    */
+  def pruneHistory(
+      spark: SparkSession, root: String, keepFromVersion: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    val cur = requireSnapshot(spark, root).version
+    val keep = math.min(keepFromVersion, cur)
+    val doomed = versions(spark, root).filter(_ < keep)
+    doomed.foreach(v =>
+      f.delete(new Path(manifestDir(root), s"v$v.manifest"), false))
+    doomed
   }
 }
