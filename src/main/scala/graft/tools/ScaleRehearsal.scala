@@ -190,6 +190,11 @@ object ScaleRehearsal {
     "q_sql_delete", "q_bucket_dml", "q_bucket_join", "q_mor_delete",
     "q_mor_update", "q_mor_merge", "q_spj_partial", "q_dedup_clusters",
     "q_jaccard_pruned", "q_knn_ann", "q_knn_ivf", "q_lookup_cascade",
+    // round-14 (VERDICT r13 item 1): whole-corpus SRP pairs at 100×
+    // vectors under the ADAPTIVE geometry — the entry that was
+    // quadratic at fixed 6-bit tables (the r13 census's saturation
+    // proof); candidates-per-row must now stay ~flat across tiers
+    "q_embed_srp_pairs",
     // round-13 (VERDICT r12 item 7): the IVF production split at index
     // scale — centroids trained ONCE per tier and the assigned corpus
     // stored; the timed pass is the QUERY-ONLY path (probe + candidate
@@ -461,7 +466,8 @@ object ScaleRehearsal {
       ivfIdxBuilt.synchronized {
         if (!ivfIdxBuilt.contains(dir)) {
           val emb = graft.Tables.embeddings(s, dir)
-          val cents = Ivf.trainCentroids(emb, "embedding", 16)
+          val cents = Ivf.trainCentroids(
+            emb, "embedding", Ivf.adaptiveNlist(emb.count()))
           ivfIdxCentroids(dir) = cents
           Ivf.assignCorpus(emb, "vec_id", "embedding", cents)
             .write.mode("overwrite").parquet(idxPath)
@@ -948,7 +954,8 @@ object ScaleRehearsal {
     val subset: Option[Set[String]] =
       if (args.isEmpty) None else Some(args.toSet)
     subset.foreach { s =>
-      val unknown = s -- (Family ++ Family100).toSet - "x_stream_cc_drain20"
+      val unknown = s -- (Family ++ Family100).toSet -
+        "x_stream_cc_drain40" - "x_stream_cc_crossover"
       require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
     }
     def picked(family: Seq[String]): Seq[String] =
@@ -1060,25 +1067,30 @@ object ScaleRehearsal {
           s""""file_bitmap_bytes_max":$bytes,"raw_longs_bytes":${pos * 8}}"""
       }
 
-    // 20-batch streaming-cluster drain (VERDICT r12 item 1): the claim
-    // is per-FOLD flatness in BATCH COUNT — compaction every 5 batches
-    // bounds the standing-side read at ≤ 1 base + 5 batch directories,
-    // so late folds must cost what early folds cost (the pre-compaction
-    // layout read O(batches) dirs and trended O(batches²) cumulative).
-    // One tier (sf0.1): the cross-TIER ratio is q_stream_cc's claim;
-    // this entry's axis is drain length, measured by the per-fold
-    // timings inside ONE drain. 2 passes, min per fold.
+    // 40-batch streaming-cluster drain (VERDICT r12 item 1; extended
+    // to 40 batches and per-fold WRITE BYTES by VERDICT r13 item 2):
+    // the claim is per-FOLD flatness in BATCH COUNT for BOTH
+    // persistences — compaction every 5 batches bounds the standing
+    // LSH side at ≤ 1 base + 5 batch directories, and (table mode) the
+    // compaction-cadence materialize+vacuum+pruneHistory bounds the
+    // labels table's manifest history — so late folds must cost what
+    // early folds cost. bytes_b* records each fold's labels write:
+    // rewrite mode must show ∝ corpus (grows with the drain), table
+    // mode ∝ delta (flat-ish) — the measured form of the mode's
+    // reason to exist. One tier (sf0.1): the cross-TIER ratio is
+    // q_stream_cc's claim; this entry's axis is drain length.
+    // 2 passes, min per fold.
     val drainSection =
-      if (!subset.forall(_("x_stream_cc_drain20"))) ""
+      if (!subset.forall(_("x_stream_cc_drain40"))) ""
       else {
-        val srcDir = "target/tmp/x_stream_cc_drain20_src"
+        val srcDir = "target/tmp/x_stream_cc_drain40_src"
         val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
         val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(done)) {
           val docs = graft.Tables.documents(spark, sf01)
             .select(col("doc_id"), col("text"))
-          (0 until 20).foreach { r =>
-            docs.filter(pmod(col("doc_id"), lit(20L)) === r).coalesce(1)
+          (0 until 40).foreach { r =>
+            docs.filter(pmod(col("doc_id"), lit(40L)) === r).coalesce(1)
               .write.mode("overwrite").parquet(s"$srcDir/f=$r")
           }
           fs.create(done, true).close()
@@ -1088,10 +1100,11 @@ object ScaleRehearsal {
         def drain(mode: String, asTable: Boolean): String = {
           val folds = scala.collection.mutable.Map.empty[String, Double]
           val compacts = scala.collection.mutable.Map.empty[String, Double]
+          val bytes = scala.collection.mutable.Map.empty[String, Double]
           var dirsMax = 0.0
           var totalMin = Double.MaxValue
           for (pass <- 1 to 2) {
-            graft.tools.RunMetrics.reset()
+            graft.tools.RunMetrics.flushAndReset(spark)
             val run = System.nanoTime()
             val src = spark.readStream.schema(schema)
               .option("recursiveFileLookup", "true")
@@ -1099,8 +1112,8 @@ object ScaleRehearsal {
             val t0 = System.nanoTime()
             val n = graft.streaming.Streams.clusterStream(
               src, "doc_id", "text",
-              s"target/tmp/x_drain20_state_$run",
-              s"target/tmp/x_drain20_ckpt_$run",
+              s"target/tmp/x_drain40_state_$run",
+              s"target/tmp/x_drain40_ckpt_$run",
               n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
               compactEvery = 5, labelsAsTable = asTable).count()
             val dt = (System.nanoTime() - t0) / 1e9
@@ -1111,41 +1124,159 @@ object ScaleRehearsal {
                 folds(k) = folds.get(k).fold(v)(math.min(_, v))
               case (k, v) if k.startsWith("stream_cc_compact_") =>
                 compacts(k) = compacts.get(k).fold(v)(math.min(_, v))
+              case (k, v) if k.startsWith("stream_cc_bytes_") =>
+                bytes(k) = v // pass-invariant (same data, same delta)
               case (k, v) if k.startsWith("stream_cc_dirs_") =>
                 dirsMax = math.max(dirsMax, v)
               case _ => ()
             }
             CacheScope.release(); spark.catalog.clearCache()
             println(
-              f"pass $pass sf0.1 x_stream_cc_drain20[$mode]  ${dt}%8.2fs rows=$n")
+              f"pass $pass sf0.1 x_stream_cc_drain40[$mode]  ${dt}%8.2fs rows=$n")
           }
-          val foldJson = folds.toSeq
-            .sortBy(_._1.stripPrefix("stream_cc_fold_b").toLong)
-            .map { case (k, v) =>
-              f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
-            .mkString("{", ",", "}")
-          val compactJson = compacts.toSeq
-            .sortBy(_._1.stripPrefix("stream_cc_compact_v").toLong)
-            .map { case (k, v) =>
-              f""""${k.stripPrefix("stream_cc_")}":$v%.3f""" }
-            .mkString("{", ",", "}")
+          def mapJson(
+              m: scala.collection.Map[String, Double], prefix: String,
+              fmt: Double => String): String =
+            m.toSeq.sortBy(_._1.stripPrefix(prefix).dropWhile(!_.isDigit).toLong)
+              .map { case (k, v) =>
+                s""""${k.stripPrefix("stream_cc_")}":${fmt(v)}""" }
+              .mkString("{", ",", "}")
           f""""$mode":{"sf0.1_sec":$totalMin%.3f,""" +
-            f""""dirs_opened_max":${dirsMax.round},"folds":$foldJson,""" +
-            f""""compactions":$compactJson}"""
+            f""""dirs_opened_max":${dirsMax.round},""" +
+            s""""folds":${mapJson(folds, "stream_cc_fold_b", v => f"$v%.3f")},""" +
+            s""""bytes":${mapJson(bytes, "stream_cc_bytes_b", v => s"${v.round}")},""" +
+            s""""compactions":${mapJson(compacts, "stream_cc_compact_v", v => f"$v%.3f")}}"""
         }
-        // both labels persistences over the same 20-batch feed: the
-        // default whole-labeling rewrite and the delta-MERGE table
-        // mode (per-fold labels write ∝ delta + touched components)
-        s""","stream_cc_drain20":{${drain("rewrite", asTable = false)},""" +
-          s"""${drain("labels_table", asTable = true)}}"""
+        // both labels persistences over the same 40-batch feed: the
+        // default delta-MERGE table mode and the whole-labeling
+        // rewrite option
+        s""","stream_cc_drain40":{${drain("labels_table", asTable = true)},""" +
+          s"""${drain("rewrite", asTable = false)}}"""
+      }
+
+    // labels-persistence CROSSOVER (VERDICT r13 item 4): the regime
+    // labels_table was built for — a LARGE standing corpus taking
+    // SMALL trickle batches. Batch 0 folds the whole 10× corpus
+    // (target/sf1 documents, ~50k docs); batches 1..4 are sf0.1-sized
+    // trickles (~250 docs, fresh ids). Per-fold WALL and WRITE BYTES
+    // for both persistences: rewrite must pay ∝ corpus per trickle
+    // (it rewrites the 50k-row labeling), table mode ∝ delta — the
+    // crossover the sf0.1-sized drain above cannot show (there the
+    // corpus is small and table mode's MERGE machinery overhead wins).
+    val crossSection =
+      if (!subset.forall(_("x_stream_cc_crossover"))) ""
+      else {
+        val srcDir = "target/tmp/x_stream_cc_cross_src"
+        val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
+        val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(done)) {
+          graft.Tables.documents(spark, sf1)
+            .select(col("doc_id"), col("text")).coalesce(8)
+            .write.mode("overwrite").parquet(s"$srcDir/f=0")
+          // trickles: sf0.1 slices with ids displaced past every sf1 id
+          // (the feed contract: ids unique across batches); text reuses
+          // the corpus' distribution so trickle folds do real cluster
+          // work
+          val trickle = graft.Tables.documents(spark, sf01)
+            .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+              col("text"))
+          (1 to 4).foreach { r =>
+            trickle.filter(pmod(col("doc_id"), lit(20L)) === r).coalesce(1)
+              .write.mode("overwrite").parquet(s"$srcDir/f=$r")
+          }
+          fs.create(done, true).close()
+        }
+        val schema = spark.read.option("recursiveFileLookup", "true")
+          .parquet(srcDir).schema
+        def drain(mode: String, asTable: Boolean): String = {
+          val folds = scala.collection.mutable.Map.empty[String, Double]
+          val bytes = scala.collection.mutable.Map.empty[String, Double]
+          for (pass <- 1 to 2) {
+            graft.tools.RunMetrics.flushAndReset(spark)
+            val run = System.nanoTime()
+            val src = spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            val t0 = System.nanoTime()
+            val n = graft.streaming.Streams.clusterStream(
+              src, "doc_id", "text",
+              s"target/tmp/x_cross_state_$run",
+              s"target/tmp/x_cross_ckpt_$run",
+              n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
+              compactEvery = 5, labelsAsTable = asTable).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            graft.tools.RunMetrics.snapshot.foreach {
+              case (k, v) if k.startsWith("stream_cc_fold_") =>
+                folds(k) = folds.get(k).fold(v)(math.min(_, v))
+              case (k, v) if k.startsWith("stream_cc_bytes_") =>
+                bytes(k) = v
+              case _ => ()
+            }
+            CacheScope.release(); spark.catalog.clearCache()
+            println(f"pass $pass 10xcorpus x_stream_cc_crossover[$mode] " +
+              f"${dt}%8.2fs rows=$n")
+          }
+          def mapJson(
+              m: scala.collection.Map[String, Double],
+              fmt: Double => String): String =
+            m.toSeq.sortBy(_._1.dropWhile(!_.isDigit).toLong)
+              .map { case (k, v) =>
+                s""""${k.stripPrefix("stream_cc_")}":${fmt(v)}""" }
+              .mkString("{", ",", "}")
+          s""""$mode":{"folds":${mapJson(folds, v => f"$v%.3f")},""" +
+            s""""bytes":${mapJson(bytes, v => s"${v.round}")}}"""
+        }
+        s""","stream_cc_crossover":{${drain("labels_table", asTable = true)},""" +
+          s"""${drain("rewrite", asTable = false)}}"""
+      }
+
+    // manifest-width driver ceiling (VERDICT r13 item 6): a table one
+    // order past today's widest (2,560 files vs the bucket(256)
+    // tables) — records where the single-file-manifest driver state
+    // actually sits: resolve wall, manifest bytes, per-entry parse
+    // cost. The sharding seam when a deployment outgrows this is
+    // documented on TxTable.currentSnapshot. Untimed-family section
+    // (the build is one-time; the resolve is measured min-of-5).
+    val manifestSection =
+      if (subset.nonEmpty) ""
+      else {
+        import graft.sources.TxTable
+        val root = "target/tmp/x_manifest_wide_tbl"
+        if (TxTable.currentSnapshot(spark, root).isEmpty)
+          TxTable.create(
+            graft.Tables.orders(spark, sf01).repartition(2560), root, None)
+        val resolveMs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          TxTable.currentSnapshot(spark, root).get
+          (System.nanoTime() - t0) / 1e6
+        }.min
+        val h = TxTable.history(spark, root)
+          .orderBy(col("version").desc).head()
+        val files = h.getAs[Long]("files")
+        val mBytes = h.getAs[Long]("manifest_bytes")
+        // a trickle read against the wide manifest: planning must hold
+        // while the manifest is 10× today's
+        val t0 = System.nanoTime()
+        spark.read.format("graft").load(root)
+          .filter(col("o_orderkey") === 1L).count()
+        val readMs = (System.nanoTime() - t0) / 1e6
+        CacheScope.release(); spark.catalog.clearCache()
+        s""","manifest_wide":{"files":$files,"manifest_bytes":$mBytes,""" +
+          f""""resolve_ms":$resolveMs%.1f,"point_read_ms":$readMs%.1f}"""
       }
 
     // bucket-occupancy census per hash family and tier (VERDICT r11
-    // item 3): the same numbers KernelSpec gates at fixture scale,
-    // recorded at the measured tiers so a future family change shows
-    // up as a census column instead of a wall-clock mystery. Untimed
-    // (runs after every timed pass).
-    def censusJson(dir: String): String = {
+    // item 3; r13 items 1+5: now at the DERIVED adaptive geometry,
+    // extended to the 100× tier, with cross-tier candidates-per-row
+    // SLOPES — the saturation axis the within-tier balance gates
+    // cannot see: a family whose geometry stops tracking the corpus
+    // reads ~uniform in every tier while its cand/row multiplies by
+    // the scale factor). Untimed (runs after every timed pass).
+    final case class TierCensus(
+        tag: String, nDocs: Long, nVec: Long, bits: Int, nlist: Int,
+        mh: Census.BucketCensus, sim: Census.BucketCensus,
+        srp: Census.BucketCensus, ivf: Census.BucketCensus)
+    def censusOf(tag: String, dir: String): TierCensus = {
       import graft.operators.{Dedup, Ivf, Knn}
       val docs = graft.Tables.documents(spark, dir)
       val emb = graft.Tables.embeddings(spark, dir)
@@ -1157,31 +1288,81 @@ object ScaleRehearsal {
           Dedup.simhash(docs, "doc_id", "text"), "doc_id", "simhash"),
         Seq("blk", "blkval"))
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val nVec = emb.count()
+      val bits = Knn.adaptiveBits(nVec)   // the operators' own derivation
+      val nlist = Ivf.adaptiveNlist(nVec)
       val srp = Census.of(
         Knn.srpBuckets(emb, "vec_id", "embedding",
-          Knn.portablePlanes(8, 6, dim), 6),
+          Knn.portablePlanes(8, bits, dim), bits),
         Seq("tbl", "bucket"))
-      val cents = Ivf.trainCentroids(emb, "embedding", 16)
+      val cents = Ivf.trainCentroids(emb, "embedding", nlist)
       val ivf = Census.of(
         emb.select(Ivf.bucketId(col("embedding"), cents).as("bucket")),
         Seq("bucket"))
       CacheScope.release(); spark.catalog.clearCache()
-      val nDocs = mh.rows / 8  // banded rows = docs × bands
-      val nVec = srp.rows / 8  // bucket rows = vectors × tables
-      s""""minhash_bands":${mh.json.dropRight(1)},"uniform_pairs":null},""" +
-        s""""simhash_blocks":${sim.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nDocs, 1L << 31, 20L).round}},""" +
-        s""""srp_buckets":${srp.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nVec, 64L, 8L).round}},""" +
-        s""""ivf_buckets":${ivf.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(nVec, 16L, 1L).round}}"""
+      TierCensus(tag, mh.rows / 8, nVec, bits, nlist, mh, sim, srp, ivf)
     }
+    def censusJson(c: TierCensus): String =
+      s""""minhash_bands":${c.mh.json.dropRight(1)},"uniform_pairs":null},""" +
+        s""""simhash_blocks":${c.sim.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(c.nDocs, 1L << 31, 20L).round}},""" +
+        s""""srp_buckets":${c.srp.json.dropRight(1)},"bits":${c.bits},"uniform_pairs":${Census.uniformPairs(c.nVec, 1L << c.bits, 8L).round}},""" +
+        s""""ivf_buckets":${c.ivf.json.dropRight(1)},"nlist":${c.nlist},"uniform_pairs":${Census.uniformPairs(c.nVec, c.nlist, 1L).round}}"""
+    val censusTiers: Seq[TierCensus] =
+      if (subset.nonEmpty) Seq.empty
+      else Seq(censusOf("sf0.1", sf01), censusOf("sf1", sf1),
+        censusOf("sf10", sf10))
     val census =
-      if (subset.nonEmpty) ""
-      else s""","census":{"sf0.1":{${censusJson(sf01)}},"sf1":{${censusJson(sf1)}}}"""
+      if (censusTiers.isEmpty) ""
+      else {
+        // candidates-per-row per tier and the tier-over-tier ratio:
+        // ≈ flat (ratio ~1) for a geometry tracking the corpus; ≈ the
+        // scale factor (×10) for a saturated fixed geometry (exactly
+        // what SCALE_r13 measured for 6-bit SRP at sf1). MinHash is
+        // dup-driven (unbounded key space): its cand/row follows the
+        // fixture's dup density, reported for the record.
+        def perRow(f: TierCensus => (Long, Long)): Seq[Double] =
+          censusTiers.map { c => val (cand, n) = f(c); cand.toDouble / n }
+        def slopeJson(name: String, xs: Seq[Double]): String = {
+          val ratios = xs.sliding(2).collect {
+            case Seq(a, b) if a > 0 => b / a }.toSeq
+          s""""$name":{"cand_per_row":[${xs.map(x => f"$x%.2f").mkString(",")}],""" +
+            s""""tier_ratio":[${ratios.map(r => f"$r%.2f").mkString(",")}]}"""
+        }
+        val srpRows = perRow(c => (c.srp.candidatePairs, c.nVec))
+        val ivfRows = perRow(c => (c.ivf.candidatePairs, c.nVec))
+        val mhRows = perRow(c => (c.mh.candidatePairs, c.nDocs))
+        val simRows = perRow(c => (c.sim.candidatePairs, c.nDocs))
+        s""","census":{${censusTiers.map(c =>
+            s""""${c.tag}":{${censusJson(c)}}""").mkString(",")},""" +
+          s""""slopes":{${slopeJson("srp", srpRows)},${slopeJson("ivf", ivfRows)},""" +
+          s"""${slopeJson("minhash", mhRows)},${slopeJson("simhash", simRows)}}}"""
+      }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain20 = 20-micro-batch clusterStream drain at sf0.1 with compactEvery=5: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 4 trickle batches, the regime table mode exists for. census slopes: tier_ratio ~1 = geometry tracks corpus, ~scale factor = saturated. census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r13.json"), json + "\n")
+        java.nio.file.Paths.get("SCALE_r14.json"), json + "\n")
     println(json)
+    // HARD slope gate (VERDICT r13 item 1) — checked after the
+    // artifact is on disk, so a failure is loud without losing the
+    // evidence: the adaptive families' candidates-per-row must not
+    // multiply with the tier (the saturation signature — the fixed
+    // 6-bit geometry measured ~10× per tier; 3× tolerates census
+    // noise and genuine cluster structure)
+    if (censusTiers.nonEmpty) {
+      def gate(name: String, f: TierCensus => (Long, Long)): Unit =
+        censusTiers.map { c => val (cand, n) = f(c); cand.toDouble / n }
+          .sliding(2).toSeq.foreach {
+            case Seq(a, b) =>
+              require(a <= 0 || b / a <= 3.0,
+                f"census slope gate: $name candidates/row grew ${b / a}%.1f× " +
+                  "across one 10× tier — geometry saturated " +
+                  "(see SCALE census slopes)")
+            case _ => ()
+          }
+      gate("srp", c => (c.srp.candidatePairs, c.nVec))
+      gate("ivf", c => (c.ivf.candidatePairs, c.nVec))
+    }
     spark.stop()
   }
 }
