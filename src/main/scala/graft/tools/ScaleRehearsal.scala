@@ -1170,8 +1170,11 @@ object ScaleRehearsal {
         val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
         val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(done)) {
+          // ONE file: maxFilesPerTrigger=1 must deliver the whole 10×
+          // corpus as batch 0 (the fold repartitions internally, so a
+          // single-row-group scan costs nothing downstream)
           graft.Tables.documents(spark, sf1)
-            .select(col("doc_id"), col("text")).coalesce(8)
+            .select(col("doc_id"), col("text")).coalesce(1)
             .write.mode("overwrite").parquet(s"$srcDir/f=0")
           // trickles: sf0.1 slices with ids displaced past every sf1 id
           // (the feed contract: ids unique across batches); text reuses
