@@ -19,7 +19,84 @@ object TextQueries {
     tokenRegex, decontaminate, spanDecontaminate, repetition,
     packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
-    shardExport, freqTokens, trainingExport)
+    shardExport, freqTokens, trainingExport, bm25TopK, lmScore)
+
+  /** Targeted retrieval ([[graft.operators.Relevance.bm25]]): top-20
+    * documents by Okapi BM25 against a fixed probe-term set — the
+    * "find the subcorpus most like this" primitive of targeted data
+    * selection. The oracle replays the whole pipeline (tokenize, tf
+    * pruned to the probe terms, df, the exact idf/tf-norm arithmetic,
+    * term-ordered float fold, round 9) so equality proves the scoring
+    * to the bit, not just the ranking.
+    */
+  val bm25TopK: Q = Q(
+    "q_bm25_topk",
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+      |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      |  WHERE tok IN ('spark', 'vector', 'merge', 'stream')
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |terms AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    ln(((g.n - df.df) + 0.5) / (df.df + 0.5) + 1.0)
+      |      * (tf.tf * (1.2 + 1.0))
+      |      / (tf.tf + 1.2 * ((1.0 - 0.75)
+      |          + (0.75 * dl.dl) / (CAST(g.sdl AS DOUBLE) / g.n))) AS term
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g)
+      |SELECT doc_id,
+      |  round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b), 9) AS score
+      |FROM terms
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    import graft.operators.Relevance
+    Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "merge", "stream"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** LM-perplexity quality filter
+    * ([[graft.operators.Relevance.bigramNll]]): every document scored
+    * by its average negative log-likelihood under an add-1 bigram
+    * model trained on the corpus itself. The oracle re-trains the
+    * same model in SQL (unigram/bigram counts, vocabulary size,
+    * position-ordered fold of ln p, round 9) — equality proves the
+    * whole perplexity computation, smoothing included.
+    */
+  val lmScore: Q = Q(
+    "q_lm_score",
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS w1 FROM docs),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w1) AS v FROM tok),
+      |bg AS (
+      |  SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+      |  FROM docs, unnest(range(1, len(t))) AS r(i)
+      |  WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT bg.doc_id, bg.pos,
+      |    ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v)) AS lp
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round((-list_reduce(list(lp ORDER BY pos), (a, b) -> a + b))
+      |    / COUNT(*), 9) AS nll
+      |FROM terms
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Relevance
+    Relevance.bigramNll(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
 
   /** Export-pipeline capstone (the q_corpus_select of the output
     * side): mixture resampling ([[graft.operators.Mix]]) COMPOSED with
