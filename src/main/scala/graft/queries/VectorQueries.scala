@@ -12,7 +12,7 @@ import graft.operators.Knn
 object VectorQueries {
 
   def all: Seq[Q] = Seq(cosinePairs, srpPairs, embedIncremental, knnBrute,
-    knnAnn, knnIvf, embedDecontaminate)
+    knnAnn, knnIvf, knnIvfPq, embedDecontaminate)
 
   /** The trained IVF centroid fixture's location — ABSOLUTE so the
     * DuckDB oracle (whose working directory is the driver's, not
@@ -105,6 +105,106 @@ object VectorQueries {
     Ivf.annTopKWith(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, centroids, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def pqCentDir(tag: String): String =
+    new java.io.File(s"target/tmp/pq_centroids_$tag").getAbsolutePath
+
+  private def pqCbDir(tag: String): String =
+    new java.io.File(s"target/tmp/pq_codebooks_$tag").getAbsolutePath
+
+  /** IVF-PQ ANN top-5 with exact refinement ([[graft.operators.Pq]])
+    * — the MEMORY side of the ANN scale path: the index stores m = 8
+    * codebook ids + a coarse bucket per vector (vs 64 floats), the
+    * scan ranks candidates by asymmetric distance (query-to-codeword
+    * LUT lookups, never decompressed vectors) into a 50-id shortlist,
+    * and only the shortlist's raw vectors are fetched for exact
+    * squared-L2 top-5 (the FAISS refine pattern — quantization noise
+    * decides shortlist membership, never the final order). A FULL
+    * oracle gate like q_knn_ivf: both trained models land as parquet
+    * fixtures and DuckDB replays coarse assignment, nprobe probing,
+    * per-subspace argmin encoding, the query LUT, the
+    * subspace-ordered ADC fold, the shortlist cut, and the exact-L2
+    * re-rank bit-for-bit — all pure +/−/× on doubles, so no rounding
+    * is even needed.
+    */
+  val knnIvfPq: Q = Q(
+    "q_knn_ivfpq",
+    s"""WITH cent AS (
+       |  SELECT cid, c FROM read_parquet('${pqCentDir(dirTag(Q.renderDir))}/*.parquet')
+       |), cb AS (
+       |  SELECT sub, cid, c FROM read_parquet('${pqCbDir(dirTag(Q.renderDir))}/*.parquet')
+       |), dist AS (
+       |  SELECT e.vec_id AS id, ct.cid,
+       |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])
+       |         * (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])),
+       |      (x, y) -> x + y) AS d
+       |  FROM embeddings e CROSS JOIN cent ct
+       |), cbucket AS (
+       |  SELECT id, cid AS bucket FROM dist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) = 1
+       |), qprobe AS (
+       |  SELECT id, cid AS bucket FROM dist WHERE id < 10
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) <= 4
+       |), subdist AS (
+       |  SELECT e.vec_id AS id, cb.sub, cb.cid,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE) - cb.c[i])
+       |         * (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE) - cb.c[i])),
+       |      (x, y) -> x + y) AS d
+       |  FROM embeddings e CROSS JOIN cb
+       |), code AS (
+       |  SELECT id, sub, cid AS code FROM subdist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d, cid) = 1
+       |), cand AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id
+       |  FROM qprobe q JOIN cbucket c ON q.bucket = c.bucket AND q.id <> c.id
+       |), terms AS (
+       |  SELECT cand.query_id, cand.neighbor_id, k.sub, s.d
+       |  FROM cand
+       |  JOIN code k ON k.id = cand.neighbor_id
+       |  JOIN subdist s ON s.id = cand.query_id AND s.sub = k.sub
+       |    AND s.cid = k.code
+       |), short AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          list_reduce(list(d ORDER BY sub), (x, y) -> x + y) AS adc
+       |        FROM terms GROUP BY query_id, neighbor_id) a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) <= 50
+       |), rer AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    list_reduce(list_transform(range(1, len(ea.embedding)+1),
+       |      i -> (CAST(ea.embedding[i] AS DOUBLE) - CAST(eb.embedding[i] AS DOUBLE))
+       |         * (CAST(ea.embedding[i] AS DOUBLE) - CAST(eb.embedding[i] AS DOUBLE))),
+       |      (x, y) -> x + y) AS l2
+       |  FROM short sh
+       |  JOIN embeddings ea ON ea.vec_id = sh.query_id
+       |  JOIN embeddings eb ON eb.vec_id = sh.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY l2, neighbor_id) AS rank FROM rer) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Ivf.trainCentroids(
+      emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
+    val cb = Pq.trainCodebooks(emb, "embedding", m = 8, ksub = 64)
+    import s.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(pqCentDir(dirTag(dir)))
+    cb.zipWithIndex.flatMap { case (cents, j) =>
+        cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) } }.toSeq
+      .toDF("sub", "cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(pqCbDir(dirTag(dir)))
+    Pq.annTopKPqRefined(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, centroids, cb, nprobe = 4, shortlist = 50)
       .orderBy(col("query_id"), col("rank"))
   }
 
