@@ -332,7 +332,11 @@ private[sources] final class GraftDeltaScan(
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
     new GraftDeltaReaderFactory(readFunc, required, dataSchema,
-      new SerializableWritable(spark.sessionState.newHadoopConf()))
+      new SerializableWritable(spark.sessionState.newHadoopConf()),
+      graft.tools.RunMetrics.maxAccumulator(
+        spark.sparkContext, "dv_file_positions_max"),
+      graft.tools.RunMetrics.maxAccumulator(
+        spark.sparkContext, "dv_file_bitmap_bytes_max"))
   }
 
   override def description(): String =
@@ -343,7 +347,9 @@ private[sources] final class GraftDeltaScan(
 private[sources] final class GraftDeltaReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     required: StructType, dataSchema: StructType,
-    hconf: SerializableWritable[Configuration])
+    hconf: SerializableWritable[Configuration],
+    dvPositionsMax: graft.tools.RunMetrics.MaxAccumulator,
+    dvBitmapBytesMax: graft.tools.RunMetrics.MaxAccumulator)
   extends PartitionReaderFactory {
 
   /** This data file's delete positions, loaded EXECUTOR-side from the
@@ -362,16 +368,15 @@ private[sources] final class GraftDeltaReaderFactory(
     * deleted position — a half-deleted 128M-row file costs ~16 MB of
     * task memory, not ~512 MB. Duplicates (never written by the commit
     * protocol, but formerly a silent next-row skip hazard) are
-    * absorbed by set semantics. Size/cardinality are recorded in
-    * [[graft.tools.RunMetrics]] for the rehearsal's memory evidence —
-    * NOTE (ADVICE r13): RunMetrics is a driver-JVM singleton and this
-    * code runs in tasks, so the dv_file_* evidence exists only where
-    * tasks share the driver JVM (local mode — exactly where the
-    * rehearsal runs). On a real cluster the recordings land in each
-    * executor's own registry and the artifact section reads empty; a
-    * deployment that wants them fleet-wide would route these two
-    * scalars through a max-merge accumulator. Diagnostic only — no
-    * operator reads them.
+    * absorbed by set semantics. Size/cardinality travel back through
+    * MAX-MERGE ACCUMULATORS (ADVICE r13 item 1): this code runs in
+    * tasks, so a direct driver-registry write only works where tasks
+    * share the driver JVM — the task-side accumulator copies merge
+    * into the driver originals at task completion instead, and
+    * [[graft.tools.RunMetrics.snapshot]] folds them in, so the
+    * rehearsal's dv_bitmap evidence reads identically in local mode
+    * and fleet-wide on a real cluster. Diagnostic only — no operator
+    * reads them.
     */
   private def loadDeleted(part: GraftDeltaPartition): PosBitmap = {
     if (part.dvPaths.isEmpty) return PosBitmap.empty
@@ -400,10 +405,8 @@ private[sources] final class GraftDeltaReaderFactory(
     }
     val dv = b.result()
     if (!dv.isEmpty) {
-      graft.tools.RunMetrics.maxOf("dv_file_positions_max",
-        dv.cardinality.toDouble)
-      graft.tools.RunMetrics.maxOf("dv_file_bitmap_bytes_max",
-        dv.sizeBytes.toDouble)
+      dvPositionsMax.add(dv.cardinality.toDouble)
+      dvBitmapBytesMax.add(dv.sizeBytes.toDouble)
     }
     dv
   }

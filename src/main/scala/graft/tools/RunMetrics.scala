@@ -73,9 +73,62 @@ object RunMetrics {
     }
   }
 
-  def reset(): Unit = { reg.clear(); regRaw.clear() }
+  def reset(): Unit = {
+    reg.clear(); regRaw.clear()
+    maxAccs.values.foreach(_.reset())
+  }
 
-  def snapshot: Map[String, Double] = reg.readOnlySnapshot().toMap
+  /** Registry snapshot, with any registered max-accumulators folded in
+    * (max-merge) — so executor-side recordings surface identically in
+    * local mode and on a real cluster.
+    */
+  def snapshot: Map[String, Double] = {
+    val m = scala.collection.mutable.Map.empty[String, Double]
+    m ++= reg.readOnlySnapshot()
+    maxAccs.foreach { case ((_, key), a) =>
+      if (!a.isZero)
+        m(key) = m.get(key).fold(a.value)(math.max(_, a.value))
+    }
+    m.toMap
+  }
+
+  // ---- executor-side max metrics (ADVICE r13 item 1) ----
+
+  /** Max-merge [[AccumulatorV2]]: task-side copies record local
+    * maxima; Spark merges them into the driver original at task
+    * completion — the cluster-correct transport for per-task evidence
+    * like the delta reader's heaviest-DV size (a direct registry write
+    * from task code only works where tasks share the driver JVM).
+    */
+  final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Double, Double] {
+    private var m: Double = Double.NegativeInfinity
+    override def isZero: Boolean = m == Double.NegativeInfinity
+    override def copy(): MaxAccumulator = {
+      val a = new MaxAccumulator; a.m = m; a
+    }
+    override def reset(): Unit = m = Double.NegativeInfinity
+    override def add(v: Double): Unit = m = math.max(m, v)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[Double, Double]): Unit =
+      m = math.max(m, other.value)
+    override def value: Double = m
+  }
+
+  private val maxAccs = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), MaxAccumulator]
+
+  /** The registered max-accumulator for `key` on this context (one
+    * per (context, key); [[snapshot]] folds its value in under `key`,
+    * [[reset]] zeroes it with the registry).
+    */
+  def maxAccumulator(
+      sc: org.apache.spark.SparkContext, key: String): MaxAccumulator =
+    maxAccs.getOrElseUpdate((sc, key), {
+      val a = new MaxAccumulator
+      sc.register(a, s"graft_$key")
+      a
+    })
 
   /** Snapshot keyed by FULL observation name (unique suffix included);
     * see [[regRaw]]. Test-facing.

@@ -560,6 +560,17 @@ class DeltaDmlSpec extends SparkSpec {
     // correctly: nothing changed
     assert(spark.sql("SELECT count(*) FROM gd.m.wide").as[Long].head()
       == 1800L)
+    // the per-task DV memory evidence rode back on the MAX-MERGE
+    // accumulators (ADVICE r13 item 1 — a direct registry write from
+    // task code only surfaces where tasks share the driver JVM; the
+    // reset() above zeroed the accumulators, so these values are this
+    // scan's own): some file carried deletes, so both metrics exist
+    // and the bitmap is smaller than raw 8 B/position longs would be
+    val pos = m.getOrElse("dv_file_positions_max", -1.0)
+    val bytes = m.getOrElse("dv_file_bitmap_bytes_max", -1.0)
+    assert(pos > 0, s"expected accumulator-routed dv positions, got $m")
+    assert(bytes > 0 && bytes <= math.max(pos * 8.0, 8192.0 + 64.0),
+      s"bitmap bytes $bytes out of range for $pos positions")
   }
 
   test("mor DML stays correct after CALL compact localizes the delete debt") {
