@@ -12,7 +12,7 @@ import graft.operators.Knn
 object VectorQueries {
 
   def all: Seq[Q] = Seq(cosinePairs, srpPairs, embedIncremental, knnBrute,
-    knnAnn, knnIvf, knnIvfPq, embedDecontaminate)
+    knnAnn, knnIvf, knnIvfPq, clusterSample, embedDecontaminate)
 
   /** The trained IVF centroid fixture's location — ABSOLUTE so the
     * DuckDB oracle (whose working directory is the driver's, not
@@ -106,6 +106,67 @@ object VectorQueries {
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, centroids, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def clusterCentDir(tag: String): String =
+    new java.io.File(s"target/tmp/cluster_centroids_$tag").getAbsolutePath
+
+  /** Semantic-diversity sampling: k-means cluster the embedding corpus
+    * (the q_knn_ivf training device — deterministic Lloyd, adaptive
+    * √n clusters, fixture-replayed) and take a deterministic
+    * hash-rank quota per CLUSTER — cluster-balanced selection, the
+    * embedding-space analogue of q_stratified_sample's per-language
+    * quota: head clusters stop drowning out the tail, which is what a
+    * diversity-curated training mix wants. One shuffle on the cluster
+    * id; rank ≤ quota prunes map-side via WindowGroupLimit. The
+    * oracle replays assignment (argmin with first-min tie-break), the
+    * per-cluster size, and the md5 rank walk from the centroid
+    * fixture.
+    */
+  val clusterSample: Q = Q(
+    "q_cluster_sample",
+    s"""WITH cent AS (
+       |  SELECT cid, c FROM read_parquet('${clusterCentDir(dirTag(Q.renderDir))}/*.parquet')
+       |), dist AS (
+       |  SELECT e.vec_id AS id, ct.cid,
+       |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])
+       |         * (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])),
+       |      (x, y) -> x + y) AS d
+       |  FROM embeddings e CROSS JOIN cent ct
+       |), cbucket AS (
+       |  SELECT id, cid AS cluster FROM dist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) = 1
+       |)
+       |SELECT cluster, n_cluster, vec_id FROM (
+       |  SELECT cluster, id AS vec_id,
+       |    CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+       |  FROM cbucket) t
+       |WHERE rn <= 10
+       |ORDER BY cluster, vec_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Ivf
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Ivf.trainCentroids(
+      emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
+    import s.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(clusterCentDir(dirTag(dir)))
+    val assigned = emb.select(col("vec_id"),
+      Ivf.bucketId(col("embedding"), centroids).as("cluster"))
+    assigned
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("cluster"), col("n_cluster"), col("vec_id"))
+      .orderBy(col("cluster"), col("vec_id"))
   }
 
   private def pqCentDir(tag: String): String =
