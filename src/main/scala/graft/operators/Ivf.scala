@@ -48,39 +48,202 @@ object Ivf {
 
   /** `iters`/`sampleSize` ≤ 0 = derive from k: sample 8 points per
     * centroid (floor 2000 — the fixed pre-adaptive default, so k ≤ 250
-    * trains on the identical sample) and trade Lloyd rounds for k
-    * (8 rounds at dictionary-size k, 4 past it — the driver-side
-    * budget stays ~O(sample·k·dim) either way).
+    * trains on the identical sample) and trade Lloyd rounds for k.
+    *
+    * r15 trainer (VERDICT r14 item 2 — the census measured 1.62×
+    * max-occupancy skew over uniform at sf10 under the old
+    * strided-init/4-round trainer: hot centroids swallowed multiple
+    * true clusters): deterministic k-means++ seeding (D²-weighted
+    * draws from a FIXED-seed PRNG over the hash-ordered sample — the
+    * sample order is deterministic, so the whole init is), more Lloyd
+    * rounds at large k (the driver budget O(sample·k·dim) stays
+    * bounded because sample ∝ k), and per-round split-the-largest
+    * repair: an EMPTY centroid is reseeded at the farthest member of
+    * the currently heaviest cluster, so no bucket's mass hides behind
+    * dead centroids. The occupancy gate lives in the scale rehearsal's
+    * census (max bucket / uniform).
     */
   def trainCentroids(
       df: DataFrame, vecCol: String, k: Int,
       iters: Int = 0, sampleSize: Int = 0): Array[Array[Double]] = {
-    val nIters = if (iters > 0) iters else if (k <= 64) 8 else 4
+    val nIters = if (iters > 0) iters else 10
     val nSample = if (sampleSize > 0) sampleSize else math.max(2000, 8 * k)
-    val sample = df.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)))
-      .limit(nSample)
+    val sample = sampleVectors(df, vecCol, nSample)
+    require(sample.nonEmpty, "empty corpus")
+    lloyd(sample, kppInit(sample, k), nIters)
+  }
+
+  /** Bounded deterministic training sample: hash-ordered with the
+    * whole VECTOR as tiebreaker (ADVICE r14 — duplicate vectors hash
+    * identically, so without a total order the limit boundary could
+    * vary across partitionings; exact duplicates are interchangeable
+    * for training, so vector-lexicographic order makes the sample
+    * MULTISET deterministic).
+    */
+  private[operators] def sampleVectors(
+      df: DataFrame, vecCol: String, n: Int): Array[Array[Double]] =
+    df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(n)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty corpus")
+
+  private def l2sqArr(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Deterministic k-means++ seeding (Arthur & Vassilvitskii, SODA
+    * 2007): first center = first hash-ordered sample point; each next
+    * center drawn D²-weighted by a FIXED-seed PRNG. Deterministic
+    * because the sample itself is ([[sampleVectors]]).
+    */
+  private[operators] def kppInit(
+      sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(7)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = sample(0).clone()
+    val d2 = sample.map(v => l2sqArr(v, cents(0)))
+    var c = 1
+    while (c < k) {
+      val total = d2.sum
+      val pick =
+        if (total <= 0) (c.toLong * sample.length / k).toInt % sample.length
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < sample.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      cents(c) = sample(pick).clone()
+      var i = 0
+      while (i < sample.length) {
+        val d = l2sqArr(sample(i), cents(c))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    cents
+  }
+
+  /** Lloyd iterations with split-the-largest repair: per round, each
+    * point joins its nearest centroid (first-min tie-break — the
+    * [[bucketId]] argmin device), centroids move to their member
+    * means, and every EMPTY centroid is reseeded at the farthest
+    * member of the heaviest cluster (deterministic; lowest index on
+    * ties) so dead centroids cannot leave hot buckets oversized.
+    */
+  private[operators] def lloyd(
+      sample: Array[Array[Double]], init: Array[Array[Double]],
+      nIters: Int): Array[Array[Double]] = {
+    val k = init.length
     val dim = sample.head.length
-    // k-means++-lite init: evenly strided sample points (deterministic)
-    var centroids = Array.tabulate(k)(i => sample((i * sample.length / k) % sample.length).clone())
+    var centroids = init
     for (_ <- 1 to nIters) {
       val sums = Array.fill(k, dim)(0.0)
       val counts = Array.fill(k)(0L)
-      sample.foreach { v =>
+      // farthest member per cluster — feeds the empty-centroid repair
+      val farD = Array.fill(k)(-1.0)
+      val farIdx = Array.fill(k)(-1)
+      var si = 0
+      while (si < sample.length) {
+        val v = sample(si)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          val d = l2sqArr(v, centroids(c))
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         counts(best) += 1
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        if (bestD > farD(best)) { farD(best) = bestD; farIdx(best) = si }
+        si += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+      var c = 0
+      while (c < k) {
+        if (counts(c) == 0) {
+          var heavy = 0; var hc = 0
+          while (hc < k) { if (counts(hc) > counts(heavy)) heavy = hc; hc += 1 }
+          if (counts(heavy) > 1 && farIdx(heavy) >= 0) {
+            centroids(c) = sample(farIdx(heavy)).clone()
+            // halve so a SECOND empty centroid repairs off the next
+            // heaviest instead of re-picking the same donor point
+            counts(c) = counts(heavy) / 2
+            counts(heavy) -= counts(c)
+            farIdx(heavy) = -1
+          }
+        }
+        c += 1
+      }
+    }
+    centroids
+  }
+
+  /** Vectors past which driver-side Lloyd training hands off to the
+    * EXECUTOR-side trainer (the seam [[adaptiveNlist]]'s cap
+    * documents: past ~16M vectors the √n centroid count outgrows a
+    * driver loop's budget).
+    */
+  val DriverTrainCap = 16000000L
+
+  /** [[trainCentroids]] with the driver/executor split applied: at or
+    * under `capVectors` the driver Lloyd runs; past it,
+    * [[trainCentroidsDistributed]] — the rehearsal forces the
+    * distributed branch with a tiny cap to prove the seam is real
+    * code, not a comment.
+    */
+  def trainCentroidsAuto(
+      df: DataFrame, vecCol: String, k: Int, n: Long,
+      capVectors: Long = DriverTrainCap): Array[Array[Double]] =
+    if (n <= capVectors) trainCentroids(df, vecCol, k)
+    else trainCentroidsDistributed(df, vecCol, k)
+
+  /** EXECUTOR-side Lloyd training — the past-the-cap seam: assignment
+    * and per-cluster sums run distributed (argmin expression +
+    * posexplode + groupBy), and only the k·dim centroid model crosses
+    * to the driver per round (the same "centroids are model metadata"
+    * contract as the driver trainer). Init = k-means++ over a BOUNDED
+    * hash-ordered sample (driver-side, ∝ k); refinement then sees the
+    * WHOLE corpus, which is the quality argument for this path — a
+    * 100-TB corpus cannot ship a representative bounded sample for
+    * 10⁵ centroids, but it can run three distributed passes.
+    */
+  def trainCentroidsDistributed(
+      df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 3): Array[Array[Double]] = {
+    val seed = sampleVectors(df, vecCol, math.max(2 * k, 2000))
+    require(seed.nonEmpty, "empty corpus")
+    var centroids = kppInit(seed, k)
+    val dim = seed.head.length
+    for (_ <- 1 to iters) {
+      // one distributed pass: nearest-centroid id per row, then
+      // per-(cluster, dimension) sums + per-cluster counts — k·dim
+      // rows back to the driver, never corpus rows. Each group's sum
+      // folds its values in SORTED order (collect → sort → sequential
+      // aggregate), so the result is bit-deterministic under any input
+      // partitioning — a plain sum(double) is shuffle-order dependent
+      val stats = df
+        .select(bucketId(col(vecCol), centroids).as("__c"), col(vecCol).as("__v"))
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("__c"), col("__p"))
+        .agg(
+          aggregate(sort_array(collect_list(col("__x").cast("double"))),
+            lit(0.0), _ + _).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      stats.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getDouble(2)
+        counts(c) = r.getLong(3) // same per-cluster count for every p
       }
       centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c)
@@ -146,7 +309,17 @@ object Ivf {
   def annTopKWith(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame =
-    annTopKAssigned(assignCorpus(corpus, idCol, vecCol, centroids),
+    // the assigned corpus is MATERIALIZED (constraint-truncated) before
+    // querying, as the production split stores it: a lazy fused plan
+    // carries `bucket <=> argmin(embedding)` as an alias constraint
+    // that can cross the join equality onto the query side as an
+    // inferred filter over the (routinely shared) vector attribute —
+    // an unbindable plan when corpus and queries slice the same cached
+    // table (the Pq.annTopKPq lesson; IvfSpec's cached-corpus recall
+    // test pins it here)
+    annTopKAssigned(
+      graft.CacheScope.localCheckpointTruncated(
+        assignCorpus(corpus, idCol, vecCol, centroids)),
       queries, idCol, vecCol, k, centroids, nprobe)
 
   /** The corpus half of the IVF index: each row assigned to its
@@ -181,13 +354,20 @@ object Ivf {
       assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     val c = assigned
-    // probe-bucket array persists before the explode so the centroid
-    // distance expressions aren't re-evaluated per exploded row
-    // (project collapse — see Dedup.jaccardPairs)
-    val qB = queries.select(
+    // probe-bucket array is CHECKPOINTED (not just persisted) before
+    // the explode: beyond re-evaluation (project collapse — see
+    // Dedup.jaccardPairs), corpus and queries are routinely slices of
+    // the SAME (possibly cached) table, and the shared attribute ids
+    // let the corpus side's `bucket = argmin(...)` alias constraint
+    // cross the join onto the query side, which can leave an
+    // unbindable reference at execution (the Pq.annTopKPqAssigned
+    // lesson, measured here by IvfSpec's cached-corpus recall test).
+    // Severing lineage gives the query side fresh attributes; cost is
+    // bounded by the query set.
+    val qB = graft.CacheScope.localCheckpointTruncated(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qvec"),
       Vec.norm(col(vecCol)).as("qn"),
-      probeBuckets(col(vecCol), centroids, nprobe).as("qbuckets")).persistTracked()
+      probeBuckets(col(vecCol), centroids, nprobe).as("qbuckets")))
     val q = qB.select(col("query_id"), col("qvec"), col("qn"),
       explode(col("qbuckets")).as("qbucket"))
     // candidate count observed for the bench artifact (VERDICT r12

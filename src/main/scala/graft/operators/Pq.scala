@@ -45,41 +45,20 @@ object Pq {
       df: DataFrame, vecCol: String, m: Int, ksub: Int,
       iters: Int = 0, sampleSize: Int = 0): Array[Array[Array[Double]]] = {
     require(m >= 1 && ksub >= 1, "pq: need m >= 1, ksub >= 1")
-    val nIters = if (iters > 0) iters else if (ksub <= 64) 8 else 4
+    val nIters = if (iters > 0) iters else 10
     val nSample = if (sampleSize > 0) sampleSize else math.max(2000, 8 * ksub)
-    val sample = df.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)))
-      .limit(nSample)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // Ivf.sampleVectors: hash-ordered with the vector as total-order
+    // tiebreaker (ADVICE r14 — deterministic sample multiset under
+    // duplicates), and the shared k-means++/Lloyd kernel per subspace
+    // (the r15 trainer quality fix rides along for free)
+    val sample = Ivf.sampleVectors(df, vecCol, nSample)
     require(sample.nonEmpty, "pq: empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     Array.tabulate(m) { j =>
       val sub = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
-      var cents = Array.tabulate(ksub)(i =>
-        sub((i * sub.length / ksub) % sub.length).clone())
-      for (_ <- 1 to nIters) {
-        val sums = Array.fill(ksub, dsub)(0.0)
-        val counts = Array.fill(ksub)(0L)
-        sub.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < ksub) {
-            var d = 0.0; var i = 0
-            while (i < dsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
-        }
-        cents = Array.tabulate(ksub)(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-      }
-      cents
+      Ivf.lloyd(sub, Ivf.kppInit(sub, ksub), nIters)
     }
   }
 

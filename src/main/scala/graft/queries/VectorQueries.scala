@@ -38,6 +38,50 @@ object VectorQueries {
   private val srpBitsByDir =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
+  /** Trained models cached per dataset dir (ADVICE r14: q_knn_ivf /
+    * q_knn_ivfpq / q_cluster_sample retrained centroids, re-ran the
+    * corpus count, and rewrote their parquet fixtures on EVERY
+    * invocation — inflating bench timings with training cost that a
+    * production deployment pays once per corpus version). Training is
+    * deterministic, so the first invocation per (JVM, dir) trains and
+    * writes the fixture; later invocations are pure query cycles —
+    * exactly the stored-index split the x_ivf_query_only rehearsal
+    * prices.
+    */
+  private val ivfCentByDir = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Double]]]
+  private val pqCbByDir = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private val fixtureWritten =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def trainedCentroids(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    ivfCentByDir.getOrElseUpdate(dir, {
+      import graft.operators.Ivf
+      val emb = Tables.embeddings(s, dir)
+      Ivf.trainCentroids(emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
+    })
+
+  private def trainedCodebooks(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    pqCbByDir.getOrElseUpdate(dir,
+      graft.operators.Pq.trainCodebooks(
+        Tables.embeddings(s, dir), "embedding", m = 8, ksub = 64))
+
+  /** Write the centroid fixture for one oracle once per (JVM, path). */
+  private def writeCentFixture(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[Array[Double]]): Unit =
+    if (fixtureWritten.putIfAbsent(path, true).isEmpty) {
+      import s.implicits._
+      cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "c")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
   private def recordSrpBits(dir: String, n: Long): Int = {
     val bits = Knn.adaptiveBits(n)
     srpBitsByDir.put(dir, bits)
@@ -94,14 +138,10 @@ object VectorQueries {
     val emb = Tables.embeddings(s, dir)
     // nlist ≈ √n (adaptive — a fixed k is the saturation class the
     // r13 census measured; the oracle reads whatever centroid count
-    // the fixture carries, so no SQL change rides along)
-    val centroids = Ivf.trainCentroids(
-      emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
-    import s.implicits._
-    centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "c")
-      .coalesce(1).write.mode("overwrite").parquet(ivfCentroidDir(dirTag(dir)))
+    // the fixture carries, so no SQL change rides along); trained and
+    // fixture-written once per (JVM, dir) — ADVICE r14
+    val centroids = trainedCentroids(s, dir)
+    writeCentFixture(s, ivfCentroidDir(dirTag(dir)), centroids)
     Ivf.annTopKWith(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, centroids, nprobe = 4)
@@ -149,14 +189,8 @@ object VectorQueries {
     import graft.operators.Ivf
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
-    val centroids = Ivf.trainCentroids(
-      emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
-    import s.implicits._
-    centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "c")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(clusterCentDir(dirTag(dir)))
+    val centroids = trainedCentroids(s, dir)
+    writeCentFixture(s, clusterCentDir(dirTag(dir)), centroids)
     val assigned = emb.select(col("vec_id"),
       Ivf.bucketId(col("embedding"), centroids).as("cluster"))
     assigned
@@ -210,10 +244,13 @@ object VectorQueries {
        |  SELECT id, cid AS bucket FROM dist WHERE id < 10
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) <= 4
        |), subdist AS (
+       |  -- subspace width derives from the CODEBOOK fixture (len(cb.c)),
+       |  -- not a hardcoded 8: if the trained shape ever changes, the
+       |  -- oracle tracks it instead of silently mis-slicing (ADVICE r14)
        |  SELECT e.vec_id AS id, cb.sub, cb.cid,
-       |    list_reduce(list_transform(range(1, 9),
-       |      i -> (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE) - cb.c[i])
-       |         * (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE) - cb.c[i])),
+       |    list_reduce(list_transform(range(1, len(cb.c)+1),
+       |      i -> (CAST(e.embedding[cb.sub*len(cb.c) + i] AS DOUBLE) - cb.c[i])
+       |         * (CAST(e.embedding[cb.sub*len(cb.c) + i] AS DOUBLE) - cb.c[i])),
        |      (x, y) -> x + y) AS d
        |  FROM embeddings e CROSS JOIN cb
        |), code AS (
@@ -249,20 +286,18 @@ object VectorQueries {
        |        ORDER BY l2, neighbor_id) AS rank FROM rer) t
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    import graft.operators.{Ivf, Pq}
+    import graft.operators.Pq
     val emb = Tables.embeddings(s, dir)
-    val centroids = Ivf.trainCentroids(
-      emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
-    val cb = Pq.trainCodebooks(emb, "embedding", m = 8, ksub = 64)
-    import s.implicits._
-    centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "c")
-      .coalesce(1).write.mode("overwrite").parquet(pqCentDir(dirTag(dir)))
-    cb.zipWithIndex.flatMap { case (cents, j) =>
-        cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) } }.toSeq
-      .toDF("sub", "cid", "c")
-      .coalesce(1).write.mode("overwrite").parquet(pqCbDir(dirTag(dir)))
+    val centroids = trainedCentroids(s, dir)
+    val cb = trainedCodebooks(s, dir)
+    writeCentFixture(s, pqCentDir(dirTag(dir)), centroids)
+    if (fixtureWritten.putIfAbsent(pqCbDir(dirTag(dir)), true).isEmpty) {
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (cents, j) =>
+          cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) } }.toSeq
+        .toDF("sub", "cid", "c")
+        .coalesce(1).write.mode("overwrite").parquet(pqCbDir(dirTag(dir)))
+    }
     Pq.annTopKPqRefined(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, centroids, cb, nprobe = 4, shortlist = 50)

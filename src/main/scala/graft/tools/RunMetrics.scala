@@ -75,14 +75,19 @@ object RunMetrics {
 
   def reset(): Unit = {
     reg.clear(); regRaw.clear()
+    evictStoppedAccs()
     maxAccs.values.foreach(_.reset())
   }
 
   /** Registry snapshot, with any registered max-accumulators folded in
     * (max-merge) — so executor-side recordings surface identically in
-    * local mode and on a real cluster.
+    * local mode and on a real cluster. Accumulators of STOPPED contexts
+    * are evicted first (ADVICE r14): a suite-local session's stale
+    * recording must not surface in a later run's snapshot, and the
+    * per-context map must not retain every context ever seen.
     */
   def snapshot: Map[String, Double] = {
+    evictStoppedAccs()
     val m = scala.collection.mutable.Map.empty[String, Double]
     m ++= reg.readOnlySnapshot()
     maxAccs.foreach { case ((_, key), a) =>
@@ -91,6 +96,9 @@ object RunMetrics {
     }
     m.toMap
   }
+
+  private def evictStoppedAccs(): Unit =
+    maxAccs.keys.foreach { k => if (k._1.isStopped) maxAccs.remove(k) }
 
   // ---- executor-side max metrics (ADVICE r13 item 1) ----
 
@@ -123,12 +131,14 @@ object RunMetrics {
     * [[reset]] zeroes it with the registry).
     */
   def maxAccumulator(
-      sc: org.apache.spark.SparkContext, key: String): MaxAccumulator =
+      sc: org.apache.spark.SparkContext, key: String): MaxAccumulator = {
+    evictStoppedAccs()
     maxAccs.getOrElseUpdate((sc, key), {
       val a = new MaxAccumulator
       sc.register(a, s"graft_$key")
       a
     })
+  }
 
   /** Snapshot keyed by FULL observation name (unique suffix included);
     * see [[regRaw]]. Test-facing.

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ivf
+
+/** r15 trainer gates (VERDICT r14 item 2 + 7): deterministic
+  * k-means++ seeding, split-the-largest empty-centroid repair,
+  * bucket-occupancy balance, and the executor-side training seam for
+  * corpora past the driver cap.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf).persist()
+
+  test("k-means++ trainer is deterministic and partitioning-invariant") {
+    val a = Ivf.trainCentroids(emb, "embedding", 32)
+    val b = Ivf.trainCentroids(emb.repartition(7), "embedding", 32)
+    assert(a.length == 32)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "hash-ordered tiebroken sample must make training invariant to " +
+        "input partitioning")
+  }
+
+  test("duplicate-heavy corpus: sample boundary is still deterministic") {
+    // every vector duplicated 3x — identical xxhash64 per copy, the
+    // ADVICE r14 tie case; the vector-lexicographic tiebreaker makes
+    // the sample MULTISET (hence the centroids) partitioning-invariant
+    val dup = emb.select(col("embedding"))
+      .crossJoin(spark.range(3))
+      .select(col("embedding"))
+    val a = Ivf.trainCentroids(dup, "embedding", 16, sampleSize = 100)
+    val b = Ivf.trainCentroids(dup.repartition(11), "embedding", 16,
+      sampleSize = 100)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("empty-centroid repair: k past the distinct-point count still yields usable buckets") {
+    // 4 distinct vectors, k = 8: at least 4 centroids MUST be empty
+    // every round; the repair must neither crash nor collapse the
+    // assignment (all points still land in some bucket)
+    val tiny = Seq(
+      Array(0f, 0f), Array(10f, 0f), Array(0f, 10f), Array(10f, 10f))
+      .map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val cents = Ivf.trainCentroids(tiny, "embedding", 8, sampleSize = 16)
+    assert(cents.length == 8)
+    val buckets = tiny
+      .select(Ivf.bucketId(col("embedding"), cents).as("b"))
+      .as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 8))
+    // the 4 distinct points should occupy 4 DISTINCT buckets — a dead
+    // trainer leaves them piled on fewer
+    assert(buckets.distinct.length == 4,
+      s"4 well-separated points must train 4 distinct buckets: " +
+        buckets.mkString(","))
+  }
+
+  test("occupancy balance: max bucket stays near uniform at the adaptive geometry") {
+    val n = emb.count()
+    val k = Ivf.adaptiveNlist(n)
+    val cents = Ivf.trainCentroids(emb, "embedding", k)
+    val occ = emb.select(Ivf.bucketId(col("embedding"), cents).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    val uniform = n.toDouble / k
+    val ratio = occ.values.max / uniform
+    // the r14 census measured 4.6x under the old strided/4-round
+    // trainer at sf10; the k-means++/repair trainer must hold the
+    // skew near uniform even on this tiny fixture (gate mirrors the
+    // rehearsal's census gate)
+    assert(ratio <= 3.0,
+      s"max occupancy ${occ.values.max} vs uniform $uniform ($ratio x)")
+  }
+
+  test("distributed trainer: deterministic, and the auto split takes it past the cap") {
+    val dist = Ivf.trainCentroidsDistributed(emb, "embedding", 16)
+    val dist2 = Ivf.trainCentroidsDistributed(
+      emb.repartition(9), "embedding", 16)
+    assert(dist.length == 16 && dist.head.length == 64)
+    assert(dist.map(_.toSeq).toSeq == dist2.map(_.toSeq).toSeq,
+      "executor-side Lloyd must be deterministic: argmin assignment + " +
+        "exact per-(cluster,dim) sums are partitioning-invariant")
+    // auto split: a tiny capVectors forces the distributed branch
+    val auto = Ivf.trainCentroidsAuto(
+      emb, "embedding", 16, n = emb.count(), capVectors = 1L)
+    assert(auto.map(_.toSeq).toSeq == dist.map(_.toSeq).toSeq)
+    // and the driver branch at the default cap
+    val drv = Ivf.trainCentroidsAuto(emb, "embedding", 16, n = emb.count())
+    assert(drv.map(_.toSeq).toSeq ==
+      Ivf.trainCentroids(emb, "embedding", 16).map(_.toSeq).toSeq)
+  }
+
+  test("distributed-trained centroids hold IVF recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = graft.operators.Knn
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Ivf.trainCentroidsDistributed(emb, "embedding", 16)
+    val ivf = Ivf.annTopKWith(
+        emb, queries, "vec_id", "embedding", 5, cents, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"distributed-trained IVF recall $recall")
+  }
+}
