@@ -568,13 +568,18 @@ object Streams {
     *     compaction point are deleted AFTER the marker — a crash
     *     mid-cleanup leaves stale directories the read path ignores
     *     and the next compaction sweeps;
-    *   - `labels_tbl/` (DEFAULT, `labelsAsTable = true`) — the
-    *     standing labeling as a graft transactional table each fold
-    *     MERGEs its delta into (write ∝ delta + touched components;
-    *     `stream_cc_bytes_b<id>` records it per fold); compaction
+    *   - `labels_tbl/` + `labels_delta/b<id>` (DEFAULT, `labelsAsTable
+    *     = true`) — the standing labeling as a graft transactional
+    *     table plus a per-batch delta SIDECAR: each fold appends only
+    *     its changed rows to the sidecar (write AND read ∝ delta +
+    *     touched components; `stream_cc_bytes_b<id>` records it per
+    *     fold), the logical labeling is table ⊕ sidecar with
+    *     last-writer-wins by fold, and the ONE corpus-scale MERGE
+    *     runs on the compaction cadence — which then also
     *     materializes delete debt, vacuums superseded files, and
-    *     prunes manifest history, so persistence state is bounded in
-    *     batch count. `labels/v<id>` (`labelsAsTable = false`) — the
+    *     prunes manifest history, so per-fold cost is flat in batch
+    *     index and persistence state is bounded in batch count.
+    *     `labels/v<id>` (`labelsAsTable = false`) — the
     *     folded whole-corpus labeling rewritten per batch (∝ corpus;
     *     the simpler option when the corpus is small or a plain
     *     parquet labeling is wanted downstream); compaction prunes
@@ -619,7 +624,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maybeCompact(spark, stateDir, compactEvery, labelsAsTable)
+        maybeCompact(spark, stateDir, compactEvery, labelsAsTable, idCol)
         clusterFold(spark, batch, batchId, idCol, textCol, stateDir,
           n, tau, bands, rowsPerBand, labelsAsTable, labelsTableBuckets)
         afterBatch(batchId)
@@ -630,31 +635,87 @@ object Streams {
     val last = committedBatches(spark, stateDir)
     require(last.nonEmpty,
       "clusterStream: no batch committed — empty feed has no labeling")
-    if (labelsAsTable)
-      spark.read.format("graft").load(labelsTablePath(stateDir))
-        .select(col(idCol), col("component"))
+    if (labelsAsTable) logicalLabels(spark, stateDir, idCol, last)
     else spark.read.parquet(s"$stateDir/labels/v${last.max}")
   }
 
-  /** labels-as-TABLE mode: the standing labeling lives in a graft
-    * transactional table under the state dir instead of a
-    * whole-corpus parquet rewritten per fold. Each fold MERGEs only
-    * the DELTA — [[graft.operators.Components.connectedIncrementalDelta]]:
-    * one row per NEW document plus the base documents in touched
-    * components — through the merge-on-read path, so the per-cycle
-    * labels WRITE is ∝ delta + touched components (position-delete
-    * files + post-images), never ∝ corpus. Replay idempotence rides
-    * the table's own transaction watermark (`txn = (streamTxnId,
-    * batchId)` — the exactly-once contract of `txnAppend`), so a crash
-    * between the MERGE commit and the fold's marker re-runs to a
-    * watermark no-op. Compaction additionally MATERIALIZEs the
-    * table's accumulated delete debt every cycle boundary (cost ∝
-    * DV-affected files, amortized 1/compactEvery per batch).
+  /** labels-as-TABLE mode (r15 form — VERDICT r14 item 1): the
+    * standing labeling lives in a graft transactional table PLUS a
+    * per-batch DELTA SIDECAR, and the two are reconciled only on the
+    * compaction cadence.
+    *
+    * The r14 design MERGEd each fold's delta straight into the table.
+    * Write bytes were ∝ delta, but the MERGE's target-table READ side
+    * was O(corpus) EVERY batch: a trickle batch's random doc ids touch
+    * every bucket, so the position scan pruned nothing, each fold
+    * re-read the whole corpus-scale labeling, and per-fold DV/manifest
+    * debt accreted between compactions — SCALE_r14 measured fold
+    * seconds climbing 2.6 → 8.0s over a 40-batch drain at FIXED
+    * corpus. The fix decouples per-batch durability from per-batch
+    * reconciliation:
+    *
+    *   - per fold: the delta labeling ([[graft.operators.Components
+    *     .connectedIncrementalDelta]] — one row per new doc plus base
+    *     docs in touched components) is APPENDED as plain parquet to
+    *     `labels_delta/b<id>` with a `__fold` column. Write AND read
+    *     are ∝ delta; the table is untouched, so nothing accretes
+    *     between compactions and fold cost is flat in batch index;
+    *   - the LOGICAL labeling = table ⊕ committed sidecar batches
+    *     above the compaction point, last-writer-wins by `__fold`
+    *     ([[logicalLabels]]) — what the next fold reads as its base
+    *     and what the drain returns;
+    *   - at compaction: ONE corpus-scale MERGE folds the consolidated
+    *     sidecar (latest row per id) into the table — amortized
+    *     1/compactEvery per batch, exactly-once under crash-replay via
+    *     the table's txn watermark (`(LabelsTxnId, compactionPoint)` —
+    *     monotone across compactions) — then the usual materialize /
+    *     vacuum / pruneHistory bound the table's own debt, and the
+    *     merged sidecar directories are deleted post-marker (a crash
+    *     mid-cleanup leaves stale dirs the read path ignores — they
+    *     are ≤ the compaction point — and the next compaction sweeps).
     */
   private def labelsTablePath(stateDir: String): String =
     s"$stateDir/labels_tbl"
 
+  private def labelsDeltaPath(stateDir: String, batchId: Long): String =
+    s"$stateDir/labels_delta/b$batchId"
+
   private val LabelsTxnId = "graft_cluster_stream_labels"
+
+  /** Latest committed sidecar row per id across `ids` (last-writer-
+    * wins by `__fold`, the batch that wrote it).
+    */
+  private def sidecarLatest(
+      spark: SparkSession, stateDir: String, idCol: String,
+      ids: Seq[Long]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__fold").desc)
+    spark.read
+      .parquet(ids.map(i => labelsDeltaPath(stateDir, i)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("component"))
+  }
+
+  /** The LOGICAL labeling: the table overlaid with every committed
+    * sidecar batch above the compaction point (those at or below it
+    * are already merged — stale dirs a crashed cleanup left are
+    * correctly ignored). The overlay side is delta-sized, so the
+    * anti-join is broadcast-scale against the corpus table.
+    */
+  private def logicalLabels(
+      spark: SparkSession, stateDir: String, idCol: String,
+      committed: Seq[Long]): DataFrame = {
+    val tbl = spark.read.format("graft").load(labelsTablePath(stateDir))
+      .select(col(idCol), col("component"))
+    val compact = latestCompact(spark, stateDir)
+    val pend = committed.filter(i => compact.forall(i > _))
+    if (pend.isEmpty) tbl
+    else {
+      val latest = sidecarLatest(spark, stateDir, idCol, pend)
+      tbl.join(latest, Seq(idCol), "left_anti").unionByName(latest)
+    }
+  }
 
   private def listLongDir(
       spark: SparkSession, dir: String): Seq[Long] = {
@@ -699,7 +760,7 @@ object Streams {
     */
   private def maybeCompact(
       spark: SparkSession, stateDir: String, k: Int,
-      labelsAsTable: Boolean = false): Unit = {
+      labelsAsTable: Boolean = false, idCol: String = ""): Unit = {
     val done = committedBatches(spark, stateDir)
     if (done.isEmpty) return
     val c = latestCompact(spark, stateDir)
@@ -716,6 +777,18 @@ object Streams {
         .parquet(baseSidePaths(stateDir, c, pending, sub): _*)
         .write.mode("overwrite").parquet(s"$stateDir/base/$sub/v$b")
     }
+    // labels-as-table mode: the ONE corpus-scale MERGE — fold the
+    // consolidated sidecar (latest row per id over the pending
+    // batches) into the standing table, BEFORE the marker so the
+    // marker witnesses it. Exactly-once across crash-replay: the txn
+    // watermark at the compaction point is monotone, so a re-run after
+    // a crash between this commit and the marker is a no-op.
+    if (labelsAsTable &&
+        graft.sources.TxTable
+          .currentSnapshot(spark, labelsTablePath(stateDir)).isDefined)
+      graft.sources.MergeOnRead.mergeInto(spark, labelsTablePath(stateDir),
+        sidecarLatest(spark, stateDir, idCol, pending),
+        keys = Seq(idCol), txn = Some((LabelsTxnId, b)))
     // marker LAST: the consolidated base exists iff its marker does
     fs.create(
       new org.apache.hadoop.fs.Path(s"$stateDir/compacts/$b"), true).close()
@@ -737,19 +810,20 @@ object Streams {
       .foreach(i => del(s"$stateDir/labels/v$i"))
     listLongDir(spark, s"$stateDir/commits").filter(_ < b)
       .foreach(i => del(s"$stateDir/commits/$i"))
-    // labels-as-table mode: pay down the labeling table's merge-on-read
-    // delete debt on the same cadence (cost ∝ DV-affected files,
-    // amortized 1/compactEvery per batch), then RETIRE the history the
-    // folds accreted — vacuum superseded data files and prune their
-    // manifests down to the current version. Without this the
-    // persistence layer grows without bound in batch count (the r13
-    // 20-batch drain measured fold cost climbing 2.48s → 5.87s): every
-    // fold commits a manifest that re-lists all live files, and
-    // currentSnapshot's listing is O(versions). The table's time
-    // travel below the compaction point is given up — the labeling is
-    // derived state whose history the stateDir's own commit markers
-    // already bound; the txn watermark (carried in the CURRENT
-    // manifest) keeps crash-replay a no-op.
+    // sidecar batches at or below the compaction point are merged —
+    // delete them (post-marker; the listing also sweeps leftovers of a
+    // previously crashed cleanup, which the read path already ignores)
+    listDirIds(spark, s"$stateDir/labels_delta").filter(_ <= b)
+      .foreach(i => del(labelsDeltaPath(stateDir, i)))
+    // labels-as-table mode: pay down the merge-on-read delete debt the
+    // compaction MERGE just created (cost ∝ DV-affected files,
+    // amortized 1/compactEvery per batch), then RETIRE the manifest
+    // history — vacuum superseded data files and prune manifests down
+    // to the current version. The table's time travel below the
+    // compaction point is given up: the labeling is derived state
+    // whose history the stateDir's own commit markers already bound;
+    // the txn watermark (carried in the CURRENT manifest) keeps
+    // crash-replay a no-op.
     if (labelsAsTable &&
         graft.sources.TxTable
           .currentSnapshot(spark, labelsTablePath(stateDir)).isDefined) {
@@ -790,17 +864,6 @@ object Streams {
       s"stream_cc_fold_b$batchId", (System.nanoTime() - t0) / 1e9)
   }
 
-  /** (relPath, size) of the labels table's live data + delete files —
-    * diffed before/after a fold's MERGE to price the fold's WRITE in
-    * bytes (manifest-scale driver work, no data reads).
-    */
-  private def labelsTableLive(
-      spark: SparkSession, tbl: String): Set[(String, Long)] =
-    graft.sources.TxTable.currentSnapshot(spark, tbl)
-      .map(s => (s.entries.map(e => (e.relPath, e.size)) ++
-        s.dvs.map(d => (d.relPath, d.size))).toSet)
-      .getOrElse(Set.empty)
-
   private def dirBytes(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -822,19 +885,20 @@ object Streams {
     if (batch.isEmpty) return          // nothing to fold, no state burned
     val prevIds = done.filter(_ < batchId)
     // labels WRITE bytes per fold (VERDICT r13 item 2: the ∝-delta
-    // claim as a recorded number): table mode diffs the live file set
-    // around the MERGE; rewrite mode sums the labeling dir it wrote
-    val liveBefore =
-      if (labelsAsTable) labelsTableLive(spark, labelsTablePath(stateDir))
-      else Set.empty[(String, Long)]
+    // claim as a recorded number): table mode sums the sidecar delta
+    // it appended; rewrite mode sums the labeling dir it wrote
     def recordLabelBytes(): Unit = {
       val bytes =
-        if (labelsAsTable)
-          (labelsTableLive(spark, labelsTablePath(stateDir)) -- liveBefore)
-            .toSeq.map { case (_, sz) => math.max(sz, 0L) }.sum
+        if (labelsAsTable) dirBytes(spark, labelsDeltaPath(stateDir, batchId))
         else dirBytes(spark, s"$stateDir/labels/v$batchId")
       graft.tools.RunMetrics.put(s"stream_cc_bytes_b$batchId", bytes.toDouble)
     }
+    // sidecar append — the whole per-fold labels write in table mode
+    // (plain parquet at a deterministic path: a crashed fold's replay
+    // overwrites it; the table itself is untouched until compaction)
+    def writeSidecar(delta: DataFrame): Unit =
+      delta.withColumn("__fold", lit(batchId))
+        .write.mode("overwrite").parquet(labelsDeltaPath(stateDir, batchId))
     val side = Dedup.lshSide(batch.select(col(idCol), col(textCol)),
       idCol, textCol, n, bands, rowsPerBand)
     side.sh.write.mode("overwrite").parquet(s"$stateDir/sh/b$batchId")
@@ -846,21 +910,19 @@ object Streams {
         Dedup.minhashLshPairs(side, tau), "d1", "d2")
       if (labelsAsTable) {
         val tbl = labelsTablePath(stateDir)
-        // bucket-laid by the id: every future trickle MERGE's position
-        // scan prunes at the MANIFEST to the batch's candidate buckets
+        // bucket-laid by the id: the compaction-cadence MERGE's
+        // position scan prunes at the MANIFEST to candidate buckets
         // (MergeOnRead.candidateEntries), and post-images place into
         // their bucket groups
         if (graft.sources.TxTable.currentSnapshot(spark, tbl).isEmpty)
           graft.sources.TxTable.createEmpty(spark, tbl, labels.schema,
             layout = Some(s"bucket($labelsTableBuckets, $idCol)"))
-        graft.sources.MergeOnRead.mergeInto(spark, tbl, labels,
-          keys = Seq(idCol), txn = Some((LabelsTxnId, batchId)))
+        writeSidecar(labels)
       } else
         labels.write.mode("overwrite").parquet(s"$stateDir/labels/v$batchId")
     } else {
       val prevLbl =
-        if (labelsAsTable)
-          spark.read.format("graft").load(labelsTablePath(stateDir))
+        if (labelsAsTable) logicalLabels(spark, stateDir, idCol, prevIds)
         else spark.read.parquet(s"$stateDir/labels/v${prevIds.max}")
       // standing side = consolidated base + batch sides since — the
       // directory count is bounded by the compaction schedule, never
@@ -880,14 +942,12 @@ object Streams {
           .select(col("d1"), col("d2")))
       if (labelsAsTable) {
         // per-cycle labels WRITE ∝ delta: only the rows whose label
-        // changes this cycle MERGE into the standing table (the txn
-        // watermark makes a crash-replay a no-op)
+        // changes this cycle land in the sidecar; the corpus-scale
+        // MERGE is deferred to the compaction cadence
         val changed = Components.connectedIncrementalDelta(
           prevLbl, idCol, "component",
           batch.select(col(idCol)), delta, "d1", "d2")
-        graft.sources.MergeOnRead.mergeInto(spark,
-          labelsTablePath(stateDir), changed,
-          keys = Seq(idCol), txn = Some((LabelsTxnId, batchId)))
+        writeSidecar(changed)
       } else {
         val labels = Components.connectedIncremental(prevLbl, idCol,
           "component", batch.select(col(idCol)), delta, "d1", "d2")

@@ -1341,15 +1341,30 @@ class StreamSpec extends SparkSpec {
     // no whole-corpus labels/v* rewrites exist in this mode
     assert(!new java.io.File(s"$base/state/labels").exists(),
       "labelsAsTable must not write per-batch labeling parquet")
-    // the table's standing data is ~one row per doc after the
-    // compaction-cadence materialize (not one copy per batch)
+    // r15 sidecar contract: the TABLE holds exactly the docs merged at
+    // the last compaction (batches 0..7 — compaction fires at the
+    // start of batch 4 covering {0..3} and on the post-crash replay of
+    // batch 7 covering {4..7}); batches 8..11 live only in the delta
+    // sidecar until the next compaction. The table is untouched
+    // between compactions — the flat-fold-cost property.
     val snap = graft.sources.TxTable.currentSnapshot(
       spark, s"$base/state/labels_tbl").get
     val liveRows = snap.entries.map(e =>
       graft.sources.FileStats.decode(e.stats).rows).sum -
       snap.dvs.map(_.rows).sum
-    assert(liveRows == docs.count(),
-      s"labels table must hold one live row per document, got $liveRows")
+    val mergedDocs = docs
+      .filter(pmod(col("doc_id"), lit(12L)) <= 7).count()
+    assert(liveRows == mergedDocs,
+      s"labels table must hold one live row per doc merged at the " +
+        s"last compaction ($mergedDocs), got $liveRows")
+    def lsDelta: Set[String] = {
+      val f = new java.io.File(s"$base/state/labels_delta")
+      if (!f.exists()) Set.empty
+      else f.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    }
+    assert(lsDelta == (8 to 11).map(i => s"b$i").toSet,
+      s"sidecar must hold exactly the batches past the compaction " +
+        s"point: $lsDelta")
     // persistence boundedness in BATCH COUNT (VERDICT r13 item 2): the
     // compaction cadence vacuums superseded data files and prunes
     // manifest history, so the version count is bounded by folds since
