@@ -1174,12 +1174,13 @@ object TextQueries {
     * batch LSH-banded once and folded into the standing labels on the
     * delta-contracted reduced graph — the streamed composition of
     * q_incremental_dedup's banding and q_incremental_cc's fold. Runs
-    * the PRODUCTION persistence (the r14 default `labelsAsTable`):
-    * the standing labeling is a graft transactional table each fold
-    * MERGEs its delta into ([[graft.operators.Components
-    * .connectedIncrementalDelta]] — write ∝ delta + touched
-    * components), with history vacuumed/pruned on the compaction
-    * cadence. FULL oracle gate: any batch split of an append-only
+    * the PRODUCTION persistence (the default `labelsAsTable`, r15
+    * sidecar form): each fold appends its delta labeling
+    * ([[graft.operators.Components.connectedIncrementalDelta]] —
+    * write AND read ∝ delta + touched components) to a per-batch
+    * sidecar, the logical labeling is table ⊕ sidecar, and the one
+    * corpus-scale MERGE plus history vacuum/prune runs on the
+    * compaction cadence. FULL oracle gate: any batch split of an append-only
     * corpus folds to the same labeling (LSH pair membership is
     * pairwise), so DuckDB recomputes the clusters from scratch by
     * recursive reachability — the same oracle as q_incremental_cc.
