@@ -12,7 +12,7 @@ import graft.operators.Knn
 object VectorQueries {
 
   def all: Seq[Q] = Seq(cosinePairs, srpPairs, embedIncremental, knnBrute,
-    knnAnn, knnIvf, knnIvfPq, clusterSample, embedDecontaminate)
+    knnAnn, knnIvf, knnIvfPq, clusterSample, semDedup, embedDecontaminate)
 
   /** The trained IVF centroid fixture's location — ABSOLUTE so the
     * DuckDB oracle (whose working directory is the driver's, not
@@ -201,6 +201,81 @@ object VectorQueries {
       .filter(col("rn") <= 10)
       .select(col("cluster"), col("n_cluster"), col("vec_id"))
       .orderBy(col("cluster"), col("vec_id"))
+  }
+
+  private def semDedupCentDir(tag: String): String =
+    new java.io.File(s"target/tmp/semdedup_centroids_$tag").getAbsolutePath
+
+  /** SEMANTIC deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means cluster the embedding corpus (the
+    * shared adaptive-√n trained model), then compare pairs ONLY
+    * within a cluster — the paper's device for making semantic dedup
+    * tractable at web scale: the quadratic is bounded per cluster
+    * (Σ C(n_b,2) ≈ n^1.5 at k = √n), never corpus-wide. A vector is
+    * DROPPED when a smaller-id vector in the same cluster has cosine
+    * ≥ τ (deterministic keep-lowest-id representative — the same rule
+    * as the text dedup family; the paper keeps a centroid-distance
+    * representative, an arbitrary-but-fixed choice we replace with a
+    * replayable one). One shuffle on the cluster id for the pair
+    * join; exact cosine only on within-cluster candidates. FULL
+    * oracle: assignment argmin, within-cluster pair set, and the
+    * sequential cosine fold all replay bit-for-bit from the centroid
+    * fixture.
+    */
+  val semDedup: Q = Q(
+    "q_semdedup",
+    s"""WITH cent AS (
+       |  SELECT cid, c FROM read_parquet('${semDedupCentDir(dirTag(Q.renderDir))}/*.parquet')
+       |), dist AS (
+       |  SELECT e.vec_id AS id, ct.cid,
+       |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])
+       |         * (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])),
+       |      (x, y) -> x + y) AS d
+       |  FROM embeddings e CROSS JOIN cent ct
+       |), cbucket AS (
+       |  SELECT id, cid AS cluster FROM dist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) = 1
+       |), pairs AS (
+       |  SELECT a.id AS a_id, b.id AS b_id
+       |  FROM cbucket a JOIN cbucket b
+       |    ON a.cluster = b.cluster AND a.id < b.id
+       |), dup AS (
+       |  SELECT DISTINCT p.b_id
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.a_id
+       |  JOIN embeddings eb ON eb.vec_id = p.b_id
+       |  WHERE ${cosineSql.replace("E1", "ea.embedding").replace("E2", "eb.embedding")} >= 0.4
+       |)
+       |SELECT c.id AS vec_id, c.cluster, (d.b_id IS NULL) AS is_kept
+       |FROM cbucket c LEFT JOIN dup d ON c.id = d.b_id
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Ivf
+    import graft.functions.Vec
+    val emb = Tables.embeddings(s, dir)
+    val centroids = trainedCentroids(s, dir)
+    writeCentFixture(s, semDedupCentDir(dirTag(dir)), centroids)
+    // constraint-truncated like annTopKWith: the cluster = argmin
+    // alias constraint must not cross the self-join
+    val assigned = graft.CacheScope.localCheckpointTruncated(
+      emb.select(col("vec_id"), col("embedding"),
+        Ivf.bucketId(col("embedding"), centroids).as("cluster")))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"), Vec.norm(col("embedding")).as("a_n"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"), Vec.norm(col("embedding")).as("b_n"))
+    val dup = graft.tools.RunMetrics.observedCount("cand_semdedup",
+        a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id")))
+      .withColumn("cosine",
+        Vec.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned
+      .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("__dup").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
   }
 
   private def pqCentDir(tag: String): String =
