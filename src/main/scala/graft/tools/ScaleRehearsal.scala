@@ -1215,15 +1215,21 @@ object ScaleRehearsal {
           s"""${drain("rewrite", asTable = false)}}"""
       }
 
-    // labels-persistence CROSSOVER (VERDICT r13 item 4): the regime
-    // labels_table was built for — a LARGE standing corpus taking
-    // SMALL trickle batches. Batch 0 folds the whole 10× corpus
-    // (target/sf1 documents, ~50k docs); batches 1..4 are sf0.1-sized
-    // trickles (~250 docs, fresh ids). Per-fold WALL and WRITE BYTES
-    // for both persistences: rewrite must pay ∝ corpus per trickle
-    // (it rewrites the 50k-row labeling), table mode ∝ delta — the
-    // crossover the sf0.1-sized drain above cannot show (there the
-    // corpus is small and table mode's MERGE machinery overhead wins).
+    // labels-persistence CROSSOVER (VERDICT r13 item 4; extended to 12
+    // trickles by VERDICT r14 items 1+3): the regime labels_table was
+    // built for — a LARGE standing corpus taking SMALL trickle
+    // batches. Batch 0 folds the whole 10× corpus (target/sf1
+    // documents, ~50k docs); batches 1..12 are sf0.1-sized trickles
+    // (~250 docs, fresh ids), so the corpus is ~FIXED through the
+    // trickle run and, at compactEvery=5, TWO compactions land inside
+    // it — per-fold seconds must be flat in batch index at fixed
+    // corpus ACROSS compaction boundaries (the r13 done criterion the
+    // r14 growing-corpus drain could not isolate). Per-fold WALL and
+    // WRITE BYTES for both persistences: rewrite must pay ∝ corpus
+    // per trickle (it rewrites the 50k-row labeling), table mode ∝
+    // delta — the crossover the sf0.1-sized drain above cannot show
+    // (there the corpus is small and table mode's machinery overhead
+    // wins).
     val crossSection =
       if (!subset.forall(_("x_stream_cc_crossover"))) ""
       else {
@@ -1244,7 +1250,7 @@ object ScaleRehearsal {
           val trickle = graft.Tables.documents(spark, sf01)
             .select((col("doc_id") + lit(100000000L)).as("doc_id"),
               col("text"))
-          (1 to 4).foreach { r =>
+          (1 to 12).foreach { r =>
             trickle.filter(pmod(col("doc_id"), lit(20L)) === r).coalesce(1)
               .write.mode("overwrite").parquet(s"$srcDir/f=$r")
           }
@@ -1431,7 +1437,7 @@ object ScaleRehearsal {
           s""""simhash_verify_tier_ratio":[${simVerifyRatios.map(r => f"$r%.2f").mkString(",")}]}}"""
       }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 4 trickle batches, the regime table mode exists for. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 12 trickle batches at ~fixed corpus with 2 compactions inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALE_r15.json"), json + "\n")
