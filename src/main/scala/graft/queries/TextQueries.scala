@@ -29,9 +29,13 @@ object TextQueries {
     * term-ordered float fold, round 9) so equality proves the scoring
     * to the bit, not just the ranking.
     */
-  val bm25TopK: Q = Q(
-    "q_bm25_topk",
-    """WITH docs AS (
+  /** The BM25 scoring pipeline as DuckDB CTEs ending in `bscore`
+    * (doc_id, score) — shared by q_bm25_topk and the hybrid-RRF
+    * oracle so the two derivations cannot drift. The fixed probe-term
+    * set is the catalog's retrieval query.
+    */
+  private[queries] val bm25CoreSql: String =
+    """docs AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
@@ -48,16 +52,26 @@ object TextQueries {
       |      * (tf.tf * (1.2 + 1.0))
       |      / (tf.tf + 1.2 * ((1.0 - 0.75)
       |          + (0.75 * dl.dl) / (CAST(g.sdl AS DOUBLE) / g.n))) AS term
-      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g)
-      |SELECT doc_id,
-      |  round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b), 9) AS score
-      |FROM terms
-      |GROUP BY doc_id
-      |ORDER BY score DESC, doc_id
-      |LIMIT 20""".stripMargin) { (s, dir) =>
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g),
+      |bscore AS (
+      |  SELECT doc_id,
+      |    round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b), 9) AS score
+      |  FROM terms
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** The catalog's probe-term set (the Spark side of [[bm25CoreSql]]'s
+    * `IN` list).
+    */
+  private[queries] val Bm25ProbeTerms = Seq("spark", "vector", "merge", "stream")
+
+  val bm25TopK: Q = Q(
+    "q_bm25_topk",
+    s"""WITH $bm25CoreSql
+       |SELECT doc_id, score FROM bscore
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
     import graft.operators.Relevance
-    Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
-        Seq("spark", "vector", "merge", "stream"))
+    Relevance.bm25(Tables.documents(s, dir), "doc_id", "text", Bm25ProbeTerms)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }

@@ -12,7 +12,8 @@ import graft.operators.Knn
 object VectorQueries {
 
   def all: Seq[Q] = Seq(cosinePairs, srpPairs, embedIncremental, knnBrute,
-    knnAnn, knnIvf, knnIvfPq, clusterSample, semDedup, embedDecontaminate)
+    knnAnn, knnIvf, knnIvfPq, clusterSample, semDedup, hybridRrf,
+    embedDecontaminate)
 
   /** The trained IVF centroid fixture's location — ABSOLUTE so the
     * DuckDB oracle (whose working directory is the driver's, not
@@ -558,6 +559,80 @@ object VectorQueries {
       k = 5, dim = 64,
       bitsPerTable = recordSrpBits(dir, emb.count()))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** HYBRID retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse the BM25 probe-term ranking over
+    * `documents` with an embedding-cosine ranking over `embeddings`
+    * (query vector = vec_id 0's own embedding, collected driver-side
+    * as model metadata — one vector, no join), each cut to its top-50,
+    * RRF score = Σ 1/(60 + rank) over the lists a doc appears in,
+    * top-20 by fused score. The modern retrieval-stack default for
+    * "find the subcorpus most like this" targeted data selection —
+    * lexical recall where embeddings miss exact terms, semantic
+    * recall where wording differs.
+    *
+    * Scale shape: each leg's global top-50 is a rank-window with a
+    * map-side WindowGroupLimit prune (each task pre-cuts to 50, the
+    * reduce side sees tasks×50 rows — the q_limit_by device applied
+    * globally); the fusion join holds ≤ 100 rows. FULL oracle: BM25
+    * replays via the shared [[TextQueries.bm25CoreSql]] CTEs, cosine
+    * via the sequential fold, ranks and 1/(60+r) arithmetic are
+    * integer-fed double ops — bit-identical.
+    */
+  val hybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    s"""WITH ${TextQueries.bm25CoreSql},
+       |trank AS (
+       |  SELECT doc_id AS id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS tr
+       |  FROM bscore QUALIFY tr <= 50),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |vscore AS (
+       |  SELECT e.vec_id AS id,
+       |    ${cosineSql.replace("E1", "e.embedding").replace("E2", "qv.q")} AS cosine
+       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+       |vrank AS (
+       |  SELECT id, ROW_NUMBER() OVER (ORDER BY cosine DESC, id) AS vr
+       |  FROM vscore QUALIFY vr <= 50),
+       |fused AS (
+       |  SELECT COALESCE(t.id, v.id) AS id, t.tr, v.vr,
+       |    COALESCE(1.0 / (60 + t.tr), 0) + COALESCE(1.0 / (60 + v.vr), 0) AS rrf
+       |  FROM trank t FULL OUTER JOIN vrank v ON t.id = v.id)
+       |SELECT id, tr, vr, rrf FROM fused
+       |ORDER BY rrf DESC, id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    import graft.operators.Relevance
+    import graft.functions.Vec
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val textRank = Relevance.bm25(docs, "doc_id", "text",
+        TextQueries.Bm25ProbeTerms)
+      .withColumn("tr", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("tr") <= 50)
+      .select(col("doc_id").as("id"), col("tr"))
+    // the query vector is MODEL METADATA (one row) — shipped as a
+    // literal, not a join side (a 1-row broadcast cross join would be
+    // a BroadcastNestedLoopJoin, the plan class PLANCHECK forbids)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val qLit = typedlit(qvec)
+    val vecRank = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"),
+        (Vec.dot(col("embedding"), qLit) /
+          (Vec.norm(col("embedding")) * Vec.norm(qLit))).as("cosine"))
+      .withColumn("vr", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
+      .filter(col("vr") <= 50)
+      .select(col("id"), col("vr"))
+    textRank.join(vecRank, Seq("id"), "full_outer")
+      .select(col("id"), col("tr"), col("vr"),
+        (coalesce(lit(1.0) / (lit(60) + col("tr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(20)
   }
 
   /** Embedding-space decontamination: corpus vectors (vec_id % 20 ≠ 0)
