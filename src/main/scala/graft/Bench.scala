@@ -53,7 +53,8 @@ object Bench {
     SparkEntry.queries
       .filter { case (n, _) => subset.forall(_(n)) }
       .foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try graft.tools.Exec.materialize(fn(spark, warmDir))
+        catch { case _: Throwable => () }
         CacheScope.release()
         spark.catalog.clearCache()
       }
@@ -88,7 +89,10 @@ object Bench {
         // before this query's window opens (ADVICE r13)
         graft.tools.RunMetrics.flushAndReset(spark)
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        // full-materialization action (VERDICT r15 item 1): the
+        // query's OWN executed plan, never a count-re-planned one —
+        // see graft.tools.Exec
+        val ok = try { graft.tools.Exec.materialize(fn(spark, sfDir)); true }
                  catch { case _: Throwable =>
                    failCounts(name) = failCounts.getOrElse(name, 0) + 1; false }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

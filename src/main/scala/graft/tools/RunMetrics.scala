@@ -151,6 +151,22 @@ object RunMetrics {
   private val installed =
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
+  /** Harvest `qe`'s observed metrics into the registry — the shared
+    * path for the async listener AND for synchronous harvest after a
+    * raw-RDD materialization ([[graft.tools.Exec.materialize]]
+    * executes `qe.toRdd`, which never reaches `Dataset.withAction`,
+    * so the listener never fires for it; the observation accumulators
+    * on the QueryExecution are populated either way).
+    */
+  def harvestQe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+    qe.observedMetrics.foreach { case (name, row) =>
+      if (name.startsWith(ObsPrefix) && !row.isNullAt(0)) {
+        val full = name.stripPrefix(ObsPrefix)
+        add(full.split("__").head, row.getLong(0).toDouble)
+        regRaw.put(full, row.getLong(0).toDouble)
+      }
+    }
+
   /** Register the harvesting [[QueryExecutionListener]] on `spark`
     * (once per session). Harvest is on the ASYNC listener bus — flush
     * it (GraftSparkBridge.flushListenerBus) before [[snapshot]].
@@ -161,19 +177,10 @@ object RunMetrics {
       else { installed.put(spark, java.lang.Boolean.TRUE); true }
     }
     if (fresh) spark.listenerManager.register(new QueryExecutionListener {
-      private def harvest(
-          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith(ObsPrefix) && !row.isNullAt(0)) {
-            val full = name.stripPrefix(ObsPrefix)
-            add(full.split("__").head, row.getLong(0).toDouble)
-            regRaw.put(full, row.getLong(0).toDouble)
-          }
-        }
       override def onSuccess(
           funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = harvest(qe)
+          durationNs: Long): Unit = harvestQe(qe)
       override def onFailure(
           funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,

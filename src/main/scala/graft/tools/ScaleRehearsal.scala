@@ -1039,7 +1039,8 @@ object ScaleRehearsal {
 
     // JVM/codegen warm-up on the small dir, like Bench
     (picked(Family) ++ picked(Family100)).distinct.foreach { name =>
-      try queryOf(name)(spark, "/root/testdata/sf0.001").count()
+      try graft.tools.Exec.materialize(
+        queryOf(name)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
       CacheScope.release(); spark.catalog.clearCache()
     }
@@ -1059,7 +1060,7 @@ object ScaleRehearsal {
       prepBearing.filter(picked(Family100).contains).flatMap(n =>
         Seq((n, sf01), (n, sf10)))
     prepRuns.distinct.foreach { case (name, dir) =>
-      try queryOf(name)(spark, dir).count()
+      try graft.tools.Exec.materialize(queryOf(name)(spark, dir))
       catch { case _: Throwable => () }
       CacheScope.release(); spark.catalog.clearCache()
     }
@@ -1075,7 +1076,8 @@ object ScaleRehearsal {
       .Map.empty[(String, String), List[Double]]
     def run(pass: Int, tag: String, dir: String, name: String): Unit = {
       val t0 = System.nanoTime()
-      val n = queryOf(name)(spark, dir).count()
+      // full-materialization action (VERDICT r15 item 1; see Exec)
+      val n = graft.tools.Exec.materialize(queryOf(name)(spark, dir))
       val dt = (System.nanoTime() - t0) / 1e9
       CacheScope.release(); spark.catalog.clearCache()
       val k = (name, tag)
@@ -1171,12 +1173,13 @@ object ScaleRehearsal {
               .option("recursiveFileLookup", "true")
               .option("maxFilesPerTrigger", "1").parquet(srcDir)
             val t0 = System.nanoTime()
-            val n = graft.streaming.Streams.clusterStream(
-              src, "doc_id", "text",
-              s"target/tmp/x_drain40_state_$run",
-              s"target/tmp/x_drain40_ckpt_$run",
-              n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
-              compactEvery = 5, labelsAsTable = asTable).count()
+            val n = graft.tools.Exec.materialize(
+              graft.streaming.Streams.clusterStream(
+                src, "doc_id", "text",
+                s"target/tmp/x_drain40_state_$run",
+                s"target/tmp/x_drain40_ckpt_$run",
+                n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
+                compactEvery = 5, labelsAsTable = asTable))
             val dt = (System.nanoTime() - t0) / 1e9
             totalMin = math.min(totalMin, dt)
             val got = graft.tools.RunMetrics.snapshot
@@ -1268,12 +1271,13 @@ object ScaleRehearsal {
               .option("recursiveFileLookup", "true")
               .option("maxFilesPerTrigger", "1").parquet(srcDir)
             val t0 = System.nanoTime()
-            val n = graft.streaming.Streams.clusterStream(
-              src, "doc_id", "text",
-              s"target/tmp/x_cross_state_$run",
-              s"target/tmp/x_cross_ckpt_$run",
-              n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
-              compactEvery = 5, labelsAsTable = asTable).count()
+            val n = graft.tools.Exec.materialize(
+              graft.streaming.Streams.clusterStream(
+                src, "doc_id", "text",
+                s"target/tmp/x_cross_state_$run",
+                s"target/tmp/x_cross_ckpt_$run",
+                n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
+                compactEvery = 5, labelsAsTable = asTable))
             val dt = (System.nanoTime() - t0) / 1e9
             graft.tools.RunMetrics.snapshot.foreach {
               case (k, v) if k.startsWith("stream_cc_fold_") =>
@@ -1376,7 +1380,8 @@ object ScaleRehearsal {
       // bit_count filter over the census's candidate pairs, signatures
       // pre-pinned — the per-candidate cost the density slope buys
       val tV = System.nanoTime()
-      Dedup.simhashPairs(sigs, "doc_id", maxDist = 3).count()
+      graft.tools.Exec.materialize(
+        Dedup.simhashPairs(sigs, "doc_id", maxDist = 3))
       val simVerifySec = (System.nanoTime() - tV) / 1e9
       sigs.unpersist()
       val dim = emb.select(size(col("embedding"))).head.getInt(0)

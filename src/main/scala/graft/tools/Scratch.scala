@@ -21,7 +21,7 @@ object Scratch {
       else graft.SparkEntry.queries
     for (i <- 1 to 3; (name, fn) <- picked.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      Exec.materialize(fn(spark, dir))
       println(f"iter$i $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -21,7 +21,7 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     for (i <- 1 to 2; name <- args) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val n = Exec.materialize(graft.SparkEntry.queries(name)(spark, dir))
       println(f"TIMEQ iter$i $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       graft.CacheScope.release()
       spark.catalog.clearCache()
