@@ -230,31 +230,106 @@ object Ivf {
     for (_ <- 1 to iters) {
       // one distributed pass: nearest-centroid id per row, then
       // per-(cluster, dimension) sums + per-cluster counts — k·dim
-      // rows back to the driver, never corpus rows. Each group's sum
-      // folds its values in SORTED order (collect → sort → sequential
-      // aggregate), so the result is bit-deterministic under any input
-      // partitioning — a plain sum(double) is shuffle-order dependent
+      // rows back to the driver, never corpus rows. Each sum is over
+      // DECIMAL(38,18) (ADVICE r15: the former sorted-fold
+      // collect_list buffered a whole cluster's membership for one
+      // dimension in ONE aggregation buffer — O(n/k) memory in one
+      // task at exactly the past-the-cap scale this path exists for,
+      // and no map-side combine, so the shuffle carried n·dim rows):
+      // decimal addition is EXACT, hence order-independent, hence
+      // bit-deterministic under any partitioning, with O(1) buffers
+      // and partial aggregation cutting the shuffle to k·dim rows per
+      // map partition. Headroom: the double→decimal cast rounds at
+      // 1e-18 (deterministic), and 38-18 = 20 integer digits hold
+      // sums of |x|≤10 over 10¹⁹ rows without overflow.
       val stats = df
         .select(bucketId(col(vecCol), centroids).as("__c"), col(vecCol).as("__v"))
         .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy(col("__c"), col("__p"))
         .agg(
-          aggregate(sort_array(collect_list(col("__x").cast("double"))),
-            lit(0.0), _ + _).as("__s"),
+          sum(col("__x").cast("double").cast("decimal(38,18)")).as("__s"),
           count(lit(1)).as("__n"))
         .collect()
-      val sums = Array.fill(k, dim)(0.0)
+      val sums = Array.fill(k, dim)(java.math.BigDecimal.ZERO)
       val counts = Array.fill(k)(0L)
       stats.foreach { r =>
         val c = r.getInt(0); val p = r.getInt(1)
-        sums(c)(p) = r.getDouble(2)
+        sums(c)(p) = r.getDecimal(2)
         counts(c) = r.getLong(3) // same per-cluster count for every p
       }
       centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c)))
+        else sums(c).map(_.doubleValue / counts(c)))
+      repairFromSeed(centroids, counts, seed)
     }
     centroids
+  }
+
+  /** Empty-centroid repair for the distributed trainer (ADVICE r15:
+    * the driver trainer repairs per round, the distributed path kept
+    * dead centroids for all rounds): every EMPTY centroid is reseeded
+    * at the farthest SEED-sample member of the heaviest cluster —
+    * heaviest by the TRUE corpus counts the round just collected,
+    * farthest within the bounded seed sample so the repair costs no
+    * extra corpus pass (O(seed·k·dim) on the driver, and only in
+    * rounds that actually have empty centroids). Deterministic:
+    * first-min assignment, max-distance with lowest-index tie-break,
+    * donor counts halved so a second empty centroid repairs off the
+    * next heaviest. Mutates `centroids`/`counts` in place.
+    */
+  private def repairFromSeed(
+      centroids: Array[Array[Double]], counts: Array[Long],
+      seed: Array[Array[Double]]): Unit = {
+    val k = centroids.length
+    if (!counts.contains(0L)) return
+    // seed assignment + distance against the CURRENT centroids
+    val assign = new Array[Int](seed.length)
+    val dist = new Array[Double](seed.length)
+    var i = 0
+    while (i < seed.length) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val d = l2sqArr(seed(i), centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      assign(i) = best; dist(i) = bestD
+      i += 1
+    }
+    var c = 0
+    while (c < k) {
+      if (counts(c) == 0) {
+        var heavy = 0; var hc = 0
+        while (hc < k) { if (counts(hc) > counts(heavy)) heavy = hc; hc += 1 }
+        // farthest seed member of the heaviest cluster; if the seed
+        // holds none (possible — the seed is bounded), the farthest
+        // seed point overall still splits a genuinely hot region
+        var far = -1; var farD = -1.0
+        var s = 0
+        while (s < seed.length) {
+          if (assign(s) == heavy && dist(s) > farD) {
+            farD = dist(s); far = s
+          }
+          s += 1
+        }
+        if (far == -1) {
+          s = 0
+          while (s < seed.length) {
+            if (dist(s) > farD) { farD = dist(s); far = s }
+            s += 1
+          }
+        }
+        if (counts(heavy) > 1 && far >= 0) {
+          centroids(c) = seed(far).clone()
+          counts(c) = counts(heavy) / 2
+          counts(heavy) -= counts(c)
+          // the donor point now seeds c — exclude it from later repairs
+          dist(far) = -1.0
+        }
+      }
+      c += 1
+    }
   }
 
   /** All centroids as ONE nested-array literal — a single Literal

@@ -56,13 +56,30 @@ object VectorQueries {
   private val fixtureWritten =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private def trainedCentroids(
+  private[graft] def trainedCentroids(
       s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
     ivfCentByDir.getOrElseUpdate(dir, {
       import graft.operators.Ivf
       val emb = Tables.embeddings(s, dir)
-      Ivf.trainCentroids(emb, "embedding", k = Ivf.adaptiveNlist(emb.count()))
+      val n = emb.count()
+      // through the driver/executor split (VERDICT r15 watch 2): a
+      // past-the-cap corpus takes the distributed trainer on the
+      // catalog path too, not only in the rehearsal's forced entry.
+      // The cap is conf-overridable so deployments (and IvfSpec) can
+      // move the split without a rebuild.
+      val cap = s.conf.getOption("spark.graft.ivf.driverTrainCap")
+        .map(_.toLong).getOrElse(Ivf.DriverTrainCap)
+      Ivf.trainCentroidsAuto(emb, "embedding",
+        k = Ivf.adaptiveNlist(n), n = n, capVectors = cap)
     })
+
+  /** Drop the cached models for `dir` (test hook: IvfSpec retrains
+    * the catalog path under an overridden cap, then restores).
+    */
+  private[graft] def invalidateModels(dir: String): Unit = {
+    ivfCentByDir.remove(dir)
+    pqCbByDir.remove(dir)
+  }
 
   private def trainedCodebooks(
       s: org.apache.spark.sql.SparkSession,
@@ -71,11 +88,22 @@ object VectorQueries {
       graft.operators.Pq.trainCodebooks(
         Tables.embeddings(s, dir), "embedding", m = 8, ksub = 64))
 
+  /** Run `write` once per (JVM, path), marking the path done only
+    * AFTER the write succeeds (ADVICE r15: flag-before-write left a
+    * failed write permanently skipped, so later invocations replayed
+    * the oracle against a missing/stale fixture).
+    */
+  private def writeFixtureOnce(path: String)(write: => Unit): Unit =
+    if (!fixtureWritten.contains(path)) {
+      write
+      fixtureWritten.put(path, true)
+    }
+
   /** Write the centroid fixture for one oracle once per (JVM, path). */
   private def writeCentFixture(
       s: org.apache.spark.sql.SparkSession, path: String,
       cents: Array[Array[Double]]): Unit =
-    if (fixtureWritten.putIfAbsent(path, true).isEmpty) {
+    writeFixtureOnce(path) {
       import s.implicits._
       cents.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toSeq) }
@@ -367,7 +395,7 @@ object VectorQueries {
     val centroids = trainedCentroids(s, dir)
     val cb = trainedCodebooks(s, dir)
     writeCentFixture(s, pqCentDir(dirTag(dir)), centroids)
-    if (fixtureWritten.putIfAbsent(pqCbDir(dirTag(dir)), true).isEmpty) {
+    writeFixtureOnce(pqCbDir(dirTag(dir))) {
       import s.implicits._
       cb.zipWithIndex.flatMap { case (cents, j) =>
           cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) } }.toSeq

@@ -783,12 +783,22 @@ object Streams {
     // marker witnesses it. Exactly-once across crash-replay: the txn
     // watermark at the compaction point is monotone, so a re-run after
     // a crash between this commit and the marker is a no-op.
-    if (labelsAsTable &&
+    // LOUD, not destructive (ADVICE r15): the post-marker cleanup
+    // below deletes the merged sidecar dirs, so a missing labels
+    // table here (externally damaged, or a refactor moving creation)
+    // must abort the compaction — silently skipping the MERGE while
+    // the sweep proceeds would delete committed label deltas unmerged.
+    if (labelsAsTable) {
+      require(
         graft.sources.TxTable
-          .currentSnapshot(spark, labelsTablePath(stateDir)).isDefined)
+          .currentSnapshot(spark, labelsTablePath(stateDir)).isDefined,
+        s"labels table missing at ${labelsTablePath(stateDir)} with " +
+          "committed sidecar batches pending — refusing to compact " +
+          "(the sweep would delete unmerged label deltas)")
       graft.sources.MergeOnRead.mergeInto(spark, labelsTablePath(stateDir),
         sidecarLatest(spark, stateDir, idCol, pending),
         keys = Seq(idCol), txn = Some((LabelsTxnId, b)))
+    }
     // marker LAST: the consolidated base exists iff its marker does
     fs.create(
       new org.apache.hadoop.fs.Path(s"$stateDir/compacts/$b"), true).close()
@@ -862,6 +872,23 @@ object Streams {
       n, tau, bands, rowsPerBand, labelsAsTable, labelsTableBuckets)
     graft.tools.RunMetrics.put(
       s"stream_cc_fold_b$batchId", (System.nanoTime() - t0) / 1e9)
+    // serving-path read pricing (VERDICT r15 item 7): between
+    // compactions every consumer of the labeling pays the sidecar
+    // overlay (window + anti-join + union against the table) — time a
+    // full read of [[logicalLabels]] per batch so the compactEvery
+    // knob has a measured READ-side term next to the write-side fold
+    // cost. Diagnostic-only and conf-gated (the rehearsal's drain and
+    // crossover sections enable it); recorded OUTSIDE the fold timing
+    // so it never pollutes the flatness evidence.
+    if (labelsAsTable && spark.conf
+        .getOption("spark.graft.stream.priceLabelsRead")
+        .exists(_.toBoolean)) {
+      val t1 = System.nanoTime()
+      graft.tools.Exec.materialize(logicalLabels(
+        spark, stateDir, idCol, committedBatches(spark, stateDir)))
+      graft.tools.RunMetrics.put(
+        s"stream_cc_read_b$batchId", (System.nanoTime() - t1) / 1e9)
+    }
   }
 
   private def dirBytes(spark: SparkSession, dir: String): Long = {

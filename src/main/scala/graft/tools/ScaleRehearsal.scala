@@ -186,7 +186,16 @@ object ScaleRehearsal {
     // the tier ratio prices the distributed Lloyd passes' linear
     // corpus scaling — proof the past-the-cap fallback is real code
     // that runs, not a documented seam
-    "x_ivf_train_dist")
+    "x_ivf_train_dist",
+    // round-16 (VERDICT r15 items 2+3): the two r15 additions join the
+    // tiers now that the bench action times them honestly (Exec).
+    // q_semdedup's design bound is pairs = Σ C(n_b,2) ≈ n^1.5 at
+    // k = √n — cand/row slope ≈ √10 per tier, the same ivf-bucket
+    // census the slope gate already guards (identical deterministic
+    // model). q_hybrid_rrf's legs are aggregate/top-k shaped: both
+    // rank-cut to 50 before the fusion join, so the tier ratio must
+    // track the scans, never the fusion
+    "q_semdedup", "q_hybrid_rrf")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
@@ -1164,8 +1173,13 @@ object ScaleRehearsal {
           val folds = scala.collection.mutable.Map.empty[String, Double]
           val compacts = scala.collection.mutable.Map.empty[String, Double]
           val bytes = scala.collection.mutable.Map.empty[String, Double]
+          val reads = scala.collection.mutable.Map.empty[String, Double]
           var dirsMax = 0.0
           var totalMin = Double.MaxValue
+          // serving-path read pricing (VERDICT r15 item 7) — measured
+          // outside the fold timings, see Streams.clusterFold
+          spark.conf.set("spark.graft.stream.priceLabelsRead",
+            asTable.toString)
           for (pass <- 1 to 2) {
             graft.tools.RunMetrics.flushAndReset(spark)
             val run = System.nanoTime()
@@ -1190,6 +1204,8 @@ object ScaleRehearsal {
                 compacts(k) = compacts.get(k).fold(v)(math.min(_, v))
               case (k, v) if k.startsWith("stream_cc_bytes_") =>
                 bytes(k) = v // pass-invariant (same data, same delta)
+              case (k, v) if k.startsWith("stream_cc_read_") =>
+                reads(k) = reads.get(k).fold(v)(math.min(_, v))
               case (k, v) if k.startsWith("stream_cc_dirs_") =>
                 dirsMax = math.max(dirsMax, v)
               case _ => ()
@@ -1205,11 +1221,15 @@ object ScaleRehearsal {
               .map { case (k, v) =>
                 s""""${k.stripPrefix("stream_cc_")}":${fmt(v)}""" }
               .mkString("{", ",", "}")
+          spark.conf.unset("spark.graft.stream.priceLabelsRead")
+          val readsJson =
+            if (reads.isEmpty) ""
+            else s""","reads":${mapJson(reads, "stream_cc_read_b", v => f"$v%.3f")}"""
           f""""$mode":{"sf0.1_sec":$totalMin%.3f,""" +
             f""""dirs_opened_max":${dirsMax.round},""" +
             s""""folds":${mapJson(folds, "stream_cc_fold_b", v => f"$v%.3f")},""" +
             s""""bytes":${mapJson(bytes, "stream_cc_bytes_b", v => s"${v.round}")},""" +
-            s""""compactions":${mapJson(compacts, "stream_cc_compact_v", v => f"$v%.3f")}}"""
+            s""""compactions":${mapJson(compacts, "stream_cc_compact_v", v => f"$v%.3f")}$readsJson}"""
         }
         // both labels persistences over the same 40-batch feed: the
         // default delta-MERGE table mode and the whole-labeling
@@ -1236,7 +1256,7 @@ object ScaleRehearsal {
     val crossSection =
       if (!subset.forall(_("x_stream_cc_crossover"))) ""
       else {
-        val srcDir = "target/tmp/x_stream_cc_cross_src"
+        val srcDir = "target/tmp/x_stream_cc_cross24_src"
         val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
         val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(done)) {
@@ -1253,8 +1273,8 @@ object ScaleRehearsal {
           val trickle = graft.Tables.documents(spark, sf01)
             .select((col("doc_id") + lit(100000000L)).as("doc_id"),
               col("text"))
-          (1 to 12).foreach { r =>
-            trickle.filter(pmod(col("doc_id"), lit(20L)) === r).coalesce(1)
+          (1 to 24).foreach { r =>
+            trickle.filter(pmod(col("doc_id"), lit(25L)) === r).coalesce(1)
               .write.mode("overwrite").parquet(s"$srcDir/f=$r")
           }
           fs.create(done, true).close()
@@ -1264,6 +1284,9 @@ object ScaleRehearsal {
         def drain(mode: String, asTable: Boolean): String = {
           val folds = scala.collection.mutable.Map.empty[String, Double]
           val bytes = scala.collection.mutable.Map.empty[String, Double]
+          val reads = scala.collection.mutable.Map.empty[String, Double]
+          spark.conf.set("spark.graft.stream.priceLabelsRead",
+            asTable.toString)
           for (pass <- 1 to 2) {
             graft.tools.RunMetrics.flushAndReset(spark)
             val run = System.nanoTime()
@@ -1284,6 +1307,8 @@ object ScaleRehearsal {
                 folds(k) = folds.get(k).fold(v)(math.min(_, v))
               case (k, v) if k.startsWith("stream_cc_bytes_") =>
                 bytes(k) = v
+              case (k, v) if k.startsWith("stream_cc_read_") =>
+                reads(k) = reads.get(k).fold(v)(math.min(_, v))
               case _ => ()
             }
             CacheScope.release(); spark.catalog.clearCache()
@@ -1297,8 +1322,12 @@ object ScaleRehearsal {
               .map { case (k, v) =>
                 s""""${k.stripPrefix("stream_cc_")}":${fmt(v)}""" }
               .mkString("{", ",", "}")
+          spark.conf.unset("spark.graft.stream.priceLabelsRead")
+          val readsJson =
+            if (reads.isEmpty) ""
+            else s""","reads":${mapJson(reads, v => f"$v%.3f")}"""
           s""""$mode":{"folds":${mapJson(folds, v => f"$v%.3f")},""" +
-            s""""bytes":${mapJson(bytes, v => s"${v.round}")}}"""
+            s""""bytes":${mapJson(bytes, v => s"${v.round}")}$readsJson}"""
         }
         s""","stream_cc_crossover":{${drain("labels_table", asTable = true)},""" +
           s"""${drain("rewrite", asTable = false)}}"""
@@ -1350,7 +1379,7 @@ object ScaleRehearsal {
         tag: String, nDocs: Long, nVec: Long, bits: Int, nlist: Int,
         mh: Census.BucketCensus, sim: Census.BucketCensus,
         srp: Census.BucketCensus, ivf: Census.BucketCensus,
-        simVerifySec: Double) {
+        ivfDist: Census.BucketCensus, simVerifySec: Double) {
       // simhash's candidate slope is density-driven (r14 watch 3:
       // genuine near-dup density in the scaled fixture, not bucketing
       // waste) — so the BOUNDED quantity is what a candidate COSTS:
@@ -1363,6 +1392,11 @@ object ScaleRehearsal {
       // centroids swallowing multiple true clusters)
       def ivfOccRatio: Double =
         ivf.maxOccupancy.toDouble / (nVec.toDouble / nlist)
+      // same balance for the DISTRIBUTED trainer (ADVICE r15: the
+      // past-the-cap branch had wall-clock evidence only — skew
+      // regressions on it were invisible)
+      def ivfDistOccRatio: Double =
+        ivfDist.maxOccupancy.toDouble / (nVec.toDouble / nlist)
     }
     def censusOf(tag: String, dir: String): TierCensus = {
       import graft.operators.{Dedup, Ivf, Knn}
@@ -1379,10 +1413,16 @@ object ScaleRehearsal {
       // verify-stage wall (VERDICT r14 item 6): banding join +
       // bit_count filter over the census's candidate pairs, signatures
       // pre-pinned — the per-candidate cost the density slope buys
-      val tV = System.nanoTime()
-      graft.tools.Exec.materialize(
-        Dedup.simhashPairs(sigs, "doc_id", maxDist = 3))
-      val simVerifySec = (System.nanoTime() - tV) / 1e9
+      // min over 3 passes (ADVICE r15: the verify-cost gate compares
+      // wall-clock ratios whose smallest-tier denominator is tiny —
+      // a single measurement there is scheduler jitter, and one noisy
+      // draw could spuriously fail the whole rehearsal)
+      val simVerifySec = (1 to 3).map { _ =>
+        val tV = System.nanoTime()
+        graft.tools.Exec.materialize(
+          Dedup.simhashPairs(sigs, "doc_id", maxDist = 3))
+        (System.nanoTime() - tV) / 1e9
+      }.min
       sigs.unpersist()
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
       val nVec = emb.count()
@@ -1396,16 +1436,23 @@ object ScaleRehearsal {
       val ivf = Census.of(
         emb.select(Ivf.bucketId(col("embedding"), cents).as("bucket")),
         Seq("bucket"))
+      // the DISTRIBUTED trainer's model censused per tier too (ADVICE
+      // r15): 3 whole-corpus Lloyd passes, linear and untimed
+      val distCents = Ivf.trainCentroidsDistributed(emb, "embedding", nlist)
+      val ivfDist = Census.of(
+        emb.select(Ivf.bucketId(col("embedding"), distCents).as("bucket")),
+        Seq("bucket"))
       CacheScope.release(); spark.catalog.clearCache()
       TierCensus(tag, mh.rows / 8, nVec, bits, nlist, mh, sim, srp, ivf,
-        simVerifySec)
+        ivfDist, simVerifySec)
     }
     def censusJson(c: TierCensus): String =
       s""""minhash_bands":${c.mh.json.dropRight(1)},"uniform_pairs":null},""" +
         s""""simhash_blocks":${c.sim.json.dropRight(1)},"uniform_pairs":${Census.uniformPairs(c.nDocs, 1L << 31, 20L).round}},""" +
         f""""simhash_verify":{"sec":${c.simVerifySec}%.3f,"sec_per_cand":${c.simVerifySecPerCand}%.3e},""" +
         s""""srp_buckets":${c.srp.json.dropRight(1)},"bits":${c.bits},"uniform_pairs":${Census.uniformPairs(c.nVec, 1L << c.bits, 8L).round}},""" +
-        f""""ivf_buckets":${c.ivf.json.dropRight(1)},"nlist":${c.nlist},"uniform_pairs":${Census.uniformPairs(c.nVec, c.nlist, 1L).round},"occ_ratio":${c.ivfOccRatio}%.2f}"""
+        f""""ivf_buckets":${c.ivf.json.dropRight(1)},"nlist":${c.nlist},"uniform_pairs":${Census.uniformPairs(c.nVec, c.nlist, 1L).round},"occ_ratio":${c.ivfOccRatio}%.2f},""" +
+        f""""ivf_dist_buckets":${c.ivfDist.json.dropRight(1)},"occ_ratio":${c.ivfDistOccRatio}%.2f}"""
     val censusTiers: Seq[TierCensus] =
       if (subset.nonEmpty) Seq.empty
       else Seq(censusOf("sf0.1", sf01), censusOf("sf1", sf1),
@@ -1429,6 +1476,7 @@ object ScaleRehearsal {
         }
         val srpRows = perRow(c => (c.srp.candidatePairs, c.nVec))
         val ivfRows = perRow(c => (c.ivf.candidatePairs, c.nVec))
+        val ivfDistRows = perRow(c => (c.ivfDist.candidatePairs, c.nVec))
         val mhRows = perRow(c => (c.mh.candidatePairs, c.nDocs))
         val simRows = perRow(c => (c.sim.candidatePairs, c.nDocs))
         val simVerify = censusTiers.map(_.simVerifySecPerCand)
@@ -1437,15 +1485,17 @@ object ScaleRehearsal {
         s""","census":{${censusTiers.map(c =>
             s""""${c.tag}":{${censusJson(c)}}""").mkString(",")},""" +
           s""""slopes":{${slopeJson("srp", srpRows)},${slopeJson("ivf", ivfRows)},""" +
+          s"""${slopeJson("ivf_dist", ivfDistRows)},""" +
+          s"""${slopeJson("semdedup", ivfRows)},""" +
           s"""${slopeJson("minhash", mhRows)},${slopeJson("simhash", simRows)},""" +
           s""""simhash_verify_sec_per_cand":[${simVerify.map(v => f"$v%.3e").mkString(",")}],""" +
           s""""simhash_verify_tier_ratio":[${simVerifyRatios.map(r => f"$r%.2f").mkString(",")}]}}"""
       }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 12 trickle batches at ~fixed corpus with 2 compactions inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 2 compactions inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings. All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r15.json"), json + "\n")
+        java.nio.file.Paths.get("SCALE_r16.json"), json + "\n")
     println(json)
     // HARD slope gate (VERDICT r13 item 1) — checked after the
     // artifact is on disk, so a failure is loud without losing the
@@ -1474,6 +1524,15 @@ object ScaleRehearsal {
       // near the √10 ≈ 3.16 design slope, so drift past 4.0 is a
       // regression, not noise
       gate("ivf", 4.0, c => (c.ivf.candidatePairs, c.nVec))
+      // the distributed trainer's model under the same envelope
+      // (ADVICE r15 — it trains on the whole corpus and should sit
+      // CLOSER to the √10 design slope than the sampled driver path)
+      gate("ivf_dist", 4.0, c => (c.ivfDist.candidatePairs, c.nVec))
+      // q_semdedup's candidate set IS Σ C(n_b,2) over the same
+      // deterministic IVF assignment (identical trainer, identical
+      // k = √n) — the ivf gate above is its n^1.5 design-slope gate;
+      // the named alias keeps the artifact explicit (VERDICT r15
+      // item 2)
       // within-tier IVF balance (VERDICT r14 item 2): max bucket must
       // stay near the n/k uniform expectation — training skew, not
       // geometry, is what this catches (the slope gate only sees it a
@@ -1482,6 +1541,9 @@ object ScaleRehearsal {
         require(c.ivfOccRatio <= 2.0,
           f"census occupancy gate: ivf max bucket is ${c.ivfOccRatio}%.2f× " +
             f"uniform at ${c.tag} (max 2.0) — k-means training skew")
+        require(c.ivfDistOccRatio <= 2.0,
+          f"census occupancy gate: DISTRIBUTED-trained ivf max bucket is " +
+            f"${c.ivfDistOccRatio}%.2f× uniform at ${c.tag} (max 2.0)")
       }
       // simhash verify-stage cost per candidate must be flat across
       // tiers (VERDICT r14 item 6: the candidate slope is density-
