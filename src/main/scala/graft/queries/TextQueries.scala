@@ -19,7 +19,8 @@ object TextQueries {
     tokenRegex, decontaminate, spanDecontaminate, repetition,
     packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
-    shardExport, freqTokens, trainingExport, bm25TopK, lmScore)
+    shardExport, freqTokens, trainingExport, bm25TopK, lmScore,
+    dsirSelect)
 
   /** Targeted retrieval ([[graft.operators.Relevance.bm25]]): top-20
     * documents by Okapi BM25 against a fixed probe-term set — the
@@ -110,6 +111,53 @@ object TextQueries {
     import graft.operators.Relevance
     Relevance.bigramNll(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance-weighted data selection
+    * ([[graft.operators.Dsir]] — Xie et al., NeurIPS 2023): every
+    * document scored by the log-ratio of its hashed-bigram likelihood
+    * under the TARGET distribution (here: the `lang = 'en'` slice)
+    * vs the raw-corpus SOURCE distribution, top-200 kept
+    * (deterministic rank replacing the paper's Gumbel resampling).
+    * The oracle re-derives the whole estimator in SQL — tokenize,
+    * md5-h60 bigram bucketing, both add-1-smoothed distributions,
+    * the position-ordered ln-ratio fold, round 9, the rank cut — so
+    * equality proves the importance weights to the bit, smoothing and
+    * hash included.
+    */
+  val dsirSelect: Q = Q(
+    "q_dsir_select",
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, i AS pos,
+      |    CAST(('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 15))
+      |      AS BIGINT) % 64 AS b
+      |  FROM docs, unnest(range(1, len(t))) AS r(i)
+      |  WHERE len(t) >= 2),
+      |stats AS (
+      |  SELECT b, COUNT(*) AS cs,
+      |    COUNT(*) FILTER (WHERE lang = 'en') AS ct
+      |  FROM bg GROUP BY 1),
+      |tot AS (SELECT SUM(cs) AS stot, SUM(ct) AS ttot FROM stats),
+      |terms AS (
+      |  SELECT bg.doc_id, bg.pos,
+      |    ln((stats.ct + 1.0) / (tot.ttot + 64.0))
+      |      - ln((stats.cs + 1.0) / (tot.stot + 64.0)) AS lw
+      |  FROM bg JOIN stats USING (b) CROSS JOIN tot),
+      |w AS (
+      |  SELECT doc_id, COUNT(*) AS n_feats,
+      |    round(list_reduce(list(lw ORDER BY pos), (a, b) -> a + b), 9)
+      |      AS weight
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_feats, weight FROM w
+      |ORDER BY weight DESC, doc_id
+      |LIMIT 200""".stripMargin) { (s, dir) =>
+    import graft.operators.Dsir
+    Dsir.select(Tables.documents(s, dir), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 200)
   }
 
   /** Export-pipeline capstone (the q_corpus_select of the output
