@@ -57,13 +57,22 @@ object Dsir {
       .select(col("doc_id"), col("__tgt"), col("pos"),
         (h60(col("col")) % buckets).as("b"))
     // both distributions in ONE pass: source = every occurrence,
-    // target = occurrences from target documents
-    val stats = bg.groupBy(col("b")).agg(
-      count(lit(1)).as("cs"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
-    val rows = stats.collect() // ≤ `buckets` rows — model metadata
+    // target = occurrences from target documents. The ≤`buckets`-row
+    // model is collected once and re-shipped as a LOCAL relation, so
+    // the scoring join below does not re-evaluate the corpus-scale
+    // stats subplan — the whole estimator is exactly two linear
+    // passes (stats, scoring), the minimum
+    val rows = bg.groupBy(col("b")).agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect() // ≤ `buckets` rows — model metadata
     val sTot = rows.map(_.getLong(1)).sum
     val tTot = rows.map(_.getLong(2)).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = rows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("b", "cs", "ct")
     val lw = log((col("ct") + lit(1.0)) / lit(tTot + buckets.toDouble)) -
       log((col("cs") + lit(1.0)) / lit(sTot + buckets.toDouble))
     bg.join(broadcast(stats), Seq("b"))
