@@ -195,7 +195,11 @@ object ScaleRehearsal {
     // model). q_hybrid_rrf's legs are aggregate/top-k shaped: both
     // rank-cut to 50 before the fusion join, so the tier ratio must
     // track the scans, never the fusion
-    "q_semdedup", "q_hybrid_rrf")
+    "q_semdedup", "q_hybrid_rrf",
+    // round-16: DSIR importance-weighted selection — two linear
+    // passes (64-row broadcast stats, then scoring) + a fixed top-k;
+    // the tier ratio must track the scans
+    "q_dsir_select")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
