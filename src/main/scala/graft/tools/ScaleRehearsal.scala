@@ -240,7 +240,16 @@ object ScaleRehearsal {
     // (backfill + fold); x_incremental_cc_fold isolates the per-cycle
     // fold, which must track the delta and the touched components,
     // never the corpus-wide fixpoint
-    "q_incremental_cc", "x_incremental_cc_fold")
+    "q_incremental_cc", "x_incremental_cc_fold",
+    // round-16: DSIR at the 100× tier — two linear scans + a 64-row
+    // broadcast + fixed top-k, expected ≲ 100. (q_semdedup is
+    // deliberately NOT here: its pair count is Σ C(n_b,2) ≈ n^1.5 at
+    // k = √n BY DESIGN — Abbas et al.'s own bound — so a 100×-tier
+    // wall ratio would read ~100^1.5/100 = 10× over linear and
+    // measure the published law, not an implementation property; the
+    // 10× family entry plus the census cand/row slope gate (≈√10 per
+    // tier) are its scale accounting.)
+    "q_dsir_select")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
