@@ -229,9 +229,8 @@ object Ivf {
     val dim = seed.head.length
     for (_ <- 1 to iters) {
       // one distributed pass: nearest-centroid id per row, then
-      // per-(cluster, dimension) sums + per-cluster counts — k·dim
-      // rows back to the driver, never corpus rows. Each sum is over
-      // DECIMAL(38,18) (ADVICE r15: the former sorted-fold
+      // per-(cluster, dimension) sums + per-cluster counts. Each sum
+      // is over DECIMAL(38,18) (ADVICE r15: the former sorted-fold
       // collect_list buffered a whole cluster's membership for one
       // dimension in ONE aggregation buffer — O(n/k) memory in one
       // task at exactly the past-the-cap scale this path exists for,
@@ -239,9 +238,19 @@ object Ivf {
       // decimal addition is EXACT, hence order-independent, hence
       // bit-deterministic under any partitioning, with O(1) buffers
       // and partial aggregation cutting the shuffle to k·dim rows per
-      // map partition. Headroom: the double→decimal cast rounds at
-      // 1e-18 (deterministic), and 38-18 = 20 integer digits hold
-      // sums of |x|≤10 over 10¹⁹ rows without overflow.
+      // map partition. A second executor-side fold then packs each
+      // cluster's per-dimension sums into ONE dim-array row (VERDICT
+      // r16 item 2: the former collect() shipped k·dim Rows per
+      // Lloyd round — several times the model's own footprint in
+      // driver transients at the 100-TB/10⁵-centroid posture; now
+      // exactly k rows cross, the model's size), with an O(dim)
+      // bounded buffer per cluster. Headroom: the double→decimal
+      // cast rounds at 1e-18 (deterministic), and 38-18 = 20 integer
+      // digits hold sums of |x|≤10 over 10¹⁹ rows without overflow;
+      // an OUT-of-envelope corpus nulls the sum (ANSI-off decimal
+      // overflow), which the loud require below turns into an abort
+      // with the rescale instruction instead of an NPE or a silently
+      // skewed centroid (ADVICE r16).
       val stats = df
         .select(bucketId(col(vecCol), centroids).as("__c"), col(vecCol).as("__v"))
         .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
@@ -249,13 +258,30 @@ object Ivf {
         .agg(
           sum(col("__x").cast("double").cast("decimal(38,18)")).as("__s"),
           count(lit(1)).as("__n"))
+        .groupBy(col("__c"))
+        .agg(
+          transform(
+            sort_array(collect_list(struct(col("__p"), col("__s")))),
+            s => s.getField("__s")).as("__sums"),
+          max(col("__n")).as("__n"))
         .collect()
+      graft.tools.RunMetrics.put("ivf_dist_stats_rows", stats.length.toDouble)
       val sums = Array.fill(k, dim)(java.math.BigDecimal.ZERO)
       val counts = Array.fill(k)(0L)
       stats.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        sums(c)(p) = r.getDecimal(2)
-        counts(c) = r.getLong(3) // same per-cluster count for every p
+        val c = r.getInt(0)
+        val ss = r.getSeq[java.math.BigDecimal](1)
+        var p = 0
+        while (p < ss.length) {
+          require(ss(p) != null,
+            s"trainCentroidsDistributed: decimal(38,18) sum overflowed at " +
+              s"cluster $c dim $p — coordinate magnitudes exceed the " +
+              "|x| <= 10 envelope (20 integer digits over 10^19 rows); " +
+              "rescale the vectors before training")
+          sums(c)(p) = ss(p)
+          p += 1
+        }
+        counts(c) = r.getLong(2) // same per-cluster count for every p
       }
       centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c)

@@ -55,6 +55,8 @@ object VectorQueries {
     .empty[String, Array[Array[Array[Double]]]]
   private val fixtureWritten =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val fixtureLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   private[graft] def trainedCentroids(
       s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
@@ -91,12 +93,19 @@ object VectorQueries {
   /** Run `write` once per (JVM, path), marking the path done only
     * AFTER the write succeeds (ADVICE r15: flag-before-write left a
     * failed write permanently skipped, so later invocations replayed
-    * the oracle against a missing/stale fixture).
+    * the oracle against a missing/stale fixture). Synchronized per
+    * path (ADVICE r16: the non-atomic contains/write/put let two
+    * concurrent suites both pass the check and overwrite-write the
+    * same fixture; a per-path monitor restores single-writer AND
+    * makes a second caller wait for — not race past — the write,
+    * while a failed write leaves the flag unset for retry).
     */
   private def writeFixtureOnce(path: String)(write: => Unit): Unit =
-    if (!fixtureWritten.contains(path)) {
-      write
-      fixtureWritten.put(path, true)
+    fixtureLocks.getOrElseUpdate(path, new Object).synchronized {
+      if (!fixtureWritten.contains(path)) {
+        write
+        fixtureWritten.put(path, true)
+      }
     }
 
   /** Write the centroid fixture for one oracle once per (JVM, path). */

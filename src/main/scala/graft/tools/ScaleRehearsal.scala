@@ -1208,8 +1208,16 @@ object ScaleRehearsal {
                 n = 3, tau = 0.8, bands = 8, rowsPerBand = 4,
                 compactEvery = 5, labelsAsTable = asTable))
             val dt = (System.nanoTime() - t0) / 1e9
-            totalMin = math.min(totalMin, dt)
             val got = graft.tools.RunMetrics.snapshot
+            // ADVICE r16: the conf-gated labels-read pricing runs in
+            // table mode only, so the raw wall would include ~40
+            // diagnostic logicalLabels reads the rewrite-mode wall
+            // does not — subtract this pass's read seconds so the
+            // headline sf0.1_sec compares the same work across modes
+            // (the reads themselves stay recorded per batch below)
+            val passReads = got.collect {
+              case (k, v) if k.startsWith("stream_cc_read_") => v }.sum
+            totalMin = math.min(totalMin, dt - passReads)
             got.foreach {
               case (k, v) if k.startsWith("stream_cc_fold_") =>
                 folds(k) = folds.get(k).fold(v)(math.min(_, v))
@@ -1257,7 +1265,8 @@ object ScaleRehearsal {
     // batches. Batch 0 folds the whole 10× corpus (target/sf1
     // documents, ~50k docs); batches 1..12 are sf0.1-sized trickles
     // (~250 docs, fresh ids), so the corpus is ~FIXED through the
-    // trickle run and, at compactEvery=5, TWO compactions land inside
+    // trickle run and, at compactEvery=5, FIVE compactions (points
+    // v4/v9/v14/v19/v24 of the 25-batch schedule) land inside
     // it — per-fold seconds must be flat in batch index at fixed
     // corpus ACROSS compaction boundaries (the r13 done criterion the
     // r14 growing-corpus drain could not isolate). Per-fold WALL and
@@ -1505,7 +1514,7 @@ object ScaleRehearsal {
           s""""simhash_verify_tier_ratio":[${simVerifyRatios.map(r => f"$r%.2f").mkString(",")}]}}"""
       }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 2 compactions inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings. All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 5 compactions (v4/v9/v14/v19/v24) inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings. All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALE_r16.json"), json + "\n")

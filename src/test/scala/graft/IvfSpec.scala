@@ -110,6 +110,17 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("distributed trainer ships k rows per round, not k*dim (VERDICT r16)") {
+    // the per-round driver transient must be model-size: the stats
+    // collect returns one dim-array row per NON-EMPTY cluster (<= k),
+    // never the k*dim per-(cluster,dim) row set
+    graft.tools.RunMetrics.reset()
+    Ivf.trainCentroidsDistributed(emb, "embedding", 16)
+    val rows = graft.tools.RunMetrics.snapshot.get("ivf_dist_stats_rows")
+    assert(rows.exists(r => r > 0 && r <= 16),
+      s"per-round stats collect must be <= k=16 rows, got $rows")
+  }
+
   test("distributed trainer repairs empty centroids (ADVICE r15)") {
     // 4 distinct vectors, k = 8 — at least 4 centroids are empty every
     // round; without repair they keep stale positions for all rounds
