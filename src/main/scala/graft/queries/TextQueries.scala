@@ -20,7 +20,7 @@ object TextQueries {
     packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
     shardExport, freqTokens, trainingExport, bm25TopK, lmScore,
-    dsirSelect)
+    dsirSelect, domainReweight)
 
   /** Targeted retrieval ([[graft.operators.Relevance.bm25]]): top-20
     * documents by Okapi BM25 against a fixed probe-term set — the
@@ -158,6 +158,74 @@ object TextQueries {
     import graft.operators.Dsir
     Dsir.select(Tables.documents(s, dir), "doc_id", "text",
       isTarget = col("lang") === "en", k = 200)
+  }
+
+  /** The DoReMi multiplicative-weights rounds as DuckDB CTEs: d0 is
+    * the uniform start, each round t computes w (exponentiated
+    * excess), an ORDERED normalizer fold, and the smoothed alpha —
+    * the exact literal/association shape of
+    * [[graft.operators.Doremi.reweight]]'s driver loop, so both
+    * engines compute identical doubles.
+    */
+  private def doremiIterSql(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""i$t AS (SELECT lang, ex, a * exp(0.1 * ex) AS w FROM d${t - 1}),
+         |n$t AS (
+         |  SELECT list_reduce(list(w ORDER BY lang), (x, y) -> x + y) AS s
+         |  FROM i$t),
+         |d$t AS (
+         |  SELECT lang, ex, (1.0 - 0.2) * w / n$t.s + 0.2 / dc.d AS a
+         |  FROM i$t CROSS JOIN n$t CROSS JOIN dc)""".stripMargin
+    }.mkString(",\n")
+
+  /** DoReMi-style domain reweighting ([[graft.operators.Doremi]] —
+    * Xie et al., NeurIPS 2023): per-domain mixture weights learned by
+    * 5 multiplicative-weights rounds on the domain's excess loss
+    * (here the data-only analogue: KL of the domain's hashed-token
+    * distribution from the corpus distribution). The oracle re-derives
+    * EVERYTHING in SQL — tokenize, md5-h60 bucketing, the full
+    * 64-bucket smoothed KL grid with ordered folds, and all 5 unrolled
+    * update rounds with ordered normalizers — so equality proves the
+    * learned weights to the bit, smoothing and iteration path
+    * included.
+    */
+  val domainReweight: Q = Q(
+    "q_domain_reweight",
+    s"""WITH docs AS (
+       |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |tok AS (SELECT lang, unnest(t) AS w FROM docs),
+       |bk AS (
+       |  SELECT lang,
+       |    CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 64 AS b
+       |  FROM tok),
+       |cd AS (SELECT lang, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+       |nd AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cd GROUP BY 1),
+       |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cd GROUP BY 1),
+       |g AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cd),
+       |dc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM nd),
+       |bks AS (SELECT unnest(range(0, 64)) AS b),
+       |grid AS (SELECT nd.lang, nd.n, bks.b FROM nd CROSS JOIN bks),
+       |terms AS (
+       |  SELECT gr.lang, gr.b,
+       |    ((COALESCE(cd.c, 0) + 1.0) / (gr.n + 64.0))
+       |      * (ln((COALESCE(cd.c, 0) + 1.0) / (gr.n + 64.0))
+       |         - ln((COALESCE(cb.cb, 0) + 1.0) / (g.n + 64.0))) AS kl
+       |  FROM grid gr
+       |  LEFT JOIN cd ON cd.lang = gr.lang AND cd.b = gr.b
+       |  LEFT JOIN cb ON cb.b = gr.b
+       |  CROSS JOIN g),
+       |ex AS (
+       |  SELECT lang, list_reduce(list(kl ORDER BY b), (a, b) -> a + b) AS ex
+       |  FROM terms GROUP BY lang),
+       |d0 AS (SELECT lang, ex, 1.0 / dc.d AS a FROM ex CROSS JOIN dc),
+       |${doremiIterSql(5)}
+       |SELECT d5.lang AS domain, nd.n AS n_toks,
+       |  round(d5.ex, 9) AS excess, round(d5.a, 9) AS weight
+       |FROM d5 JOIN nd USING (lang)
+       |ORDER BY domain""".stripMargin) { (s, dir) =>
+    graft.operators.Doremi.reweight(
+      Tables.documents(s, dir), "lang", "text")
   }
 
   /** Export-pipeline capstone (the q_corpus_select of the output
