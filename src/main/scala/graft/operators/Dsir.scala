@@ -35,44 +35,57 @@ object Dsir {
   private def h60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Per-document hashed-bigram importance weights against the target
-    * slice `isTarget` (evaluated per document row): returns
-    * (doc_id, n_feats, weight) for every document with ≥ 2 tokens,
-    * weight rounded to 9 decimals (the cross-engine float-equality
-    * device every scored oracle here uses).
+  /** The hashed-bigram occurrence frame: one row per adjacent word
+    * pair — (doc_id, __tgt, pos, b) — via shifted slices (the
+    * bigramNll shape: one projection per doc row, no self-join).
     */
-  def importanceWeights(
+  private def bigrams(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int): DataFrame = {
     val toks = docs.select(
       col(idCol).as("doc_id"), isTarget.as("__tgt"),
       filter(split(col(textCol), " "), x => x =!= "").as("t"))
     val nT = size(col("t"))
-    // adjacent-pair frame via shifted slices (the bigramNll shape: one
-    // projection per doc row, no self-join), bucketed by hashed bigram
-    val bg = toks.filter(nT >= 2)
+    toks.filter(nT >= 2)
       .select(col("doc_id"), col("__tgt"), posexplode(zip_with(
         slice(col("t"), lit(1), nT - 1), slice(col("t"), lit(2), nT - 1),
         (a, w) => concat(a, lit(" "), w))))
       .select(col("doc_id"), col("__tgt"), col("pos"),
         (h60(col("col")) % buckets).as("b"))
-    // both distributions in ONE pass: source = every occurrence,
-    // target = occurrences from target documents. The ≤`buckets`-row
-    // model is collected once and re-shipped as a LOCAL relation, so
-    // the scoring join below does not re-evaluate the corpus-scale
-    // stats subplan — the whole estimator is exactly two linear
-    // passes (stats, scoring), the minimum
-    val rows = bg.groupBy(col("b")).agg(
+  }
+
+  /** Both distributions in ONE aggregation pass: source = every
+    * occurrence, target = occurrences from target documents —
+    * collected as ≤ `buckets` (bucket, cs, ct) rows, model metadata.
+    * This is the model the streaming form
+    * ([[graft.streaming.Streams.dsirStream]]) freezes between
+    * refreshes.
+    */
+  private[graft] def collectStats(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int = 64): Seq[(Long, Long, Long)] =
+    statsOf(bigrams(docs, idCol, textCol, isTarget, buckets))
+
+  private def statsOf(bg: DataFrame): Seq[(Long, Long, Long)] =
+    bg.groupBy(col("b")).agg(
         count(lit(1)).as("cs"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
       .collect() // ≤ `buckets` rows — model metadata
-    val sTot = rows.map(_.getLong(1)).sum
-    val tTot = rows.map(_.getLong(2)).sum
-    val spark = docs.sparkSession
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** Score a bigram frame against a (possibly frozen) stats model:
+    * the model re-ships as a LOCAL relation, so the scoring join
+    * never re-evaluates a corpus-scale stats subplan — one linear
+    * pass, BroadcastHashJoin against ≤ `buckets` rows, per-doc
+    * position-ordered ln-ratio fold, round 9.
+    */
+  private def scoreBigrams(
+      spark: org.apache.spark.sql.SparkSession, bg: DataFrame,
+      model: Seq[(Long, Long, Long)], buckets: Int): DataFrame = {
+    val sTot = model.map(_._2).sum
+    val tTot = model.map(_._3).sum
     import spark.implicits._
-    val stats = rows.toSeq
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toDF("b", "cs", "ct")
+    val stats = model.toDF("b", "cs", "ct")
     val lw = log((col("ct") + lit(1.0)) / lit(tTot + buckets.toDouble)) -
       log((col("cs") + lit(1.0)) / lit(sTot + buckets.toDouble))
     bg.join(broadcast(stats), Seq("b"))
@@ -89,6 +102,31 @@ object Dsir {
       .select(col("doc_id"), col("n_feats"),
         round(col("sum_lw"), 9).as("weight"))
   }
+
+  /** Per-document hashed-bigram importance weights against the target
+    * slice `isTarget` (evaluated per document row): returns
+    * (doc_id, n_feats, weight) for every document with ≥ 2 tokens,
+    * weight rounded to 9 decimals (the cross-engine float-equality
+    * device every scored oracle here uses). Exactly two linear
+    * corpus passes: stats, then scoring.
+    */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int = 64): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol, isTarget, buckets)
+    scoreBigrams(docs.sparkSession, bg, statsOf(bg), buckets)
+  }
+
+  /** Score `docs` against a FROZEN stats model from a PREVIOUS corpus
+    * version (the streaming trickle-ingest form —
+    * [[graft.streaming.Streams.dsirStream]]): one linear pass over
+    * `docs`, no stats pass.
+    */
+  private[graft] def scoreAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: Seq[(Long, Long, Long)], buckets: Int = 64): DataFrame =
+    scoreBigrams(docs.sparkSession,
+      bigrams(docs, idCol, textCol, lit(false), buckets), model, buckets)
 
   /** The selection: top `k` documents by importance weight
     * (deterministic: rounded-weight desc, id tie-break).

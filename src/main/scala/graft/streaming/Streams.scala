@@ -901,6 +901,142 @@ object Streams {
     total
   }
 
+  /** Continuous DSIR scoring for trickle ingest (VERDICT r16 item 8;
+    * the batch operator is [[graft.operators.Dsir]] — Xie et al.,
+    * NeurIPS 2023): each micro-batch is scored against the FROZEN
+    * hashed-bigram target/source model of the last refresh point, and
+    * the model is rebuilt from the accumulated corpus on a fixed
+    * cadence (`refreshEvery` batches — the compaction-cadence device
+    * the labels table uses). Scoring a batch therefore costs
+    * O(batch); the O(corpus) stats pass is amortized 1/refreshEvery,
+    * exactly the [[clusterStream]] compaction contract.
+    *
+    * State under `stateDir`:
+    *   - `corpus/b<id>` — the batch's (id, text, target) slice;
+    *   - `corpus_base/v<id>` — the corpus consolidated at the last
+    *     refresh (the refresh already reads the whole corpus, so the
+    *     consolidation costs one extra linear write and bounds the
+    *     standing directory count at ≤ 1 + refreshEvery regardless of
+    *     drain length — the clusterStream base device);
+    *   - `model/v<id>` — the ≤ `buckets`-row stats model per refresh
+    *     point (history kept: a model is bytes);
+    *   - `scores/b<id>` — the batch's (doc_id, n_feats, weight,
+    *     model_v, fold);
+    *   - `commits/<id>` — marker LAST: a crash between state writes
+    *     and Spark's checkpoint commit replays the batch, which
+    *     overwrites the same per-batch paths and re-commits (covered
+    *     corpus directories are swept only POST-marker, so a replayed
+    *     refresh can always rebuild the identical model).
+    *
+    * Restartable: resuming with the same `checkpoint` + `stateDir`
+    * continues from the last committed batch. Refresh points are a
+    * pure function of the batch id, so a restarted drain produces
+    * bit-identical scores (StreamSpec injects a crash and proves it).
+    *
+    * Returns every committed batch's scores
+    * (doc_id, n_feats, weight, model_v, fold).
+    */
+  def dsirStream(
+      docs: DataFrame, idCol: String, textCol: String, targetCol: String,
+      stateDir: String, checkpoint: String,
+      buckets: Int = 64, refreshEvery: Int = 5,
+      afterBatch: Long => Unit = _ => ()): DataFrame = {
+    require(refreshEvery >= 1, "dsirStream: refreshEvery must be >= 1")
+    val spark = docs.sparkSession
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirFold(spark, batch, batchId, idCol, textCol, targetCol,
+          stateDir, buckets, refreshEvery)
+        afterBatch(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val done = committedBatches(spark, stateDir)
+    require(done.nonEmpty,
+      "dsirStream: no batch committed — empty feed has no scores")
+    spark.read.parquet(done.map(i => s"$stateDir/scores/b$i"): _*)
+  }
+
+  /** One micro-batch of [[dsirStream]]; wall and refresh seconds are
+    * recorded per batch (`stream_dsir_fold_b<id>`,
+    * `stream_dsir_refresh_v<id>`) so a drain prices the amortized
+    * O(corpus) refresh separately from the O(batch) scoring.
+    */
+  private def dsirFold(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, targetCol: String,
+      stateDir: String, buckets: Int, refreshEvery: Int): Unit = {
+    import graft.operators.Dsir
+    val t0 = System.nanoTime()
+    val done = committedBatches(spark, stateDir)
+    if (done.contains(batchId)) return // committed replay: skip wholesale
+    if (batch.isEmpty) return
+    val slice = batch.select(
+      col(idCol), col(textCol), col(targetCol).cast("boolean").as("__tgt"))
+    slice.write.mode("overwrite").parquet(s"$stateDir/corpus/b$batchId")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val refresh = batchId % refreshEvery == 0 ||
+      listDirIds(spark, s"$stateDir/model").isEmpty
+    if (refresh) {
+      val t1 = System.nanoTime()
+      // corpus-so-far: latest base STRICTLY below this batch (a
+      // replayed refresh must rebuild from pre-crash state, never
+      // from its own half-written consolidation) + committed batch
+      // slices since + this batch
+      val bases = listDirIds(spark, s"$stateDir/corpus_base")
+        .filter(_ < batchId)
+      val basePoint = if (bases.isEmpty) None else Some(bases.max)
+      val parts = basePoint.map(v => s"$stateDir/corpus_base/v$v").toSeq ++
+        done.filter(i => i < batchId && basePoint.forall(i > _))
+          .map(i => s"$stateDir/corpus/b$i") :+
+        s"$stateDir/corpus/b$batchId"
+      graft.tools.RunMetrics.put(
+        s"stream_dsir_dirs_v$batchId", parts.size.toDouble)
+      val corpus = spark.read.parquet(parts: _*)
+      val model = Dsir.collectStats(
+        corpus, idCol, textCol, col("__tgt"), buckets)
+      import spark.implicits._
+      model.toDF("b", "cs", "ct").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/model/v$batchId")
+      corpus.write.mode("overwrite")
+        .parquet(s"$stateDir/corpus_base/v$batchId")
+      graft.tools.RunMetrics.put(
+        s"stream_dsir_refresh_v$batchId", (System.nanoTime() - t1) / 1e9)
+    }
+    // score against the latest FROZEN model at or below this batch
+    val mv = listDirIds(spark, s"$stateDir/model").filter(_ <= batchId).max
+    val model = spark.read.parquet(s"$stateDir/model/v$mv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Dsir.scoreAgainst(slice, idCol, textCol, model, buckets)
+      .withColumn("model_v", lit(mv))
+      .withColumn("fold", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/scores/b$batchId")
+    graft.CacheScope.release()
+    // marker LAST: per-batch state is complete iff the marker exists
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$stateDir/commits/$batchId"),
+      true).close()
+    // post-marker sweep on refresh folds: slices covered by the new
+    // base and superseded bases (a crash mid-sweep leaves stale dirs
+    // the read path ignores — they are <= the base point — and the
+    // next refresh sweeps)
+    if (refresh) {
+      listDirIds(spark, s"$stateDir/corpus").filter(_ <= batchId)
+        .foreach(i => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/corpus/b$i"), true))
+      listDirIds(spark, s"$stateDir/corpus_base").filter(_ < batchId)
+        .foreach(i => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/corpus_base/v$i"), true))
+    }
+    graft.tools.RunMetrics.put(
+      s"stream_dsir_fold_b$batchId", (System.nanoTime() - t0) / 1e9)
+  }
+
   private def clusterFoldInner(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, stateDir: String,

@@ -49,6 +49,33 @@ class DsirSpec extends SparkSpec {
       s"3-bigram and 1-bigram docs only, got $w")
   }
 
+  test("realistic feature width (2^16 buckets): stats stay a local broadcast, scoring join stays hash (VERDICT r16)") {
+    // the paper's estimator uses 10^4–10^6 hashed buckets; 64 is the
+    // oracle fixture width. At 2^16 the stats model must STILL be a
+    // collected local relation (<= buckets rows, ~1 MB) broadcast to
+    // a BroadcastHashJoin — bucket width is a model-size knob, never
+    // a corpus-pass knob
+    val wide = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 1 << 16)
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"wide-bucket scoring join must broadcast the stats:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"wide-bucket stats must ship as a local relation, not re-run " +
+        s"the corpus stats subplan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no non-hash join in the wide-bucket scoring plan:\n$plan")
+    // and the wide weights stay partitioning-invariant
+    val a = wide.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Dsir.importanceWeights(docs.repartition(5), "doc_id", "text",
+        col("lang") === "en", buckets = 1 << 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("a target-vocabulary document outranks a source-only one") {
     // target slice speaks {alpha beta}, the rest {gamma delta}; a new
     // doc in target vocabulary must carry a higher weight than its

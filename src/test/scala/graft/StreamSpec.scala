@@ -1386,4 +1386,76 @@ class StreamSpec extends SparkSpec {
       s"every fold must record its labels write bytes: $bytes")
     graft.CacheScope.release()
   }
+
+  test("streaming DSIR: frozen-model scoring, refresh cadence, crash-restart bit-equality") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val base = s"target/tmp/dsirstream_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
+    // 6 slices -> 6 micro-batches (maxFilesPerTrigger=1); distinct mod
+    // times keep the file->batch order deterministic across runs
+    (0 until 6).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(6L)) === r).coalesce(1)
+        .write.parquet(s"$base/feed/f=$r")
+      if (r < 5) Thread.sleep(1100)
+    }
+    val schema = docs.schema
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_feats", "weight", "model_v", "fold")
+        .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._1)
+
+    // reference: uninterrupted drain, model refresh every 2 batches
+    val ref = collectScores(Streams.dsirStream(
+      stream, "doc_id", "text", "tgt",
+      s"$base/state_ref", s"$base/ckpt_ref", refreshEvery = 2))
+    assert(ref.nonEmpty)
+    // refresh cadence: models exist exactly at v0/v2/v4
+    def dirIds(d: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName.drop(1).toLong).toSet
+    }
+    assert(dirIds(s"$base/state_ref/model") == Set(0L, 2L, 4L),
+      "model must refresh exactly on the cadence")
+    // frozen semantics: each fold scored against the newest model at
+    // or below it
+    assert(ref.forall { case (_, _, _, mv, fold) => mv == fold / 2 * 2 },
+      s"fold->model mapping broken: ${ref.map(r => (r._5, r._4)).distinct.toSeq}")
+    // the consolidated corpus bounds the standing directory count
+    assert(dirIds(s"$base/state_ref/corpus_base") == Set(4L),
+      "only the latest consolidated corpus base must remain")
+
+    // scores equal the batch operator replayed against the frozen
+    // model parquet (the frozen-model contract, checked end to end)
+    val m2 = spark.read.parquet(s"$base/state_ref/model/v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b3 = docs.filter(pmod(col("doc_id"), lit(6L)) === 3)
+    val expect3 = graft.operators.Dsir
+      .scoreAgainst(b3, "doc_id", "text", m2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val got3 = ref.filter(_._5 == 3L).map(r => (r._1, r._2, r._3))
+    assert(got3.sameElements(expect3),
+      "fold-3 scores must equal the batch operator against the v2 model")
+
+    // crash at batch 3 (after its commit), restart on the same
+    // checkpoint + state: the drain must finish and produce
+    // bit-identical scores
+    val ex = intercept[StreamingQueryException] {
+      Streams.dsirStream(stream, "doc_id", "text", "tgt",
+        s"$base/state_c", s"$base/ckpt_c", refreshEvery = 2,
+        afterBatch = bid =>
+          if (bid == 3) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    val resumed = collectScores(Streams.dsirStream(
+      stream, "doc_id", "text", "tgt",
+      s"$base/state_c", s"$base/ckpt_c", refreshEvery = 2))
+    assert(resumed.sameElements(ref),
+      "restarted drain must equal the uninterrupted one bit-for-bit")
+    graft.CacheScope.release()
+  }
 }
