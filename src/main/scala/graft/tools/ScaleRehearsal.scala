@@ -199,7 +199,25 @@ object ScaleRehearsal {
     // round-16: DSIR importance-weighted selection — two linear
     // passes (64-row broadcast stats, then scoring) + a fixed top-k;
     // the tier ratio must track the scans
-    "q_dsir_select")
+    "q_dsir_select",
+    // round-17 (VERDICT r16 item 3): DSIR at the paper's realistic
+    // feature width — 2^16 hashed buckets instead of the 64-bucket
+    // oracle fixture. The stats model is still <= buckets rows (a
+    // broadcast; ~65k rows is ~1 MB), the scoring join must stay
+    // BroadcastHashJoin, and the tier ratio must stay scan-bound —
+    // the claim that bucket width is a model-size knob, not a
+    // corpus-pass knob
+    "x_dsir_wide",
+    // round-17 (VERDICT r16 item 7): DoReMi domain reweighting — ONE
+    // linear aggregation pass to a <= D*buckets-row model, then pure
+    // model arithmetic; the tier ratio must track the token scan
+    "q_domain_reweight",
+    // round-17 (VERDICT r16 item 8): streaming DSIR — a 10-trickle
+    // drain at the tier with model refresh every 5 batches. Scoring
+    // is O(batch) against the FROZEN broadcast model; the two
+    // refreshes are the amortized O(corpus) term — the tier ratio
+    // prices the whole drain and must stay ~linear in the corpus
+    "x_stream_dsir")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
@@ -249,7 +267,14 @@ object ScaleRehearsal {
     // measure the published law, not an implementation property; the
     // 10× family entry plus the census cand/row slope gate (≈√10 per
     // tier) are its scale accounting.)
-    "q_dsir_select")
+    "q_dsir_select",
+    // round-17 (VERDICT r16 item 5): the text-retrieval serving path
+    // at the 100× tier — BM25 top-k, bigram-LM perplexity scoring,
+    // and hybrid RRF fusion are all aggregate/top-k shaped (every leg
+    // rank-cuts before any join), so the 100× ratio must be
+    // near-linear-scan-bound; 10× evidence existed, this closes the
+    // tier gap
+    "q_bm25_topk", "q_lm_score", "q_hybrid_rrf")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
@@ -395,6 +420,49 @@ object ScaleRehearsal {
         s.read.parquet(lblPath), "doc_id", "component",
         incoming.select(col("doc_id")),
         s.read.parquet(edgePath), "d1", "d2")
+    },
+    // round-17 (VERDICT r16 item 3): q_dsir_select at 2^16 hashed
+    // buckets — the paper's estimator width (Xie et al. use 10^4–10^6
+    // hashed buckets; 64 is the oracle fixture size). Same two-pass
+    // shape, and DsirSpec pins the wide stats stay a LOCAL broadcast
+    // relation with a BroadcastHashJoin scoring join
+    "x_dsir_wide" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.Dsir.select(
+        graft.Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", k = 200, buckets = 1 << 16)
+    },
+    // round-17 (VERDICT r16 item 8): the streaming-DSIR drain — 10
+    // trickle batches over the tier's documents, frozen-model scoring
+    // per batch, O(corpus) model refresh at the 5-batch cadence
+    // (per-fold/refresh seconds land in RunMetrics:
+    // stream_dsir_fold_b* / stream_dsir_refresh_v*)
+    "x_stream_dsir" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val srcDir = s"target/tmp/x_stream_dsir_src_$tag"
+      val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val docs = graft.Tables.documents(s, dir).select(
+          col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
+        (0 until 10).foreach { r =>
+          docs.filter(pmod(col("doc_id"), lit(10L)) === r).coalesce(1)
+            .write.mode("overwrite").parquet(s"$srcDir/f=$r")
+        }
+        fs.create(done, true).close()
+      }
+      val schema = s.read.option("recursiveFileLookup", "true")
+        .parquet(srcDir).schema
+      val run = System.nanoTime()
+      graft.streaming.Streams.dsirStream(
+        s.readStream.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        "doc_id", "text", "tgt",
+        s"target/tmp/x_stream_dsir_state_$run",
+        s"target/tmp/x_stream_dsir_ckpt_$run",
+        refreshEvery = 5)
     },
     "x_skew_spj_full" -> (skewSpj(partial = false)(_, _)),
     "x_skew_spj_partial" -> (skewSpj(partial = true)(_, _)),
@@ -1165,6 +1233,11 @@ object ScaleRehearsal {
     // reason to exist. One tier (sf0.1): the cross-TIER ratio is
     // q_stream_cc's claim; this entry's axis is drain length.
     // 2 passes, min per fold.
+    // (mode, compaction point, sec, corpus rows at the point) per
+    // compaction event — gated after the artifact is written
+    // (VERDICT r16 item 4)
+    val compactCensus =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
     val drainSection =
       if (!subset.forall(_("x_stream_cc_drain40"))) ""
       else {
@@ -1182,6 +1255,16 @@ object ScaleRehearsal {
         }
         val schema = spark.read.option("recursiveFileLookup", "true")
           .parquet(srcDir).schema
+        // per-slice row counts of the feed (one cheap pass): corpus
+        // rows at compaction point v<b> = rows of batches 0..b — the
+        // denominator of the compaction slope gate (VERDICT r16
+        // item 4)
+        val sliceRows = spark.read.option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .groupBy(pmod(col("doc_id"), lit(40L)).as("r")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def rowsAt(b: Long): Long =
+          (0L to b).map(r => sliceRows.getOrElse(r, 0L)).sum
         def drain(mode: String, asTable: Boolean): String = {
           val folds = scala.collection.mutable.Map.empty[String, Double]
           val compacts = scala.collection.mutable.Map.empty[String, Double]
@@ -1246,11 +1329,29 @@ object ScaleRehearsal {
           val readsJson =
             if (reads.isEmpty) ""
             else s""","reads":${mapJson(reads, "stream_cc_read_b", v => f"$v%.3f")}"""
+          // per-compaction-event census: seconds vs corpus rows at the
+          // point, normalized cost gated flat after the artifact is
+          // written (VERDICT r16 item 4)
+          val events = compacts.toSeq
+            .map { case (k, sec) =>
+              val v = k.stripPrefix("stream_cc_compact_v").toLong
+              (v, sec, rowsAt(v)) }
+            .sortBy(_._1)
+          events.foreach { case (v, sec, rows) =>
+            compactCensus += ((mode, v, sec, rows)) }
+          val compCensusJson =
+            if (events.isEmpty) ""
+            else s""","compaction_census":{""" + events.map {
+              case (v, sec, rows) =>
+                f""""v$v":{"sec":$sec%.3f,"rows":$rows,""" +
+                  f""""sec_per_mrow":${sec / rows * 1e6}%.2f}"""
+            }.mkString(",") + "}"
           f""""$mode":{"sf0.1_sec":$totalMin%.3f,""" +
             f""""dirs_opened_max":${dirsMax.round},""" +
             s""""folds":${mapJson(folds, "stream_cc_fold_b", v => f"$v%.3f")},""" +
             s""""bytes":${mapJson(bytes, "stream_cc_bytes_b", v => s"${v.round}")},""" +
-            s""""compactions":${mapJson(compacts, "stream_cc_compact_v", v => f"$v%.3f")}$readsJson}"""
+            s""""compactions":${mapJson(compacts, "stream_cc_compact_v", v => f"$v%.3f")}""" +
+            s"""$compCensusJson$readsJson}"""
         }
         // both labels persistences over the same 40-batch feed: the
         // default delta-MERGE table mode and the whole-labeling
@@ -1514,11 +1615,29 @@ object ScaleRehearsal {
           s""""simhash_verify_tier_ratio":[${simVerifyRatios.map(r => f"$r%.2f").mkString(",")}]}}"""
       }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 5 compactions (v4/v9/v14/v19/v24) inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings. All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 5 compactions (v4/v9/v14/v19/v24) inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings; drain sf0.1_sec excludes these diagnostic reads so both modes time the same work. compaction_census (drain, per mode) = per-compaction-event seconds vs corpus rows at the point; normalized sec/row is gated <= 1.5x the first event (flat-or-falling = the O(corpus) MERGE amortizes, growth = debt accretion). All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r16.json"), json + "\n")
+        java.nio.file.Paths.get("SCALE_r17.json"), json + "\n")
     println(json)
+    // compaction slope gate (VERDICT r16 item 4): each compaction
+    // event's MERGE is O(corpus at the point) by design and amortized
+    // by cadence; its NORMALIZED cost (sec per corpus row at the
+    // compaction point) must be flat-or-falling in drain position —
+    // the constant term amortizes into a growing denominator, so the
+    // FIRST event bounds the rest; growth past 1.5x of the first says
+    // the event itself turned superlinear in the corpus (the r14
+    // debt-accretion class). Checked after the artifact is on disk so
+    // a failure is loud without losing the evidence.
+    compactCensus.groupBy(_._1).foreach { case (mode, evs) =>
+      val norm = evs.sortBy(_._2)
+        .map { case (_, v, sec, rows) => (v, sec / rows) }
+      norm.drop(1).foreach { case (v, nv) =>
+        require(nv <= norm.head._2 * 1.5,
+          f"compaction slope gate[$mode]: v$v at ${nv * 1e6}%.2f s/Mrow " +
+            f"vs first event ${norm.head._2 * 1e6}%.2f s/Mrow (> 1.5x)")
+      }
+    }
     // HARD slope gate (VERDICT r13 item 1) — checked after the
     // artifact is on disk, so a failure is loud without losing the
     // evidence: the adaptive families' candidates-per-row must not
