@@ -120,13 +120,22 @@ object Dsir {
   /** Score `docs` against a FROZEN stats model from a PREVIOUS corpus
     * version (the streaming trickle-ingest form —
     * [[graft.streaming.Streams.dsirStream]]): one linear pass over
-    * `docs`, no stats pass.
+    * `docs`, no stats pass. Unlike [[importanceWeights]] — where the
+    * stats frame covers every bucket the scored frame can produce by
+    * construction — a frozen model may MISS buckets that only appear
+    * in later documents, so the model is densified to all `buckets`
+    * rows first: an unseen bucket scores at its add-1-smoothed floor
+    * (counts 0), never silently drops the occurrence from the fold.
     */
   private[graft] def scoreAgainst(
       docs: DataFrame, idCol: String, textCol: String,
-      model: Seq[(Long, Long, Long)], buckets: Int = 64): DataFrame =
+      model: Seq[(Long, Long, Long)], buckets: Int = 64): DataFrame = {
+    val byB = model.map(m => m._1 -> m).toMap
+    val dense = (0L until buckets.toLong)
+      .map(b => byB.getOrElse(b, (b, 0L, 0L)))
     scoreBigrams(docs.sparkSession,
-      bigrams(docs, idCol, textCol, lit(false), buckets), model, buckets)
+      bigrams(docs, idCol, textCol, lit(false), buckets), dense, buckets)
+  }
 
   /** The selection: top `k` documents by importance weight
     * (deterministic: rounded-weight desc, id tie-break).

@@ -20,7 +20,7 @@ object TextQueries {
     packSequences, corpusSelect,
     spanDedup, corpusMix, tokenBudgetMix, chunkWindows, chunkPack,
     shardExport, freqTokens, trainingExport, bm25TopK, lmScore,
-    dsirSelect, domainReweight)
+    dsirSelect, streamDsir, domainReweight, doremiMix)
 
   /** Targeted retrieval ([[graft.operators.Relevance.bm25]]): top-20
     * documents by Okapi BM25 against a fixed probe-term set — the
@@ -160,6 +160,105 @@ object TextQueries {
       isTarget = col("lang") === "en", k = 200)
   }
 
+  private val streamDsirSrcBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** CONTINUOUS DSIR scoring
+    * ([[graft.streaming.Streams.dsirStream]]): the documents table
+    * replayed as a 5-micro-batch stream (doc_id mod 5, one file per
+    * trigger), each batch scored against the FROZEN hashed-bigram
+    * model of the last refresh point, the model rebuilt at the
+    * 3-batch cadence — so batches 0–2 score against the model trained
+    * on batch 0's corpus and batches 3–4 against the model trained on
+    * batches 0–3. FULL oracle gate: refresh points are a pure
+    * function of the batch id and the feed slicing is `doc_id % 5`
+    * (file→batch order pinned by explicit mod-times), so DuckDB
+    * re-derives BOTH frozen models from the same slices and replays
+    * every score — unseen-bucket smoothing, the position-ordered
+    * ln-ratio fold, round-9, and the fold→model-version mapping —
+    * bit-for-bit. Crash/restart equivalence is StreamSpec's.
+    */
+  val streamDsir: Q = Q(
+    "q_stream_dsir",
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t,
+      |    doc_id % 5 AS fold
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, fold, lang, i AS pos,
+      |    CAST(('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 15))
+      |      AS BIGINT) % 64 AS b
+      |  FROM docs, unnest(range(1, len(t))) AS r(i)
+      |  WHERE len(t) >= 2),
+      |m0 AS (
+      |  SELECT b, COUNT(*) AS cs,
+      |    COUNT(*) FILTER (WHERE lang = 'en') AS ct
+      |  FROM bg WHERE fold = 0 GROUP BY 1),
+      |t0 AS (SELECT SUM(cs) AS stot, SUM(ct) AS ttot FROM m0),
+      |m3 AS (
+      |  SELECT b, COUNT(*) AS cs,
+      |    COUNT(*) FILTER (WHERE lang = 'en') AS ct
+      |  FROM bg WHERE fold <= 3 GROUP BY 1),
+      |t3 AS (SELECT SUM(cs) AS stot, SUM(ct) AS ttot FROM m3),
+      |terms AS (
+      |  SELECT bg.doc_id, bg.fold, bg.pos,
+      |    CASE WHEN bg.fold <= 2
+      |      THEN ln((COALESCE(m0.ct, 0) + 1.0) / (t0.ttot + 64.0))
+      |         - ln((COALESCE(m0.cs, 0) + 1.0) / (t0.stot + 64.0))
+      |      ELSE ln((COALESCE(m3.ct, 0) + 1.0) / (t3.ttot + 64.0))
+      |         - ln((COALESCE(m3.cs, 0) + 1.0) / (t3.stot + 64.0))
+      |    END AS lw
+      |  FROM bg
+      |  LEFT JOIN m0 ON m0.b = bg.b
+      |  LEFT JOIN m3 ON m3.b = bg.b
+      |  CROSS JOIN t0 CROSS JOIN t3)
+      |SELECT doc_id, COUNT(*) AS n_feats,
+      |  round(list_reduce(list(lw ORDER BY pos), (a, b) -> a + b), 9)
+      |    AS weight,
+      |  CAST(CASE WHEN fold <= 2 THEN 0 ELSE 3 END AS BIGINT) AS model_v,
+      |  fold
+      |FROM terms
+      |GROUP BY doc_id, fold
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = s"target/tmp/stream_dsir_src_$tag"
+    // 5-file replay source (doc_id mod 5), built once per (JVM, dir);
+    // explicit per-slice mod-times pin the file->batch order to the
+    // slice order (the frozen-model composition depends on WHICH
+    // documents precede a refresh, unlike q_stream_cc's
+    // order-invariant labeling)
+    streamDsirSrcBuilt.synchronized {
+      if (!streamDsirSrcBuilt.contains(dir)) {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
+        val fs = new org.apache.hadoop.fs.Path(srcDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        (0 until 5).foreach { r =>
+          docs.filter(pmod(col("doc_id"), lit(5L)) === r).coalesce(1)
+            .write.mode("overwrite").parquet(s"$srcDir/f=$r")
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/f=$r"))
+            .filter(_.isFile)
+            .foreach(f =>
+              fs.setTimes(f.getPath, 1600000000000L + r * 60000L, -1))
+        }
+        streamDsirSrcBuilt += dir
+      }
+    }
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(srcDir).schema
+    val run = System.nanoTime()
+    graft.streaming.Streams.dsirStream(
+        s.readStream.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir),
+        "doc_id", "text", "tgt",
+        s"target/tmp/stream_dsir_state_$run",
+        s"target/tmp/stream_dsir_ckpt_$run",
+        refreshEvery = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** The DoReMi multiplicative-weights rounds as DuckDB CTEs: d0 is
     * the uniform start, each round t computes w (exponentiated
     * excess), an ORDERED normalizer fold, and the smoothed alpha —
@@ -189,9 +288,13 @@ object TextQueries {
     * learned weights to the bit, smoothing and iteration path
     * included.
     */
-  val domainReweight: Q = Q(
-    "q_domain_reweight",
-    s"""WITH docs AS (
+  /** The whole DoReMi derivation (stats grid → excess → 5 update
+    * rounds) as DuckDB CTEs ending in `d5 (lang, ex, a)` — shared by
+    * q_domain_reweight and the q_doremi_mix capstone so the two
+    * derivations cannot drift.
+    */
+  private[queries] lazy val doremiCoreSql: String =
+    s"""docs AS (
        |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |  FROM documents),
        |tok AS (SELECT lang, unnest(t) AS w FROM docs),
@@ -219,13 +322,55 @@ object TextQueries {
        |  SELECT lang, list_reduce(list(kl ORDER BY b), (a, b) -> a + b) AS ex
        |  FROM terms GROUP BY lang),
        |d0 AS (SELECT lang, ex, 1.0 / dc.d AS a FROM ex CROSS JOIN dc),
-       |${doremiIterSql(5)}
+       |${doremiIterSql(5)}""".stripMargin
+
+  val domainReweight: Q = Q(
+    "q_domain_reweight",
+    s"""WITH $doremiCoreSql
        |SELECT d5.lang AS domain, nd.n AS n_toks,
        |  round(d5.ex, 9) AS excess, round(d5.a, 9) AS weight
        |FROM d5 JOIN nd USING (lang)
        |ORDER BY domain""".stripMargin) { (s, dir) =>
     graft.operators.Doremi.reweight(
       Tables.documents(s, dir), "lang", "text")
+  }
+
+  /** Selection-suite capstone: mixture resampling
+    * ([[graft.operators.Mix.sample]]) driven by the LEARNED DoReMi
+    * weights instead of a hand-fixed mix — the composition a training
+    * pipeline actually runs (learn the domain mixture, then cut the
+    * corpus to it). The oracle re-derives the whole chain in ONE
+    * statement — the full DoReMi derivation (shared CTEs), the
+    * round-9 weights, the per-domain quota LEAST(count, round(w·300)),
+    * and the md5-rank cut — so equality proves the two operators
+    * compose deterministically, not just pass alone (the
+    * q_training_export device, with learned weights replacing
+    * literals).
+    */
+  val doremiMix: Q = Q(
+    "q_doremi_mix",
+    s"""WITH $doremiCoreSql,
+       |wts AS (SELECT lang, round(a, 9) AS wt FROM d5),
+       |cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       |k AS (
+       |  SELECT c.lang, LEAST(c.n, CAST(round(w.wt * 300) AS BIGINT)) AS k
+       |  FROM cnt c JOIN wts w USING (lang)),
+       |r AS (
+       |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang FROM r JOIN k USING (lang)
+       |WHERE r.rn <= k.k
+       |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    val learned = graft.operators.Doremi
+      .reweight(Tables.documents(s, dir), "lang", "text")
+      .select(col("domain"), col("weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.operators.Mix.sample(
+        Tables.documents(s, dir), col("lang"), col("doc_id"),
+        weights = learned, budget = 300L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
   }
 
   /** Export-pipeline capstone (the q_corpus_select of the output

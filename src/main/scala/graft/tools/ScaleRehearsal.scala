@@ -217,7 +217,13 @@ object ScaleRehearsal {
     // is O(batch) against the FROZEN broadcast model; the two
     // refreshes are the amortized O(corpus) term — the tier ratio
     // prices the whole drain and must stay ~linear in the corpus
-    "x_stream_dsir")
+    "x_stream_dsir",
+    // round-17: the selection capstone — DoReMi-learned weights
+    // feeding the mixture sampler; one token-scan aggregation pass
+    // (the model), one count pass, one rank window over the FIXED
+    // 300-doc budget (map-side WindowGroupLimit) — the tier ratio
+    // must track the scans, never the selection
+    "q_doremi_mix")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic

@@ -63,6 +63,25 @@ class DoremiSpec extends SparkSpec {
     assert(ex("dom2") > ex("dom0") && ex("dom2") > ex("dom1"), ex.toString)
   }
 
+  test("mix composition: learned weights drive the sampler's quota law") {
+    // the q_doremi_mix contract: every domain's take equals
+    // min(available, round(weight * budget)) with the LEARNED weight
+    val learned = Doremi.reweight(docs, "lang", "text")
+      .select(col("domain"), col("weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = graft.operators.Mix
+      .sample(docs, col("lang"), col("doc_id"), learned, budget = 300L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    learned.foreach { case (d, w) =>
+      val expect = math.min(avail(d), math.round(w * 300L))
+      assert(got.getOrElse(d, 0L) == expect,
+        s"$d: took ${got.get(d)}, quota law says $expect (w=$w)")
+    }
+  }
+
   test("excess is nonnegative (it is a KL divergence)") {
     val ex = Doremi.reweight(docs, "lang", "text").collect()
       .map(r => r.getDouble(2))
