@@ -76,6 +76,21 @@ class DsirSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("frozen-model scoring smooths unseen buckets instead of dropping them") {
+    // a model trained before a document arrived may miss that
+    // document's buckets entirely; scoreAgainst must densify so every
+    // bigram occurrence still contributes its smoothed-floor term —
+    // the old inner join silently dropped such occurrences from both
+    // n_feats and the fold
+    val sparseModel = Seq((0L, 10L, 5L)) // only bucket 0 observed
+    val doc = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val w = Dsir.scoreAgainst(doc, "doc_id", "text", sparseModel)
+      .collect()
+    assert(w.length == 1 && w.head.getLong(1) == 2L,
+      s"both bigrams must score against a sparse frozen model: " +
+        w.mkString(","))
+  }
+
   test("a target-vocabulary document outranks a source-only one") {
     // target slice speaks {alpha beta}, the rest {gamma delta}; a new
     // doc in target vocabulary must carry a higher weight than its

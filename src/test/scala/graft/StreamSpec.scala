@@ -1387,6 +1387,34 @@ class StreamSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("streaming DSIR tolerates an empty micro-batch") {
+    val base = s"target/tmp/dsirstream_empty_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 0).coalesce(1)
+      .write.parquet(s"$base/feed/f=0")
+    Thread.sleep(1100)
+    docs.filter(lit(false)).coalesce(1) // an empty slice mid-feed
+      .write.parquet(s"$base/feed/f=1")
+    Thread.sleep(1100)
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 1).coalesce(1)
+      .write.parquet(s"$base/feed/f=2")
+    val out = Streams.dsirStream(
+      spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed"),
+      "doc_id", "text", "tgt", s"$base/state", s"$base/ckpt",
+      refreshEvery = 2)
+    // the empty batch folds to nothing; every scoreable doc from the
+    // two real batches is scored exactly once
+    val n = out.select("doc_id").distinct().count()
+    val expect = graft.operators.Dsir
+      .importanceWeights(docs, "doc_id", "text", col("tgt")).count()
+    assert(out.count() == n && n == expect,
+      s"scored $n distinct of $expect scoreable docs")
+    graft.CacheScope.release()
+  }
+
   test("streaming DSIR: frozen-model scoring, refresh cadence, crash-restart bit-equality") {
     import org.apache.spark.sql.streaming.StreamingQueryException
     val base = s"target/tmp/dsirstream_${System.nanoTime()}"
