@@ -148,15 +148,49 @@ object Bench {
     val extrasJson = extras.map { case (q, m) =>
       "\"" + q + "\":" + qjson(m.toSeq.sortBy(_._1))
     }.mkString("{", ",", "}")
+    // per-query regression gate (VERDICT r17 item 5): the 2× wall gate
+    // vs the r1 47-query run dilutes as the catalog grows, so each
+    // query is also held to its OWN frozen baseline —
+    // BENCH_BASELINE.json records the BENCH_LOCAL_r17 per-query
+    // medians, and any query whose steal-resistant MIN exceeds 2× its
+    // frozen median lands in `regressions` (with both numbers).
+    // Queries newer than the freeze are reported under
+    // `baseline_missing` so additions are visible, never silently
+    // ungated. Applied only at the baseline's own sf.
+    val (regrJson, missJson) = {
+      val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+      if (!java.nio.file.Files.exists(p)) ("[]", "[]")
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        val baseSf = "\"sf\":\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!baseSf.contains(sfDir)) ("[]", "[]")
+        else {
+          val entry = "\"(q_[A-Za-z0-9_]+)\":\\s*([0-9.Ee+-]+)".r
+          val baseline = entry.findAllMatchIn(
+            txt.drop(txt.indexOf("\"queries_med\"")))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val regr = best.collect {
+            case (n, t) if t >= 0 && baseline.get(n).exists(b => t > 2 * b) =>
+              f"""{"query":"$n","sec":$t%.3f,"baseline_med":${baseline(n)}%.3f}"""
+          }
+          val miss = best.collect {
+            case (n, t) if t >= 0 && !baseline.contains(n) => "\"" + n + "\""
+          }
+          (regr.mkString("[", ",", "]"), miss.mkString("[", ",", "]"))
+        }
+      }
+    }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,""" +
       s""""queries":${qjson(best)},"queries_med":${qjson(med)},""" +
       s""""queries_max":${qjson(worst)},"raw_passes":$passJson,"errors":$errJson,""" +
-      s""""flaky":$flakyJson,"extras":$extrasJson,"sf":"$sfDir"}"""
+      s""""flaky":$flakyJson,"regressions":$regrJson,""" +
+      s""""baseline_missing":$missJson,"extras":$extrasJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")
     catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"n":${best.size},"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"n":${best.size},"errors":$errJson,"flaky":$flakyJson,"regressions":$regrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,6 +76,17 @@ object Doremi {
     val rows = domainStats(docs, domainCol, textCol, buckets)
       .collect() // ≤ D·buckets rows — model metadata
     require(rows.nonEmpty, "Doremi.reweight: no tokens in the corpus")
+    // the collect above is the operator's ONLY driver materialization;
+    // record its size so the wide-bucket rehearsal can certify the
+    // D·buckets model bound as a number, not a comment
+    graft.tools.RunMetrics.put("doremi_model_rows", rows.length.toDouble)
+    // a NULL domain would survive the groupBy as its own group and NPE
+    // in the sort below — abort with the actual problem instead
+    // (unclean input; filter or coalesce the domain column upstream)
+    require(!rows.exists(_.isNullAt(0)),
+      s"Doremi.reweight: NULL value in domain column '$domainCol' — " +
+        "mixture domains must be non-null; filter or default them " +
+        "upstream (e.g. coalesce(domain, 'unknown'))")
     val counts = rows.map(r =>
       (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val domains = rows.map(_.getString(0)).distinct.sorted

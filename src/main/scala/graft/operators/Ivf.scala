@@ -225,6 +225,19 @@ object Ivf {
       iters: Int = 3): Array[Array[Double]] = {
     val seed = sampleVectors(df, vecCol, math.max(2 * k, 2000))
     require(seed.nonEmpty, "empty corpus")
+    // decimal-envelope pre-check (VERDICT r17 item 7): the Lloyd sums
+    // below run in decimal(38,18), whose 20 integer digits hold sums
+    // of |x| <= 10 over 10^19 rows. The in-loop require still catches
+    // an overflow authoritatively, but only AFTER a wasted distributed
+    // pass — probing the already-collected seed sample costs nothing
+    // and pre-empts the common case (a corpus that is uniformly out of
+    // envelope) with the same rescale instruction before any pass.
+    val seedMaxAbs = seed.iterator.flatten.map(math.abs).foldLeft(0.0)(math.max)
+    require(seedMaxAbs <= 10.0,
+      f"trainCentroidsDistributed: sample coordinate magnitude " +
+        f"$seedMaxAbs%.3f exceeds the |x| <= 10 envelope of the " +
+        "decimal(38,18) accumulator (20 integer digits over 10^19 " +
+        "rows); rescale the vectors before training")
     var centroids = kppInit(seed, k)
     val dim = seed.head.length
     for (_ <- 1 to iters) {

@@ -220,7 +220,11 @@ object TextQueries {
       |FROM terms
       |GROUP BY doc_id, fold
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // dot-PRESERVING sanitizer (ADVICE r17): dirs differing only by
+    // '.' vs '_' must not collide on the same fixture srcDir — the
+    // built-once guard is per raw dir, so a collision would rebuild
+    // the fixture underneath another run's stream
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val srcDir = s"target/tmp/stream_dsir_src_$tag"
     // 5-file replay source (doc_id mod 5), built once per (JVM, dir);
     // explicit per-slice mod-times pin the file->batch order to the

@@ -46,6 +46,52 @@ object Plans {
     v.result()
   }
 
+  /** Pin the window-group-limit plan class (VERDICT r17 item 2): a
+    * GLOBAL window (empty partition spec) funnels its whole input
+    * through ONE task, so it is scale-safe only over provably bounded
+    * rows. The catalog's global rank windows are safe today because
+    * Catalyst rewrites `row_number().over(orderBy)` + `filter(rn<=k)`
+    * into a WindowGroupLimit / top-k BELOW the window — but that
+    * safety lives in an optimizer rule, not the code shape; an edit
+    * that breaks rule applicability (an extra projection between
+    * window and filter, say) would silently reintroduce a
+    * corpus-scale single-partition sort. This check makes the plan
+    * class itself the contract: every empty-partition Window must sit
+    * above a bounded input — a WindowGroupLimit, a limit
+    * (TakeOrderedAndProject's logical form), a global aggregate
+    * (one row), or a LocalRelation (driver-sized literal) — reached
+    * through row-preserving/reducing nodes only. NO allowlist: a
+    * query that trips this must rank-cut below the window
+    * (`orderBy.limit(k)` then rank) or partition the spec.
+    */
+  def windowViolations(
+      name: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: WindowGroupLimit => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // row-preserving / row-reducing wrappers: boundedness passes
+      // through (a nested global Window is itself checked by collect)
+      case s: Sort => bounded(s.child)
+      case pr: Project => bounded(pr.child)
+      case f: Filter => bounded(f.child)
+      case sa: SubqueryAlias => bounded(sa.child)
+      case w: Window => bounded(w.child)
+      case r: RepartitionOperation => bounded(r.child)
+      case _ => false
+    }
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        s"$name: unpartitioned Window over unbounded input — every row " +
+          "funnels through one task at corpus scale; rank-cut below the " +
+          "window (WindowGroupLimit/limit) or partition the window spec"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -80,10 +126,12 @@ object Plans {
     var bnljAllowed = 0
     for (n <- names) {
       emit(s"\n========== $n ==========")
-      val plan = graft.SparkEntry.queries(n)(spark, dir).queryExecution
-        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val qe = graft.SparkEntry.queries(n)(spark, dir).queryExecution
+      val plan = qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
       emit(plan)
       bad ++= violations(n, plan)
+      bad ++= windowViolations(n, qe.optimizedPlan)
       if (plan.contains("BroadcastNestedLoopJoin") && BnljAllowlist(n))
         bnljAllowed += 1
     }

@@ -223,7 +223,15 @@ object ScaleRehearsal {
     // (the model), one count pass, one rank window over the FIXED
     // 300-doc budget (map-side WindowGroupLimit) — the tier ratio
     // must track the scans, never the selection
-    "q_doremi_mix")
+    "q_doremi_mix",
+    // round-18 (VERDICT r17 item 4): DoReMi at the paper's realistic
+    // estimator width — 2^16 hashed buckets instead of the 64-bucket
+    // oracle fixture (the x_dsir_wide treatment). The driver collect
+    // is the D·buckets model (recorded: doremi_model_rows); the
+    // corpus pass is the same ONE token-scan aggregation, so the tier
+    // ratio must stay scan-bound — bucket width is a model-size knob,
+    // not a corpus-pass knob
+    "x_doremi_wide")
 
   /** 100×-tier family (VERDICT r7 item 2): the scale-critical
     * DML/SPJ/dedup/ANN core, timed at sf0.1 and at a deterministic
@@ -280,7 +288,12 @@ object ScaleRehearsal {
     // rank-cuts before any join), so the 100× ratio must be
     // near-linear-scan-bound; 10× evidence existed, this closes the
     // tier gap
-    "q_bm25_topk", "q_lm_score", "q_hybrid_rrf")
+    "q_bm25_topk", "q_lm_score", "q_hybrid_rrf",
+    // round-18 (VERDICT r17 item 4): the learned-mixture capstone at
+    // the 100× tier — the full chain (token-scan model, 5 RNG-free
+    // update rounds on the driver model, count pass, group-limit rank
+    // cut to the FIXED 300-doc budget) must price as the scans
+    "q_doremi_mix")
 
   /** Rehearsal-only queries: same operators as their q_* siblings, but
     * with the SCALING side as the probe/target so the 10× ratio
@@ -438,6 +451,14 @@ object ScaleRehearsal {
         graft.Tables.documents(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en", k = 200, buckets = 1 << 16)
     },
+    // round-18 (VERDICT r17 item 4): q_domain_reweight at 2^16 hashed
+    // buckets — the D·buckets driver collect at realistic width
+    // (5 langs × 65,536 = ≤327k model rows, recorded per run as
+    // doremi_model_rows); the corpus cost stays the one token scan
+    "x_doremi_wide" -> { (s, dir) =>
+      graft.operators.Doremi.reweight(
+        graft.Tables.documents(s, dir), "lang", "text", buckets = 1 << 16)
+    },
     // round-17 (VERDICT r16 item 8): the streaming-DSIR drain — 10
     // trickle batches over the tier's documents, frozen-model scoring
     // per batch, O(corpus) model refresh at the 5-batch cadence
@@ -455,6 +476,15 @@ object ScaleRehearsal {
         (0 until 10).foreach { r =>
           docs.filter(pmod(col("doc_id"), lit(10L)) === r).coalesce(1)
             .write.mode("overwrite").parquet(s"$srcDir/f=$r")
+          // explicit per-slice mod-times pin the file->batch order
+          // (ADVICE r17: slices written in quick succession can share
+          // an mtime tick, making the frozen-model composition across
+          // the timed passes nondeterministic — the q_stream_dsir
+          // fixture device)
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/f=$r"))
+            .filter(_.isFile)
+            .foreach(f =>
+              fs.setTimes(f.getPath, 1600000000000L + r * 60000L, -1))
         }
         fs.create(done, true).close()
       }
@@ -1111,7 +1141,8 @@ object ScaleRehearsal {
       if (args.isEmpty) None else Some(args.toSet)
     subset.foreach { s =>
       val unknown = s -- (Family ++ Family100).toSet -
-        "x_stream_cc_drain40" - "x_stream_cc_crossover"
+        "x_stream_cc_drain40" - "x_stream_cc_crossover" -
+        "x_stream_dsir_drain40"
       require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
     }
     def picked(family: Seq[String]): Seq[String] =
@@ -1170,7 +1201,14 @@ object ScaleRehearsal {
     val Passes = 3
     val times = scala.collection.mutable
       .Map.empty[(String, String), List[Double]]
+    // per-cell model-size evidence (VERDICT r17 item 4): entries whose
+    // operator records its driver-collect size via RunMetrics get the
+    // number attached to their tier cell — the D·buckets bound as an
+    // artifact row, not a comment
+    val cellRows = scala.collection.mutable.Map.empty[(String, String), Long]
+    val cellRowKeys = Map("x_doremi_wide" -> "doremi_model_rows")
     def run(pass: Int, tag: String, dir: String, name: String): Unit = {
+      cellRowKeys.get(name).foreach(k => graft.tools.RunMetrics.put(k, 0.0))
       val t0 = System.nanoTime()
       // full-materialization action (VERDICT r15 item 1; see Exec)
       val n = graft.tools.Exec.materialize(queryOf(name)(spark, dir))
@@ -1178,6 +1216,9 @@ object ScaleRehearsal {
       CacheScope.release(); spark.catalog.clearCache()
       val k = (name, tag)
       times(k) = dt :: times.getOrElse(k, Nil)
+      cellRowKeys.get(name).foreach { key =>
+        cellRows(k) = graft.tools.RunMetrics.snapshot
+          .getOrElse(key, 0.0).round }
       println(f"pass $pass $tag $name%-20s ${dt}%8.2fs rows=$n")
     }
     val dirs = Seq("sf0.1" -> sf01, "sf1" -> sf1)
@@ -1199,15 +1240,20 @@ object ScaleRehearsal {
     }
     def cellJson(tag: String, s: (Double, Double, Double)): String =
       f""""${tag}_sec":${s._1}%.3f,"${tag}_med":${s._2}%.3f,"${tag}_max":${s._3}%.3f"""
+    def rowsJson(name: String, tags: String*): String =
+      tags.flatMap(t => cellRows.get((name, t))
+        .map(r => s""","${t}_model_rows":$r""")).mkString
     val entries = picked(Family).map { name =>
       val a = stats(name, "sf0.1"); val b = stats(name, "sf1")
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf1", b)},""" +
-        f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
+        f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f""" +
+        s"""${rowsJson(name, "sf0.1", "sf1")}}"""
     }
     val entries100 = picked(Family100).map { name =>
       val a = stats(name, "sf0.1"); val b = stats(name, "sf10")
       s""""$name":{${cellJson("sf0.1", a)},${cellJson("sf10", b)},""" +
-        f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f}"""
+        f""""ratio":${b._1 / a._1}%.2f,"ratio_med":${b._2 / a._2}%.2f""" +
+        s"""${rowsJson(name, "sf10")}}"""
     }
     // per-file DV memory evidence (VERDICT r12 item 2): the delta
     // reader records, for the heaviest file it decoded, the position
@@ -1462,6 +1508,123 @@ object ScaleRehearsal {
           s"""${drain("rewrite", asTable = false)}}"""
       }
 
+    // 40-batch streaming-DSIR drain (VERDICT r17 item 3): the 10-batch
+    // x_stream_dsir entry prices the tier ratio; THIS entry's axis is
+    // drain length, the stream_cc_drain40 treatment — refreshEvery=5
+    // puts 8 model refreshes inside the drain, so late-drain behavior
+    // is measured, not extrapolated. Gated after the artifact is
+    // written: (a) non-refresh fold seconds flat in batch index
+    // (scoring is O(batch) against a frozen broadcast-size model);
+    // (b) refresh sec per corpus row at the point flat-or-falling
+    // (the refresh READS O(corpus) — amortized by cadence — and its
+    // constant term amortizes into the growing denominator, the
+    // compaction_census argument); (c) refresh WRITE bytes ~
+    // model+manifest-sized, strictly sublinear vs the corpus at the
+    // point (VERDICT r17 item 1's done criterion: consolidation is by
+    // manifest reference, so nothing ever rewrites corpus bytes).
+    // 2 passes, min per fold; bytes/files are pass-invariant.
+    val dsirRefreshCensus =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val dsirFoldMins = scala.collection.mutable.Map.empty[Long, Double]
+    val dsirBytes = scala.collection.mutable.Map.empty[Long, Double]
+    var dsirCorpusBytes = 0L
+    val dsirDrainSection =
+      if (!subset.forall(_("x_stream_dsir_drain40"))) ""
+      else {
+        val srcDir = "target/tmp/x_stream_dsir_drain40_src"
+        val done = new org.apache.hadoop.fs.Path(s"$srcDir/_DONE")
+        val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(done)) {
+          val docs = graft.Tables.documents(spark, sf01).select(
+            col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
+          (0 until 40).foreach { r =>
+            docs.filter(pmod(col("doc_id"), lit(40L)) === r).coalesce(1)
+              .write.mode("overwrite").parquet(s"$srcDir/f=$r")
+            // mod-time pinning: deterministic file->batch order (the
+            // frozen-model composition depends on it — ADVICE r17)
+            fs.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/f=$r"))
+              .filter(_.isFile)
+              .foreach(f =>
+                fs.setTimes(f.getPath, 1600000000000L + r * 60000L, -1))
+          }
+          fs.create(done, true).close()
+        }
+        val schema = spark.read.option("recursiveFileLookup", "true")
+          .parquet(srcDir).schema
+        val sliceRows = spark.read.option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .groupBy(pmod(col("doc_id"), lit(40L)).as("r")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def rowsAt(b: Long): Long =
+          (0L to b).map(r => sliceRows.getOrElse(r, 0L)).sum
+        val folds = scala.collection.mutable.Map.empty[String, Double]
+        val refreshes = scala.collection.mutable.Map.empty[String, Double]
+        val bytes = scala.collection.mutable.Map.empty[String, Double]
+        val files = scala.collection.mutable.Map.empty[String, Double]
+        var lastState = ""
+        for (pass <- 1 to 2) {
+          graft.tools.RunMetrics.flushAndReset(spark)
+          val run = System.nanoTime()
+          lastState = s"target/tmp/x_dsir40_state_$run"
+          val src = spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          val t0 = System.nanoTime()
+          val n = graft.tools.Exec.materialize(
+            graft.streaming.Streams.dsirStream(
+              src, "doc_id", "text", "tgt",
+              lastState, s"target/tmp/x_dsir40_ckpt_$run",
+              refreshEvery = 5))
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.tools.RunMetrics.snapshot.foreach {
+            case (k, v) if k.startsWith("stream_dsir_fold_") =>
+              folds(k) = folds.get(k).fold(v)(math.min(_, v))
+            case (k, v) if k.startsWith("stream_dsir_refresh_bytes_") =>
+              bytes(k) = v // pass-invariant (same data, same manifest)
+            case (k, v) if k.startsWith("stream_dsir_refresh_") =>
+              refreshes(k) = refreshes.get(k).fold(v)(math.min(_, v))
+            case (k, v) if k.startsWith("stream_dsir_files_") =>
+              files(k) = v
+            case _ => ()
+          }
+          CacheScope.release(); spark.catalog.clearCache()
+          println(
+            f"pass $pass sf0.1 x_stream_dsir_drain40  ${dt}%8.2fs rows=$n")
+        }
+        // the corpus the table holds once, as slice files — what a
+        // rewrite-based refresh would have copied EVERY refresh
+        dsirCorpusBytes = graft.sources.TxTable
+          .currentSnapshot(spark, s"$lastState/corpus_tbl").get
+          .entries.map(_.size).sum
+        refreshes.foreach { case (k, sec) =>
+          val v = k.stripPrefix("stream_dsir_refresh_v").toLong
+          dsirRefreshCensus += ((v, sec, rowsAt(v)))
+        }
+        folds.foreach { case (k, sec) =>
+          dsirFoldMins(k.stripPrefix("stream_dsir_fold_b").toLong) = sec }
+        bytes.foreach { case (k, v) =>
+          dsirBytes(k.stripPrefix("stream_dsir_refresh_bytes_v").toLong) = v }
+        def mapJson(
+            m: scala.collection.Map[String, Double], prefix: String,
+            fmt: Double => String): String =
+          m.toSeq.sortBy(_._1.stripPrefix(prefix).dropWhile(!_.isDigit).toLong)
+            .map { case (k, v) =>
+              s""""${k.stripPrefix("stream_dsir_")}":${fmt(v)}""" }
+            .mkString("{", ",", "}")
+        val refreshCensusJson = dsirRefreshCensus.sortBy(_._1).map {
+          case (v, sec, rows) =>
+            f""""v$v":{"sec":$sec%.3f,"rows":$rows,""" +
+              f""""sec_per_mrow":${sec / rows * 1e6}%.2f}"""
+        }.mkString(",")
+        s""","stream_dsir_drain40":{""" +
+          s""""folds":${mapJson(folds, "stream_dsir_fold_b", v => f"$v%.3f")},""" +
+          s""""refreshes":${mapJson(refreshes, "stream_dsir_refresh_v", v => f"$v%.3f")},""" +
+          s""""refresh_bytes":${mapJson(bytes, "stream_dsir_refresh_bytes_v", v => s"${v.round}")},""" +
+          s""""table_files":${mapJson(files, "stream_dsir_files_v", v => s"${v.round}")},""" +
+          s""""refresh_census":{$refreshCensusJson},""" +
+          s""""corpus_bytes":$dsirCorpusBytes}"""
+      }
+
     // manifest-width driver ceiling (VERDICT r13 item 6): a table one
     // order past today's widest (2,560 files vs the bucket(256)
     // tables) — records where the single-file-manifest driver state
@@ -1621,10 +1784,10 @@ object ScaleRehearsal {
           s""""simhash_verify_tier_ratio":[${simVerifyRatios.map(r => f"$r%.2f").mkString(",")}]}}"""
       }
     val json =
-      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 5 compactions (v4/v9/v14/v19/v24) inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings; drain sf0.1_sec excludes these diagnostic reads so both modes time the same work. compaction_census (drain, per mode) = per-compaction-event seconds vs corpus rows at the point; normalized sec/row is gated <= 1.5x the first event (flat-or-falling = the O(corpus) MERGE amortizes, growth = debt accretion). All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$manifestSection$census}"""
+      s"""{"metric":"scale_rehearsal","passes":$Passes,"note":"sf1/sf10 = deterministic 10x/100x scale-ups of sf0.1 (geometry-preserving copies; see scaleUp/scaleUp100 docs); tier ratio ~scale_factor = linear; _sec/_med/_max = min/median/max over $Passes interleaved passes, ratio from mins, ratio_med from medians. x_skew_spj_full vs _partial = skewed-bucket SPJ straggler, fully- vs partially-clustered. stream_cc_drain40 = 40-micro-batch clusterStream drain at sf0.1 with compactEvery=5, BOTH labels persistences: per-fold seconds (min of 2 passes) must stay flat in batch index, dirs_opened_max <= 6, bytes = per-fold labels write (table mode ~delta, rewrite ~corpus). stream_cc_crossover = 10x corpus + 24 trickle batches at ~fixed corpus with 5 compactions (v4/v9/v14/v19/v24) inside the trickle run, the regime table mode exists for: table-mode fold seconds must be flat in batch index across compaction boundaries and bytes ~delta. census slopes: srp tier_ratio ~1 = constant-occupancy geometry tracks corpus; ivf design slope is sqrt(10)~3.16 (nlist=sqrt(n), gated <=4.0); ~scale factor (10x) = saturated. ivf occ_ratio = max bucket / uniform n-over-k (gated <=2.0, k-means training skew). simhash_verify = full pairs-query seconds per census candidate, gated flat (<=3x/tier) since the candidate slope itself is density-driven. x_pq_query_only vs x_ivf_query_only = m-bytes-per-candidate compressed scan vs raw-vector scan against stored indexes. x_ivf_train_dist = executor-side k-means seam forced (fixed k=256). ivf_dist_buckets = the DISTRIBUTED trainer model censused per tier (occ_ratio gated <=2.0 like the driver path). semdedup slope = alias of the ivf bucket census: q_semdedup pairs = sum C(n_b,2) over the identical deterministic assignment, design slope sqrt(10) at k=sqrt(n). reads (drain/crossover, table mode) = per-batch serving-path cost of the logical labeling (table + sidecar overlay), measured outside fold timings; drain sf0.1_sec excludes these diagnostic reads so both modes time the same work. compaction_census (drain, per mode) = per-compaction-event seconds vs corpus rows at the point; normalized sec/row is gated <= 1.5x the first event (flat-or-falling = the O(corpus) MERGE amortizes, growth = debt accretion). stream_dsir_drain40 = 40-micro-batch dsirStream drain at sf0.1 with refreshEvery=5 (8 in-drain model refreshes): non-refresh fold seconds gated flat (max <= 4x median — scoring is O(batch) against the frozen model), refresh_census sec/row gated flat-or-falling (<= 1.5x first event — the O(corpus) model READ amortizes), refresh_bytes = what each refresh WRITES (model parquet + one manifest commit; the corpus is consolidated by MANIFEST REFERENCE, never copied) gated strictly sublinear vs corpus rows at the point and <= 5 percent of standing corpus bytes. All timed cells use Exec.materialize (the query own executed plan; count() re-planning eliminated cardinality-neutral work in r15 and earlier). census = per-family bucket balance (see graft.tools.Census)","queries_10x":{${entries.mkString(",")}},"queries_100x":{${entries100.mkString(",")}}$dvSection$drainSection$crossSection$dsirDrainSection$manifestSection$census}"""
     if (subset.isEmpty) // subset runs never overwrite the artifact
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r17.json"), json + "\n")
+        java.nio.file.Paths.get("SCALE_r18.json"), json + "\n")
     println(json)
     // compaction slope gate (VERDICT r16 item 4): each compaction
     // event's MERGE is O(corpus at the point) by design and amortized
@@ -1643,6 +1806,45 @@ object ScaleRehearsal {
           f"compaction slope gate[$mode]: v$v at ${nv * 1e6}%.2f s/Mrow " +
             f"vs first event ${norm.head._2 * 1e6}%.2f s/Mrow (> 1.5x)")
       }
+    }
+    // streaming-DSIR drain gates (VERDICT r17 items 1+3), checked
+    // after the artifact is on disk like every slope gate here
+    if (dsirRefreshCensus.nonEmpty) {
+      // (a) non-refresh fold flatness: scoring is O(batch) against a
+      // frozen model, so late folds must cost what early folds cost
+      // (4x median tolerates min-of-2 host noise on sub-second folds)
+      val score = dsirFoldMins.filterNot(_._1 % 5 == 0).values.toSeq.sorted
+      if (score.nonEmpty) {
+        val med = score(score.size / 2)
+        require(score.last <= med * 4.0,
+          f"stream_dsir fold gate: max non-refresh fold ${score.last}%.3f s " +
+            f"vs median $med%.3f s (> 4x) — scoring cost grew with the drain")
+      }
+      // (b) refresh sec per corpus row flat-or-falling (the O(corpus)
+      // READ amortizes its constant into a growing denominator)
+      val norm = dsirRefreshCensus.sortBy(_._1)
+        .map { case (v, sec, rows) => (v, sec / math.max(rows, 1L)) }
+      norm.drop(1).foreach { case (v, nv) =>
+        require(nv <= norm.head._2 * 1.5,
+          f"stream_dsir refresh slope gate: v$v at ${nv * 1e6}%.2f s/Mrow " +
+            f"vs first event ${norm.head._2 * 1e6}%.2f s/Mrow (> 1.5x)")
+      }
+      // (c) refresh WRITES are model+manifest-sized: byte growth must
+      // be strictly sublinear vs corpus growth across the drain, and
+      // the last refresh must write a sliver of the standing corpus —
+      // the measured form of "consolidate the manifest, not the bytes"
+      val bySeq = dsirBytes.toSeq.sortBy(_._1)
+      val (v0, b0) = bySeq.head; val (vN, bN) = bySeq.last
+      val rowGrowth = dsirRefreshCensus.sortBy(_._1).last._3.toDouble /
+        math.max(dsirRefreshCensus.sortBy(_._1).head._3, 1L)
+      require(bN / b0 <= 0.25 * rowGrowth,
+        f"stream_dsir refresh bytes gate: v$vN wrote ${bN.round} B vs " +
+          f"v$v0 ${b0.round} B (${bN / b0}%.1fx) — not sublinear against " +
+          f"the $rowGrowth%.1fx corpus growth")
+      require(bN <= dsirCorpusBytes * 0.05,
+        f"stream_dsir refresh bytes gate: last refresh wrote ${bN.round} B " +
+          f"— more than 5%% of the ${dsirCorpusBytes} B corpus (a refresh " +
+          "must never approach a corpus copy)")
     }
     // HARD slope gate (VERDICT r13 item 1) — checked after the
     // artifact is on disk, so a failure is loud without losing the

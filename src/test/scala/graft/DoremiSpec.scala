@@ -82,6 +82,18 @@ class DoremiSpec extends SparkSpec {
     }
   }
 
+  test("a NULL domain aborts loudly instead of NPE-ing (ADVICE r17)") {
+    val dirty = docs.select(
+      when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"),
+      col("text"))
+    val ex = intercept[IllegalArgumentException] {
+      Doremi.reweight(dirty, "lang", "text")
+    }
+    assert(ex.getMessage.contains("NULL value in domain column"),
+      s"want the unclean-input message, got: ${ex.getMessage}")
+  }
+
   test("excess is nonnegative (it is a KL divergence)") {
     val ex = Doremi.reweight(docs, "lang", "text").collect()
       .map(r => r.getDouble(2))

@@ -150,6 +150,21 @@ class IvfSpec extends SparkSpec {
       s"distributed-trained max occupancy ${occ.values.max} is $ratio x uniform")
   }
 
+  test("distributed trainer pre-empts an out-of-envelope corpus before any Lloyd pass (VERDICT r17)") {
+    // coordinates past |x| <= 10 would overflow the decimal(38,18)
+    // accumulator mid-pass; the seed-sample probe must abort FIRST,
+    // with the rescale instruction, before a distributed pass runs
+    val hot = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        col("embedding"), x => (x * 100.0).cast("float")).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.trainCentroidsDistributed(hot, "embedding", 4)
+    }
+    assert(ex.getMessage.contains("rescale the vectors") &&
+      ex.getMessage.contains("sample coordinate magnitude"),
+      s"pre-check must fire from the sample probe: ${ex.getMessage}")
+  }
+
   test("distributed-trained centroids hold IVF recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = graft.operators.Knn

@@ -182,12 +182,32 @@ class PlanSpec extends SparkSpec {
     // last dump, is screened on every test run — the check cannot go
     // stale with the artifact
     val bad = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = Catalog.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      graft.tools.Plans.violations(name, plan)
+      val qe = Catalog.queries(name)(spark, sf).queryExecution
+      // same pass, both checks (VERDICT r17 item 2): the BNLJ/cartesian
+      // text scan and the window-group-limit plan-class pin
+      graft.tools.Plans.violations(name, qe.executedPlan.toString) ++
+        graft.tools.Plans.windowViolations(name, qe.optimizedPlan)
     }
     assert(bad.isEmpty, bad.mkString("\n"))
     graft.CacheScope.release()
+  }
+
+  test("window-group-limit pin fires on a deliberately broken global window") {
+    // the check's own negative control (VERDICT r17 item 2): a global
+    // rank window WITHOUT the rank filter has no group-limit rewrite
+    // to save it — every corpus row would funnel through one task
+    val broken = Tables.documents(spark, sf).withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))))
+    val fired = graft.tools.Plans.windowViolations(
+      "broken_fixture", broken.queryExecution.optimizedPlan)
+    assert(fired.nonEmpty, "the pin must fire on an unbounded global window")
+    // and the SAFE shape — the same window rank-cut by a filter —
+    // compiles to a group-limit below the window and passes the pin
+    val safe = broken.filter(col("rn") <= 50)
+    assert(graft.tools.Plans.windowViolations(
+      "safe_fixture", safe.queryExecution.optimizedPlan).isEmpty,
+      safe.queryExecution.optimizedPlan.toString)
   }
 
   test("pre-aggregation sits below the join in the flagship mart (J5)") {

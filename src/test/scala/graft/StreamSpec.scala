@@ -1387,36 +1387,66 @@ class StreamSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
-  test("streaming DSIR tolerates an empty micro-batch") {
+  test("streaming DSIR: an empty micro-batch commits AND refreshes on cadence") {
     val base = s"target/tmp/dsirstream_empty_${System.nanoTime()}"
     val docs = Tables.documents(spark, sf).select(
       col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
     docs.filter(pmod(col("doc_id"), lit(2L)) === 0).coalesce(1)
       .write.parquet(s"$base/feed/f=0")
     Thread.sleep(1100)
-    docs.filter(lit(false)).coalesce(1) // an empty slice mid-feed
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 1).coalesce(1)
       .write.parquet(s"$base/feed/f=1")
     Thread.sleep(1100)
-    docs.filter(pmod(col("doc_id"), lit(2L)) === 1).coalesce(1)
+    // an empty slice landing exactly ON a refresh point (batch 2,
+    // refreshEvery=2): ADVICE r17 — the refresh must still happen
+    // (from the unchanged corpus), keeping the fold->model mapping a
+    // pure function of the batch id
+    docs.filter(lit(false)).coalesce(1)
       .write.parquet(s"$base/feed/f=2")
+    Thread.sleep(1100)
+    // a second consecutive empty slice (batch 3, off-cadence): no
+    // refresh, no scores, but the batch still commits
+    docs.filter(lit(false)).coalesce(1)
+      .write.parquet(s"$base/feed/f=3")
+    Thread.sleep(1100)
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 1).coalesce(1)
+      .write.parquet(s"$base/feed/f=4")
     val out = Streams.dsirStream(
       spark.readStream.schema(docs.schema)
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", "1").parquet(s"$base/feed"),
       "doc_id", "text", "tgt", s"$base/state", s"$base/ckpt",
       refreshEvery = 2)
-    // the empty batch folds to nothing; every scoreable doc from the
-    // two real batches is scored exactly once
+    // empty batches fold to no scores; every scoreable doc from the
+    // real batches is scored (batch 4 re-scores fold-1's docs — same
+    // ids, later fold), and the refresh cadence is UNBROKEN: models
+    // exist exactly at v0/v2/v4 even though batches 2 and 3 were empty
+    def dirIds(d: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fsn = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fsn.exists(p)) Set.empty
+      else fsn.listStatus(p).map(_.getPath.getName.drop(1).toLong).toSet
+    }
+    assert(dirIds(s"$base/state/model") == Set(0L, 2L, 4L),
+      "empty batches must not shift the refresh cadence")
     val n = out.select("doc_id").distinct().count()
     val expect = graft.operators.Dsir
       .importanceWeights(docs, "doc_id", "text", col("tgt")).count()
-    assert(out.count() == n && n == expect,
-      s"scored $n distinct of $expect scoreable docs")
+    assert(n == expect, s"scored $n distinct of $expect scoreable docs")
+    // the model refreshed at the empty batch equals the one the
+    // corpus-so-far implies: batch 4 must score against model_v=4
+    // (trained on folds 0..4 = the whole corpus), batch 1 against v0
+    val mv = out.select("fold", "model_v").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(mv(1L) == 0L && mv(4L) == 4L,
+      s"fold->model mapping must survive empty batches: $mv")
     graft.CacheScope.release()
   }
 
   test("streaming DSIR: frozen-model scoring, refresh cadence, crash-restart bit-equality") {
     import org.apache.spark.sql.streaming.StreamingQueryException
+    graft.tools.RunMetrics.reset() // the refresh-bytes asserts below
+    // must see THIS drain's records, not an earlier dsir test's
     val base = s"target/tmp/dsirstream_${System.nanoTime()}"
     val docs = Tables.documents(spark, sf).select(
       col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
@@ -1453,9 +1483,33 @@ class StreamSpec extends SparkSpec {
     // or below it
     assert(ref.forall { case (_, _, _, mv, fold) => mv == fold / 2 * 2 },
       s"fold->model mapping broken: ${ref.map(r => (r._5, r._4)).distinct.toSeq}")
-    // the consolidated corpus bounds the standing directory count
-    assert(dirIds(s"$base/state_ref/corpus_base") == Set(4L),
-      "only the latest consolidated corpus base must remain")
+    // refresh consolidates by MANIFEST, not by rewrite (VERDICT r17
+    // item 1): the corpus lives once, as per-fold slice files inside
+    // the TxTable — no corpus_base copy directory exists at all, and
+    // each refresh's recorded write bytes are model+manifest-sized,
+    // an order under the corpus it READ
+    assert(!new java.io.File(s"$base/state_ref/corpus_base").exists() &&
+      !new java.io.File(s"$base/state_ref/corpus").exists(),
+      "manifest-consolidated refresh must not copy corpus bytes")
+    val corpusTbl = s"$base/state_ref/corpus_tbl"
+    val snap = graft.sources.TxTable.currentSnapshot(spark, corpusTbl).get
+    val corpusBytes = snap.entries.map(_.size).sum
+    val tblRows = graft.sources.TxTable.read(spark, corpusTbl).count()
+    assert(tblRows == docs.count(),
+      s"corpus table must hold every fed row exactly once, got $tblRows")
+    val refreshBytes = graft.tools.RunMetrics.snapshot.collect {
+      case (k, v) if k.startsWith("stream_dsir_refresh_bytes_v") => k -> v }
+    assert(refreshBytes.keySet == Set(0L, 2L, 4L)
+        .map(v => s"stream_dsir_refresh_bytes_v$v"),
+      s"every refresh must record its write bytes: ${refreshBytes.keySet}")
+    assert(refreshBytes.values.forall(b => b > 0 && b < corpusBytes / 4.0),
+      s"refresh writes must be model-sized, not corpus-sized: " +
+        s"$refreshBytes vs corpus $corpusBytes")
+    // manifest history is pruned at the refresh cadence — bounded by
+    // folds since the last refresh, never by drain length
+    assert(graft.sources.TxTable.versions(spark, corpusTbl).size
+        <= 1 + 2 * 2,
+      "corpus-table manifest history must stay bounded by the cadence")
 
     // scores equal the batch operator replayed against the frozen
     // model parquet (the frozen-model contract, checked end to end)
@@ -1484,6 +1538,60 @@ class StreamSpec extends SparkSpec {
       s"$base/state_c", s"$base/ckpt_c", refreshEvery = 2))
     assert(resumed.sameElements(ref),
       "restarted drain must equal the uninterrupted one bit-for-bit")
+    graft.CacheScope.release()
+  }
+
+  test("streaming DSIR: crash MID-REFRESH (after model write, before marker) replays bit-identically") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val base = s"target/tmp/dsirstream_midref_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"), col("text"), (col("lang") === "en").as("tgt"))
+    (0 until 4).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(4L)) === r).coalesce(1)
+        .write.parquet(s"$base/feed/f=$r")
+      if (r < 3) Thread.sleep(1100)
+    }
+    val schema = docs.schema
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_feats", "weight", "model_v", "fold")
+        .as[(Long, Long, Double, Long, Long)].collect().sortBy(r => (r._1, r._5))
+    // reference: uninterrupted drain, refresh at v0 and v2
+    val ref = collectScores(Streams.dsirStream(
+      stream, "doc_id", "text", "tgt",
+      s"$base/state_ref", s"$base/ckpt_ref", refreshEvery = 2))
+    // crash INSIDE batch 2's refresh: the v2 model parquet is already
+    // on disk, the commit marker is not — the sharpest replay window
+    // (VERDICT r17 item 1's done-criterion): the replayed fold must
+    // re-land its slice partition idempotently and rebuild the SAME v2
+    // model from the table before any batch scores against it
+    Streams.dsirAfterModelWriteHook =
+      bid => if (bid == 2) throw new RuntimeException("injected mid-refresh crash")
+    try {
+      val ex = intercept[StreamingQueryException] {
+        Streams.dsirStream(stream, "doc_id", "text", "tgt",
+          s"$base/state_c", s"$base/ckpt_c", refreshEvery = 2)
+      }
+      assert(ex.getMessage.contains("injected mid-refresh crash"))
+    } finally Streams.dsirAfterModelWriteHook = _ => ()
+    // pre-crash state: model v2 exists, batch-2 marker does not
+    assert(new java.io.File(s"$base/state_c/model/v2").exists(),
+      "the crash must land after the model write")
+    assert(!new java.io.File(s"$base/state_c/commits/2").exists(),
+      "the crash must land before the commit marker")
+    val resumed = collectScores(Streams.dsirStream(
+      stream, "doc_id", "text", "tgt",
+      s"$base/state_c", s"$base/ckpt_c", refreshEvery = 2))
+    assert(resumed.sameElements(ref),
+      "mid-refresh-crashed drain must equal the uninterrupted one bit-for-bit")
+    // the replayed fold replaced its own partition: the corpus table
+    // holds every fed row exactly once despite the double write
+    val tblRows = graft.sources.TxTable
+      .read(spark, s"$base/state_c/corpus_tbl").count()
+    assert(tblRows == docs.count(),
+      s"replayed fold must not double-append its slice, got $tblRows")
     graft.CacheScope.release()
   }
 }
