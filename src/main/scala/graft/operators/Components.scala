@@ -42,16 +42,29 @@ object Components {
       .select(col(idCol).as("__id"), col(idCol).as("__lbl")))
     var converged = false
     var it = 0
+    val lblType = labels.schema("__lbl").dataType
     while (!converged && it < maxIters) {
-      val nbrMin = sym.join(labels, col("__b") === col("__id"))
-        .groupBy(col("__a")).agg(min(col("__lbl")).as("__nlbl"))
-      // __prev rides along so convergence is a FILTER on the round's
-      // own checkpointed output instead of a join back against the
-      // previous labels — one join and one shuffle fewer per round
-      val stepped = labels
-        .join(nbrMin, col("__id") === col("__a"), "left")
-        .select(col("__id"), col("__lbl").as("__prev"),
-          least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl"))
+      // min-over-neighbors FUSED with the own-label floor: the
+      // neighbor contributions and the labels themselves union into
+      // ONE groupBy(min), so the round pays a single aggregation
+      // shuffle instead of the former groupBy + labels⋈nbrMin join
+      // (one exchange and one join fewer per round). __prev rides
+      // along through the labels leg (exactly one row per id there,
+      // max over a single non-null value is that value) so
+      // convergence stays a FILTER on the round's own checkpointed
+      // output.
+      val stepped = sym.join(labels, col("__b") === col("__id"))
+        .select(col("__a").as("__id"), col("__lbl"),
+          lit(null).cast(lblType).as("__prev"))
+        .unionByName(labels.select(col("__id"), col("__lbl"),
+          col("__lbl").as("__prev")))
+        .groupBy(col("__id"))
+        .agg(min(col("__lbl")).as("__lbl"), max(col("__prev")).as("__prev"))
+        // an edge endpoint outside `nodes` has no labels-leg row
+        // (null __prev): drop it, as the former labels-side left join
+        // did — membership is the nodes frame's contract
+        .filter(col("__prev").isNotNull)
+        .select(col("__id"), col("__prev"), col("__lbl"))
       // pointer jump: lbl ← label(lbl). Every label value is itself a
       // node id (labels are only ever ids propagated by min), so the
       // lookup always resolves; the left join + coalesce is belt for

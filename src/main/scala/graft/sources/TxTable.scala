@@ -601,13 +601,32 @@ object TxTable {
       }
     }
     // commit-time stats collection (footer-only reads, bounded by THIS
-    // commit's file count — see FileStats scaladoc for the 100 TB story)
+    // commit's file count — see FileStats scaladoc for the 100 TB
+    // story). Footers are independent metadata reads: a serial loop
+    // pays file-open latency × file count on the driver (a bucket(16)
+    // commit = 16 round-trips), so read them through a small bounded
+    // pool — same work, wall-clock ∝ ceil(files / pool) instead of
+    // files.
     val conf = spark.sparkContext.hadoopConfiguration
-    out.toSeq.map { e =>
-      val stats = scala.util.Try(
-        FileStats.encode(FileStats.forFile(conf, new Path(s"$root/${e.relPath}"))))
-        .getOrElse("")
-      e.copy(stats = stats)
+    val entries = out.toSeq
+    if (entries.isEmpty) entries
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, entries.size))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.traverse(entries) { e => Future {
+            val stats = scala.util.Try(
+              FileStats.encode(
+                FileStats.forFile(conf, new Path(s"$root/${e.relPath}"))))
+              .getOrElse("")
+            e.copy(stats = stats)
+          }},
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
   }
 
