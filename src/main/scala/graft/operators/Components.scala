@@ -35,15 +35,26 @@ object Components {
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 30): DataFrame = {
+    // REBALANCE before persisting: the edge set is rescanned EVERY
+    // round, and without it the cache inherits whatever partitioning
+    // the pair pipeline left (e.g. a reused id-hash exchange that AQE
+    // cannot coalesce) — one size-based exchange here buys right-sized
+    // cached partitions for every round at any scale
     val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+      .hint("rebalance")
       .persistTracked() // reused every round
     var labels = graft.CacheScope.localCheckpointTruncated(nodes
       .select(col(idCol).as("__id"), col(idCol).as("__lbl")))
     var converged = false
     var it = 0
     val lblType = labels.schema("__lbl").dataType
+    val sc = nodes.sparkSession.sparkContext
+    val ambientDesc = sc.getLocalProperty("spark.job.description")
     while (!converged && it < maxIters) {
+      sc.setJobDescription(
+        (if (ambientDesc == null) "" else ambientDesc + " / ") +
+          s"cc round $it")
       // min-over-neighbors FUSED with the own-label floor: the
       // neighbor contributions and the labels themselves union into
       // ONE groupBy(min), so the round pays a single aggregation
@@ -82,6 +93,7 @@ object Components {
       labels = jumped.select(col("__id"), col("__lbl"))
       it += 1
     }
+    sc.setJobDescription(ambientDesc)
     require(converged,
       s"Components.connected: no fixpoint after $maxIters rounds — " +
         "the graph is pathologically deep; raise maxIters only if the " +
@@ -182,6 +194,7 @@ object Components {
         col("__t") === col("__tid"), "left")
       .select(coalesce(col("__scomp"), col("__s")).as("__ca"),
         coalesce(col("__tcomp"), col("__t")).as("__cb"))
+      .hint("rebalance") // size-based partitions for the per-round scans
       .persistTracked() // reduced-graph edges: reused every CC round
     val rnodes = mapped.select(col("__ca").as("__n"))
       .unionByName(mapped.select(col("__cb").as("__n")))

@@ -35,7 +35,14 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), col(textCol))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // HASH by the unique id, not round-robin: a keyless
+      // repartition(n) pays a local sort of the full text rows first
+      // (spark.sql.execution.sortBeforeRepartition, on by default for
+      // retry determinism — SPARK-23207); hashing a unique key spreads
+      // just as evenly, skips that sort, and is retry-deterministic by
+      // construction (guide §2.5)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(
         col(idCol),
         array_distinct(Text.wordShingles(Text.tokens(col(textCol)), n)).as("sh"))
@@ -455,7 +462,9 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as(idCol), col(textCol).cast("string"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // hash by the unique id — see shingles() for why not round-robin
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol), graft.plans.SimHashSig(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Delegates
@@ -686,8 +695,9 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("arr"))
       // 1-row-group parquet scans as ONE partition; spread the string
-      // work across cores (same rationale as shingles())
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // work across cores, hashed by the unique id (see shingles())
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .withColumn("nw", size(col("arr")))
       .persistTracked()
     val words = base.select(col("doc_id"),

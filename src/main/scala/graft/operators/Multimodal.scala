@@ -74,7 +74,8 @@ object Multimodal {
     // PNG encode is CPU-bound and the documents parquet scans as one
     // partition — spread BEFORE the mapPartitions or it runs one-core
     val base = syntheticMedia(documents)
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col("media_id"))
     val schema = base.schema
     val idIdx = schema.fieldIndex("media_id")
     val kindIdx = schema.fieldIndex("kind")

@@ -1075,7 +1075,8 @@ object SourceQueries {
         .select(target.fieldNames.map(col): _*)
         // 1-row-group parquet scans as ONE partition; spread so the
         // workbook serialization writes shards from all cores
-        .repartition(s.sparkContext.defaultParallelism),
+        // (hashed by the unique key: skips sort-before-repartition)
+        .repartition(s.sparkContext.defaultParallelism, col("c_custkey")),
       out)
     val (good, bad) = CsvIngest.splitCorrupt(
       graft.sources.Xlsx.readStaging(s, out, target), runId = "xlsxrt")
@@ -1265,7 +1266,8 @@ object SourceQueries {
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       // 1-row-group parquet scans as ONE partition; spread so the
       // row-tag XML serialization runs on all cores, not one
-      .repartition(s.sparkContext.defaultParallelism)
+      // (hashed by the unique key: skips sort-before-repartition)
+      .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
       .write.mode("overwrite").format("xml").option("rowTag", "cust").save(out)
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),

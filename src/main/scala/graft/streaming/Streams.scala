@@ -215,7 +215,8 @@ object Streams {
       // single-file stream sources scan as ONE partition, which would
       // run the whole tokenize+shingle+minhash single-threaded — the
       // same reason the batch path's shingles() repartitions first
-      .repartition(spark.sparkContext.defaultParallelism)
+      // (hashed by the unique id: skips sort-before-repartition)
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(
         col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("ts"),
@@ -1111,12 +1112,18 @@ object Streams {
     def writeSidecar(delta: DataFrame): Unit =
       delta.withColumn("__fold", lit(batchId))
         .write.mode("overwrite").parquet(labelsDeltaPath(stateDir, batchId))
+    // phase labels (guide §1.5): the fold is many jobs; descriptions
+    // let a profiler attribute them. Thread-local, cleared at the end.
+    def phase(p: String): Unit =
+      spark.sparkContext.setJobDescription(s"cc_fold b$batchId: $p")
+    phase("side build+write")
     val side = Dedup.lshSide(batch.select(col(idCol), col(textCol)),
       idCol, textCol, n, bands, rowsPerBand)
     side.sh.write.mode("overwrite").parquet(s"$stateDir/sh/b$batchId")
     side.banded.write.mode("overwrite")
       .parquet(s"$stateDir/banded/b$batchId")
     if (prevIds.isEmpty) {
+      phase("initial connected labels")
       val labels = Components.connected(
         batch.select(col(idCol)), idCol,
         Dedup.minhashLshPairs(side, tau), "d1", "d2")
@@ -1156,6 +1163,7 @@ object Streams {
         // per-cycle labels WRITE ∝ delta: only the rows whose label
         // changes this cycle land in the sidecar; the corpus-scale
         // MERGE is deferred to the compaction cadence
+        phase("incremental fold + sidecar")
         val changed = Components.connectedIncrementalDelta(
           prevLbl, idCol, "component",
           batch.select(col(idCol)), delta, "d1", "d2")

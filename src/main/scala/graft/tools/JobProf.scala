@@ -52,7 +52,8 @@ object JobProf {
       val l = new SparkListener {
         override def onJobStart(js: SparkListenerJobStart): Unit = {
           val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .flatMap(p => Option(p.getProperty("spark.job.description"))
+              .orElse(Option(p.getProperty("callSite.short"))))
             .getOrElse("")
           jobs.put(js.jobId,
             (js.time, site, js.stageInfos.map(_.numTasks).sum))
