@@ -456,7 +456,7 @@ object Ivf {
       centroids: Array[Array[Double]]): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus
-      .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
+      .select(col(idCol), col(vecCol)).repartition(par, col(idCol)) // 1-row-group scans
       .select(
         col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         Vec.norm(col(vecCol)).as("nn"),

@@ -217,7 +217,7 @@ object Knn {
     // CACHED dots, so base bucket + margin ranking share one
     // evaluation of every dot.
     val qD = queries
-      .select(col(idCol), col(vecCol)).repartition(par)
+      .select(col(idCol), col(vecCol)).repartition(par, col(idCol))
       .select(col(idCol).as("query_id"),
         tableDots(col(vecCol), planes).as("dts")).persistTracked()
     val q = qD.select(col("query_id"), posexplode(col("dts")))
@@ -225,7 +225,7 @@ object Knn {
         probeFromDots(col("col"), bits, probes).as("buckets"))
       .select(col("query_id"), col("tbl"), explode(col("buckets")).as("bucket"))
     val cB = corpus
-      .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
+      .select(col(idCol), col(vecCol)).repartition(par, col(idCol)) // 1-row-group scans
       .select(
         col(idCol).as("neighbor_id"),
         transform(tableDots(col(vecCol), planes),
@@ -307,7 +307,7 @@ object Knn {
       df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Seq[Seq[Double]]], bits: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol), col(vecCol)).repartition(par)
+    df.select(col(idCol), col(vecCol)).repartition(par, col(idCol))
       .select(col(idCol).as("id"),
         transform(tableDots(col(vecCol), planesLit(tables)),
           dots => bucketFromDots(dots, bits)).as("bks"))

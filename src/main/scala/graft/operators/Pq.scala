@@ -119,7 +119,7 @@ object Pq {
       cb: Array[Array[Array[Double]]]): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus
-      .select(col(idCol), col(vecCol)).repartition(par) // 1-row-group scans
+      .select(col(idCol), col(vecCol)).repartition(par, col(idCol)) // 1-row-group scans
       .select(
         col(idCol).as("neighbor_id"),
         Ivf.bucketId(col(vecCol), centroids).as("bucket"),

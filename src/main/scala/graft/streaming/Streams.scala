@@ -1033,6 +1033,9 @@ object Streams {
     // under replay (a crashed batch's rerun replaces its own fold
     // partition); an EMPTY batch commits a file-less version — the
     // corpus is unchanged, which is exactly the refresh semantics.
+    // (no rebalance: the micro-batch arrives as the source's own few
+    // partitions — one per trigger file — so the slice write already
+    // lands few files; an extra AQE stage per fold buys nothing)
     TxTable.overwritePartitions(foldSlice, tbl, "__fold")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1109,8 +1112,14 @@ object Streams {
     // sidecar append — the whole per-fold labels write in table mode
     // (plain parquet at a deterministic path: a crashed fold's replay
     // overwrites it; the table itself is untouched until compaction)
+    // REBALANCE before the delta-sized state writes (guide §6): the
+    // batch side carries the ambient partition count, so each write
+    // would land one tiny file per partition and every later fold
+    // re-opens them all; size-based rebalancing writes few
+    // advisory-sized files at any scale for one cheap delta shuffle
     def writeSidecar(delta: DataFrame): Unit =
       delta.withColumn("__fold", lit(batchId))
+        .hint("rebalance")
         .write.mode("overwrite").parquet(labelsDeltaPath(stateDir, batchId))
     // phase labels (guide §1.5): the fold is many jobs; descriptions
     // let a profiler attribute them. Thread-local, cleared at the end.
@@ -1119,9 +1128,10 @@ object Streams {
     phase("side build+write")
     val side = Dedup.lshSide(batch.select(col(idCol), col(textCol)),
       idCol, textCol, n, bands, rowsPerBand)
-    side.sh.write.mode("overwrite").parquet(s"$stateDir/sh/b$batchId")
-    side.banded.write.mode("overwrite")
-      .parquet(s"$stateDir/banded/b$batchId")
+    side.sh.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$stateDir/sh/b$batchId")
+    side.banded.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$stateDir/banded/b$batchId")
     if (prevIds.isEmpty) {
       phase("initial connected labels")
       val labels = Components.connected(
