@@ -56,6 +56,7 @@ object Bench {
       // −40% total task count on q_stream_cc, −34% q_incremental_cc.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
