@@ -56,6 +56,16 @@ object Bench {
       // −40% total task count on q_stream_cc, −34% q_incremental_cc.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // prefer shuffled-hash join when the planner's size conditions
+      // allow (guide §3.1) — measured r19 full-catalog A/B on one host:
+      // 196.9s with vs 216.9s without (3-pass-min totals; join-heavy
+      // movers q_fuzzy_lookup 3.05→3.86, q_knn_ann 1.09→1.47,
+      // q_dedup_clusters 4.24→4.91 without it). Build sides stay
+      // bounded at scale: the flag only ENABLES the planner's
+      // canBuildLocalHashMap choice (per-partition plan size under
+      // autoBroadcastJoinThreshold × shuffle.partitions), it never
+      // forces a hash build. Mirrored in Verify and every tool/test
+      // session so the oracle validates the same plans the bench times.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

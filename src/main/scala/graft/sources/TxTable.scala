@@ -617,7 +617,12 @@ object TxTable {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutor(pool)
-        Await.result(
+        // BOUNDED wait (VERDICT r18 item 9): a hung filesystem read must
+        // fail the commit loudly, not hang it forever. 10 minutes is
+        // orders of magnitude above any healthy footer read (metadata
+        // I/O, ~ms each, ≤16 in flight) — hitting it means the
+        // filesystem is sick and the commit should surface that.
+        try Await.result(
           Future.traverse(entries) { e => Future {
             val stats = scala.util.Try(
               FileStats.encode(
@@ -625,7 +630,13 @@ object TxTable {
               .getOrElse("")
             e.copy(stats = stats)
           }},
-          scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.duration.Duration(10, "min"))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          throw new java.io.IOException(
+            s"TxTable commit: footer-stats reads for ${entries.size} " +
+              s"files under $root did not complete within 10 minutes — " +
+              "filesystem metadata reads are hung; failing the commit")
+        }
       } finally pool.shutdown()
     }
   }

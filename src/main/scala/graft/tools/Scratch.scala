@@ -13,6 +13,10 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // mirror Bench: the timed harness prefers shuffled-hash joins
+      // (guide §3.1, r19 A/B in Bench.scala) — every session must plan
+      // the same way so correctness runs validate the timed plans
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
