@@ -155,16 +155,22 @@ object Dedup {
     val pruned = ex0.join(stopSide, Seq("g"), "left_anti").persistTracked()
     val sizes = pruned.groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("nsh"))
-    val a = pruned.select(col("id").as("d1"), col("g"))
-    val b = pruned.select(col("id").as("d2"), col("g").as("g2"))
-    // per-gram fan-out is capped at maxDf² by the pruning itself, so
-    // the in-join PPJoin length filter buys nothing here; sizes attach
-    // to the post-aggregation pairs (small). The self-join is pinned
-    // to a shuffle on the gram key — a broadcast build of the full
-    // gram table would OOM at corpus scale.
-    val inter = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"),
-        col("g") === col("g2") && col("d1") < col("d2"))
+    // per-gram doc lists are bounded at maxDf rows by the pruning
+    // itself — the invariant this operator exists to enforce — so ONE
+    // aggregation on the gram replaces the former two-sided self-join
+    // (guide §2.4: two Exchanges of the full (id, gram) table → one,
+    // and the join build disappears): collect each surviving gram's
+    // sorted doc ids (≤ maxDf, partial-aggregated map-side), explode
+    // the C(k,2) ordered pairs — the identical fan-out the join
+    // produced — and count per pair. d1 < d2 falls out of the sort.
+    val inter = pruned.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS d1, y AS d2))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -450,6 +456,79 @@ object Dedup {
           (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("d_new"), col("d_base"), col("jaccard"))
+  }
+
+  /** The full DELTA edge set of one ingest cycle — incoming×base
+    * cross pairs PLUS within-incoming pairs — verified in ONE pass
+    * (guide §2.4: remove shuffles outright). Semantically identical to
+    * `lshPairsAgainstBase(base, incoming, tau).select(d_new as d1,
+    * d_base as d2, jaccard) unionByName minhashLshPairs(incoming,
+    * tau)`, which is how every incremental-CC caller composed it — but
+    * that form runs TWO verification pipelines (two candidate dedups,
+    * four shingle-attach joins, two Jaccard filters) over candidate
+    * sets that are both delta-sized. Here the two candidate legs are
+    * tagged and unioned BEFORE verification, so the whole delta pays
+    * one dedup and one pair of shingle joins. The `__w` leg tag rides
+    * into the dedup keys and the d2 shingle attach (within pairs
+    * resolve d2 from the incoming side, cross pairs from the base
+    * side), so the output is bit-identical to the two-pipeline form
+    * even if an id appears on both sides. Candidate observations
+    * (`cand_minhash`, `cand_minhash_cross`) are unchanged — they wrap
+    * the same per-leg candidate frames.
+    *
+    * Output: (`d1`, `d2`, `jaccard`) — within pairs ordered d1 < d2,
+    * cross pairs d1 = incoming id, d2 = base id.
+    */
+  def lshDeltaPairs(
+      base: LshSide, incoming: LshSide, tau: Double): DataFrame = {
+    require(
+      (base.n, base.bands, base.rowsPerBand) ==
+        (incoming.n, incoming.bands, incoming.rowsPerBand),
+      s"lshDeltaPairs: parameter mismatch — base " +
+        s"(n=${base.n}, bands=${base.bands}, rows=${base.rowsPerBand}) " +
+        s"vs incoming (n=${incoming.n}, bands=${incoming.bands}, " +
+        s"rows=${incoming.rowsPerBand})")
+    val idCol = base.idCol
+    val bb = base.banded
+      .select(col("id").as("d_base"), col("band").as("band2"),
+        col("bandkey").as("bandkey2"))
+    val bi = incoming.banded
+      .select(col("id").as("d_new"), col("band"), col("bandkey"))
+    val cross = graft.tools.RunMetrics.observedCount("cand_minhash_cross",
+        bi.join(bb,
+          col("band") === col("band2") && col("bandkey") === col("bandkey2"))
+        .select("d_new", "d_base"))
+      .select(col("d_new").as("d1"), col("d_base").as("d2"),
+        lit(false).as("__w"))
+    val a = incoming.banded
+      .select(col("id").as("d1"), col("band"), col("bandkey"))
+    val b = incoming.banded
+      .select(col("id").as("d2"), col("band").as("band2"),
+        col("bandkey").as("bandkey2"))
+    val within = graft.tools.RunMetrics.observedCount("cand_minhash",
+        a.join(b,
+          col("band") === col("band2") && col("bandkey") === col("bandkey2") &&
+            col("d1") < col("d2"))
+        .select("d1", "d2"))
+      .withColumn("__w", lit(true))
+    // per-leg dedup via the tag in the keys (the two-pipeline form
+    // deduped each leg separately), then one verification for both
+    val cands = within.unionByName(cross).dropDuplicates("d1", "d2", "__w")
+    val sh2 = incoming.sh
+      .select(col(idCol).as("__id2"), col("sh").as("sh2"), lit(true).as("__w2"))
+      .unionByName(base.sh
+        .select(col(idCol).as("__id2"), col("sh").as("sh2"),
+          lit(false).as("__w2")))
+    cands
+      .join(incoming.sh.select(col(idCol).as("d1"), col("sh").as("sh1")),
+        "d1")
+      .join(sh2, col("d2") === col("__id2") && col("__w") === col("__w2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /** 62-bit SimHash over whitespace tokens. Two portable 31-bit

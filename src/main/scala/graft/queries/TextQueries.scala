@@ -1311,10 +1311,10 @@ object TextQueries {
     val baseLabels = Components.connected(
       base.select(col("doc_id")), "doc_id",
       Dedup.minhashLshPairs(sideB, tau = 0.8), "d1", "d2")
-    val delta = Dedup.lshPairsAgainstBase(sideB, sideI, tau = 0.8)
-      .select(col("d_new").as("d1"), col("d_base").as("d2"))
-      .unionByName(Dedup.minhashLshPairs(sideI, tau = 0.8)
-        .select(col("d1"), col("d2")))
+    // fused candidate-union verification (Dedup.lshDeltaPairs): the
+    // cycle's whole delta pays one dedup + one pair of shingle joins
+    val delta = Dedup.lshDeltaPairs(sideB, sideI, tau = 0.8)
+      .select(col("d1"), col("d2"))
     Components.connectedIncremental(
         baseLabels, "doc_id", "component",
         incoming.select(col("doc_id")), delta, "d1", "d2")
@@ -1351,12 +1351,10 @@ object TextQueries {
             Dedup.minhashLshPairs(base, "doc_id", "text", 3, 0.8, 8, 4),
             "d1", "d2")
           .write.mode("overwrite").parquet(lblPath)
-        Dedup.lshPairsAgainstBase(base, incoming, "doc_id", "text",
-            3, 0.8, 8, 4)
-          .select(col("d_new").as("d1"), col("d_base").as("d2"))
-          .unionByName(
-            Dedup.minhashLshPairs(incoming, "doc_id", "text", 3, 0.8, 8, 4)
-              .select(col("d1"), col("d2")))
+        Dedup.lshDeltaPairs(
+            Dedup.lshSide(base, "doc_id", "text", 3, 8, 4),
+            Dedup.lshSide(incoming, "doc_id", "text", 3, 8, 4), 0.8)
+          .select(col("d1"), col("d2"))
           .write.mode("overwrite").parquet(edgePath)
         graft.CacheScope.release()
         ccFoldPrepped += dir

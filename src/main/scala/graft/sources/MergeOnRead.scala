@@ -433,12 +433,17 @@ object MergeOnRead {
           s"updateWhere: no such column $n (table has " +
             s"${schema.fieldNames.mkString(", ")})")
       }
-      val matched = visibleWithPos(spark, root, cur, cur.entries).filter(cond)
       // one scan feeds both legs (positions + post-images): the
-      // matched set is ∝ updated rows — exactly the write volume —
-      // so persisting it is the bounded-cost way to avoid a second
-      // full-table scan
-      matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // matched set is ∝ updated rows — exactly the write volume — so
+      // materializing it avoids a second full-table scan. localCheckpoint
+      // (not persist): the downstream actions (DV write, post-image
+      // write) then plan over a flat LogicalRDD instead of re-analyzing
+      // the whole merge-on-read tree per action — the statement's
+      // driver time was ~40% inter-job Catalyst gaps (guide §5; r19
+      // JobProf). The checkpointed blocks are change-volume-sized and
+      // a lost executor fails the statement, which simply retries.
+      val matched = graft.CacheScope.localCheckpointTruncated(
+        visibleWithPos(spark, root, cur, cur.entries).filter(cond))
       try {
         val positions = matched
           .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
@@ -461,7 +466,7 @@ object MergeOnRead {
             attempt += 1
             if (attempt > maxRetries) throw e
         }
-      } finally matched.unpersist()
+      } finally matched.unpersist() // frees the checkpointed blocks
     }
     throw new IllegalStateException("unreachable")
   }
@@ -592,10 +597,15 @@ object MergeOnRead {
         keys.map(k => col(k) === col(s"src.$k")).reduce(_ && _),
         "right_outer")
       // the joined frame is ∝ source rows + matched targets — the
-      // change volume — so persisting it is the bounded-cost way to
-      // feed cardinality check, counts, positions and post-images
-      // from one scan
-      joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // change volume — so materializing it feeds the cardinality
+      // check, counts, positions and post-images from one scan.
+      // localCheckpoint (not persist): the FOUR downstream actions then
+      // plan over a flat LogicalRDD instead of re-analyzing the whole
+      // merge-on-read join tree per action — the statement's driver
+      // time was 41% inter-job Catalyst gaps (guide §5; r19 JobProf).
+      // Blocks are change-volume-sized; a lost executor fails the
+      // statement, which simply retries from a fresh snapshot.
+      val joinedCp = graft.CacheScope.localCheckpointTruncated(joined)
       try {
         val isMatched = col("__g_key").isNotNull
         val delCond = coalesce(matchedDelete.getOrElse(lit(false)), lit(false))
@@ -611,7 +621,7 @@ object MergeOnRead {
         // duplicate matches no clause touches are harmless, so an
         // insert-only merge never spuriously aborts.
         val actCond = isMatched && (delCond || updCond)
-        val cnt = joined.agg(
+        val cnt = joinedCp.agg(
           coalesce(sum(when(isMatched && delCond, 1L)), lit(0L)).as("d"),
           coalesce(sum(when(updCond, 1L)), lit(0L)).as("u"),
           coalesce(sum(when(insCond, 1L)), lit(0L)).as("i"),
@@ -631,7 +641,7 @@ object MergeOnRead {
         // bump a restarted stream needs to stop replaying it
         if (nDel + nUpd + nIns == 0L && txn.isEmpty)
           return MergeResult(cur.version, 0L, 0L, 0L)
-        val positions = joined.filter(actCond)
+        val positions = joinedCp.filter(actCond)
           .select(col("__g_key").as("file_key"), col("__g_pos").as("pos"))
         val sets: Seq[(String, Column)] = matchedSets match {
           case Some(Nil) => schema.fieldNames.toSeq
@@ -643,8 +653,8 @@ object MergeOnRead {
         // post-images: updates keep SQL UPDATE semantics (via
         // postImage); inserts bind source columns by name,
         // null-filling the rest
-        val updated = postImage(joined.filter(updCond), schema, sets)
-        val inserted = joined.filter(insCond).select(schema.fields.map { fld =>
+        val updated = postImage(joinedCp.filter(updCond), schema, sets)
+        val inserted = joinedCp.filter(insCond).select(schema.fields.map { fld =>
           if (srcCols.exists(_.equalsIgnoreCase(fld.name)))
             col(s"src.${fld.name}").cast(fld.dataType).as(fld.name)
           else lit(null).cast(fld.dataType).as(fld.name)
@@ -668,7 +678,7 @@ object MergeOnRead {
             attempt += 1
             if (attempt > maxRetries) throw e
         }
-      } finally joined.unpersist()
+      } finally joinedCp.unpersist() // frees the checkpointed blocks
     }
     throw new IllegalStateException("unreachable")
   }

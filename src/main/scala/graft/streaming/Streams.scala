@@ -1165,10 +1165,10 @@ object Streams {
         spark.read.parquet(
           baseSidePaths(stateDir, compact, prevIds, "banded"): _*),
         idCol, n, bands, rowsPerBand)
-      val delta = Dedup.lshPairsAgainstBase(baseSide, side, tau)
-        .select(col("d_new").as("d1"), col("d_base").as("d2"))
-        .unionByName(Dedup.minhashLshPairs(side, tau)
-          .select(col("d1"), col("d2")))
+      // ONE fused candidate-union verification for the cycle's whole
+      // delta (cross + within-batch) — see Dedup.lshDeltaPairs
+      val delta = Dedup.lshDeltaPairs(baseSide, side, tau)
+        .select(col("d1"), col("d2"))
       if (labelsAsTable) {
         // per-cycle labels WRITE ∝ delta: only the rows whose label
         // changes this cycle land in the sidecar; the corpus-scale

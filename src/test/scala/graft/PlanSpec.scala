@@ -44,13 +44,19 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
-  test("jaccard_pruned plans without a Window and shuffle-hashes the gram self-join") {
+  test("jaccard_pruned plans without a Window and aggregates the gram lists once") {
     // r3 wins, pinned: set sizes come from a partial-aggregated
-    // groupBy (a Window here would sort every gram row), and the gram
-    // self-join must never broadcast-build the full gram table.
+    // groupBy (a Window here would sort every gram row). r19: the pair
+    // kernel is ONE maxDf-bounded aggregation on the gram
+    // (collect_list → ObjectHashAggregate) feeding the pair explode —
+    // the former gram self-join (two full exchanges of the gram table)
+    // must not come back, and nothing may broadcast-build the full
+    // gram table.
     val plan = formatted(Catalog.queries("q_jaccard_pruned")(spark, sf))
     assert(!plan.contains("Window"), plan.linesIterator.take(40).mkString("\n"))
-    assert(plan.contains("ShuffledHashJoin"),
+    assert(plan.contains("ObjectHashAggregate"),
+      plan.linesIterator.take(40).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"),
       plan.linesIterator.take(40).mkString("\n"))
   }
 
